@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory + runtime preparation for the graft engine.
+  *
+  * The reference pipeline's query engine is managed Athena (reached via
+  * `start_query_execution`, reference `test_pipeline.py:144-150`); here the
+  * engine is Spark itself, so session construction is where the scale
+  * posture is set:
+  *
+  *  - AQE on: runtime shuffle-partition coalescing and skew-join splitting
+  *    are the difference between a plan that works at sf0.01 and one that
+  *    survives 100 TB (skewed keys get split instead of OOMing one task).
+  *  - `spark.sql.shuffle.partitions` sized to the local harness (32); on a
+  *    real cluster this would be ~2-3x total cores, but AQE coalesces
+  *    down from whatever initial number is configured.
+  *  - UTC session timezone: timestamp semantics must match the oracle
+  *    (DuckDB naive timestamps) and the reference's UTC-everywhere model
+  *    (`data_extractor.py:56` uses `datetime.utcnow()`).
+  *  - Broadcast threshold left at default (10 MB): the dimension tables
+  *    (region/nation/supplier) broadcast automatically; fact-fact joins
+  *    shuffle on their keys as they must.
+  */
+object Sessions {
+
+  /** Build a local session for jobs and tests. */
+  def local(appName: String = "graft", cores: Int = 32): SparkSession =
+    prepare(
+      SparkSession
+        .builder()
+        .master(s"local[$cores]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+
+  /** Idempotently apply graft runtime settings to an externally created
+    * session (the driver's Verify/Bench mains build their own session, so
+    * every query entry point routes through here first). */
+  def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    graft.functions.Dialect.register(spark)
+    spark
+  }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Expression, Literal, SortOrder, StringInstr}
+import org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg
+
+/** Presto/Athena dialect shims (SURVEY §2.7 X2, §2.3 A10).
+  *
+  * The reference's SQL corpus uses two function names Spark SQL doesn't
+  * ship under the same name:
+  *
+  *  - `strpos(string, substring)` (reference `sql/sample_athena_queries.sql:45,49`)
+  *    — identical semantics to Spark's `instr` (1-based, 0 when absent),
+  *    so the shim is a thin [[StringInstr]] registration, fully
+  *    codegen'd; no UDF, no performance cliff.
+  *  - `string_agg(expr, sep)` (reference `sql/sample_athena_queries.sql:194`)
+  *    — Spark 4 ships the same aggregate as `listagg`. The shim registers
+  *    the Presto name over the native [[ListAgg]] aggregate, with a
+  *    deterministic `ORDER BY expr` (the reference query doesn't pin an
+  *    order; we pin one so results are reproducible and oracle-checkable).
+  *
+  * Registration is per-session and idempotent (`createOrReplaceTempFunction`).
+  * Both shims are native Catalyst expressions — they inherit whole-stage
+  * codegen and partial aggregation, which is what makes them safe in a
+  * 100 TB plan (a Scala UDF here would break codegen in every projection
+  * that mentions them).
+  */
+object Dialect {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    if (reg.functionExists(FunctionIdentifier("strpos")) &&
+        reg.functionExists(FunctionIdentifier("string_agg"))) return
+
+    reg.createOrReplaceTempFunction(
+      "strpos",
+      { case Seq(str, sub) => StringInstr(str, sub) }: PartialFunction[Seq[Expression], Expression],
+      "built-in")
+
+    reg.createOrReplaceTempFunction(
+      "string_agg",
+      { exprs: Seq[Expression] =>
+        val (child, delim) = exprs match {
+          case Seq(c)    => (c, Literal(","))
+          case Seq(c, d) => (c, d)
+          case _ => throw new IllegalArgumentException(
+            s"string_agg expects 1 or 2 arguments, got ${exprs.size}")
+        }
+        ListAgg(child, delim, Seq(SortOrder(child, Ascending)))
+      },
+      "built-in")
+  }
+}

@@ -1,0 +1,424 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Sessions, Tables}
+
+/** The relational operator inventory of SURVEY §2 (projection / filter /
+  * aggregation / sort / set ops / joins / window / scalar functions),
+  * re-expressed as idiomatic Spark DataFrame plans over the driver's
+  * synthetic tables.
+  *
+  * Every query here is declarative — Catalyst gets full freedom to push
+  * filters into the parquet scan, prune columns, pick broadcast vs
+  * shuffle joins, and rewrite ORDER BY+LIMIT into TakeOrderedAndProject.
+  * Aggregates on doubles are rounded in BOTH the Spark plan and the
+  * DuckDB oracle so accumulation-order ulp noise can't fail the
+  * hash-compare.
+  *
+  * Naming contract: every computed column is aliased identically here and
+  * in [[oracles]] (the driver sorts columns by name before hashing).
+  * Every query ends in a fully-deterministic ORDER BY (all ties broken).
+  */
+object Relational {
+
+  /** q01 — ungrouped COUNT(*) (SURVEY A1; reference
+    * `sql/sample_athena_queries.sql:6-7`, `test_pipeline.py:117`). */
+  def q01Count(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.lineitem(spark, dir).agg(count(lit(1)).as("record_count"))
+  }
+
+  /** q02 — projection + conjunctive filter + ORDER BY + LIMIT
+    * (SURVEY P1/F4/O2/O3; reference `sql:10-12`, `sql:53-60`). */
+  def q02ProjFilterLimit(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** q03 — group-count + ORDER BY agg DESC + LIMIT k: the reference's
+    * canonical "top cities" query shape (SURVEY A2/O1/O4; reference
+    * `test_pipeline.py:129`, `README.md:137`). Catalyst rewrites this to
+    * TakeOrderedAndProject — no global sort materialization. */
+  def q03GroupTopK(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("user_count"))
+      .orderBy(col("user_count").desc, col("c_mktsegment"))
+      .limit(3)
+  }
+
+  /** q04 — multi-aggregate pricing summary (TPC-H Q1 shape): multi-column
+    * GROUP BY, SUM/AVG over arithmetic expressions, ROUND (SURVEY
+    * A3/A5-A8, X5/X7; reference completeness-metric arithmetic at
+    * `sql:122-163`). Partial aggregation (map-side combine) is free via
+    * HashAggregateExec — at 100 TB this is the canonical
+    * shuffle-light aggregate. */
+  def q04PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(disc), 2).as("sum_disc_price"),
+        round(sum(disc * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q05 — GROUP BY on a computed expression, via the `strpos` dialect
+    * shim (SURVEY A4/X1/X2; reference domain-extraction
+    * `sql:44-50`: `SUBSTR(email, STRPOS(email, '@') + 1)`). */
+  def q05ExprGroup(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.part(spark, dir)
+      .groupBy(expr("substr(p_name, strpos(p_name, ' ') + 1)").as("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+  }
+
+  /** q06 — LIKE prefix + regexp filter + disjunction (SURVEY F3-F6;
+    * reference phone-format analysis `sql:62-80`). Both predicates are
+    * codegen'd; the parquet scan sees the pushed-down conjuncts. */
+  def q06FilterLike(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.part(spark, dir)
+      .filter(col("p_name").like("small%") || col("p_brand").rlike("^Brand#1[0-9]$"))
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+  }
+
+  /** q07 — multi-branch CASE classification + conditional aggregation
+    * (SURVEY X4/A7; reference `sql:63-80` phone-format buckets and
+    * `sql:122-127` missing-field counts). */
+  def q07CaseAgg(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val bucket = when(col("o_totalprice") < 50000.0, "small")
+      .when(col("o_totalprice") < 150000.0, "medium")
+      .otherwise("large")
+    Tables.orders(spark, dir)
+      .groupBy(bucket.as("price_bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"))
+      .orderBy("price_bucket")
+  }
+
+  /** q08 — ungrouped MIN/MAX over timestamps: the reference's
+    * data-freshness probe (SURVEY A5; reference `sql:14-19`). */
+  def q08MinMax(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.orders(spark, dir)
+      .agg(
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** q09 — duplicate detection via GROUP BY + HAVING (SURVEY A9/A11;
+    * reference duplicate-email check `sql:113-119`). */
+  def q09HavingDup(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("line_count"))
+      .filter(col("line_count") > 4)
+      .orderBy(col("line_count").desc, col("l_orderkey"))
+  }
+
+  /** q10 — per-field completeness report: N uniform aggregate branches
+    * UNION ALL'd, built by folding over the field list instead of
+    * copy-pasting SQL (SURVEY U1/A6-A8; reference `sql:131-163`). */
+  def q10Completeness(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val cust = Tables.customer(spark, dir)
+    def branch(field: String): DataFrame =
+      cust.agg(
+        count(lit(1)).as("total"),
+        sum(when(col(field).isNull, 1L).otherwise(0L)).as("missing"),
+        round(lit(100.0) * sum(when(col(field).isNotNull, 1L).otherwise(0L)) / count(lit(1)), 2)
+          .as("pct_complete"))
+        .select(lit(field).as("field"), col("total"), col("missing"), col("pct_complete"))
+    Seq("c_name", "c_mktsegment", "c_acctbal").map(branch).reduce(_ unionAll _)
+      .orderBy("field")
+  }
+
+  /** q11 — star join through two broadcast dimensions: customer ⋈ nation
+    * ⋈ region (SURVEY §2.6). nation (25 rows) and region (5 rows) are
+    * broadcast — no shuffle of the fact side at any scale; the explicit
+    * `broadcast()` hints pin the strategy the optimizer would pick from
+    * statistics anyway. */
+  def q11JoinRegion(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy("r_name")
+  }
+
+  /** q12 — multi-way fact join with date-range filter: revenue per nation
+    * (TPC-H Q5 shape). lineitem ⋈ orders shuffles on orderkey (both
+    * fact-sized — unavoidable, and the key is uniform so no skew);
+    * customer joins on custkey; nation broadcasts. Filters sit below the
+    * joins so Catalyst pushes them into the scans. */
+  def q12RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    Tables.customer(spark, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q13 — left-semi join (EXISTS): customers that have orders. Semi join
+    * never materializes the right side's columns — at scale this is the
+    * correct EXISTS plan, not a join+distinct. */
+  def q13SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q14 — left-anti join (NOT EXISTS): customers with no orders. */
+  def q14AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q15 — window function: top-1 order per customer by totalprice
+    * (row_number over a partitioned window; SURVEY §2.3 note — windows
+    * are the idiomatic Spark form of the reference's per-group-best
+    * patterns). Single shuffle on the partition key. */
+  def q15WindowTopPerKey(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  /** q16 — exact COUNT DISTINCT over two columns (SURVEY §2.3 note).
+    * Spark plans this as expand + two-phase aggregate; at 100 TB the
+    * approx_count_distinct variant (HLL) is the cheap alternative, kept
+    * out of the oracle-checked surface because its result is
+    * engine-specific. */
+  def q16Distinct(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.lineitem(spark, dir)
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_suppliers"))
+  }
+
+  /** q17 — global top-k by value (SURVEY O4): TakeOrderedAndProject, no
+    * full sort. */
+  def q17TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** q18 — string aggregation via the `string_agg` dialect shim over the
+    * native ListAgg aggregate (SURVEY A10; reference `sql:189-199`:
+    * STRING_AGG of names per group). Runs through spark.sql to prove the
+    * SQL-dialect surface end-to-end. */
+  def q18StringAgg(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT r_name, string_agg(n_name, ', ') AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin)
+  }
+
+  /** q19 — tumbling 10-minute window aggregation over the event log
+    * (batch form; the streaming form with watermarking lives in
+    * graft.streaming). `window()` buckets align to the epoch in UTC. */
+  def q19EventWindows(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "10 minutes").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** q20 — semi-structured extraction: pull the numeric field out of the
+    * JSON `props` payload (SURVEY §2.9 text analysis is the heavyweight
+    * variant; this is the scalar form the reference's Athena SQL would
+    * use). regexp_extract stays inside codegen. */
+  def q20JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(regexp_extract(col("props"), "([0-9]+)", 1).cast("long")), 4).as("avg_k"))
+      .orderBy("event_type")
+  }
+
+  /** The (SparkSession, sfDir) => DataFrame entries for SparkEntry.queries. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_count"             -> (q01Count _),
+    "q02_proj_filter_limit" -> (q02ProjFilterLimit _),
+    "q03_group_topk"        -> (q03GroupTopK _),
+    "q04_pricing_summary"   -> (q04PricingSummary _),
+    "q05_expr_group"        -> (q05ExprGroup _),
+    "q06_filter_like"       -> (q06FilterLike _),
+    "q07_case_agg"          -> (q07CaseAgg _),
+    "q08_minmax"            -> (q08MinMax _),
+    "q09_having_dup"        -> (q09HavingDup _),
+    "q10_completeness"      -> (q10Completeness _),
+    "q11_join_region"       -> (q11JoinRegion _),
+    "q12_revenue_nation"    -> (q12RevenueByNation _),
+    "q13_semi_join"         -> (q13SemiJoin _),
+    "q14_anti_join"         -> (q14AntiJoin _),
+    "q15_window_top"        -> (q15WindowTopPerKey _),
+    "q16_distinct"          -> (q16Distinct _),
+    "q17_top_orders"        -> (q17TopOrders _),
+    "q18_string_agg"        -> (q18StringAgg _),
+    "q19_event_windows"     -> (q19EventWindows _),
+    "q20_json_extract"      -> (q20JsonExtract _))
+
+  /** DuckDB-runnable oracle SQL, column-name-aligned with the Spark plans. */
+  val oracles: Map[String, String] = Map(
+    "q01_count" ->
+      "SELECT count(*) AS record_count FROM lineitem",
+    "q02_proj_filter_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+        |ORDER BY o_orderkey LIMIT 10""".stripMargin,
+    "q03_group_topk" ->
+      """SELECT c_mktsegment, count(*) AS user_count FROM customer
+        |GROUP BY c_mktsegment ORDER BY user_count DESC, c_mktsegment LIMIT 3""".stripMargin,
+    "q04_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q05_expr_group" ->
+      """SELECT substr(p_name, strpos(p_name, ' ') + 1) AS word, count(*) AS cnt
+        |FROM part GROUP BY 1 ORDER BY word""".stripMargin,
+    "q06_filter_like" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name LIKE 'small%' OR regexp_matches(p_brand, '^Brand#1[0-9]$')
+        |ORDER BY p_partkey""".stripMargin,
+    "q07_case_agg" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS price_bucket,
+        |  count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+        |FROM orders GROUP BY 1 ORDER BY price_bucket""".stripMargin,
+    "q08_minmax" ->
+      """SELECT min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+        |  count(*) AS n_orders FROM orders""".stripMargin,
+    "q09_having_dup" ->
+      """SELECT l_orderkey, count(*) AS line_count FROM lineitem
+        |GROUP BY l_orderkey HAVING count(*) > 4
+        |ORDER BY line_count DESC, l_orderkey""".stripMargin,
+    "q10_completeness" ->
+      """SELECT 'c_name' AS field, count(*) AS total,
+        |  CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+        |  round(100.0 * sum(CASE WHEN c_name IS NOT NULL THEN 1 ELSE 0 END) / count(*), 2) AS pct_complete
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', count(*),
+        |  CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(100.0 * sum(CASE WHEN c_mktsegment IS NOT NULL THEN 1 ELSE 0 END) / count(*), 2)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_acctbal', count(*),
+        |  CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(100.0 * sum(CASE WHEN c_acctbal IS NOT NULL THEN 1 ELSE 0 END) / count(*), 2)
+        |FROM customer
+        |ORDER BY field""".stripMargin,
+    "q11_join_region" ->
+      """SELECT r_name, count(*) AS customers, round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q12_revenue_nation" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q13_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_window_top" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q16_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(DISTINCT l_suppkey) AS distinct_suppliers FROM lineitem""".stripMargin,
+    "q17_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q18_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ', ' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q19_event_windows" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000) AS window_start,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q20_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(CAST(regexp_extract(props, '([0-9]+)') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
