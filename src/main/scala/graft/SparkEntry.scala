@@ -6,6 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Aggregates the query surface of every operator module:
   *  - [[graft.operators.Relational]] — SURVEY §2.2-2.7 relational inventory
+  *  - [[graft.operators.TextOps]] — token stats, fingerprints, quality, lang-ID
+  *  - [[graft.operators.Dedup]] — exact / n-gram Jaccard / MinHash-LSH / SimHash
+  *  - [[graft.operators.Similarity]] — cosine top-k, sign-LSH ANN, near-dup
+  *  - [[graft.operators.Multimodal]] — binary payload columns + decode stage
   */
 object SparkEntry {
 
@@ -18,10 +22,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.TextOps.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles
+    operators.Relational.oracles ++
+      operators.TextOps.oracles ++
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles ++
+      operators.Multimodal.oracles
 }

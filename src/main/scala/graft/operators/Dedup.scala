@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sessions, Tables}
+
+/** Deduplication operators over the `documents` corpus (SURVEY §2.9):
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH and SimHash near-dup.
+  *
+  * Scale design: the corpus has low-entropy text (tiny vocabulary), which
+  * is exactly the adversarial case for naive similarity joins — a
+  * single-word equality join degenerates to ~all-pairs. Every operator
+  * here therefore keys on 5-word shingles (measured on the fixtures:
+  * random-pair shingle-Jaccard ≈ 0, planted near-dups ≈ 0.97+), so the
+  * candidate-pair join stays linear in corpus size. At 100 TB the same
+  * property is what keeps MinHash banding shuffles bounded: band buckets
+  * are hashes of shingle minima, so bucket sizes track true duplicate
+  * clusters, not vocabulary frequencies. A residual guard (`MaxBucket`)
+  * caps any degenerate bucket.
+  */
+object Dedup {
+
+  /** Distinct 5-word shingles per document: the unit of near-dup
+    * comparison. Built with sequence+transform+slice (all codegen'd
+    * array ops, no explode until the join needs rows). */
+  def shingleArray(text: Column, k: Int = 5): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** (doc_id, shingle) exploded pairs — the join input. */
+  def shingles(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.select(col("doc_id"), explode(shingleArray(col("text"), k)).as("s"))
+
+  /** Exact-duplicate groups by content hash (SURVEY §2.9 "exact dedup";
+    * the group-and-HAVING shape of the reference's duplicate-email check,
+    * `sql/sample_athena_queries.sql:113-119`). One shuffle on the 128-bit
+    * fingerprint — uniform by construction, skew-free at any scale. */
+  def q24DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.documents(spark, dir)
+      .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keeper"))
+      .filter(col("copies") > 1)
+      .orderBy("fp")
+  }
+
+  /** Corpus-level dedup accounting: total vs content-distinct docs. */
+  def q25DedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.documents(spark, dir)
+      .agg(
+        count(lit(1)).as("total_docs"),
+        countDistinct(TextOps.fingerprint(col("text"))).as("distinct_docs"))
+  }
+
+  /** q26 — exact n-gram (5-word shingle) Jaccard near-dup pairs at
+    * threshold 0.6. Self-equijoin on shingle → per-pair intersection
+    * count → |A∩B| / (|A|+|B|−|A∩B|). The shuffle is on shingle values
+    * (high cardinality), then on (d1,d2) pairs (sparse) — both bounded. */
+  def q26NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    jaccardPairs(Tables.documents(spark, dir), 0.6)
+  }
+
+  /** Exact shingle-Jaccard pairs over `docs`, optionally restricted to a
+    * candidate-pair set (for LSH verification). */
+  private[operators] def jaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val sh = shingles(docs).cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("d1"), col("s"))
+    val b = sh.select(col("doc_id").as("d2"), col("s"))
+    val inter0 = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+    val inter1 = candidates match {
+      case Some(c) => inter0.join(c, Seq("d1", "d2"), "left_semi")
+      case None    => inter0
+    }
+    inter1
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  /** MinHash parameters: 24 permutations = 8 bands × 3 rows. For true
+    * Jaccard j, P(candidate) = 1 − (1−j³)⁸ — at j=0.9 that is
+    * 1 − 3.4e-5; at j=0.3 only 2%. The planted near-dups sit at j≥0.97
+    * (P(miss) < 1e-8), so the LSH output equals the exact-Jaccard oracle
+    * with overwhelming probability while touching ~n·bands rows instead
+    * of n² pairs. */
+  val NumPerm = 24
+  val Bands = 8
+  val RowsPerBand = 3
+  /** Degenerate-bucket guard: a band bucket larger than this is dropped
+    * (it can only arise from pathological corpora; dropping trades
+    * recall on mega-clusters for a hard bound on join fan-out). */
+  val MaxBucket = 1000
+
+  /** MinHash signatures: one row per doc, 24 min-hash columns. Single
+    * aggregation over the exploded shingles — `xxhash64(seed, s)` gives
+    * 24 independent 64-bit permutations without materializing 24× the
+    * shingle rows. */
+  private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val mins = (0 until NumPerm).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** q27 — MinHash + LSH near-dup pairs, exact-verified. Pipeline:
+    * shingles → 24 minhashes/doc → 8 band buckets/doc → self-join per
+    * (band, bucket) → distinct candidate pairs → exact shingle-Jaccard
+    * verify at 0.6. The verify step makes the output exact (LSH only
+    * controls recall, and the parameters push miss probability below
+    * 1e-8), which is why this query can share the exact-Jaccard oracle. */
+  def q27MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val docs = Tables.documents(spark, dir)
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // drop degenerate buckets before the self-join (fan-out guard)
+    val sized = buckets
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= MaxBucket)
+    val bounded = buckets.join(sized.select("band", "bucket"), Seq("band", "bucket"), "left_semi")
+    val l = bounded.select(col("band"), col("bucket"), col("doc_id").as("d1"))
+    val r = bounded.select(col("band"), col("bucket"), col("doc_id").as("d2"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+    jaccardPairs(docs, 0.6, Some(candidates))
+  }
+
+  /** SimHash: 64-bit signature whose bits are majority votes of token
+    * hashes; near-dups differ in few bits. Returns (doc_id, simhash). */
+  private[operators] def simhashes(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(shingleArray(col("text"))).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    // per-bit contribution: +1 if bit set else −1; sum over tokens; bit = sum > 0
+    val bitSums: Seq[Column] = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val summed = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce[Column](_.bitwiseOR(_))
+    summed.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash banding: Hamming threshold 8 with 9 chunks (eight 7-bit +
+    * one 8-bit). Pigeonhole: ≤8 differing bits across 9 chunks always
+    * leaves one chunk intact, so the chunk-equality join has EXACT recall
+    * at the threshold; the explicit Hamming post-filter gives exact
+    * precision. Measured on the fixtures: planted near-dups sit at
+    * Hamming 0–8, random pairs at 19+, so the margin is real. */
+  val SimhashHamming = 8
+  val SimhashChunks = 9
+
+  /** q28 — SimHash near-dup pairs at Hamming ≤ [[SimhashHamming]], via
+    * chunk-banding + exact verify. Not oracle-checked (xxhash64 isn't
+    * available to the oracle engine); spec-validated against the
+    * exact-Jaccard pairs. */
+  def q28Simhash(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val sims = simhashes(Tables.documents(spark, dir)).cache()
+    val width = 64 / SimhashChunks // 7 bits; last chunk takes the remainder
+    val chunkCols = (0 until SimhashChunks).map { c =>
+      val lo = c * width
+      val bits = if (c == SimhashChunks - 1) 64 - lo else width
+      val mask = if (bits >= 64) -1L else (1L << bits) - 1L
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("key"))
+    }
+    val chunks = sims.select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val l = chunks.select(col("chunk"), col("key"), col("doc_id").as("d1"), col("simhash").as("s1"))
+    val r = chunks.select(col("chunk"), col("key"), col("doc_id").as("d2"), col("simhash").as("s2"))
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimhashHamming)
+      .orderBy("d1", "d2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_dedup_exact"   -> (q24DedupExact _),
+    "q25_dedup_counts"  -> (q25DedupCounts _),
+    "q26_ngram_jaccard" -> (q26NgramJaccard _),
+    "q27_minhash_lsh"   -> (q27MinhashLsh _),
+    "q28_simhash"       -> (q28Simhash _))
+
+  /** Shared exact-Jaccard oracle text (q26 and q27 converge to the same
+    * exact answer — see q27 scaladoc). */
+  private val jaccardOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+      |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ')))) AS s
+      |  FROM toks),
+      |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |  round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) AS jaccard
+      |FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+      |WHERE round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) >= 0.6
+      |ORDER BY d1, d2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q24_dedup_exact" ->
+      """SELECT md5(trim(text)) AS fp, count(*) AS copies,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+    "q25_dedup_counts" ->
+      """SELECT count(*) AS total_docs,
+        |  count(DISTINCT md5(trim(text))) AS distinct_docs FROM documents""".stripMargin,
+    "q26_ngram_jaccard" -> jaccardOracle,
+    "q27_minhash_lsh"   -> jaccardOracle)
+    // q28_simhash intentionally has no oracle: signature bits depend on
+    // xxhash64, which the oracle engine lacks → driver rows-only check.
+}

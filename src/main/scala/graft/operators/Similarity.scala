@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Sessions, Tables}
+
+/** Similarity search over the `embeddings` table (SURVEY §2.9): exact
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Numeric parity: cosine is computed with an explicit left-to-right
+  * fold in DOUBLE (`aggregate(zip_with(...))`), the same accumulation
+  * order DuckDB's list functions use over a DOUBLE[] cast — so the
+  * values match bit-for-bit and the oracle can compare rounded cosines
+  * safely.
+  *
+  * Scale design: brute force is O(probes × corpus) — fine for a probe
+  * set, impossible for all-pairs at 100 TB. The LSH variant buckets
+  * vectors by sign patterns against shared random hyperplanes; the join
+  * is then bucket-equality (shuffle on a small int key), and each
+  * candidate list shrinks by ~2^planes. Hyperplanes are generated
+  * driver-side from a fixed seed and broadcast as literals — no state,
+  * reproducible across runs and clusters.
+  */
+object Similarity {
+
+  /** Left-fold dot product in double over two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Number of brute-force probe vectors (vec_id < NumProbes). */
+  val NumProbes = 8
+  val TopK = 5
+
+  /** q29 — exact brute-force cosine top-k: for each probe vector, the 5
+    * nearest neighbors by cosine over the whole corpus. The probe side
+    * is broadcast (tiny); ranking is a window per probe. */
+  def q29CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val scored = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("probe_vec"), col("embedding")).as("cos_raw"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("probe_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
+  /** Random hyperplanes for sign-LSH, fixed seed — deterministic across
+    * runs/executors. planes(p)(d) ~ U(−1, 1) (direction only matters). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextDouble() * 2.0 - 1.0)
+  }
+
+  val NumPlanes = 8 // 256 buckets; resize with corpus (≈ log2(n / target bucket size))
+
+  /** Sign-pattern bucket id of a vector column against the plane set. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(vec, planeCol) > 0.0, lit(1 << i)).otherwise(lit(0))
+    }.reduce[Column](_ + _)
+
+  /** q30 — ANN top-k via sign-LSH buckets with 2-bit multiprobe: each
+    * probe scores candidates in its own bucket plus every bucket within
+    * Hamming ≤ 2 of it (1 + 8 + 28 = 37 of 256 buckets ≈ 14% of the
+    * corpus). Multiprobe is the standard recall lever when neighbors sit
+    * at wide angles (these fixtures' top-5 neighbors are only at cosine
+    * ≈ 0.5, i.e. ~60°, where each plane disagrees with p ≈ 1/3).
+    * Approximate by construction — recall is spec-checked against q29,
+    * not oracle-checked. Output shape matches q29 for comparability. */
+  def q30AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val planes = hyperplanes(NumPlanes, 64)
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), planes))
+    // probe-side bucket expansion: all masks with ≤2 bits set
+    val flips: Seq[Int] = 0 +:
+      (0 until NumPlanes).map(1 << _) ++:
+      (for (i <- 0 until NumPlanes; j <- i + 1 until NumPlanes)
+        yield (1 << i) | (1 << j))
+    val probes = bucketed.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+        explode(array(flips.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val scored = bucketed.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("probe_vec"), col("embedding")).as("cos_raw"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("probe_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
+  /** Near-dup cosine threshold. The fixture corpus has no true embedding
+    * duplicates (measured max pairwise cosine ≈ 0.51), so the threshold
+    * sits where the operator still surfaces the densest-cluster pairs;
+    * a real dedup run would use ≥0.95. */
+  val NearDupThreshold = 0.45
+
+  /** q31 — embedding-cosine near-duplicate pairs (SURVEY §2.9
+    * "embedding-cosine near-dup"), exact all-pairs baseline: every pair
+    * with cosine ≥ threshold. O(n²) by design — this is the correctness
+    * reference; at 100 TB the identical scoring runs behind the sign-LSH
+    * bucket prefilter of [[q30AnnLsh]] (bucket join first, exact cosine
+    * only within buckets), turning n² into Σ bucket². */
+  def q31CosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val l = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val r = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    l.crossJoin(r)
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), cosine(col("e1"), col("e2")).as("cos_raw"))
+      .filter(col("cos_raw") >= NearDupThreshold)
+      .select(col("v1"), col("v2"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy("v1", "v2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_cosine_topk"     -> (q29CosineTopK _),
+    "q30_ann_lsh"         -> (q30AnnLsh _),
+    "q31_cosine_near_dup" -> (q31CosineNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "q29_cosine_topk" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+         |  FROM embeddings WHERE vec_id < $NumProbes),
+         |scored AS (
+         |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         |    list_dot_product(p.pv, CAST(e.embedding AS DOUBLE[])) /
+         |      sqrt(list_dot_product(p.pv, p.pv) *
+         |           list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS cos_raw
+         |  FROM embeddings e, probes p WHERE e.vec_id <> p.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_raw DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, round(cos_raw, 6) AS cosine
+         |FROM ranked WHERE rnk <= $TopK
+         |ORDER BY probe_id, cosine DESC, neighbor_id""".stripMargin,
+    "q31_cosine_near_dup" ->
+      s"""SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+         |    sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+         |         list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+         |    sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+         |         list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= $NearDupThreshold
+         |ORDER BY v1, v2""".stripMargin)
+    // q30_ann_lsh is approximate by construction → driver rows-only
+    // check; its recall is asserted in ScalaTest against q29.
+}

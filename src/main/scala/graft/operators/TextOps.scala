@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sessions, Tables}
+
+/** Text-analysis operators over the `documents` corpus (the north-star
+  * LLM-data-pipeline surface, SURVEY §2.9): token statistics, document
+  * fingerprinting, corpus profiling, quality scoring and a heuristic
+  * language-ID.
+  *
+  * Everything here is built from codegen'd built-ins (`split`, `filter`,
+  * higher-order array functions, `md5`, arithmetic) — no UDFs — so each
+  * op runs embarrassingly parallel over document partitions with zero
+  * shuffles except the final small aggregations. That is the shape that
+  * holds at 100 TB: per-document work scales linearly, and the only
+  * synchronization points are the roll-ups.
+  */
+object TextOps {
+
+  /** Whitespace tokens with empties dropped — `split` + higher-order
+    * `filter`, mirrored exactly by `list_filter(string_split(...))` on the
+    * oracle side (consecutive/trailing separators yield empty strings in
+    * both engines). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Deterministic document fingerprint: md5 over the trimmed text
+    * (SURVEY §2.9 "document fingerprinting"; the rolling-hash variant for
+    * streaming chunks lives in [[Dedup.shingles]]). */
+  def fingerprint(text: Column): Column = md5(trim(text))
+
+  /** Heuristic n-gram language-ID (not oracle-checked — the synthetic
+    * corpus shares one vocabulary across langs; the op exists for the
+    * plumbing and is spec-tested on crafted inputs). Scores tiny
+    * stopword lists per language and takes the argmax, ties broken by
+    * language code order. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    // score(lang) = #tokens in lang's stopword list
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => words.map(lit(_) === t).reduce(_ || _))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (score, reverse-lang) via array_max over structs:
+    // struct comparison is field-order lexicographic, so put score first.
+    element_at(array_sort(array(scored: _*)), -1).getField("lang")
+  }
+
+  /** q21 — per-document token statistics + fingerprint (SURVEY §2.9
+    * "token counting"): token count, distinct-token count, average token
+    * length, md5 fingerprint. All integer-derived arithmetic, so the
+    * oracle matches bit-for-bit. */
+  def q21TextStats(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
+        fingerprint(col("text")).as("fp"))
+      .withColumn("avg_token_len",
+        round(col("n_letters").cast("double") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** q22 — corpus profile by language: doc counts, average length, and a
+    * stopword-incidence measure (the reference's per-group profiling
+    * shape, `sql/sample_athena_queries.sql:84-90`, applied to text). */
+  def q22LangProfile(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        sum(when(col("text").contains("the"), 1L).otherwise(0L)).as("docs_with_the"))
+      .orderBy("lang")
+  }
+
+  /** q23 — document quality scoring (SURVEY §2.9 "quality scoring"):
+    * a deterministic score from token count and lexical diversity,
+    * bucketed into quality tiers. Integer-derived doubles keep the
+    * oracle exact. */
+  def q23QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("double").as("n_tokens"),
+        size(array_distinct(toks)).cast("double").as("n_distinct"))
+      .withColumn("quality_score",
+        round(least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+              (col("n_distinct") / col("n_tokens")) * 0.5, 4))
+    scored
+      .groupBy(
+        when(col("quality_score") >= 0.6, "high")
+          .when(col("quality_score") >= 0.4, "medium")
+          .otherwise("low").as("quality_tier"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("quality_score")), 4).as("avg_score"))
+      .orderBy("quality_tier")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_text_stats"    -> (q21TextStats _),
+    "q22_lang_profile"  -> (q22LangProfile _),
+    "q23_quality_score" -> (q23QualityScore _))
+
+  val oracles: Map[String, String] = Map(
+    "q21_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        |    len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_distinct,
+        |    length(replace(text, ' ', '')) AS n_letters,
+        |    md5(trim(text)) AS fp
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(n_letters AS BIGINT) AS n_letters, fp,
+        |  round(CAST(n_letters AS DOUBLE) / n_tokens, 4) AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q22_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        |  CAST(sum(CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_the
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q23_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_tokens,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE) AS n_distinct
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(least(n_tokens / 100.0, 1.0) * 0.5 + (n_distinct / n_tokens) * 0.5, 4) AS quality_score
+        |  FROM t)
+        |SELECT CASE WHEN quality_score >= 0.6 THEN 'high'
+        |            WHEN quality_score >= 0.4 THEN 'medium'
+        |            ELSE 'low' END AS quality_tier,
+        |  count(*) AS n_docs, round(avg(quality_score), 4) AS avg_score
+        |FROM s GROUP BY 1 ORDER BY quality_tier""".stripMargin)
+}

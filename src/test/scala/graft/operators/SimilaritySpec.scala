@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-k returns TopK neighbors per probe, sorted") {
+    val rows = Similarity.q29CosineTopK(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.size == Similarity.NumProbes)
+    byProbe.foreach { case (_, rs) =>
+      assert(rs.length == Similarity.TopK)
+      val cosines = rs.map(_.getDouble(2)).toSeq
+      assert(cosines == cosines.sorted.reverse, "descending cosine order per probe")
+    }
+  }
+
+  test("ANN-LSH neighbors are a subset of the corpus with exact cosines") {
+    val exactAll = Similarity.q29CosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.q30AnnLsh(spark, sf).collect()
+    assert(ann.nonEmpty, "LSH buckets should yield candidates")
+    // any ANN pair that is also in the exact top-k must carry the same cosine
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactAll.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
+    }
+  }
+
+  test("ANN-LSH achieves non-trivial recall against brute force") {
+    val exact = Similarity.q29CosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.q30AnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    // single-probe sign-LSH: modest recall expected, zero means broken
+    assert(recall >= 0.2, s"recall@${Similarity.TopK} = $recall")
+  }
+
+  test("cosine column matches a scala-side computation") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"))).head().getDouble(0)
+    val expect = 10.0 / math.sqrt(14.0 * 14.0)
+    assert(math.abs(got - expect) < 1e-12)
+  }
+}

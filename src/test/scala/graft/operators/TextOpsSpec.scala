@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+
+  test("tokens drops empties from repeated/trailing separators") {
+    import spark.implicits._
+    val df = Seq("a  b ", " a", "").toDF("text")
+    val got = df.select(TextOps.tokens(col("text"))).collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a", "b"))
+    assert(got(1) == Seq("a"))
+    assert(got(2) == Seq())
+  }
+
+  test("languageId picks the language with most stopword hits") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat and the dog is here", "en"),
+      ("el gato la casa que es", "es"),
+      ("le chat et la maison est", "fr"),
+      ("der hund und die katze ist", "de")).toDF("text", "expected")
+    val got = df.select(TextOps.languageId(col("text")), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("fingerprint is stable and whitespace-trim normalized") {
+    import spark.implicits._
+    val df = Seq(("a b c", " a b c  ")).toDF("t1", "t2")
+    val r = df.select(TextOps.fingerprint(col("t1")), TextOps.fingerprint(col("t2"))).head()
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("quality tiers cover the corpus") {
+    val rows = TextOps.q23QualityScore(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == graft.core.Tables.documents(spark, sf).count())
+  }
+}
