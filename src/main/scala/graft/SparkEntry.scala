@@ -26,7 +26,8 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      streaming.EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.TextOps.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      streaming.EventStream.oracles
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.core.Sessions
+
+/** Structured-Streaming face of the event log (SURVEY §2.8: the reference
+  * is batch-append only, so streaming is the idiomatic incremental
+  * upgrade, not a parity requirement — `readStream` over the landing
+  * directory with watermarked windowed aggregation).
+  *
+  * Scale posture: the file source scales to a firehose landing zone
+  * (maxFilesPerTrigger bounds batch size), the watermark bounds state,
+  * and the windowed aggregate is the same partial-agg shuffle shape as
+  * the batch query. `Trigger.AvailableNow` drains everything available
+  * then stops — the cron-driven incremental pattern (the reference's
+  * daily batch, made exactly-once).
+  */
+object EventStream {
+
+  /** events.parquet carries TIMESTAMP(NANOS): the stream source reads it
+    * as raw nanos (LongType) and truncates to µs, same as
+    * [[graft.core.Tables.events]]. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val WindowDuration = "15 minutes"
+  val WatermarkDelay = "1 minute"
+
+  /** Windowed counts/sums per event type with a watermark; append mode —
+    * emits exactly the windows the watermark has closed. */
+  def windowedAgg(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", WatermarkDelay)
+      // group on the window struct itself — append mode requires the
+      // event-time window column as a grouping key for watermark eviction
+      .groupBy(window(col("ts"), WindowDuration), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("cnt"), col("total_value"))
+
+  /** Run the stream over the events file(s) in `dir` to completion
+    * (AvailableNow) and return the emitted (closed) windows as a
+    * DataFrame. */
+  def q34StreamWindows(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val q = windowedAgg(stream).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("window_start", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_stream_windows" -> (q34StreamWindows _))
+
+  /** Oracle: append-mode emission = windows fully below the final
+    * watermark (max event time − delay), recomputed relationally. */
+  val oracles: Map[String, String] = Map(
+    "q34_stream_windows" ->
+      """WITH b AS (
+        |  SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS window_start,
+        |    event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT window_start, event_type, cnt, total_value
+        |FROM b, m
+        |WHERE window_start + INTERVAL 15 MINUTE <= mx - INTERVAL 1 MINUTE
+        |ORDER BY window_start, event_type""".stripMargin)
+}

@@ -1,0 +1,24 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+
+  test("streamed windowed agg equals batch recomputation of closed windows") {
+    val streamed = EventStream.q34StreamWindows(spark, sf).collect()
+    assert(streamed.nonEmpty)
+    // batch recomputation with the same window/watermark semantics
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, sf)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val batch = ev
+      .groupBy(window(col("ts"), EventStream.WindowDuration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+      .filter(col("w.end") <= lit(maxTs) - expr("INTERVAL 1 MINUTE"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("cnt"), col("total_value"))
+      .collect()
+    val s = streamed.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = batch.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(s == b, s"streamed=${s.size} batch=${b.size} diff=${(s diff b).take(3)} ${(b diff s).take(3)}")
+  }
+}
