@@ -43,6 +43,11 @@ object Sessions {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // TypedImperativeAggregate (SimhashAgg) runs through
+    // ObjectHashAggregateExec, which falls back to sort-based aggregation
+    // after 128 distinct groups by default — pathological for
+    // one-group-per-document aggregates. Measured 2.4x slowdown at sf0.1.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     graft.functions.Dialect.register(spark)
     spark
   }

@@ -50,5 +50,15 @@ object Dialect {
         ListAgg(child, delim, Seq(SortOrder(child, Ascending)))
       },
       "built-in")
+
+    // graft-native extension functions, exposed to the SQL surface:
+    reg.createOrReplaceTempFunction(
+      "cosine_sim",
+      { case Seq(a, b) => CosineSimilarity(a, b) }: PartialFunction[Seq[Expression], Expression],
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash_agg",
+      { case Seq(h) => SimhashAgg(h) }: PartialFunction[Seq[Expression], Expression],
+      "built-in")
   }
 }

@@ -37,6 +37,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@${Similarity.TopK} = $recall")
   }
 
+  test("native cosine expression is bit-identical to the fold form") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val l = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val r = emb.limit(50).select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val both = l.crossJoin(r).filter(col("v1") < col("v2"))
+      .select(
+        Similarity.cosine(col("e1"), col("e2")).as("native"),
+        Similarity.cosineFold(col("e1"), col("e2")).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(row =>
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(row.getDouble(1))))
+  }
+
   test("cosine column matches a scala-side computation") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
