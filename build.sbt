@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one JVM-wide SparkContext and the global default-session
+// slot; parallel suites race on it (seen: GraftExtensionsSpec vs the
+// shared-session suites). Spark tests run serially.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Expression, ExpressionInfo, Literal, SortOrder, StringInstr}
+import org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg
+
+/** Session-extension installer: the config-driven way to get the graft
+  * dialect + native functions into ANY SparkSession —
+  *
+  * {{{
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  *
+  * Registers the same surface as [[Dialect.register]] (which remains for
+  * programmatic/late installation): the Presto dialect shims (`strpos`,
+  * `string_agg`) and the graft-native functions (`cosine_sim`,
+  * `simhash_agg`). Everything injected is a native Catalyst expression —
+  * codegen-eligible, partial-agg-eligible; no UDF wrappers anywhere on
+  * this path. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("strpos"),
+      info("strpos", "strpos(str, substr) - 1-based position of substr in str, 0 if absent (Presto dialect)"),
+      { exprs: Seq[Expression] => StringInstr(exprs(0), exprs(1)) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("string_agg"),
+      info("string_agg", "string_agg(expr[, sep]) - concatenate values ordered by value (Presto dialect)"),
+      { exprs: Seq[Expression] =>
+        val (child, delim) = exprs match {
+          case Seq(c) => (c, Literal(","))
+          case Seq(c, d) => (c, d)
+          case _ => throw new IllegalArgumentException("string_agg expects 1 or 2 arguments")
+        }
+        ListAgg(child, delim, Seq(SortOrder(child, Ascending)))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors (codegen)"),
+      { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      info("simhash_agg", "simhash_agg(hash) - 64-bit SimHash signature over a group of hashes"),
+      { exprs: Seq[Expression] => SimhashAgg(exprs(0)) }))
+  }
+}

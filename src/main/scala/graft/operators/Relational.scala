@@ -292,6 +292,52 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q35 — computed projection: CONCAT full-address shape (SURVEY P3;
+    * reference `sql:176-187`: `CONCAT(address_street, ', ', address_city)
+    * AS full_address` + ORDER BY name). */
+  def q35ComputedProjection(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_name"),
+        concat(col("c_name"), lit(" <"), col("c_mktsegment"), lit("> "), col("n_name"))
+          .as("full_label"),
+        upper(col("c_mktsegment")).as("segment_uc"))
+      .orderBy("c_name")
+  }
+
+  /** q36 — three-column GROUP BY: the geographic-distribution shape
+    * (SURVEY A3; reference `sql:33-40` groups by lat, lng, city). */
+  def q36GeoGroup(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("c_acctbal").isNotNull)
+      .groupBy("r_name", "n_name", "c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+      .filter(col("n_customers") >= 1)
+      .orderBy("r_name", "n_name", "c_mktsegment")
+  }
+
+  /** q37 — DATE() time-based analysis (SURVEY X6; reference
+    * `sql:166-174`: extraction counts per DATE(extraction_timestamp)).
+    * Groups the order log by calendar month. */
+  def q37DateBuckets(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("month_total"))
+      .orderBy("order_year", "order_month")
+  }
+
   /** The (SparkSession, sfDir) => DataFrame entries for SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count"             -> (q01Count _),
@@ -313,7 +359,10 @@ object Relational {
     "q17_top_orders"        -> (q17TopOrders _),
     "q18_string_agg"        -> (q18StringAgg _),
     "q19_event_windows"     -> (q19EventWindows _),
-    "q20_json_extract"      -> (q20JsonExtract _))
+    "q20_json_extract"      -> (q20JsonExtract _),
+    "q35_computed_proj"     -> (q35ComputedProjection _),
+    "q36_geo_group"         -> (q36GeoGroup _),
+    "q37_date_buckets"      -> (q37DateBuckets _))
 
   /** DuckDB-runnable oracle SQL, column-name-aligned with the Spark plans. */
   val oracles: Map[String, String] = Map(
@@ -420,5 +469,25 @@ object Relational {
     "q20_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  round(avg(CAST(regexp_extract(props, '([0-9]+)') AS BIGINT)), 4) AS avg_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q35_computed_proj" ->
+      """SELECT c_name,
+        |  concat(c_name, ' <', c_mktsegment, '> ', n_name) AS full_label,
+        |  upper(c_mktsegment) AS segment_uc
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_name""".stripMargin,
+    "q36_geo_group" ->
+      """SELECT r_name, n_name, c_mktsegment, count(*) AS n_customers,
+        |  round(avg(c_acctbal), 2) AS avg_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_acctbal IS NOT NULL
+        |GROUP BY r_name, n_name, c_mktsegment
+        |HAVING count(*) >= 1
+        |ORDER BY r_name, n_name, c_mktsegment""".stripMargin,
+    "q37_date_buckets" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS month_total
+        |FROM orders GROUP BY 1, 2 ORDER BY order_year, order_month""".stripMargin)
 }
