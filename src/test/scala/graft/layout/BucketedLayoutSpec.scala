@@ -1,0 +1,51 @@
+package graft.layout
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.SparkSpec
+
+class BucketedLayoutSpec extends SparkSpec {
+
+  test("bucketed fact join plans with zero shuffles and matches the flat join") {
+    val path = Files.createTempDirectory("graft_bucketed").toString
+    BucketedLayout.bucketize(spark, sf, "graft_layout", path, buckets = 4)
+    // force a real SMJ so the bucket layout (not broadcast) is what
+    // eliminates the shuffle
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = BucketedLayout.colocatedOrderRevenue(spark, "graft_layout")
+      joined.collect() // finalize AQE
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // the aggregate after the join reuses the bucket partitioning too —
+      // the ONLY acceptable exchange is none at all below the agg; assert
+      // no Exchange anywhere under the join subtree
+      val exchanges = plan.collect { case e: Exchange => e }
+      assert(exchanges.isEmpty,
+        s"expected shuffle-free bucketed join, found: ${exchanges.map(_.nodeName)}")
+
+      // value parity with the flat-file join
+      import org.apache.spark.sql.functions._
+      val flat = graft.core.Tables.orders(spark, sf)
+        .join(graft.core.Tables.lineitem(spark, sf),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      val a = joined.select("o_orderkey", "revenue").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val b = flat.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(a == b)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_layout.lineitem_b")
+      spark.sql("DROP TABLE IF EXISTS graft_layout.orders_b")
+    }
+  }
+}
