@@ -1,6 +1,9 @@
 package graft.layout
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.Exchange
 
 import graft.core.Tables
 
@@ -42,6 +45,21 @@ object BucketedLayout {
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .format("parquet")
       .saveAsTable(s"$db.orders_b")
+  }
+
+  /** Exchange nodes in an executed plan, INCLUDING those hidden inside
+    * AQE query stages — `plan.collect` alone misses them because
+    * [[QueryStageExec]] is a leaf whose materialized subtree hangs off
+    * `.plan`, not `children` (a silent false-negative for any
+    * "is this shuffle-free?" assertion). */
+  def collectExchanges(plan: SparkPlan): Seq[String] = plan match {
+    case a: AdaptiveSparkPlanExec => collectExchanges(a.executedPlan)
+    // recurse through stage boundaries; the stage wrapper itself is only
+    // a shuffle if its materialized subtree starts with an Exchange
+    // (ResultQueryStage wraps the final stage and is not a shuffle)
+    case q: QueryStageExec => collectExchanges(q.plan)
+    case e: Exchange => e.nodeName +: e.children.flatMap(collectExchanges)
+    case p => p.children.flatMap(collectExchanges)
   }
 
   /** The co-located join: order revenue rollup over the bucketed pair.

@@ -19,16 +19,23 @@ class BucketedLayoutSpec extends SparkSpec {
     try {
       val joined = BucketedLayout.colocatedOrderRevenue(spark, "graft_layout")
       joined.collect() // finalize AQE
-      val plan = joined.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
       // the aggregate after the join reuses the bucket partitioning too —
-      // the ONLY acceptable exchange is none at all below the agg; assert
-      // no Exchange anywhere under the join subtree
-      val exchanges = plan.collect { case e: Exchange => e }
+      // assert no Exchange anywhere, including inside AQE query stages
+      val exchanges = BucketedLayout.collectExchanges(joined.queryExecution.executedPlan)
       assert(exchanges.isEmpty,
-        s"expected shuffle-free bucketed join, found: ${exchanges.map(_.nodeName)}")
+        s"expected shuffle-free bucketed join, found: $exchanges")
+
+      // sanity: the SAME traversal must SEE shuffles on the flat join —
+      // guards against the assertion passing vacuously
+      import org.apache.spark.sql.functions._
+      val flatJoin = graft.core.Tables.orders(spark, sf)
+        .join(graft.core.Tables.lineitem(spark, sf),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"))
+      flatJoin.collect()
+      val flatExchanges = BucketedLayout.collectExchanges(flatJoin.queryExecution.executedPlan)
+      assert(flatExchanges.nonEmpty, "traversal failed to see shuffles in the flat join")
 
       // value parity with the flat-file join
       import org.apache.spark.sql.functions._
