@@ -84,6 +84,66 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SimHash signature from a row-local array of 64-bit token hashes
+  * (SURVEY §2.9). Counterpart of [[SimhashAgg]] for the common case where
+  * a document's shingles are already materialized in its own row: per-bit
+  * majority vote in one codegen'd loop — no explode, no shuffle, no
+  * aggregation. At 100 TB this is the difference between a map-only stage
+  * and shuffling |docs|×|shingles| rows. */
+case class Simhash64(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < arr.numElements()) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < 64) { counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val counts = ctx.freshName("counts")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val sig = ctx.freshName("sig")
+      s"""
+         |final int[] $counts = new int[64];
+         |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  final long $h = $a.getLong($j);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    $counts[$i] += ((($h >>> $i) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($counts[$i] > 0) $sig |= (1L << $i);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column-level entry point: `cosine_sim(a, b)` as a codegen'd native
@@ -91,4 +151,8 @@ object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** `simhash64(hashArray)` — row-local SimHash signature. */
+  def simhash64(hashes: Column): Column =
+    GraftBridge.column(Simhash64(GraftBridge.expression(hashes)))
 }

@@ -73,7 +73,17 @@ object Dedup {
       docs: DataFrame,
       threshold: Double,
       candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = shingles(docs).cache()
+    // with a candidate set, restrict the shingle join to candidate docs
+    // BEFORE the self-join — verifying 256 candidate pairs must not pay
+    // for the full corpus² shingle join (measured 2.5x on q27)
+    val base = candidates match {
+      case Some(c) =>
+        val cdocs = c.select(col("d1").as("doc_id"))
+          .unionAll(c.select(col("d2").as("doc_id"))).distinct()
+        docs.join(cdocs, Seq("doc_id"), "left_semi")
+      case None => docs
+    }
+    val sh = shingles(base).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("d1"), col("s"))
     val b = sh.select(col("doc_id").as("d2"), col("s"))
@@ -108,14 +118,36 @@ object Dedup {
     * recall on mega-clusters for a hard bound on join fan-out). */
   val MaxBucket = 1000
 
-  /** MinHash signatures: one row per doc, 24 min-hash columns. Single
-    * aggregation over the exploded shingles — `xxhash64(seed, s)` gives
-    * 24 independent 64-bit permutations without materializing 24× the
-    * shingle rows. */
+  /** MinHash signatures: one row per doc, 24 min-hash columns, computed
+    * ROW-LOCALLY — the document's shingles are already in its row, so
+    * each permutation is `array_min(transform(shingles, xxhash64(seed, _)))`.
+    * No explode, no shuffle, no aggregation: a map-only stage. (The
+    * explode+groupBy formulation shuffles |docs|×|shingles| rows — at
+    * 100 TB that shuffle IS the job; this formulation deletes it.) */
   private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-    val mins = (0 until NumPerm).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // materialize the shingle array ONCE, then hash it once; each
+    // permutation is arithmetic over the base-hash array. (Building
+    // shingleArray inside every permutation column recomputes the
+    // split/slice/distinct pipeline 24x — measured 23x slower.
+    // CollapseProject keeps these projections separate because the
+    // aliased producers are non-cheap and multiply-referenced.)
+    val withShingles = docs.select(col("doc_id"), shingleArray(col("text")).as("sh"))
+    val withHashes = withShingles.select(
+      col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+    // permutation i: xorshift64 round over (h XOR seed_i); min per doc.
+    // Shift/xor only — ANSI mode forbids the wrapping multiplies of the
+    // classic splitmix finalizer. Permutation quality only affects
+    // candidate recall; candidates are exact-verified afterwards.
+    def permMin(i: Int): Column = {
+      val seed = lit(0x9E3779B97F4A7C15L ^ (0x2545F4914F6CDD1DL * (i + 1)))
+      array_min(transform(col("hs"), h => {
+        val x0 = h.bitwiseXOR(seed)
+        val x1 = x0.bitwiseXOR(shiftleft(x0, 13))
+        val x2 = x1.bitwiseXOR(shiftrightunsigned(x1, 7))
+        x2.bitwiseXOR(shiftleft(x2, 17))
+      })).as(s"h$i")
+    }
+    withHashes.select(col("doc_id") +: (0 until NumPerm).map(permMin): _*)
   }
 
   /** q27 — MinHash + LSH near-dup pairs, exact-verified. Pipeline:
@@ -127,7 +159,10 @@ object Dedup {
   def q27MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     val docs = Tables.documents(spark, dir)
-    val sigs = minhashSignatures(docs)
+    // one row per doc, 25 longs — cached because the banding phase
+    // (bucket sizing, bounding semi-join, pair join) references it four
+    // times; uncached, the signature projection re-runs per reference
+    val sigs = minhashSignatures(docs).cache()
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
@@ -142,24 +177,29 @@ object Dedup {
     val bounded = buckets.join(sized.select("band", "bucket"), Seq("band", "bucket"), "left_semi")
     val l = bounded.select(col("band"), col("bucket"), col("doc_id").as("d1"))
     val r = bounded.select(col("band"), col("bucket"), col("doc_id").as("d2"))
+    // tiny (≈ true-dup pairs); cached because the verify stage references
+    // it three times — uncached, the whole LSH pipeline re-runs per use
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2")
       .distinct()
+      .cache()
+    candidates.count() // materialize before fan-out
+    sigs.unpersist()
     jaccardPairs(docs, 0.6, Some(candidates))
   }
 
   /** SimHash: 64-bit signature whose bits are majority votes of shingle
     * hashes; near-dups differ in few bits. Returns (doc_id, simhash).
-    * One custom [[graft.functions.SimhashAgg]] aggregate (single 64-int
-    * buffer, map-side combined) instead of 64 separate sum(CASE)
-    * aggregates — same result, ~6× less agg overhead at sf0.1. */
-  private[operators] def simhashes(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(shingleArray(col("text"))).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-    toks.groupBy("doc_id")
-      .agg(graft.functions.SimhashAgg.simhash_agg(col("h")).as("simhash"))
-  }
+    * Row-local via the codegen'd [[graft.functions.Simhash64]] expression
+    * over `transform(shingles, xxhash64)` — map-only, no explode/shuffle.
+    * ([[graft.functions.SimhashAgg]] remains the grouped/streaming form
+    * for when token hashes arrive as rows rather than arrays.) */
+  private[operators] def simhashes(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.functions.VectorFunctions.simhash64(
+        transform(shingleArray(col("text")), s => xxhash64(s))).as("simhash"))
 
   /** SimHash banding: Hamming threshold 8 with 9 chunks (eight 7-bit +
     * one 8-bit). Pigeonhole: ≤8 differing bits across 9 chunks always
