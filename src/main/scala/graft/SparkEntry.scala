@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
+      operators.Temporal.queries ++
       streaming.EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
+      operators.Temporal.oracles ++
       streaming.EventStream.oracles
 }

@@ -238,12 +238,51 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** q38 — dedup APPLY: cluster the near-dup pairs (connected components
+    * by iterative min-label propagation) and elect one keeper per
+    * cluster — the step that turns pair detection into an actual
+    * deduplicated corpus. The loop is fully distributed (each iteration
+    * is one join + aggregate over the cluster-edge graph, which is
+    * near-dup-sized, not corpus-sized); iterations ≈ cluster diameter,
+    * capped. Convergence is tracked by the monotonically decreasing
+    * label sum — no per-iteration driver collect of the labels. */
+  def q38DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val pairs = jaccardPairs(Tables.documents(spark, dir), 0.6)
+      .select("d1", "d2").cache()
+    val edges = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
+    edges.count()
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+    var prevSum = Long.MaxValue
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "d2").withColumnRenamed("lbl", "nlbl"), Seq("d2"))
+        .groupBy(col("d1").as("doc_id"))
+        .agg(min(col("nlbl")).as("nmin"))
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .cache()
+      val s = labels.agg(sum(col("lbl"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels
+      .select(col("doc_id"), col("lbl").as("keeper"),
+        (col("doc_id") === col("lbl")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_dedup_exact"   -> (q24DedupExact _),
     "q25_dedup_counts"  -> (q25DedupCounts _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
     "q27_minhash_lsh"   -> (q27MinhashLsh _),
-    "q28_simhash"       -> (q28Simhash _))
+    "q28_simhash"       -> (q28Simhash _),
+    "q38_dedup_apply"   -> (q38DedupApply _))
 
   /** Shared exact-Jaccard oracle text (q26 and q27 converge to the same
     * exact answer — see q27 scaladoc). */
@@ -275,7 +314,34 @@ object Dedup {
       """SELECT count(*) AS total_docs,
         |  count(DISTINCT md5(trim(text))) AS distinct_docs FROM documents""".stripMargin,
     "q26_ngram_jaccard" -> jaccardOracle,
-    "q27_minhash_lsh"   -> jaccardOracle)
+    "q27_minhash_lsh"   -> jaccardOracle,
+    // connected components over the same exact-Jaccard pair graph,
+    // as a recursive CTE (reachability → min reachable id per node)
+    "q38_dedup_apply" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+         |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ')))) AS s
+         |  FROM toks),
+         |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM p
+         |  JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) >= 0.6),
+         |edges AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS keeper,
+         |  id = min(r) AS is_keeper
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
     // q28_simhash intentionally has no oracle: signature bits depend on
     // xxhash64, which the oracle engine lacks → driver rows-only check.
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Sessions, Tables}
+
+/** Temporal operators over the event log: as-of join and gap-based
+  * sessionization — the two time-series primitives a training-data
+  * pipeline needs that vanilla SQL lacks (SURVEY §2.9 adjacent; the
+  * reference's only temporal op is MIN/MAX freshness, `sql:14-19`).
+  *
+  * Both are built the scale-correct way: ONE shuffle on the key, one
+  * sort within partitions, no range cross-join. The as-of join uses the
+  * union-and-carry-forward formulation (tag both sides, sort by time
+  * within key, `last_value(payload) IGNORE NULLS` carries the most
+  * recent right row onto each left row) — O(n log n) per key instead of
+  * the O(n·m) range join a naive `ON l.ts >= r.ts` would plan.
+  */
+object Temporal {
+
+  /** Generic as-of join: for each left row, the latest right row with
+    * `rightTime <= leftTime` within the same key (inclusive, LEFT
+    * semantics — unmatched left rows keep null payload).
+    *
+    * @param payload the right-side columns to carry, as a struct Column
+    *                built over `right`'s columns. */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      payload: Column): DataFrame = {
+    val lCols = left.columns
+    val payloadType = right.select(payload.as("__p")).schema("__p").dataType
+    val l = left.select(
+      leftKey.as("__key"), leftTime.as("__time"), lit(1).as("__side"),
+      struct(lCols.map(col): _*).as("__l"), lit(null).cast(payloadType).as("__p"))
+    val r = right.select(
+      rightKey.as("__key"), rightTime.as("__time"), lit(0).as("__side"),
+      lit(null).cast(l.schema("__l").dataType).as("__l"), payload.as("__p"))
+    // right rows sort before left rows at equal time → inclusive (<=)
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__time"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*"), col("__match").as("asof"))
+  }
+
+  /** q39 — as-of join on the event log: for each error event, the most
+    * recent prior purchase by the same user (root-cause window shape).
+    * The oracle uses the engine-native ASOF JOIN — semantics parity
+    * proves the union-formulation is the real operator, not an
+    * approximation. */
+  def q39AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    asofJoin(
+      errors, purchases,
+      col("user_id"), col("user_id"),
+      col("ts"), col("ts"),
+      payload = struct(col("event_id").as("pid"), col("value").as("pvalue")))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("asof.pid").as("prev_purchase_id"),
+        round(col("asof.pvalue"), 2).as("prev_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** Session gap: a new session starts after ≥ 30 minutes of inactivity. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** q40 — gap-based sessionization: lag + cumulative-sum session ids,
+    * rolled up per user. One shuffle (user), one sort (ts) — the batch
+    * twin of the streaming `flatMapGroupsWithState` form. */
+  def q40Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val cum = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("gap_us").isNull || col("gap_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy("user_id")
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_asof_join"  -> (q39AsofJoin _),
+    "q40_sessionize" -> (q40Sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q39_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts,
+        |  r.event_id AS prev_purchase_id,
+        |  round(r.value, 2) AS prev_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q40_sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, value,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, value,
+         |    sum(CASE WHEN gap_us IS NULL OR gap_us > $SessionGapUs THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM g)
+         |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+         |  count(*) AS n_events, round(avg(value), 4) AS avg_value
+         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TemporalSpec extends SparkSpec {
+
+  test("asofJoin picks the latest right row at-or-before each left time") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 20L, "c"), (2L, 9L, "z"))
+      .toDF("k", "t", "tag")
+    val got = Temporal.asofJoin(
+      left, right, col("k"), col("k"), col("t"), col("t"),
+      payload = struct(col("tag")))
+      .select(col("lid"), col("asof.tag").as("tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(100L) == Some("b")) // equal time matches (inclusive)
+    assert(got(101L) == Some("c")) // latest before 25
+    assert(got(102L) == None)      // right row is after left time → no match
+  }
+
+  test("sessionization counts restart after the gap") {
+    import spark.implicits._
+    val us = 1000000L
+    val ev = Seq(
+      (1L, 0L * us), (2L, 60L * us), (3L, 3600L * us), // user 7: 2 sessions
+      (4L, 0L * us)) // user 8: 1 session
+      .map { case (id, t) => (id, new java.sql.Timestamp(t / 1000), if (id <= 3) 7L else 8L, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.createOrReplaceTempView("tmp_events")
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")
+    val cum = byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sessions = ev
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("gap_us").isNull || col("gap_us") > Temporal.SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy("user_id").agg(max("session_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions(7L) == 2L && sessions(8L) == 1L)
+  }
+
+  test("dedup apply elects exactly one keeper per near-dup cluster") {
+    val rows = Dedup.q38DedupApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (keeper, members) =>
+      assert(members.count(_.getBoolean(2)) == 1, s"cluster $keeper keeper count")
+      assert(members.map(_.getLong(0)).min == keeper, "keeper is the min doc_id")
+    }
+    // every paired doc appears exactly once
+    val pairDocs = Dedup.q26NgramJaccard(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(_.getLong(0)).toSet == pairDocs)
+  }
+}
