@@ -338,6 +338,36 @@ object Relational {
       .orderBy("order_year", "order_month")
   }
 
+  /** q41 — exact percentiles per group (order statistics, the aggregate
+    * family the reference's Athena would serve with approx_percentile;
+    * exact here so the oracle can hash-match — both engines use the
+    * standard (n−1)·p linear interpolation). At 100 TB the approximate
+    * twin (q42 path) is the right default; exact percentile requires a
+    * per-group sort. */
+  def q41Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q42 — approximate distinct counts (HLL++): the 100 TB form of q16.
+    * Result is engine-specific (sketch-based) → no oracle; the driver
+    * does a rows-only check and the spec bounds the relative error
+    * against the exact counts. */
+  def q42ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.lineitem(spark, dir)
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_suppliers"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+  }
+
   /** The (SparkSession, sfDir) => DataFrame entries for SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count"             -> (q01Count _),
@@ -362,7 +392,9 @@ object Relational {
     "q20_json_extract"      -> (q20JsonExtract _),
     "q35_computed_proj"     -> (q35ComputedProjection _),
     "q36_geo_group"         -> (q36GeoGroup _),
-    "q37_date_buckets"      -> (q37DateBuckets _))
+    "q37_date_buckets"      -> (q37DateBuckets _),
+    "q41_percentiles"       -> (q41Percentiles _),
+    "q42_approx_distinct"   -> (q42ApproxDistinct _))
 
   /** DuckDB-runnable oracle SQL, column-name-aligned with the Spark plans. */
   val oracles: Map[String, String] = Map(
@@ -489,5 +521,12 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
         |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS month_total
-        |FROM orders GROUP BY 1, 2 ORDER BY order_year, order_month""".stripMargin)
+        |FROM orders GROUP BY 1, 2 ORDER BY order_year, order_month""".stripMargin,
+    "q41_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    // q42_approx_distinct: HLL sketch result is engine-specific → rows-only.
 }

@@ -32,6 +32,15 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getString(0) == r.getString(1))
   }
 
+  test("approx distinct counts stay within HLL error bounds of exact") {
+    val approx = Relational.q42ApproxDistinct(spark, sf).head()
+    val exact = Relational.q16Distinct(spark, sf).head()
+    val pairs = Seq(approx.getLong(0) -> exact.getLong(0), approx.getLong(1) -> exact.getLong(1))
+    pairs.foreach { case (a, e) =>
+      assert(math.abs(a - e).toDouble / e <= 0.1, s"approx $a vs exact $e")
+    }
+  }
+
   test("quality tiers cover the corpus") {
     val rows = TextOps.q23QualityScore(spark, sf).collect()
     val total = rows.map(_.getLong(1)).sum
