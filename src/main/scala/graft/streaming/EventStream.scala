@@ -74,8 +74,42 @@ object EventStream {
     spark.table(name).orderBy("window_start", "event_type")
   }
 
+  /** q44 — streaming gap-based sessionization via the NATIVE
+    * `session_window` (the compose-built-ins answer to custom session
+    * state; the `mapGroupsWithState` form for genuinely custom state
+    * lives in [[UserStatsStream]]). Sessions close when the watermark
+    * passes `last_event + gap`; with the 1-minute watermark delay the
+    * emitted set is exactly the sessions whose last event is at least
+    * gap+delay before the stream's max timestamp. */
+  def q44StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_sess_${UUID.randomUUID().toString.replace("-", "")}"
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val q = stream
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("session_value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q34_stream_windows" -> (q34StreamWindows _))
+    "q34_stream_windows"  -> (q34StreamWindows _),
+    "q44_stream_sessions" -> (q44StreamSessions _))
 
   /** Oracle: append-mode emission = windows fully below the final
     * watermark (max event time − delay), recomputed relationally. */
@@ -89,5 +123,25 @@ object EventStream {
         |SELECT window_start, event_type, cnt, total_value
         |FROM b, m
         |WHERE window_start + INTERVAL 15 MINUTE <= mx - INTERVAL 1 MINUTE
-        |ORDER BY window_start, event_type""".stripMargin)
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q44_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |m AS (SELECT max(ts) AS mx FROM events),
+        |sess AS (
+        |  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS last_ev,
+        |    count(*) AS n_events, round(sum(value), 2) AS session_value
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT session_start, user_id, n_events, session_value
+        |FROM sess, m
+        |WHERE last_ev + INTERVAL 30 MINUTE <= mx - INTERVAL 1 MINUTE
+        |ORDER BY user_id, session_start""".stripMargin)
 }

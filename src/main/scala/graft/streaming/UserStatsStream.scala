@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.core.Sessions
+
+/** Custom streaming state via `mapGroupsWithState` (SURVEY §2.8
+  * extension surface): per-user running statistics maintained across
+  * micro-batches — the pattern for state that `session_window` /
+  * windowed aggs can't express (counters, custom sketches, ML feature
+  * state).
+  *
+  * State is a fixed-size case class per key — bounded memory, and the
+  * state store shuffles on the grouping key exactly like an aggregate.
+  * At 100 TB of events the state size is O(distinct users), not O(rows).
+  */
+object UserStatsStream {
+
+  case class EventRow(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  case class UserState(nEvents: Long, totalValue: Double, lastTsUs: Long)
+
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+      last_ts_us: Long)
+
+  def updateState(
+      userId: Long,
+      events: Iterator[EventRow],
+      state: GroupState[UserState]): UserStats = {
+    var s = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+    events.foreach { e =>
+      s = UserState(s.nEvents + 1, s.totalValue + e.value, math.max(s.lastTsUs, e.ts / 1000))
+    }
+    state.update(s)
+    UserStats(userId, s.nEvents, s.totalValue, s.lastTsUs)
+  }
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Run the stateful stream over `dir`'s events to completion and return
+    * the final per-user stats. Update output mode: the memory sink holds
+    * the latest state emission per key. */
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+    val name = s"graft_ustats_${UUID.randomUUID().toString.replace("-", "")}"
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+    val stats = events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
+    val q = stats.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // latest emission per user = final state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "n_events", "total_value", "last_ts_us")
+      .orderBy("user_id")
+  }
+}

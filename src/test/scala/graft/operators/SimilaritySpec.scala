@@ -37,6 +37,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@${Similarity.TopK} = $recall")
   }
 
+  test("IVF ANN beats sign-LSH recall at comparable scan fraction") {
+    val exact = Similarity.q29CosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.q43AnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    // IVF cells align with the label clusters → should comfortably beat
+    // the wide-angle sign-LSH recall floor
+    assert(recall >= 0.4, s"IVF recall@${Similarity.TopK} = $recall")
+  }
+
   test("native cosine expression is bit-identical to the fold form") {
     import org.apache.spark.sql.functions.col
     val emb = graft.core.Tables.embeddings(spark, sf)
