@@ -114,10 +114,24 @@ object TextOps {
       .orderBy("quality_tier")
   }
 
+  /** q45 — language-ID distribution: run [[languageId]] over the corpus
+    * and count predictions (SURVEY §2.9 "language-ID"). The synthetic
+    * corpus is English-vocabulary for every `lang` tag, so the value here
+    * is the plumbing + exact argmax/tie-break semantics, which the oracle
+    * reproduces as an ordered CASE over per-language stopword scores. */
+  def q45LangId(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.documents(spark, dir)
+      .groupBy(languageId(col("text")).as("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("predicted_lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"    -> (q21TextStats _),
     "q22_lang_profile"  -> (q22LangProfile _),
-    "q23_quality_score" -> (q23QualityScore _))
+    "q23_quality_score" -> (q23QualityScore _),
+    "q45_lang_id"       -> (q45LangId _))
 
   val oracles: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -151,5 +165,27 @@ object TextOps {
         |            WHEN quality_score >= 0.4 THEN 'medium'
         |            ELSE 'low' END AS quality_tier,
         |  count(*) AS n_docs, round(avg(quality_score), 4) AS avg_score
-        |FROM s GROUP BY 1 ORDER BY quality_tier""".stripMargin)
+        |FROM s GROUP BY 1 ORDER BY quality_tier""".stripMargin,
+    // argmax with ties going to the lexicographically LAST language —
+    // the ordered >= CASE reproduces the struct-sort tie-break exactly
+    "q45_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','es'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','de','et','est'))) AS s_fr
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |         WHEN s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS predicted_lang
+        |  FROM s)
+        |SELECT predicted_lang, count(*) AS n_docs
+        |FROM p GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin)
 }
