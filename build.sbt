@@ -15,6 +15,10 @@ Test / fork := true
 // shared-session suites). Spark tests run serially.
 Test / parallelExecution := false
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr instead
+// of through sbt's logger — Bench's one-line JSON metric must arrive on
+// stdout bare, not wrapped in "[info] " (the driver parses it).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

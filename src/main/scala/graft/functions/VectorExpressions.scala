@@ -144,6 +144,166 @@ case class Simhash64(child: Expression) extends org.apache.spark.sql.catalyst.ex
     copy(child = newChild)
 }
 
+/** All-permutations MinHash signature in ONE traversal of the hashed
+  * shingle array (SURVEY §2.9 MinHash+LSH). Replaces the composable form
+  * — one `array_min(transform(hs, xorshift(seed_i, _)))` per permutation —
+  * which re-walks the array once per permutation (24× the work, measured
+  * as the single largest bench cost at sf0.1). Here the element loop is
+  * outer and the permutation loop inner, so each hash is loaded once and
+  * all 24 running minima update in registers.
+  *
+  * The per-permutation mixer is EXACTLY the composable form's math —
+  * x = h ^ seed_i, then a 13/7/17 xorshift64 round — so signatures (and
+  * therefore LSH bands, candidates, and the exact-verified q27 output)
+  * are bit-identical to the expression it replaces. Seeds are derived
+  * driver-side (plain JVM arithmetic; ANSI-mode overflow rules apply only
+  * to SQL expressions, which is why the composable form had to avoid
+  * multiplies but this constant table does not need to).
+  *
+  * Empty input yields Long.MaxValue minima (the shingle pipeline never
+  * produces an empty array — `shingleArray` emits ≥1 shingle — but the
+  * expression stays total for direct SQL use). */
+case class MinhashSigs(child: Expression, numPerm: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(numPerm > 0, "numPerm must be positive")
+
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numPerm)(i => 0x9E3779B97F4A7C15L ^ (0x2545F4914F6CDD1DL * (i + 1)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var j = 0
+    while (j < arr.numElements()) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < numPerm) {
+        var x = h ^ seeds(i)
+        x ^= x << 13
+        x ^= x >>> 7
+        x ^= x << 17
+        if (x < mins(i)) mins(i) = x
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+      val mins = ctx.freshName("mins")
+      val h = ctx.freshName("h")
+      val x = ctx.freshName("x")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |final long[] $mins = new long[$numPerm];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  final long $h = $a.getLong($j);
+         |  for (int $i = 0; $i < $numPerm; $i++) {
+         |    long $x = $h ^ $seedsRef[$i];
+         |    $x ^= $x << 13;
+         |    $x ^= $x >>> 7;
+         |    $x ^= $x << 17;
+         |    if ($x < $mins[$i]) $mins[$i] = $x;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
+    copy(child = newChild)
+}
+
+/** Index of the nearest centroid (squared-L2) for a float-vector column —
+  * the IVF assignment step (SURVEY §2.9 similarity search) as a map-only
+  * codegen'd expression. The centroid table is a plan constant (built once
+  * per corpus by [[graft.operators.IvfIndex]] and shipped to executors via
+  * the codegen reference array), so assignment is embarrassingly parallel:
+  * no ML-library transform, no join, no shuffle — the shape that scales to
+  * 100 TB as a pure scan stage. */
+case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centers.nonEmpty, "centers must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      val n = math.min(v.numElements(), ctr.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = v.getFloat(i).toDouble - ctr(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val centersRef = ctx.addReferenceObj("ivfCenters", centers, "double[][]")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val ctr = ctx.freshName("ctr")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $centersRef.length; $c++) {
+         |  final double[] $ctr = $centersRef[$c];
+         |  final int $n = java.lang.Math.min($a.numElements(), $ctr.length);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $diff = (double) $a.getFloat($i) - $ctr[$i];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column-level entry point: `cosine_sim(a, b)` as a codegen'd native
@@ -155,4 +315,14 @@ object VectorFunctions {
   /** `simhash64(hashArray)` — row-local SimHash signature. */
   def simhash64(hashes: Column): Column =
     GraftBridge.column(Simhash64(GraftBridge.expression(hashes)))
+
+  /** `minhash_sigs(hashArray, n)` — all n permutation minima in one
+    * pass; returns array<bigint> of length n. */
+  def minhash_sigs(hashes: Column, numPerm: Int): Column =
+    GraftBridge.column(MinhashSigs(GraftBridge.expression(hashes), numPerm))
+
+  /** `nearest_centroid(vec)` against a constant centroid table — IVF
+    * assignment as a map-only scan. */
+  def nearest_centroid(vec: Column, centers: Array[Array[Double]]): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), centers))
 }

@@ -125,29 +125,24 @@ object Dedup {
     * explode+groupBy formulation shuffles |docs|×|shingles| rows — at
     * 100 TB that shuffle IS the job; this formulation deletes it.) */
   private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
-    // materialize the shingle array ONCE, then hash it once; each
-    // permutation is arithmetic over the base-hash array. (Building
-    // shingleArray inside every permutation column recomputes the
-    // split/slice/distinct pipeline 24x — measured 23x slower.
-    // CollapseProject keeps these projections separate because the
-    // aliased producers are non-cheap and multiply-referenced.)
+    // materialize the shingle array ONCE, then hash it once, then compute
+    // ALL permutation minima in one traversal via the codegen'd
+    // [[graft.functions.MinhashSigs]] expression. (The composable form —
+    // one array_min(transform(hs, …)) per permutation — re-walks the hash
+    // array 24×; the native expression loads each hash once and updates
+    // 24 running minima in registers. Bit-identical output: same seeds,
+    // same xorshift round.) CollapseProject keeps these projections
+    // separate because the aliased producers are non-cheap and
+    // multiply-referenced — `sig` is computed once, the h0..h23 element
+    // extractions are cheap.
     val withShingles = docs.select(col("doc_id"), shingleArray(col("text")).as("sh"))
     val withHashes = withShingles.select(
       col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-    // permutation i: xorshift64 round over (h XOR seed_i); min per doc.
-    // Shift/xor only — ANSI mode forbids the wrapping multiplies of the
-    // classic splitmix finalizer. Permutation quality only affects
-    // candidate recall; candidates are exact-verified afterwards.
-    def permMin(i: Int): Column = {
-      val seed = lit(0x9E3779B97F4A7C15L ^ (0x2545F4914F6CDD1DL * (i + 1)))
-      array_min(transform(col("hs"), h => {
-        val x0 = h.bitwiseXOR(seed)
-        val x1 = x0.bitwiseXOR(shiftleft(x0, 13))
-        val x2 = x1.bitwiseXOR(shiftrightunsigned(x1, 7))
-        x2.bitwiseXOR(shiftleft(x2, 17))
-      })).as(s"h$i")
-    }
-    withHashes.select(col("doc_id") +: (0 until NumPerm).map(permMin): _*)
+    val withSig = withHashes.select(
+      col("doc_id"),
+      graft.functions.VectorFunctions.minhash_sigs(col("hs"), NumPerm).as("sig"))
+    withSig.select(
+      col("doc_id") +: (0 until NumPerm).map(i => col("sig").getItem(i).as(s"h$i")): _*)
   }
 
   /** q27 — MinHash + LSH near-dup pairs, exact-verified. Pipeline:
@@ -229,23 +224,51 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
     val l = chunks.select(col("chunk"), col("key"), col("doc_id").as("d1"), col("simhash").as("s1"))
     val r = chunks.select(col("chunk"), col("key"), col("doc_id").as("d2"), col("simhash").as("s2"))
+    // Hamming filter BEFORE the dedup: random pairs sit at Hamming 19+
+    // (see margin note above), so filtering first shrinks the distinct's
+    // shuffle from every chunk-collision row to just the true near-dups.
     l.join(r, Seq("chunk", "key"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= SimhashHamming)
+      .distinct()
       .orderBy("d1", "d2")
   }
 
+  /** Iteration cap for the CC loop. The chase step makes convergence
+    * O(log diameter), so 50 covers graphs of astronomically large
+    * diameter; hitting the cap is logged (never silent — a truncated
+    * propagation would mean wrong cluster assignments). */
+  val MaxCcIters = 50
+
+  /** Lineage truncation for iterative loops. Default: `localCheckpoint`
+    * (block-manager, fastest — fine on local[n]). Cluster posture: set
+    * `spark.graft.checkpointDir` to a reliable (HDFS/object-store) path
+    * and the loop uses real `checkpoint` — executor loss then recovers
+    * from storage instead of killing the job. Same labels either way
+    * (spec-checked); only the fault-tolerance story changes. */
+  private[operators] def truncateLineage(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
+      case Some(cpDir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(cpDir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+  }
+
   /** q38 — dedup APPLY: cluster the near-dup pairs (connected components
-    * by iterative min-label propagation) and elect one keeper per
-    * cluster — the step that turns pair detection into an actual
-    * deduplicated corpus. The loop is fully distributed (each iteration
-    * is one join + aggregate over the cluster-edge graph, which is
-    * near-dup-sized, not corpus-sized); iterations ≈ cluster diameter,
-    * capped. Convergence is tracked by the monotonically decreasing
-    * label sum — no per-iteration driver collect of the labels. */
+    * by min-label propagation with pointer jumping) and elect one keeper
+    * per cluster — the step that turns pair detection into an actual
+    * deduplicated corpus. The loop is fully distributed and each
+    * iteration is ONE edge join + aggregate (self-loops fold the node's
+    * own label into the neighbor min) plus a label-chase join (pointer
+    * jumping: new label = previous label OF the propagated label), so
+    * iterations scale with log(diameter), not diameter. Convergence is
+    * the monotonically decreasing label sum — one scalar read per
+    * iteration over checkpointed labels, never a label collect. */
   def q38DedupApply(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     // pair detection via the MinHash-LSH path (q27) — output-identical to
@@ -259,31 +282,48 @@ object Dedup {
     // default — per-iteration scheduling otherwise dominates (measured
     // 110s for a 256-edge graph on 32 shuffle partitions)
     val parts = math.max(1, (nEdges / 500000L).toInt)
-    val edges = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val sym = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val nodes = sym.select(col("d1").as("doc_id")).distinct()
+    // self-loops make the per-iteration aggregate include the node's own
+    // label — one join instead of join + left-join-with-old-labels
+    val allEdges = sym
+      .unionAll(nodes.select(col("doc_id").as("d1"), col("doc_id").as("d2")))
       .repartition(parts).cache()
-    edges.count()
-    var labels = edges.select(col("d1").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id"))
-      .repartition(parts)
-      .localCheckpoint()
-    var prevSum = Long.MaxValue
-    var iter = 0
+    // iteration 0 folded out of the loop: labels start as identity, so
+    // the first propagation is just min(neighbor ids ∪ self) and the
+    // chase through identity labels is the identity — one join + agg,
+    // no separate label-table materialization, no chase
+    var labels = truncateLineage(
+      allEdges.groupBy(col("d1").as("doc_id")).agg(min(col("d2")).as("lbl")),
+      eager = false)
+    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var iter = 1
     var converged = false
-    while (!converged && iter < 20) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "d2").withColumnRenamed("lbl", "nlbl"), Seq("d2"))
+    while (!converged && iter < MaxCcIters) {
+      val propagated = allEdges
+        .join(labels.select(col("doc_id").as("d2"), col("lbl")), Seq("d2"))
         .groupBy(col("d1").as("doc_id"))
-        .agg(min(col("nlbl")).as("nmin"))
-      // localCheckpoint truncates the per-iteration lineage — without it
-      // each iteration re-plans (and can re-execute) the whole chain
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .agg(min(col("lbl")).as("lbl"))
+      // pointer jump: adopt the label's own (previous-round) label.
+      // Valid because labels only ever decrease toward the component
+      // min and every label value is a reachable node's id; inner join
+      // is safe because every label value appears as a doc_id.
+      val chased = propagated
+        .join(labels.select(col("doc_id").as("lbl"), col("lbl").as("plbl")), Seq("lbl"))
+        .select(col("doc_id"), col("plbl").as("lbl"))
+      // lazy checkpoint: the convergence-sum action below materializes
+      // the iteration AND truncates its lineage in one job (an eager
+      // checkpoint would run a second, redundant job per iteration)
+      labels = truncateLineage(chased, eager = false)
       val s = labels.agg(sum(col("lbl"))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"q38DedupApply: CC loop hit MaxCcIters=$MaxCcIters without " +
+          "converging — cluster labels may be incomplete")
     labels
       .select(col("doc_id"), col("lbl").as("keeper"),
         (col("doc_id") === col("lbl")).as("is_keeper"))

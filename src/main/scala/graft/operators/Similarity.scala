@@ -153,26 +153,24 @@ object Similarity {
   val NumLists = 16
   val NumProbeLists = 3
 
-  /** q43 — ANN via IVF (inverted-file) index: k-means coarse quantizer
-    * partitions the corpus into NumLists cells; each probe scores only
-    * the NumProbeLists nearest cells. The k-means fit is the one-time
-    * index build (the 100 TB analogue trains on a sample and assigns in
-    * a map-only pass); assignment + search are ordinary joins. Probe →
-    * cell distances are computed driver-side over the 16 centroids —
+  /** q43 — ANN via IVF (inverted-file) index, with the index BUILD split
+    * out of the query path: [[IvfIndex.centroids]] trains the coarse
+    * quantizer once per (corpus, nlist) — on a bounded deterministic
+    * sample, the way faiss trains IVF quantizers — and caches it; the
+    * query itself is then a map-only centroid assignment (the codegen'd
+    * [[graft.functions.NearestCentroid]] expression, no ML-library
+    * transform, no shuffle) plus the bucketed scoring join. Probe → cell
+    * distances are computed driver-side over the 16 centroids —
     * constant-size, never data-sized. Approximate → rows-only for the
     * driver; recall spec-checked against q29 alongside the sign-LSH
     * variant (q30). */
   def q43AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(spark, dir)
-      .withColumn("features", array_to_vector(col("embedding")))
-      .cache()
-    val model = new KMeans().setK(NumLists).setSeed(42L).setMaxIter(10).fit(emb)
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
-    val centers = model.clusterCenters.map(_.toArray)
+    val centers = IvfIndex.centroids(spark, dir, NumLists)
+    val assigned = emb.select(
+      col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.nearest_centroid(col("embedding"), centers).as("list_id"))
     // probe→lists fan-out: nearest NumProbeLists centroids per probe,
     // computed over the collected probe vectors (a fixed tiny set)
     val probeRows = emb.filter(col("vec_id") < NumProbes)
@@ -200,13 +198,11 @@ object Similarity {
         col("vec_id").as("neighbor_id"),
         cosine(col("probe_vec"), col("embedding")).as("cos_raw"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
-    val out = scored
+    scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
       .select(col("probe_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cosine"))
       .orderBy(col("probe_id"), col("cosine").desc, col("neighbor_id"))
-    emb.unpersist()
-    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -37,6 +37,20 @@ class DedupSpec extends SparkSpec {
       s"simhash false positives: ${bad.take(5)} of ${simPairs.size}")
   }
 
+  test("q38 cluster labels are identical under the reliable-checkpoint flag") {
+    // cluster posture (spark.graft.checkpointDir → real checkpoint) must
+    // change only fault tolerance, never the labels
+    val default = Dedup.q38DedupApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_cc_cp").toString
+    spark.conf.set("spark.graft.checkpointDir", cpDir)
+    try {
+      val reliable = Dedup.q38DedupApply(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(reliable == default)
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("shingleArray produces k-grams and handles short docs") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f"), (2L, "a b")).toDF("doc_id", "text")
