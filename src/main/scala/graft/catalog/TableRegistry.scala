@@ -22,7 +22,8 @@ object TableRegistry {
       created: Boolean,
       addedColumns: Seq[String],
       removedColumnsLogged: Seq[String],
-      partitions: Long)
+      partitions: Long,
+      typeChangedColumns: Seq[String] = Nil)
 
   /** Infer the schema of the partitioned CSV tree (header + inferSchema —
     * the crawler equivalent; data columns only, partition columns are
@@ -34,7 +35,28 @@ object TableRegistry {
       .csv(root)
       .schema
 
-  /** Crawl: infer, create-or-evolve (additive only), recover partitions. */
+  private def createTable(
+      spark: SparkSession, fq: String, root: String, schema: StructType): Unit = {
+    val partitionCols = graft.sources.UserSchemas.partitionCols
+    val dataCols = schema.fields.filterNot(f => partitionCols.contains(f.name))
+    val colDdl = dataCols.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val partDdl = schema.fields
+      .filter(f => partitionCols.contains(f.name))
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE $fq ($colDdl ${if (partDdl.nonEmpty) s", $partDdl" else ""})
+         |USING CSV
+         |OPTIONS (header 'true', path '$root')
+         |${if (partDdl.nonEmpty) s"PARTITIONED BY (${partitionCols.mkString(", ")})" else ""}
+         |""".stripMargin)
+  }
+
+  /** Crawl: infer, create-or-evolve, recover partitions. Evolution policy
+    * mirrors the reference crawler (`data_pipeline_stack.py:119-122`):
+    * UPDATE_IN_DATABASE — new columns are added AND changed column types
+    * are updated on re-crawl; delete behavior LOG — removed columns are
+    * reported but never dropped (they stay in the catalog at their last
+    * known type). */
   def crawl(spark: SparkSession, root: String, db: String, table: String): CrawlResult = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     val fq = s"$db.$table"
@@ -42,33 +64,46 @@ object TableRegistry {
     val exists = spark.catalog.tableExists(fq)
 
     if (!exists) {
-      val dataCols = inferred.fields
-        .filterNot(f => graft.sources.UserSchemas.partitionCols.contains(f.name))
-      val colDdl = dataCols.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-      val partDdl = inferred.fields
-        .filter(f => graft.sources.UserSchemas.partitionCols.contains(f.name))
-        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-      spark.sql(
-        s"""CREATE TABLE $fq ($colDdl ${if (partDdl.nonEmpty) s", $partDdl" else ""})
-           |USING CSV
-           |OPTIONS (header 'true', path '$root')
-           |${if (partDdl.nonEmpty) s"PARTITIONED BY (${graft.sources.UserSchemas.partitionCols.mkString(", ")})" else ""}
-           |""".stripMargin)
+      createTable(spark, fq, root, inferred)
       val parts = recoverPartitions(spark, fq)
       CrawlResult(fq, created = true, inferred.fieldNames.toSeq, Nil, parts)
     } else {
-      val existing = spark.table(fq).schema.fieldNames.toSet
-      val current = inferred.fieldNames.toSet
-      val added = (current -- existing).toSeq.sorted
-      val removed = (existing -- current).toSeq.sorted // LOG only, never dropped
-      if (added.nonEmpty) {
+      val partitionCols = graft.sources.UserSchemas.partitionCols
+      val existingSchema = spark.table(fq).schema
+      val existingNames = existingSchema.fieldNames.toSet
+      val currentNames = inferred.fieldNames.toSet
+      val added = (currentNames -- existingNames).toSeq.sorted
+      val removed = (existingNames -- currentNames).toSeq.sorted // LOG only, never dropped
+      // UPDATE_IN_DATABASE: a column whose inferred type changed on
+      // re-crawl (e.g. int → double widening) gets its catalog type
+      // updated. Partition columns keep their layout-derived types.
+      val changed = existingSchema.fields
+        .filterNot(f => partitionCols.contains(f.name))
+        .filter(f => inferred.fields.find(_.name == f.name)
+          .exists(_.dataType != f.dataType))
+        .map(_.name).toSeq.sorted
+      if (changed.nonEmpty) {
+        // v1 CSV tables can't ALTER a column's type in place — rebuild
+        // the catalog entry with the merged schema: updated types,
+        // removed columns retained at their old types, new columns
+        // appended. Metadata-only: the data tree is untouched.
+        val merged = StructType(
+          existingSchema.fields.map { f =>
+            if (changed.contains(f.name))
+              f.copy(dataType = inferred.fields.find(_.name == f.name).get.dataType)
+            else f
+          } ++
+          added.map(n => inferred.fields.find(_.name == n).get))
+        spark.sql(s"DROP TABLE $fq")
+        createTable(spark, fq, root, merged)
+      } else if (added.nonEmpty) {
         val ddl = added
           .map(n => inferred.fields.find(_.name == n).get)
           .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
         spark.sql(s"ALTER TABLE $fq ADD COLUMNS ($ddl)")
       }
       val parts = recoverPartitions(spark, fq)
-      CrawlResult(fq, created = false, added, removed, parts)
+      CrawlResult(fq, created = false, added, removed, parts, changed)
     }
   }
 

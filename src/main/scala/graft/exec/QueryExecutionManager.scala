@@ -32,14 +32,22 @@ final class QueryExecutionManager(spark: SparkSession, resultsDir: String)(
 
   Files.createDirectories(Paths.get(resultsDir))
 
-  /** Submit a SQL string; returns the execution id immediately. */
+  /** Submit a SQL string; returns the execution id immediately. Every
+    * Spark job the execution launches is tagged with the execution id as
+    * its job group, so [[cancel]] can actually stop the work — the
+    * observable semantics of Athena's `stop_query_execution`
+    * (`test_pipeline.py:169-217`), not just a status flip. */
   def submit(sql: String): String = {
     val id = UUID.randomUUID().toString
     states.put(id, ExecutionState(id, sql, Status.Running, None))
     Future {
+      // job group is thread-local on the SparkContext: set it on the
+      // executing thread so all actions below inherit it
+      spark.sparkContext.setJobGroup(id, s"graft query $id", interruptOnCancel = true)
       try {
         val df = spark.sql(sql)
-        writeArtifacts(id, sql, df)
+        if (Option(states.get(id)).forall(_.status == Status.Running))
+          writeArtifacts(id, sql, df)
         states.computeIfPresent(id, (_, s) =>
           if (s.status == Status.Cancelled) s else s.copy(status = Status.Succeeded))
       } catch {
@@ -47,6 +55,12 @@ final class QueryExecutionManager(spark: SparkSession, resultsDir: String)(
           states.computeIfPresent(id, (_, s) =>
             if (s.status == Status.Cancelled) s
             else s.copy(status = Status.Failed, reason = Some(e.getMessage)))
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        // a cancel that interrupted a running write leaves partial
+        // artifacts — a cancelled execution must not surface results
+        if (Option(states.get(id)).exists(_.status == Status.Cancelled))
+          deleteArtifacts(id)
       }
     }
     id
@@ -55,11 +69,19 @@ final class QueryExecutionManager(spark: SparkSession, resultsDir: String)(
   /** Status FSM — the `get_query_execution` shape. */
   def status(id: String): Option[ExecutionState] = Option(states.get(id))
 
-  /** Best-effort cancel (the reference surfaces CANCELLED as a terminal
-    * state; Spark-side job-group cancellation is cooperative). */
-  def cancel(id: String): Boolean =
+  /** Cancel: transitions RUNNING → CANCELLED and stops the underlying
+    * Spark jobs via their job group (cooperative + task interrupt).
+    * Returns whether the state actually transitioned — cancelling an
+    * already-finished (or unknown) execution is a no-op and reports
+    * false, matching the reference's terminal-state semantics. */
+  def cancel(id: String): Boolean = {
+    var transitioned = false
     states.computeIfPresent(id, (_, s) =>
-      if (s.status == Status.Running) s.copy(status = Status.Cancelled) else s) != null
+      if (s.status == Status.Running) { transitioned = true; s.copy(status = Status.Cancelled) }
+      else s)
+    if (transitioned) spark.sparkContext.cancelJobGroup(id)
+    transitioned
+  }
 
   /** Blocking helper for clients that want the poll loop collapsed. */
   def await(id: String, timeoutMs: Long = 60000L): ExecutionState = {
@@ -72,18 +94,48 @@ final class QueryExecutionManager(spark: SparkSession, resultsDir: String)(
     st
   }
 
-  /** `get_query_results` shape: header row + all cells stringified (the
-    * VarCharValue model of `test_pipeline.py:181-198`; null → None). */
-  def results(id: String): Option[(Seq[String], Seq[Seq[Option[String]]])] = {
+  /** One page of `get_query_results`: header + stringified cells (the
+    * VarCharValue model of `test_pipeline.py:181-198`; null → None) +
+    * a continuation token. Athena pages at 1000 rows (the reference's
+    * client walks NextToken); here the page is computed with
+    * `offset/limit` over the on-disk artifact, so the driver only ever
+    * holds one page of rows — a full-result `collect` at 100 TB is a
+    * driver OOM, paging is the scale-safe surface. */
+  def resultsPage(id: String, maxRows: Int = 1000, pageToken: Option[String] = None)
+      : Option[ResultPage] = {
     val dir = Paths.get(resultsDir, s"$id.csv")
-    if (!Files.exists(dir)) None
+    if (!Files.exists(dir) || maxRows <= 0) None
     else {
+      val start = pageToken.map(_.toInt).getOrElse(0)
       val df = spark.read.option("header", "true").csv(dir.toString)
       val header = df.schema.fieldNames.toSeq
-      val rows = df.collect().toSeq.map(r =>
+      val rows = df.offset(start).limit(maxRows).collect().toSeq.map(r =>
         header.indices.map(i => Option(r.get(i)).map(_.toString)))
-      Some((header, rows))
+      val next = if (rows.size < maxRows) None else Some((start + maxRows).toString)
+      Some(ResultPage(header, rows, next))
     }
+  }
+
+  /** Convenience full-result walk over [[resultsPage]] — test/demo scale
+    * only (the paged API is the production surface). */
+  def results(id: String): Option[(Seq[String], Seq[Seq[Option[String]]])] =
+    resultsPage(id).map { first =>
+      val rows = Seq.newBuilder[Seq[Option[String]]]
+      var page: Option[ResultPage] = Some(first)
+      while (page.isDefined) {
+        rows ++= page.get.rows
+        page = page.get.nextToken.flatMap(t => resultsPage(id, pageToken = Some(t)))
+      }
+      (first.header, rows.result())
+    }
+
+  private def deleteArtifacts(id: String): Unit = {
+    val dir = Paths.get(resultsDir, s"$id.csv")
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    Files.deleteIfExists(Paths.get(resultsDir, s"$id.csv.metadata"))
   }
 
   private def writeArtifacts(id: String, sql: String, df: DataFrame): Unit = {
@@ -113,6 +165,13 @@ object QueryExecutionManager {
 
   final case class ExecutionState(
       id: String, sql: String, status: Status, reason: Option[String])
+
+  /** One `get_query_results` page: header, stringified cells, and the
+    * continuation token for the next page (None on the last page). */
+  final case class ResultPage(
+      header: Seq[String],
+      rows: Seq[Seq[Option[String]]],
+      nextToken: Option[String])
 
   private[exec] def jsonString(s: String): String =
     "\"" + s.flatMap {

@@ -30,8 +30,11 @@ object Dialect {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     import org.apache.spark.sql.catalyst.FunctionIdentifier
-    if (reg.functionExists(FunctionIdentifier("strpos")) &&
-        reg.functionExists(FunctionIdentifier("string_agg"))) return
+    // idempotency guard must cover EVERY name registered below — a guard
+    // on a subset would skip the rest whenever the subset pre-exists
+    // (e.g. a future Spark builtin strpos)
+    if (Seq("strpos", "string_agg", "cosine_sim", "simhash_agg")
+          .forall(n => reg.functionExists(FunctionIdentifier(n)))) return
 
     reg.createOrReplaceTempFunction(
       "strpos",

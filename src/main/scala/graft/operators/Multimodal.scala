@@ -127,14 +127,25 @@ object Multimodal {
         |  CAST(64 + (n_chars % 64) * 16 AS BIGINT) AS width,
         |  CAST(64 + (n_chars % 48) * 16 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mean_byte is computed over the UTF-8 BYTES of the payload (exactly
+    // what FakeDecoder sees), not characters: the blob is hex-encoded and
+    // each byte recovered from its hex pair, so non-ASCII text and the
+    // empty-payload guard (0.0, matching the Spark side) both hold.
     "q33_decode_stats" ->
-      """WITH b AS (
+      """WITH hx AS (
         |  SELECT doc_id,
         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
         |    octet_length(encode(text)) AS n_bytes,
-        |    CAST(list_sum(list_transform(range(1, length(text) + 1),
-        |      i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS DOUBLE) / length(text) AS mean_byte
-        |  FROM documents)
+        |    hex(encode(text)) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, format, n_bytes,
+        |    CASE WHEN n_bytes = 0 THEN 0.0 ELSE
+        |      CAST(list_sum(list_transform(range(1, n_bytes + 1),
+        |        i -> (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INTEGER), 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INTEGER), 1)) - 1))) AS DOUBLE)
+        |        / n_bytes END AS mean_byte
+        |  FROM hx)
         |SELECT format, count(*) AS n_assets,
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  round(avg(mean_byte), 4) AS avg_mean_byte

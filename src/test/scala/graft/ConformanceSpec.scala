@@ -62,6 +62,28 @@ class ConformanceSpec extends SparkSpec {
     assert(formats.getOrElse("US format with country code", 0L) >= 1L)
   }
 
+  test("§4 company: name counts, catchphrase usage, business types") {
+    // reference sql/sample_athena_queries.sql:82-109 — three statements
+    val names = spark.sql(
+      s"""SELECT company_name, COUNT(*) AS employee_count FROM $table
+         |WHERE company_name IS NOT NULL
+         |GROUP BY company_name ORDER BY employee_count DESC""".stripMargin).collect()
+    assert(names.length == 3) // 3 fixture users, 3 distinct companies
+    assert(names.forall(_.getLong(1) == 1L))
+    val phrases = spark.sql(
+      s"""SELECT company_catchphrase, company_name, COUNT(*) AS usage_count
+         |FROM $table WHERE company_catchphrase IS NOT NULL
+         |GROUP BY company_catchphrase, company_name
+         |ORDER BY usage_count DESC""".stripMargin).collect()
+    assert(phrases.length == 3)
+    assert(phrases.map(_.getString(0)).contains("Multi-layered client-server neural-net"))
+    val bs = spark.sql(
+      s"""SELECT company_bs, COUNT(*) AS count FROM $table
+         |WHERE company_bs IS NOT NULL
+         |GROUP BY company_bs ORDER BY count DESC""".stripMargin).collect()
+    assert(bs.length == 3 && bs.forall(_.getLong(1) == 1L))
+  }
+
   test("§5 data-quality: completeness report via UNION ALL") {
     val rows = spark.sql(
       s"""SELECT 'name' AS field, COUNT(*) AS total,

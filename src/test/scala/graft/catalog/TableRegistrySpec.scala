@@ -34,5 +34,26 @@ class TableRegistrySpec extends SparkSpec {
     TableRegistry.crawl(spark, root, "data_pipeline_db", "raw_data2")
     val res2 = TableRegistry.crawl(spark, root, "data_pipeline_db", "raw_data2")
     assert(!res2.created && res2.addedColumns.isEmpty && res2.removedColumnsLogged.isEmpty)
+    assert(res2.typeChangedColumns.isEmpty)
+  }
+
+  test("re-crawl updates a column whose inferred type widened (UPDATE_IN_DATABASE)") {
+    val root = Files.createTempDirectory("graft_crawl3")
+    val part = root.resolve("year=2026/month=01/day=01")
+    Files.createDirectories(part)
+    Files.writeString(part.resolve("data.csv"), "id,score\n1,10\n2,20\n")
+    val res1 = TableRegistry.crawl(spark, root.toString, "data_pipeline_db", "raw_data3")
+    assert(res1.created)
+    assert(spark.table("data_pipeline_db.raw_data3").schema("score").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // new day's data makes the column infer as double → type update on re-crawl
+    Files.writeString(part.resolve("data.csv"), "id,score\n1,10.5\n2,20.5\n")
+    val res2 = TableRegistry.crawl(spark, root.toString, "data_pipeline_db", "raw_data3")
+    assert(!res2.created && res2.typeChangedColumns == Seq("score"))
+    assert(spark.table("data_pipeline_db.raw_data3").schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // the rebuilt catalog entry still reads the partitioned data
+    val s = spark.sql("SELECT sum(score) AS s FROM data_pipeline_db.raw_data3").head().getDouble(0)
+    assert(math.abs(s - 31.0) < 1e-9)
   }
 }

@@ -36,6 +36,60 @@ class QueryExecutionManagerSpec extends SparkSpec {
     assert(mgr.results(id).isEmpty)
   }
 
+  test("cancel stops the running Spark job and suppresses artifacts") {
+    val dir = Files.createTempDirectory("graft_results_c").toString
+    val mgr = new QueryExecutionManager(spark, dir)
+    // a genuinely long scan (billions of hashes) — cancellation must kill
+    // it mid-flight, not wait it out
+    val id = mgr.submit("SELECT max(xxhash64(id)) FROM range(20000000000)")
+    val tracker = spark.sparkContext.statusTracker
+    val t0 = System.currentTimeMillis()
+    while (tracker.getActiveJobIds().isEmpty && System.currentTimeMillis() - t0 < 15000)
+      Thread.sleep(20L)
+    assert(tracker.getActiveJobIds().nonEmpty, "query job should have started")
+    assert(mgr.cancel(id), "cancel of a RUNNING execution should transition")
+    assert(mgr.status(id).exists(_.status == Status.Cancelled))
+    val t1 = System.currentTimeMillis()
+    while (tracker.getActiveJobIds().nonEmpty && System.currentTimeMillis() - t1 < 20000)
+      Thread.sleep(50L)
+    assert(tracker.getActiveJobIds().isEmpty, "Spark jobs should actually stop")
+    // terminal state is stable, re-cancel is a no-op, no artifacts surface
+    assert(!mgr.cancel(id))
+    Thread.sleep(200L) // let the submit Future run its cleanup
+    assert(mgr.status(id).exists(_.status == Status.Cancelled))
+    assert(!Files.exists(Paths.get(dir, s"$id.csv")))
+    assert(mgr.results(id).isEmpty)
+  }
+
+  test("cancel of a finished execution reports false and keeps artifacts") {
+    val dir = Files.createTempDirectory("graft_results_cf").toString
+    val mgr = new QueryExecutionManager(spark, dir)
+    graft.core.Tables.registerAll(spark, sf)
+    val id = mgr.submit("SELECT r_regionkey FROM region")
+    assert(mgr.await(id).status == Status.Succeeded)
+    assert(!mgr.cancel(id))
+    assert(mgr.status(id).exists(_.status == Status.Succeeded))
+    assert(Files.exists(Paths.get(dir, s"$id.csv")))
+  }
+
+  test("results paging walks NextToken and never over-fetches") {
+    val dir = Files.createTempDirectory("graft_results_p").toString
+    val mgr = new QueryExecutionManager(spark, dir)
+    graft.core.Tables.registerAll(spark, sf)
+    val id = mgr.submit("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")
+    assert(mgr.await(id).status == Status.Succeeded)
+    val Some(p1) = mgr.resultsPage(id, maxRows = 10)
+    assert(p1.header == Seq("n_nationkey", "n_name"))
+    assert(p1.rows.length == 10 && p1.nextToken.contains("10"))
+    val Some(p2) = mgr.resultsPage(id, maxRows = 10, pageToken = p1.nextToken)
+    assert(p2.rows.length == 10 && p2.nextToken.contains("20"))
+    val Some(p3) = mgr.resultsPage(id, maxRows = 10, pageToken = p2.nextToken)
+    assert(p3.rows.length == 5 && p3.nextToken.isEmpty)
+    // pages concatenate to the full ordered result
+    val all = (p1.rows ++ p2.rows ++ p3.rows).map(_.head.get.toInt)
+    assert(all == (0 until 25).toList)
+  }
+
   test("retention deletes only artifacts older than the TTL") {
     val dir = Files.createTempDirectory("graft_results_r").toString
     val old = Paths.get(dir, "old.csv")
