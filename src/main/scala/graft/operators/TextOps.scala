@@ -127,11 +127,69 @@ object TextOps {
       .orderBy("predicted_lang")
   }
 
+  /** Rolling polynomial fingerprint over the UTF-8 BYTES of a string:
+    * h = fold(bytes, 0, (acc, b) → (acc·31 + b) mod 1e9+7). Byte-exact
+    * (non-ASCII safe) and expressible in both engines: the bytes are
+    * recovered from `hex(binary)` pairs, the fold is `aggregate` — all
+    * codegen'd built-ins, map-only, no shuffle. The modulus keeps every
+    * intermediate < 3.2e10, so ANSI-mode overflow checking never fires.
+    * (This is the order-sensitive rolling variant of [[fingerprint]]:
+    * md5 fingerprints equality, the rolling hash is the building block
+    * for content-defined chunking and incremental re-hashing.) */
+  def rollingFingerprint(text: Column): Column = {
+    val hx = hex(text.cast("binary"))
+    val n = (length(hx) / 2).cast("int")
+    when(n === 0, lit(0L)).otherwise(
+      aggregate(
+        sequence(lit(1), n),
+        lit(0L),
+        (acc, i) =>
+          pmod(acc * 31 + conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"),
+            lit(1000000007L))))
+  }
+
+  /** q46 — rolling-hash document fingerprints (SURVEY §2.9 "document
+    * fingerprinting (rolling hash)"): per-document rolling fingerprint +
+    * collision grouping (same shape as the md5 exact-dedup q24, over the
+    * order-sensitive hash). */
+  def q46RollingFp(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), rollingFingerprint(trim(col("text"))).as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish subword tokenization by regex: letter runs capped at 4
+    * chars (the subword pieces), digit runs, and punctuation runs — the
+    * cheap estimator for "how many BPE tokens would this text cost"
+    * (SURVEY §2.9 "token counting: whitespace + a BPE-ish regex"). Both
+    * engines' regex engines split greedy-left identically on this
+    * pattern. */
+  val BpePattern = "[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9 ]+"
+
+  /** q47 — token-cost profile: whitespace tokens vs BPE-ish subword
+    * tokens per document, with the inflation ratio (tokens-per-word
+    * estimate). Map-only over documents; pure codegen'd built-ins. */
+  def q47TokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long")
+          .as("n_bpe_tokens"))
+      .withColumn("bpe_inflation",
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"    -> (q21TextStats _),
     "q22_lang_profile"  -> (q22LangProfile _),
     "q23_quality_score" -> (q23QualityScore _),
-    "q45_lang_id"       -> (q45LangId _))
+    "q45_lang_id"       -> (q45LangId _),
+    "q46_rolling_fp"    -> (q46RollingFp _),
+    "q47_token_bpe"     -> (q47TokenBpe _))
 
   val oracles: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -166,6 +224,33 @@ object TextOps {
         |            ELSE 'low' END AS quality_tier,
         |  count(*) AS n_docs, round(avg(quality_score), 4) AS avg_score
         |FROM s GROUP BY 1 ORDER BY quality_tier""".stripMargin,
+    // byte-exact rolling fold: bytes recovered from hex pairs, seeded
+    // fold via list_prepend(0, …) — same (acc*31+b) mod 1e9+7 recurrence
+    // as the Spark side, so values match exactly incl. non-ASCII text
+    "q46_rolling_fp" ->
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(trim(text))) AS hx,
+        |    octet_length(encode(trim(text))) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN n = 0 THEN 0 ELSE
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT), list_transform(range(1, n + 1),
+        |        i -> CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INTEGER), 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INTEGER), 1)) - 1) AS BIGINT))),
+        |      (acc, b) -> (acc * 31 + b) % 1000000007)
+        |  END AS rolling_fp
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q47_token_bpe" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+        |    len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9 ]+')) AS n_bpe_tokens
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
+        |  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+        |  round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 4) AS bpe_inflation
+        |FROM t ORDER BY doc_id""".stripMargin,
     // argmax with ties going to the lexicographically LAST language —
     // the ordered >= CASE reproduces the struct-sort tie-break exactly
     "q45_lang_id" ->

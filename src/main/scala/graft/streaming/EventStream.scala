@@ -107,9 +107,52 @@ object EventStream {
     spark.table(name).orderBy("user_id", "session_start")
   }
 
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** q48 — STREAMING exact dedup: the streaming sibling of the batch
+    * hash-group dedup (q24). Documents arrive as a stream; each is
+    * fingerprinted (md5 of trimmed text) and `dropDuplicates` keeps the
+    * first occurrence of every fingerprint, so the emitted rows are
+    * exactly the distinct-content set — the shape of an always-on
+    * ingest-dedup stage in a training-data pipeline.
+    *
+    * State posture: exact dedup requires one state entry per distinct
+    * fingerprint (16 bytes each) — bounded by corpus cardinality, not
+    * stream length. Where even that is too large, the bounded-state
+    * variant is `dropDuplicatesWithinWatermark` over an event-time
+    * column (dedups only within the lateness horizon); the exact form
+    * is used here because the oracle (DISTINCT) is exact. Only the
+    * fingerprint is emitted: "first doc_id to arrive" is micro-batch
+    * scheduling order, which no deterministic oracle should depend on. */
+  def q48StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val name = s"graft_dedup_${UUID.randomUUID().toString.replace("-", "")}"
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = stream
+      .select(md5(trim(col("text"))).as("fp"))
+      .dropDuplicates("fp")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("fp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_stream_windows"  -> (q34StreamWindows _),
-    "q44_stream_sessions" -> (q44StreamSessions _))
+    "q44_stream_sessions" -> (q44StreamSessions _),
+    "q48_stream_dedup"    -> (q48StreamDedup _))
 
   /** Oracle: append-mode emission = windows fully below the final
     * watermark (max event time − delay), recomputed relationally. */
@@ -143,5 +186,9 @@ object EventStream {
         |SELECT session_start, user_id, n_events, session_value
         |FROM sess, m
         |WHERE last_ev + INTERVAL 30 MINUTE <= mx - INTERVAL 1 MINUTE
-        |ORDER BY user_id, session_start""".stripMargin)
+        |ORDER BY user_id, session_start""".stripMargin,
+    // streaming dropDuplicates emits exactly the first-seen fingerprints
+    // = the distinct-content set, so the batch DISTINCT is an exact oracle
+    "q48_stream_dedup" ->
+      "SELECT DISTINCT md5(trim(text)) AS fp FROM documents ORDER BY fp")
 }

@@ -46,4 +46,21 @@ class TextOpsSpec extends SparkSpec {
     val total = rows.map(_.getLong(1)).sum
     assert(total == graft.core.Tables.documents(spark, sf).count())
   }
+
+  test("rollingFingerprint folds UTF-8 bytes exactly (incl. non-ASCII, empty)") {
+    import spark.implicits._
+    def jvmRef(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    val inputs = Seq("hello world", "héllo wörld", "", "a", "日本語テキスト")
+    val got = inputs.toDF("text")
+      .select(TextOps.rollingFingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(got.toSeq == inputs.map(jvmRef))
+  }
+
+  test("BPE-ish tokens never undercount whitespace tokens") {
+    val rows = TextOps.q47TokenBpe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)),
+      "subword pieces must be >= whole words")
+  }
 }

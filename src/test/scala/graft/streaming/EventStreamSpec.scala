@@ -21,4 +21,14 @@ class EventStreamSpec extends SparkSpec {
     val b = batch.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(s == b, s"streamed=${s.size} batch=${b.size} diff=${(s diff b).take(3)} ${(b diff s).take(3)}")
   }
+
+  test("streaming dedup emits exactly the distinct-content fingerprints") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.q48StreamDedup(spark, sf).collect().map(_.getString(0))
+    val batch = graft.core.Tables.documents(spark, sf)
+      .select(md5(trim(col("text"))).as("fp")).distinct()
+      .orderBy("fp").collect().map(_.getString(0))
+    assert(streamed.length == streamed.distinct.length, "no duplicate emissions")
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
