@@ -33,7 +33,7 @@ object Dialect {
     // idempotency guard must cover EVERY name registered below — a guard
     // on a subset would skip the rest whenever the subset pre-exists
     // (e.g. a future Spark builtin strpos)
-    if (Seq("strpos", "string_agg", "cosine_sim", "simhash_agg")
+    if (Seq("strpos", "string_agg", "cosine_sim", "simhash_agg", "simhash64", "minhash_sigs")
           .forall(n => reg.functionExists(FunctionIdentifier(n)))) return
 
     reg.createOrReplaceTempFunction(
@@ -62,6 +62,21 @@ object Dialect {
     reg.createOrReplaceTempFunction(
       "simhash_agg",
       { case Seq(h) => SimhashAgg(h) }: PartialFunction[Seq[Expression], Expression],
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64",
+      { case Seq(h) => Simhash64(h) }: PartialFunction[Seq[Expression], Expression],
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sigs",
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(h, Literal(n: Int, org.apache.spark.sql.types.IntegerType)) =>
+            MinhashSigs(h, n)
+          case _ => throw new IllegalArgumentException(
+            "minhash_sigs expects (array<bigint>, <int literal>)")
+        }
+      },
       "built-in")
   }
 }

@@ -50,5 +50,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(hash) - 64-bit SimHash signature over a group of hashes"),
       { exprs: Seq[Expression] => SimhashAgg(exprs(0)) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(hashArray) - row-local 64-bit SimHash signature (codegen)"),
+      { exprs: Seq[Expression] => Simhash64(exprs(0)) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs", "minhash_sigs(hashArray, n) - all n MinHash permutation minima in one pass (codegen)"),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(h, Literal(n: Int, org.apache.spark.sql.types.IntegerType)) =>
+            MinhashSigs(h, n)
+          case _ => throw new IllegalArgumentException(
+            "minhash_sigs expects (array<bigint>, <int literal>)")
+        }
+      }))
   }
 }

@@ -36,6 +36,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT simhash_agg(xxhash64(x)) AS s FROM VALUES ('b'), ('a') t(x)")
         .head().getLong(0)
       assert(sh != 0L)
+      // row-local forms agree with their composable/grouped siblings
+      val sh64 = spark.sql(
+        "SELECT simhash64(array(xxhash64('a'), xxhash64('b'))) AS s").head().getLong(0)
+      assert(sh64 == sh) // same token set -> same signature
+      val mins = spark.sql(
+        "SELECT minhash_sigs(array(xxhash64('a'), xxhash64('b')), 4) AS m")
+        .head().getSeq[Long](0)
+      assert(mins.length == 4 && mins.distinct.length > 1)
     } finally {
       // restore the shared session for the other suites; never stop the
       // SparkContext here — it is JVM-wide.
