@@ -147,6 +147,50 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  /** Multi-table LSH parameters for the ALL-PAIRS near-dup scale path:
+    * T independent tables of k planes each. A pair at angle θ collides
+    * in one table with p = (1 − θ/π)^k and in ≥1 of T tables with
+    * 1 − (1−p)^T — at the fixtures' widest near-dup angle (~63°,
+    * cosine 0.45) that is ≈ 0.79 with k=4, T=8, while a random pair
+    * (θ≈90°, p=1/16) collides with ≈ 0.4 per-table-count but produces
+    * only Σ bucket² candidate work instead of n². */
+  val NumTables = 8
+  val PlanesPerTable = 4
+
+  /** q49 — the SCALE PATH for embedding near-dup (q31's documented
+    * upgrade): multi-table sign-LSH bucketing turns the O(n²) cross join
+    * into per-bucket self-joins; candidates are deduped as id pairs
+    * (embeddings re-fetched by join afterwards — dedup the small thing,
+    * not the wide thing), then EXACT cosine + threshold verifies, so
+    * precision is exact and only recall is probabilistic (spec-checked
+    * against q31). Approximate → rows-only for the driver. */
+  def q49NearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val planes = hyperplanes(NumTables * PlanesPerTable, 64)
+    val tableCols = (0 until NumTables).map { t =>
+      val tp = planes.slice(t * PlanesPerTable, (t + 1) * PlanesPerTable)
+      struct(lit(t).as("tbl"), lshBucket(col("embedding"), tp).as("bucket"))
+    }
+    val bucketed = emb
+      .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val l = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("v1"))
+    val r = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("v2"))
+    // candidate id pairs, deduped across tables BEFORE touching vectors
+    val candidates = l.join(r, Seq("tbl", "bucket"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2")
+      .distinct()
+    candidates
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
+      .select(col("v1"), col("v2"), cosine(col("e1"), col("e2")).as("cos_raw"))
+      .filter(col("cos_raw") >= NearDupThreshold)
+      .select(col("v1"), col("v2"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy("v1", "v2")
+  }
+
   /** IVF parameters: coarse-quantizer list count and probed lists.
     * nlist ≈ √n is the classic sizing; nprobe trades recall for scan
     * fraction (3/16 ≈ 19% of the corpus scanned per probe). */
@@ -209,7 +253,8 @@ object Similarity {
     "q29_cosine_topk"     -> (q29CosineTopK _),
     "q30_ann_lsh"         -> (q30AnnLsh _),
     "q31_cosine_near_dup" -> (q31CosineNearDup _),
-    "q43_ann_ivf"         -> (q43AnnIvf _))
+    "q43_ann_ivf"         -> (q43AnnIvf _),
+    "q49_near_dup_lsh"    -> (q49NearDupLsh _))
 
   val oracles: Map[String, String] = Map(
     "q29_cosine_topk" ->

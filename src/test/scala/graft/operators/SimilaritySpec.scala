@@ -37,6 +37,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@${Similarity.TopK} = $recall")
   }
 
+  test("LSH near-dup scale path: exact precision, probabilistic recall vs q31") {
+    val exact = Similarity.q31CosineNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.q49NearDupLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    // precision is exact by construction (verify step recomputes cosine)
+    assert(lsh.subsetOf(exact), s"false positives: ${(lsh diff exact).take(3)}")
+    // recall is probabilistic: 1-(1-p^k)^T ≈ 0.79 at the widest pair angle
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"near-dup LSH recall $recall over ${exact.size} pairs")
+  }
+
   test("IVF ANN beats sign-LSH recall at comparable scan fraction") {
     val exact = Similarity.q29CosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
