@@ -33,4 +33,20 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(agg == byFormat)
   }
+
+  test("resize fits the target box and subsamples the payload") {
+    val out = Multimodal.resizeAll(Multimodal.assets(spark, sf)).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.out_w >= 1 && r.out_w <= 256 && r.out_h >= 1 && r.out_h <= 256))
+    assert(out.forall(r => r.out_bytes <= r.n_bytes && r.out_bytes > 0))
+  }
+
+  test("frame sampling keeps every 4th 64-byte frame") {
+    val out = Multimodal.sampleFramesAll(Multimodal.assets(spark, sf)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.n_sampled == (r.n_frames + 3) / 4)
+      assert(r.sampled_bytes <= r.n_sampled * 64 && r.sampled_bytes > 0)
+    }
+  }
 }
