@@ -84,6 +84,10 @@ object Dedup {
       case None => docs
     }
     val sh = shingles(base).cache()
+    // counts come from the CACHED exploded rows: map-side partial
+    // aggregation makes this shuffle tiny, whereas a "shuffle-free"
+    // size(shingleArray(text)) projection would re-run the whole
+    // tokenize/slice/distinct pipeline (measured slower at sf0.1)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("d1"), col("s"))
     val b = sh.select(col("doc_id").as("d2"), col("s"))

@@ -150,12 +150,17 @@ object Similarity {
   /** Multi-table LSH parameters for the ALL-PAIRS near-dup scale path:
     * T independent tables of k planes each. A pair at angle θ collides
     * in one table with p = (1 − θ/π)^k and in ≥1 of T tables with
-    * 1 − (1−p)^T — at the fixtures' widest near-dup angle (~63°,
-    * cosine 0.45) that is ≈ 0.79 with k=4, T=8, while a random pair
-    * (θ≈90°, p=1/16) collides with ≈ 0.4 per-table-count but produces
-    * only Σ bucket² candidate work instead of n². */
-  val NumTables = 8
-  val PlanesPerTable = 4
+    * 1 − (1−p)^T. The fixtures are the ADVERSARIAL regime — their
+    * "near-dups" sit at cosine ≈ 0.45-0.51 (θ ≈ 60°, see
+    * [[NearDupThreshold]]) where sign-LSH prunes weakly by construction;
+    * k=6, T=16 gives recall ≈ 0.71 at the widest pair while cutting
+    * candidates to ≈ T/2^k ≈ 0.25 n². At a production near-dup
+    * threshold (cosine ≥ 0.9, θ ≤ 26°) the SAME code with k=8, T=8
+    * yields recall ≈ 0.94 at ≈ n²/32 candidates — the constants are
+    * corpus knobs; the structure (bucket join → id-pair dedup → exact
+    * verify) is what scales. */
+  val NumTables = 16
+  val PlanesPerTable = 6
 
   /** q49 — the SCALE PATH for embedding near-dup (q31's documented
     * upgrade): multi-table sign-LSH bucketing turns the O(n²) cross join
