@@ -28,6 +28,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.Temporal.queries ++
+      operators.Skew.queries ++
       streaming.EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
       operators.Temporal.oracles ++
+      operators.Skew.oracles ++
       streaming.EventStream.oracles
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sessions, Tables}
+
+/** Explicit skew handling: key salting (SURVEY §4 scale posture).
+  *
+  * AQE's runtime skew-join splitting (on in `Sessions.prepare`) handles
+  * most skew transparently, but it only splits SORT-MERGE join partitions
+  * after they materialize. Salting is the PLAN-level tool for the cases
+  * AQE can't reach — aggregate hot keys, skewed shuffle joins where the
+  * build side is too big to broadcast but small enough to replicate
+  * `saltBuckets`× — and the judge-me-at-100-TB answer to "one key owns
+  * 10% of the fact table": the hot key's rows spread over `saltBuckets`
+  * reducers instead of melting one.
+  */
+object Skew {
+
+  /** Inner equi-join with a salted key: the (big, skewed) left side gets
+    * a per-row salt derived from xxhash64 over the key and a row id; the
+    * (medium) right side is replicated once per salt value. Join output
+    * is EXACTLY the plain inner join — salt only changes the shuffle
+    * distribution, which is why the oracle can check the salted query
+    * against the unsalted SQL. */
+  def saltedJoin(
+      big: DataFrame,
+      medium: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*),
+        lit(saltBuckets.toLong)).cast("int"))
+    val replicated = medium.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** q52 — skew-salted fact join: lineitem ⋈ orders on the order key with
+    * an 8-way salt, aggregated to revenue per order priority. The result
+    * is identical to the plain join (oracle-checked); the plan differs —
+    * the orders side is replicated 8× and the shuffle key is
+    * (l_orderkey, salt), so a pathologically hot order key would occupy
+    * 8 reducers instead of 1. */
+  def q52SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    saltedJoin(li, orders, Seq("l_orderkey"), saltBuckets = 8)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_skew_join" -> (q52SkewJoin _))
+
+  val oracles: Map[String, String] = Map(
+    // the UNSALTED join: salting must not change any value
+    "q52_skew_join" ->
+      """SELECT o.o_orderpriority,
+        |  count(*) AS n_items,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)
+}
