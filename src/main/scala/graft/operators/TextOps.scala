@@ -183,13 +183,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q53 — corpus vocabulary profile: the 20 most frequent tokens with
+    * document frequency. The classic first look at any training corpus.
+    * Explode → two-level aggregate; partial aggregation makes the
+    * shuffle carry one row per distinct token per mapper, not one per
+    * occurrence — the shape that survives a 100 TB corpus (vocabulary
+    * is sublinear in corpus size). */
+  def q53VocabTop(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(20)
+  }
+
+  /** q54 — TF-IDF term salience: top-3 terms per document by
+    * tf · ln(N/df). One explode, one (doc,token) aggregate, one token
+    * aggregate joined back, one window top-k — no per-document loops,
+    * no vocabulary collect. Ranking uses the ROUNDED score (then token)
+    * so the order is reproducible across engines regardless of
+    * last-ulp differences in ln. */
+  def q54TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("token"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("token"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"    -> (q21TextStats _),
     "q22_lang_profile"  -> (q22LangProfile _),
     "q23_quality_score" -> (q23QualityScore _),
     "q45_lang_id"       -> (q45LangId _),
     "q46_rolling_fp"    -> (q46RollingFp _),
-    "q47_token_bpe"     -> (q47TokenBpe _))
+    "q47_token_bpe"     -> (q47TokenBpe _),
+    "q53_vocab_top"     -> (q53VocabTop _),
+    "q54_tfidf"         -> (q54TfIdf _))
 
   val oracles: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -251,6 +298,33 @@ object TextOps {
         |  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
         |  round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 4) AS bpe_inflation
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q53_vocab_top" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM t GROUP BY token
+        |ORDER BY occurrences DESC, token LIMIT 20""".stripMargin,
+    // rank by the ROUNDED score then token (same as the Spark window) so
+    // last-ulp ln() differences can never reorder the top-3
+    "q54_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+        |  FROM tf JOIN df USING (token), n),
+        |r AS (
+        |  SELECT doc_id, token, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+        |  FROM s)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     // argmax with ties going to the lexicographically LAST language —
     // the ordered >= CASE reproduces the struct-sort tie-break exactly
     "q45_lang_id" ->

@@ -57,6 +57,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == inputs.map(jvmRef))
   }
 
+  test("tf-idf emits exactly top-3 salient terms per document") {
+    val rows = TextOps.q54TfIdf(spark, sf).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.nonEmpty)
+    assert(perDoc.values.forall(_.length == 3))
+    // rank order matches descending rounded score within each doc
+    perDoc.values.foreach { rs =>
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("BPE-ish tokens never undercount whitespace tokens") {
     val rows = TextOps.q47TokenBpe(spark, sf).collect()
     assert(rows.nonEmpty)
