@@ -23,10 +23,14 @@ object Bench {
     // across SF dirs — so this warms the JIT/codegen caches without
     // touching the timed dataset. Timings then measure steady-state
     // throughput, not first-compile latency.
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+    // smallest-SF sibling of the timed dir (not a hardcoded path, so the
+    // warmup works wherever the testdata tree lives); canonical compare
+    // so a trailing slash can't double-run the timed SF
+    val sfCanon = new java.io.File(sfDir).getCanonicalFile
+    val warm = new java.io.File(sfCanon.getParentFile, "sf0.001")
+    if (warm.isDirectory && warm.getCanonicalPath != sfCanon.getPath) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try fn(spark, warm.getPath).count() catch { case _: Throwable => () }
       }
     }
     // deterministic execution order (sorted by name): map-iteration order

@@ -94,8 +94,17 @@ object TableRegistry {
             else f
           } ++
           added.map(n => inferred.fields.find(_.name == n).get))
+        // v1 catalogs have no REPLACE TABLE: the drop+create pair is not
+        // atomic, so restore the previous entry if the re-create fails
+        // (a transactional metastore would make this a single swap)
         spark.sql(s"DROP TABLE $fq")
-        createTable(spark, fq, root, merged)
+        try createTable(spark, fq, root, merged)
+        catch {
+          case e: Exception =>
+            try createTable(spark, fq, root, existingSchema)
+            catch { case _: Exception => () } // original error wins
+            throw e
+        }
       } else if (added.nonEmpty) {
         val ddl = added
           .map(n => inferred.fields.find(_.name == n).get)

@@ -13,8 +13,10 @@ import org.apache.spark.sql.SparkSession
   * relative to the listing root, returned in lexicographic order,
   * filtered by prefix, paginated by `maxKeys` with a continuation token
   * (the last key of the page — StartAfter semantics). Listing is
-  * metadata-only: no data is read, and a page never exceeds `maxKeys`
-  * entries in driver memory.
+  * metadata-only and bounded: directories that cannot contain the prefix
+  * are never descended, and page selection keeps only the `maxKeys`
+  * smallest qualifying keys in a heap — O(maxKeys) driver memory however
+  * large the tree is.
   */
 object ObjectStore {
 
@@ -28,23 +30,45 @@ object ObjectStore {
       prefix: String = "",
       maxKeys: Int = 1000,
       continuationToken: Option[String] = None): Listing = {
+    if (maxKeys <= 0) return Listing(Nil, None)
     val rootPath = new HPath(root)
     val fs: FileSystem = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Listing(Nil, None)
     val rootUri = fs.makeQualified(rootPath).toUri.getPath.stripSuffix("/")
-
-    val all = Seq.newBuilder[ObjectSummary]
-    val it = fs.listFiles(rootPath, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val key = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      if (key.startsWith(prefix))
-        all += ObjectSummary(key, st.getLen, st.getModificationTime)
-    }
-    val sorted = all.result().sortBy(_.key)
     val after = continuationToken.getOrElse("")
-    val page = sorted.iterator.filter(_.key > after).take(maxKeys).toSeq
-    val more = page.nonEmpty && sorted.exists(_.key > page.last.key)
-    Listing(page, if (more) Some(page.last.key) else None)
+
+    // bounded page selection: max-heap of the maxKeys smallest keys
+    // strictly after the token; anything evicted or rejected while the
+    // heap is full proves a further page exists
+    val heap = scala.collection.mutable.PriorityQueue.empty[ObjectSummary](
+      Ordering.by((o: ObjectSummary) => o.key))
+    var beyondPage = false
+
+    def relKey(p: HPath): String =
+      p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+
+    def walk(dir: HPath): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val key = relKey(st.getPath)
+        if (st.isDirectory) {
+          // descend only when the subtree can hold matching keys: the
+          // dir is an ancestor of the prefix, or lies inside it
+          val dirKey = key + "/"
+          if (prefix.startsWith(dirKey) || dirKey.startsWith(prefix))
+            walk(st.getPath)
+        } else if (key.startsWith(prefix) && key > after) {
+          if (heap.size < maxKeys)
+            heap.enqueue(ObjectSummary(key, st.getLen, st.getModificationTime))
+          else if (key < heap.head.key) {
+            heap.dequeue()
+            heap.enqueue(ObjectSummary(key, st.getLen, st.getModificationTime))
+            beyondPage = true
+          } else beyondPage = true
+        }
+      }
+
+    walk(rootPath)
+    val page = heap.toSeq.sortBy(_.key)
+    Listing(page, if (beyondPage && page.nonEmpty) Some(page.last.key) else None)
   }
 }

@@ -104,9 +104,14 @@ final class QueryExecutionManager(spark: SparkSession, resultsDir: String)(
   def resultsPage(id: String, maxRows: Int = 1000, pageToken: Option[String] = None)
       : Option[ResultPage] = {
     val dir = Paths.get(resultsDir, s"$id.csv")
-    if (!Files.exists(dir) || maxRows <= 0) None
+    // malformed/negative tokens are invalid requests, not crashes —
+    // the surface this models rejects them; None is our analogue
+    val start = pageToken match {
+      case None => 0
+      case Some(t) => t.toIntOption.filter(_ >= 0).getOrElse(-1)
+    }
+    if (!Files.exists(dir) || maxRows <= 0 || start < 0) None
     else {
-      val start = pageToken.map(_.toInt).getOrElse(0)
       val df = spark.read.option("header", "true").csv(dir.toString)
       val header = df.schema.fieldNames.toSeq
       val rows = df.offset(start).limit(maxRows).collect().toSeq.map(r =>
@@ -130,11 +135,7 @@ final class QueryExecutionManager(spark: SparkSession, resultsDir: String)(
     }
 
   private def deleteArtifacts(id: String): Unit = {
-    val dir = Paths.get(resultsDir, s"$id.csv")
-    if (Files.exists(dir)) {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-    }
+    Retention.deleteRecursively(Paths.get(resultsDir, s"$id.csv"))
     Files.deleteIfExists(Paths.get(resultsDir, s"$id.csv.metadata"))
   }
 
@@ -195,16 +196,25 @@ object Retention {
     val root = Paths.get(resultsDir)
     if (!Files.exists(root)) return Nil
     val cutoff = now - maxAgeDays.toLong * 24 * 3600 * 1000
-    val deleted = Files.list(root).iterator().asScala
-      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-      .toList
+    val deleted = {
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toList
+      finally s.close()
+    }
     deleted.foreach(deleteRecursively)
     deleted.map(_.getFileName.toString)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toList.foreach(deleteRecursively)
+  private[exec] def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val children = {
+        val s = Files.list(p)
+        try s.iterator().asScala.toList finally s.close()
+      }
+      children.foreach(deleteRecursively)
+    }
     Files.deleteIfExists(p)
   }
 }

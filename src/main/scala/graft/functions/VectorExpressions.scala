@@ -304,6 +304,79 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** All sign-LSH table buckets for a float vector in ONE pass over the
+  * plane set (SURVEY §2.9 similarity search). The composable form — one
+  * interpreted `aggregate(zip_with(...))` dot fold per plane — evaluates
+  * T·k higher-order lambdas per row (96 for the near-dup scale path);
+  * this expression runs the same left-fold dot products as a tight
+  * native loop and packs each table's k sign bits into its bucket id.
+  * Same accumulation order as the composable `dot`, so sign decisions
+  * (and therefore buckets) are bit-identical. */
+case class SignBuckets(
+    child: Expression,
+    planes: Array[Array[Double]],
+    planesPerTable: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planesPerTable > 0 && planes.nonEmpty && planes.length % planesPerTable == 0,
+    "planes must divide evenly into tables")
+
+  private def numTables: Int = planes.length / planesPerTable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](numTables)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(v.numElements(), plane.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += v.getFloat(i).toDouble * plane(i); i += 1 }
+      if (d > 0.0) out(p / planesPerTable) |= 1 << (p % planesPerTable)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+      val out = ctx.freshName("out")
+      val plane = ctx.freshName("plane")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      s"""
+         |final int[] $out = new int[$numTables];
+         |for (int $p = 0; $p < $planesRef.length; $p++) {
+         |  final double[] $plane = $planesRef[$p];
+         |  final int $n = java.lang.Math.min($a.numElements(), $plane.length);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $d += (double) $a.getFloat($i) * $plane[$i];
+         |  }
+         |  if ($d > 0.0) $out[$p / $planesPerTable] |= 1 << ($p % $planesPerTable);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignBuckets =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column-level entry point: `cosine_sim(a, b)` as a codegen'd native
@@ -325,4 +398,10 @@ object VectorFunctions {
     * assignment as a map-only scan. */
   def nearest_centroid(vec: Column, centers: Array[Array[Double]]): Column =
     GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), centers))
+
+  /** `sign_buckets(vec)` against a constant plane set — all LSH table
+    * buckets in one traversal; returns array<int> of length
+    * planes.length / planesPerTable. */
+  def sign_buckets(vec: Column, planes: Array[Array[Double]], planesPerTable: Int): Column =
+    GraftBridge.column(SignBuckets(GraftBridge.expression(vec), planes, planesPerTable))
 }

@@ -281,6 +281,14 @@ object Dedup {
     val pairs = q27MinhashLsh(spark, dir)
       .select("d1", "d2").cache()
     val nEdges = pairs.count()
+    if (nEdges == 0) {
+      // no near-dup pairs → no clusters; return the empty (typed) result
+      // instead of running the loop (whose convergence aggregate over an
+      // empty frame yields null)
+      pairs.unpersist()
+      return pairs.select(
+        col("d1").as("doc_id"), col("d1").as("keeper"), lit(true).as("is_keeper"))
+    }
     // the pair graph is near-dup-sized (tiny relative to the corpus):
     // size the iteration partitioning to the graph, not the session
     // default — per-iteration scheduling otherwise dominates (measured
@@ -297,10 +305,16 @@ object Dedup {
     // the first propagation is just min(neighbor ids ∪ self) and the
     // chase through identity labels is the identity — one join + agg,
     // no separate label-table materialization, no chase
+    // convergence metric in DECIMAL(38,0): a bigint sum of ~1e9 labels
+    // that are themselves ~2^40 doc ids overflows Long (and ANSI mode
+    // turns that into a job-killing error at exactly the scale this
+    // operator is designed for)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = truncateLineage(
       allEdges.groupBy(col("d1").as("doc_id")).agg(min(col("d2")).as("lbl")),
       eager = false)
-    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 1
     var converged = false
     while (!converged && iter < MaxCcIters) {
@@ -319,8 +333,8 @@ object Dedup {
       // the iteration AND truncates its lineage in one job (an eager
       // checkpoint would run a second, redundant job per iteration)
       labels = truncateLineage(chased, eager = false)
-      val s = labels.agg(sum(col("lbl"))).head().getLong(0)
-      converged = s == prevSum
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }

@@ -80,12 +80,13 @@ object Similarity {
 
   val NumPlanes = 8 // 256 buckets; resize with corpus (≈ log2(n / target bucket size))
 
-  /** Sign-pattern bucket id of a vector column against the plane set. */
+  /** Sign-pattern bucket id of a vector column against the plane set —
+    * the native single-pass [[graft.functions.SignBuckets]] expression
+    * (one table = the whole plane set). Bit-identical to the composable
+    * `when(dot > 0, 1<<i)` sum it replaces: same left-fold dot order,
+    * same bit packing. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
-      when(dot(vec, planeCol) > 0.0, lit(1 << i)).otherwise(lit(0))
-    }.reduce[Column](_ + _)
+    graft.functions.VectorFunctions.sign_buckets(vec, planes, planes.length).getItem(0)
 
   /** q30 — ANN top-k via sign-LSH buckets with 2-bit multiprobe: each
     * probe scores candidates in its own bucket plus every bucket within
@@ -173,13 +174,14 @@ object Similarity {
     Sessions.prepare(spark)
     val emb = Tables.embeddings(spark, dir)
     val planes = hyperplanes(NumTables * PlanesPerTable, 64)
-    val tableCols = (0 until NumTables).map { t =>
-      val tp = planes.slice(t * PlanesPerTable, (t + 1) * PlanesPerTable)
-      struct(lit(t).as("tbl"), lshBucket(col("embedding"), tp).as("bucket"))
-    }
+    // ALL table buckets in one native pass over the planes (the
+    // composable per-plane dot folds were T×k interpreted lambdas/row),
+    // then posexplode to (table, bucket) rows
     val bucketed = emb
-      .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions.sign_buckets(
+          col("embedding"), planes, PlanesPerTable)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
     val l = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("v1"))
     val r = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("v2"))
     // candidate id pairs, deduped across tables BEFORE touching vectors

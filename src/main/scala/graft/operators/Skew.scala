@@ -39,18 +39,19 @@ object Skew {
   }
 
   /** q52 — skew-salted fact join: lineitem ⋈ orders on the order key with
-    * an 8-way salt, aggregated to revenue per order priority. The result
+    * a 4-way salt, aggregated to revenue per order priority. The result
     * is identical to the plain join (oracle-checked); the plan differs —
-    * the orders side is replicated 8× and the shuffle key is
+    * the orders side is replicated 4× and the shuffle key is
     * (l_orderkey, salt), so a pathologically hot order key would occupy
-    * 8 reducers instead of 1. */
+    * 4 reducers instead of 1. (Salt factor trades replication cost for
+    * spread: size it to the observed hot-key fan-out, not higher.) */
   def q52SkewJoin(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     val orders = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    saltedJoin(li, orders, Seq("l_orderkey"), saltBuckets = 8)
+    saltedJoin(li, orders, Seq("l_orderkey"), saltBuckets = 4)
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_items"),

@@ -178,8 +178,13 @@ object TextOps {
         size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long")
           .as("n_bpe_tokens"))
+      // empty/whitespace-only docs: 0 tokens → ratio pinned to 0.0 (the
+      // oracle guards identically; unguarded, Spark says NaN and DuckDB
+      // 1.0 says NULL — a silent parity break on any corpus with an
+      // empty document)
       .withColumn("bpe_inflation",
-        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4))
+        when(col("n_ws_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4)))
       .orderBy("doc_id")
   }
 
@@ -296,7 +301,8 @@ object TextOps {
         |  FROM documents)
         |SELECT doc_id, CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
         |  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
-        |  round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 4) AS bpe_inflation
+        |  CASE WHEN n_ws_tokens = 0 THEN 0.0
+        |       ELSE round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 4) END AS bpe_inflation
         |FROM t ORDER BY doc_id""".stripMargin,
     "q53_vocab_top" ->
       """WITH t AS (
