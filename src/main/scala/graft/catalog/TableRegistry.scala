@@ -101,8 +101,15 @@ object TableRegistry {
         try createTable(spark, fq, root, merged)
         catch {
           case e: Exception =>
+            // original error wins, but a failed restore means the table
+            // entry is GONE — log it loudly so the loss is diagnosable
             try createTable(spark, fq, root, existingSchema)
-            catch { case _: Exception => () } // original error wins
+            catch {
+              case restore: Exception =>
+                org.slf4j.LoggerFactory.getLogger(getClass).error(
+                  s"restore of $fq after failed type-change re-create also " +
+                    s"failed — catalog entry lost, re-crawl to recreate", restore)
+            }
             throw e
         }
       } else if (added.nonEmpty) {

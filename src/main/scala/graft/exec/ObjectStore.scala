@@ -52,9 +52,15 @@ object ObjectStore {
         val key = relKey(st.getPath)
         if (st.isDirectory) {
           // descend only when the subtree can hold matching keys: the
-          // dir is an ancestor of the prefix, or lies inside it
+          // dir is an ancestor of the prefix or lies inside it, AND its
+          // key range can still contain keys past the continuation token
+          // (every key under dirKey is <= dirKey + U+FFFF-padding, so a
+          // dir whose upper bound sorts <= the token is a skip — without
+          // this, each page re-walks the whole tree and a full pagination
+          // costs O(N^2/maxKeys) listStatus calls)
           val dirKey = key + "/"
-          if (prefix.startsWith(dirKey) || dirKey.startsWith(prefix))
+          val matchesPrefix = prefix.startsWith(dirKey) || dirKey.startsWith(prefix)
+          if (matchesPrefix && (dirKey + "\uFFFF") > after)
             walk(st.getPath)
         } else if (key.startsWith(prefix) && key > after) {
           if (heap.size < maxKeys)

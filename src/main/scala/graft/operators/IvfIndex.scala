@@ -36,9 +36,22 @@ object IvfIndex {
   private val cache = new ConcurrentHashMap[String, Array[Array[Double]]]()
 
   /** The centroid table for (corpus dir, nlist): built on first use,
-    * cached thereafter. */
+    * cached thereafter. The cache key folds in a corpus-version signature
+    * (max file mtime + file count under the embeddings table) so a
+    * rewritten corpus at the same path invalidates the quantizer instead
+    * of silently degrading recall in a long-lived session. */
   def centroids(spark: SparkSession, dir: String, k: Int): Array[Array[Double]] =
-    cache.computeIfAbsent(s"$dir#$k", _ => build(spark, dir, k))
+    cache.computeIfAbsent(s"$dir#$k#${corpusVersion(dir)}", _ => build(spark, dir, k))
+
+  /** Cheap corpus signature: (max lastModified, file count) over the
+    * embeddings table files — a directory listing, never a data read. */
+  private[operators] def corpusVersion(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+      else Seq(f)
+    val files = walk(new java.io.File(dir, "embeddings.parquet"))
+    s"${files.map(_.lastModified).foldLeft(0L)(math.max)}-${files.size}"
+  }
 
   /** Drop cached indexes (tests / corpus refresh). */
   def invalidate(): Unit = cache.clear()

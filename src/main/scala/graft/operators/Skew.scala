@@ -19,20 +19,30 @@ import graft.core.{Sessions, Tables}
 object Skew {
 
   /** Inner equi-join with a salted key: the (big, skewed) left side gets
-    * a per-row salt derived from xxhash64 over the key and a row id; the
+    * a per-row salt derived from xxhash64 over ALL of its columns; the
     * (medium) right side is replicated once per salt value. Join output
     * is EXACTLY the plain inner join — salt only changes the shuffle
     * distribution, which is why the oracle can check the salted query
-    * against the unsalted SQL. */
+    * against the unsalted SQL.
+    *
+    * The salt is a pure function of row CONTENT (not a row id): if the big
+    * side sits behind a shuffle and a fetch failure or speculative attempt
+    * recomputes a partition in a different row order, every row still lands
+    * in the same salt bucket — no duplicated or lost join rows across
+    * attempts (the indeterminate-stage failure class that
+    * monotonically_increasing_id-derived salts are exposed to). Duplicate
+    * rows share a bucket, which only matters if duplicates themselves are
+    * the skew — pass distinct `saltCols` tags in that case. */
   def saltedJoin(
       big: DataFrame,
       medium: DataFrame,
       keys: Seq[String],
-      saltBuckets: Int): DataFrame = {
+      saltBuckets: Int,
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    val mix = if (saltCols.nonEmpty) saltCols else big.columns.toSeq
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*),
-        lit(saltBuckets.toLong)).cast("int"))
+      pmod(xxhash64(mix.map(col): _*), lit(saltBuckets.toLong)).cast("int"))
     val replicated = medium.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
