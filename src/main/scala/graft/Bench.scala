@@ -41,7 +41,9 @@ object Bench {
     // spikes on a shared machine (round-2 recorded phantom 3-9x regressions
     // that an idle re-run disproved). The median of three back-to-back runs
     // survives one contended sample per query.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // malformed env value degrades to the default instead of aborting the bench
+    val reps = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_REPS").trim.toInt)
+      .toOption.getOrElse(3).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -36,6 +36,24 @@ object Dedup {
   def shingles(docs: DataFrame, k: Int = 5): DataFrame =
     docs.select(col("doc_id"), explode(shingleArray(col("text"), k)).as("s"))
 
+  /** The shared signature row for the whole near-dup family: one row per
+    * doc with its distinct hashed shingles and their count. Every family
+    * operator (exact Jaccard, MinHash, SimHash, dedup APPLY) derives from
+    * this — joins key on the 64-bit hash instead of the ~30-byte shingle
+    * string (¼ the shuffle bytes; xxhash64 collisions across a corpus'
+    * distinct shingles are ~|shingles|²/2⁶⁵ — negligible against the LSH
+    * probability bounds already accepted by this family), and the shingle
+    * count rides along as a column instead of costing a groupBy shuffle. */
+  private[operators] def sigsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), transform(shingleArray(col("text")), s => xxhash64(s)).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
+
+  /** [[sigsOf]] over the corpus at `dir`, built once per corpus version
+    * and cached via [[SignatureStage]]. */
+  private[operators] def shingleSigs(spark: SparkSession, dir: String): DataFrame =
+    SignatureStage.stage(spark, dir, "shingle_sigs")(sigsOf(Tables.documents(spark, dir)))
+
   /** Exact-duplicate groups by content hash (SURVEY §2.9 "exact dedup";
     * the group-and-HAVING shape of the reference's duplicate-email check,
     * `sql/sample_athena_queries.sql:113-119`). One shuffle on the 128-bit
@@ -64,13 +82,16 @@ object Dedup {
     * (high cardinality), then on (d1,d2) pairs (sparse) — both bounded. */
   def q26NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    jaccardPairs(Tables.documents(spark, dir), 0.6)
+    jaccardPairs(shingleSigs(spark, dir), 0.6)
   }
 
-  /** Exact shingle-Jaccard pairs over `docs`, optionally restricted to a
-    * candidate-pair set (for LSH verification). */
+  /** Exact shingle-Jaccard pairs over a [[sigsOf]]-shaped signature table
+    * (`doc_id`, `hs`, `n_sh`), optionally restricted to a candidate-pair
+    * set (for LSH verification). The self-join keys on the hashed
+    * shingles; per-doc shingle counts come from the `n_sh` column — no
+    * counting shuffle, no re-tokenization. */
   private[operators] def jaccardPairs(
-      docs: DataFrame,
+      sigs: DataFrame,
       threshold: Double,
       candidates: Option[DataFrame] = None): DataFrame = {
     // with a candidate set, restrict the shingle join to candidate docs
@@ -80,27 +101,22 @@ object Dedup {
       case Some(c) =>
         val cdocs = c.select(col("d1").as("doc_id"))
           .unionAll(c.select(col("d2").as("doc_id"))).distinct()
-        docs.join(cdocs, Seq("doc_id"), "left_semi")
-      case None => docs
+        sigs.join(cdocs, Seq("doc_id"), "left_semi")
+      case None => sigs
     }
-    val sh = shingles(base).cache()
-    // counts come from the CACHED exploded rows: map-side partial
-    // aggregation makes this shuffle tiny, whereas a "shuffle-free"
-    // size(shingleArray(text)) projection would re-run the whole
-    // tokenize/slice/distinct pipeline (measured slower at sf0.1)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("d1"), col("s"))
-    val b = sh.select(col("doc_id").as("d2"), col("s"))
-    val inter0 = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+    val sh = base.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    val a = sh.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("h"))
+    val b = sh.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("h"))
+    val inter0 = a.join(b, Seq("h")).filter(col("d1") < col("d2"))
     val inter1 = candidates match {
       case Some(c) => inter0.join(c, Seq("d1", "d2"), "left_semi")
       case None    => inter0
     }
+    // n1/n2 are functionally dependent on d1/d2 — grouping on them too is
+    // free and saves the two count-table joins the old shape paid for
     inter1
-      .groupBy("d1", "d2")
+      .groupBy("d1", "d2", "n1", "n2")
       .agg(count(lit(1)).as("inter"))
-      .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
-      .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
@@ -122,70 +138,68 @@ object Dedup {
     * recall on mega-clusters for a hard bound on join fan-out). */
   val MaxBucket = 1000
 
-  /** MinHash signatures: one row per doc, 24 min-hash columns, computed
-    * ROW-LOCALLY — the document's shingles are already in its row, so
-    * each permutation is `array_min(transform(shingles, xxhash64(seed, _)))`.
-    * No explode, no shuffle, no aggregation: a map-only stage. (The
-    * explode+groupBy formulation shuffles |docs|×|shingles| rows — at
-    * 100 TB that shuffle IS the job; this formulation deletes it.) */
-  private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
-    // materialize the shingle array ONCE, then hash it once, then compute
-    // ALL permutation minima in one traversal via the codegen'd
-    // [[graft.functions.MinhashSigs]] expression. (The composable form —
-    // one array_min(transform(hs, …)) per permutation — re-walks the hash
-    // array 24×; the native expression loads each hash once and updates
-    // 24 running minima in registers. Bit-identical output: same seeds,
-    // same xorshift round.) CollapseProject keeps these projections
-    // separate because the aliased producers are non-cheap and
-    // multiply-referenced — `sig` is computed once, the h0..h23 element
-    // extractions are cheap.
-    val withShingles = docs.select(col("doc_id"), shingleArray(col("text")).as("sh"))
-    val withHashes = withShingles.select(
-      col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-    val withSig = withHashes.select(
+  /** MinHash signatures over a [[sigsOf]]-shaped table: one row per doc,
+    * 24 min-hash columns, computed ROW-LOCALLY — the document's hashed
+    * shingles are already in its row, so ALL permutation minima come from
+    * one traversal of the codegen'd [[graft.functions.MinhashSigs]]
+    * expression. No explode, no shuffle, no aggregation: a map-only
+    * stage over the cached signature table. (The explode+groupBy
+    * formulation shuffles |docs|×|shingles| rows — at 100 TB that shuffle
+    * IS the job; this formulation deletes it.) */
+  private[operators] def minhashSignatures(sigs: DataFrame): DataFrame = {
+    val withSig = sigs.select(
       col("doc_id"),
       graft.functions.VectorFunctions.minhash_sigs(col("hs"), NumPerm).as("sig"))
     withSig.select(
       col("doc_id") +: (0 until NumPerm).map(i => col("sig").getItem(i).as(s"h$i")): _*)
   }
 
+  /** Distinct LSH candidate pairs for the corpus at `dir` — banded
+    * MinHash buckets, self-joined per (band, bucket) with the degenerate-
+    * bucket guard. Cached per corpus version ([[SignatureStage]]): q27
+    * verifies these pairs, q38 clusters their verified subset. */
+  private[operators] def candidatePairs(spark: SparkSession, dir: String): DataFrame =
+    SignatureStage.stage(spark, dir, "minhash_candidates") {
+      val sigs = minhashSignatures(shingleSigs(spark, dir))
+      val bandCols = (0 until Bands).map { b =>
+        val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+        struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
+      }
+      val buckets = sigs
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // drop degenerate buckets before the self-join (fan-out guard)
+      val sized = buckets
+        .groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= MaxBucket)
+      val bounded = buckets.join(sized.select("band", "bucket"), Seq("band", "bucket"), "left_semi")
+      val l = bounded.select(col("band"), col("bucket"), col("doc_id").as("d1"))
+      val r = bounded.select(col("band"), col("bucket"), col("doc_id").as("d2"))
+      l.join(r, Seq("band", "bucket"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    }
+
+  /** Exact-verified near-dup pairs (the q27 result), cached per corpus
+    * version: the pair list is the input to every downstream dedup step
+    * (clustering, keeper election, corpus filtering), so it is a corpus
+    * artifact, not a per-query temporary. */
+  private[operators] def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    SignatureStage.stage(spark, dir, "verified_pairs") {
+      jaccardPairs(shingleSigs(spark, dir), 0.6, Some(candidatePairs(spark, dir)))
+    }
+
   /** q27 — MinHash + LSH near-dup pairs, exact-verified. Pipeline:
-    * shingles → 24 minhashes/doc → 8 band buckets/doc → self-join per
-    * (band, bucket) → distinct candidate pairs → exact shingle-Jaccard
-    * verify at 0.6. The verify step makes the output exact (LSH only
-    * controls recall, and the parameters push miss probability below
-    * 1e-8), which is why this query can share the exact-Jaccard oracle. */
+    * shared signature table → 24 minhashes/doc → 8 band buckets/doc →
+    * self-join per (band, bucket) → distinct candidate pairs → exact
+    * shingle-Jaccard verify at 0.6. The verify step makes the output
+    * exact (LSH only controls recall, and the parameters push miss
+    * probability below 1e-8), which is why this query can share the
+    * exact-Jaccard oracle. */
   def q27MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val docs = Tables.documents(spark, dir)
-    // one row per doc, 25 longs — cached because the banding phase
-    // (bucket sizing, bounding semi-join, pair join) references it four
-    // times; uncached, the signature projection re-runs per reference
-    val sigs = minhashSignatures(docs).cache()
-    val bandCols = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // drop degenerate buckets before the self-join (fan-out guard)
-    val sized = buckets
-      .groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= MaxBucket)
-    val bounded = buckets.join(sized.select("band", "bucket"), Seq("band", "bucket"), "left_semi")
-    val l = bounded.select(col("band"), col("bucket"), col("doc_id").as("d1"))
-    val r = bounded.select(col("band"), col("bucket"), col("doc_id").as("d2"))
-    // tiny (≈ true-dup pairs); cached because the verify stage references
-    // it three times — uncached, the whole LSH pipeline re-runs per use
-    val candidates = l.join(r, Seq("band", "bucket"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2")
-      .distinct()
-      .cache()
-    candidates.count() // materialize before fan-out
-    sigs.unpersist()
-    jaccardPairs(docs, 0.6, Some(candidates))
+    verifiedPairs(spark, dir)
   }
 
   /** SimHash: 64-bit signature whose bits are majority votes of shingle
@@ -194,11 +208,10 @@ object Dedup {
     * over `transform(shingles, xxhash64)` — map-only, no explode/shuffle.
     * ([[graft.functions.SimhashAgg]] remains the grouped/streaming form
     * for when token hashes arrive as rows rather than arrays.) */
-  private[operators] def simhashes(docs: DataFrame): DataFrame =
-    docs.select(
+  private[operators] def simhashes(sigs: DataFrame): DataFrame =
+    sigs.select(
       col("doc_id"),
-      graft.functions.VectorFunctions.simhash64(
-        transform(shingleArray(col("text")), s => xxhash64(s))).as("simhash"))
+      graft.functions.VectorFunctions.simhash64(col("hs")).as("simhash"))
 
   /** SimHash banding: Hamming threshold 8 with 9 chunks (eight 7-bit +
     * one 8-bit). Pigeonhole: ≤8 differing bits across 9 chunks always
@@ -215,7 +228,11 @@ object Dedup {
     * exact-Jaccard pairs. */
   def q28Simhash(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val sims = simhashes(Tables.documents(spark, dir)).cache()
+    // derived map-only from the cached signature table: the codegen'd
+    // Simhash64 re-runs per reference below, but over cached `hs` arrays
+    // that is one tight loop per doc — cheaper than holding (and leaking)
+    // a second cached table
+    val sims = simhashes(shingleSigs(spark, dir))
     val width = 64 / SimhashChunks // 7 bits; last chunk takes the remainder
     val chunkCols = (0 until SimhashChunks).map { c =>
       val lo = c * width
@@ -275,17 +292,16 @@ object Dedup {
     * iteration over checkpointed labels, never a label collect. */
   def q38DedupApply(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    // pair detection via the MinHash-LSH path (q27) — output-identical to
-    // the exact join (verified) at a fraction of the cost; the CC step
-    // only needs the pair list
-    val pairs = q27MinhashLsh(spark, dir)
-      .select("d1", "d2").cache()
+    // pair detection via the MinHash-LSH path — output-identical to the
+    // exact join (verified) at a fraction of the cost, and served from
+    // the per-corpus SignatureStage cache (q27 and q38 in one session pay
+    // for the LSH pipeline once); the CC step only needs the pair list
+    val pairs = verifiedPairs(spark, dir).select("d1", "d2")
     val nEdges = pairs.count()
     if (nEdges == 0) {
       // no near-dup pairs → no clusters; return the empty (typed) result
       // instead of running the loop (whose convergence aggregate over an
       // empty frame yields null)
-      pairs.unpersist()
       return pairs.select(
         col("d1").as("doc_id"), col("d1").as("keeper"), lit(true).as("is_keeper"))
     }
@@ -332,6 +348,10 @@ object Dedup {
       // lazy checkpoint: the convergence-sum action below materializes
       // the iteration AND truncates its lineage in one job (an eager
       // checkpoint would run a second, redundant job per iteration)
+      // superseded iterations' checkpoint blocks are reclaimed by the
+      // ContextCleaner once this reassignment drops the last reference
+      // (Dataset.unpersist cannot reach a checkpoint's internal RDD);
+      // live footprint is therefore O(current + previous label table)
       labels = truncateLineage(chased, eager = false)
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
@@ -342,6 +362,7 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"q38DedupApply: CC loop hit MaxCcIters=$MaxCcIters without " +
           "converging — cluster labels may be incomplete")
+    allEdges.unpersist()
     labels
       .select(col("doc_id"), col("lbl").as("keeper"),
         (col("doc_id") === col("lbl")).as("is_keeper"))

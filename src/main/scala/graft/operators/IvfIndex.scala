@@ -33,25 +33,28 @@ object IvfIndex {
   val SampleSize = 4096
   val LloydIters = 10
 
-  private val cache = new ConcurrentHashMap[String, Array[Array[Double]]]()
+  /** Keyed by (dir, nlist); the value carries the corpus-version signature
+    * it was built against, so a version change REPLACES the entry instead
+    * of stranding the old centroid array forever (one live index per
+    * corpus, however many times the corpus is rewritten). */
+  private val cache = new ConcurrentHashMap[(String, Int), (String, Array[Array[Double]])]()
 
   /** The centroid table for (corpus dir, nlist): built on first use,
-    * cached thereafter. The cache key folds in a corpus-version signature
-    * (max file mtime + file count under the embeddings table) so a
-    * rewritten corpus at the same path invalidates the quantizer instead
-    * of silently degrading recall in a long-lived session. */
-  def centroids(spark: SparkSession, dir: String, k: Int): Array[Array[Double]] =
-    cache.computeIfAbsent(s"$dir#$k#${corpusVersion(dir)}", _ => build(spark, dir, k))
-
-  /** Cheap corpus signature: (max lastModified, file count) over the
-    * embeddings table files — a directory listing, never a data read. */
-  private[operators] def corpusVersion(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
-      else Seq(f)
-    val files = walk(new java.io.File(dir, "embeddings.parquet"))
-    s"${files.map(_.lastModified).foldLeft(0L)(math.max)}-${files.size}"
+    * cached thereafter. The cached value folds in a corpus-version
+    * signature (max file mtime + file count under the embeddings table)
+    * so a rewritten corpus at the same path invalidates the quantizer
+    * instead of silently degrading recall in a long-lived session. */
+  def centroids(spark: SparkSession, dir: String, k: Int): Array[Array[Double]] = {
+    val version = corpusVersion(spark, dir)
+    cache.compute((dir, k), (_, prev) =>
+      if (prev != null && prev._1 == version) prev
+      else (version, build(spark, dir, k)))._2
   }
+
+  /** Cheap corpus signature over the embeddings table files — see
+    * [[graft.core.TableVersion]] (Hadoop FS listing, scheme-agnostic). */
+  private[operators] def corpusVersion(spark: SparkSession, dir: String): String =
+    graft.core.TableVersion.signature(spark, dir, "embeddings.parquet")
 
   /** Drop cached indexes (tests / corpus refresh). */
   def invalidate(): Unit = cache.clear()

@@ -1,0 +1,75 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.TableVersion
+
+/** Managed per-corpus cache of dedup-family intermediates: the "signature
+  * table" a production dedup pipeline materializes once and reuses across
+  * every near-dup job over the same corpus.
+  *
+  * q26 (exact Jaccard), q27 (MinHash+LSH), q28 (SimHash) and q38 (dedup
+  * APPLY) all start from the same tokenize → shingle → hash pipeline;
+  * recomputing it per query multiplies the most expensive map stage in
+  * the family by four. Stages registered here are built once per
+  * (corpus dir, content version), cached and materialized, and shared —
+  * locally that is a Spark `.cache()`; the 100 TB deployment writes the
+  * same table to storage next to the corpus (exactly like
+  * [[IvfIndex.centroids]] for the ANN family).
+  *
+  * Lifecycle is explicit, not leak-by-default:
+  *  - the cache key folds in a [[TableVersion]] content signature, so a
+  *    rewritten corpus EVICTS (unpersists) every stale stage instead of
+  *    stranding it in the block manager;
+  *  - [[release]] / [[releaseAll]] unpersist on demand (end of a session,
+  *    retention cleanup, specs) — after release no cached RDDs remain
+  *    (asserted by `DedupSpec`).
+  */
+object SignatureStage {
+
+  private final case class CorpusEntry(version: String, stages: mutable.Map[String, DataFrame])
+
+  /** Keyed by (applicationId, corpus dir): cached DataFrames are bound to
+    * a SparkContext, so a restarted application must never see another
+    * context's entries. */
+  private val cache = mutable.Map.empty[(String, String), CorpusEntry]
+
+  private def key(spark: SparkSession, dir: String): (String, String) =
+    (spark.sparkContext.applicationId, dir)
+
+  /** The named stage for `dir`, built (cached + materialized) on first
+    * use and reused until the corpus content changes or it is released.
+    * Build functions must derive only from the corpus under `dir`. */
+  private[operators] def stage(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = synchronized {
+    val k = key(spark, dir)
+    val version = TableVersion.signature(spark, dir, "documents.parquet")
+    val live = cache.get(k) match {
+      case Some(e) if e.version == version => e
+      case stale =>
+        stale.foreach(e => e.stages.values.foreach(df => scala.util.Try(df.unpersist())))
+        val e = CorpusEntry(version, mutable.Map.empty)
+        cache(k) = e
+        e
+    }
+    live.stages.getOrElseUpdate(name, {
+      val df = build.cache()
+      df.count() // materialize: later queries read blocks, never re-plan
+      df
+    })
+  }
+
+  /** Unpersist and forget every stage cached for `dir`. */
+  def release(spark: SparkSession, dir: String): Unit = synchronized {
+    cache.remove(key(spark, dir))
+      .foreach(e => e.stages.values.foreach(df => scala.util.Try(df.unpersist(blocking = true))))
+  }
+
+  /** Unpersist and forget every cached stage (all corpora). */
+  def releaseAll(): Unit = synchronized {
+    cache.values.foreach(e => e.stages.values.foreach(df => scala.util.Try(df.unpersist(blocking = true))))
+    cache.clear()
+  }
+}

@@ -40,12 +40,30 @@ object Skew {
       saltBuckets: Int,
       saltCols: Seq[String] = Nil): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
-    val mix = if (saltCols.nonEmpty) saltCols else big.columns.toSeq
-    val salted = big.withColumn("__salt",
+    require(!big.columns.contains(SaltCol) && !medium.columns.contains(SaltCol),
+      s"input already has a '$SaltCol' column — rename it or pass explicit saltCols")
+    // default mix: every hashable column of the big side. xxhash64 over a
+    // MapType (at any nesting depth) is an analysis error in Spark 3+, so
+    // map-bearing columns are excluded from the default; explicit saltCols
+    // are taken as given (caller's responsibility, fails loudly if unhashable)
+    val mix =
+      if (saltCols.nonEmpty) saltCols
+      else big.schema.fields.filter(f => hashable(f.dataType)).map(_.name).toSeq
+    require(mix.nonEmpty, "no hashable columns to derive a salt from — pass saltCols")
+    val salted = big.withColumn(SaltCol,
       pmod(xxhash64(mix.map(col): _*), lit(saltBuckets.toLong)).cast("int"))
-    val replicated = medium.withColumn("__salt",
+    val replicated = medium.withColumn(SaltCol,
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    salted.join(replicated, keys :+ "__salt").drop("__salt")
+    salted.join(replicated, keys :+ SaltCol).drop(SaltCol)
+  }
+
+  private val SaltCol = "__salt"
+
+  private def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+    case _ => true
   }
 
   /** q52 — skew-salted fact join: lineitem ⋈ orders on the order key with

@@ -30,7 +30,7 @@ class DedupSpec extends SparkSpec {
     val simPairs = Dedup.q28Simhash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs = graft.core.Tables.documents(spark, sf)
-    val all = Dedup.jaccardPairs(docs, 0.0).collect()
+    val all = Dedup.jaccardPairs(Dedup.sigsOf(docs), 0.0).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val bad = simPairs.filter(p => all.getOrElse(p, 0.0) < 0.3)
     assert(bad.size <= simPairs.size / 10,
@@ -49,6 +49,56 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
       assert(reliable == default)
     } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
+  test("signature-stage caches are shared across the family and fully released") {
+    SignatureStage.releaseAll()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // running the whole family must add only SignatureStage-owned caches…
+    Dedup.q26NgramJaccard(spark, sf).collect()
+    Dedup.q27MinhashLsh(spark, sf).collect()
+    Dedup.q28Simhash(spark, sf).collect()
+    val sigs = Dedup.shingleSigs(spark, sf)
+    val cand = Dedup.candidatePairs(spark, sf)
+    val verified = Dedup.verifiedPairs(spark, sf)
+    assert(sigs.storageLevel.useMemory || sigs.storageLevel.useDisk,
+      "shared signature table should be cached while the stage is live")
+    // …and releasing the stage must leave the block manager as it was
+    SignatureStage.releaseAll()
+    assert(sigs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(cand.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(verified.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"family queries leaked cached RDDs: $leaked")
+  }
+
+  test("a corpus rewrite evicts stale signature stages") {
+    // same content, different dir version: copy the documents table into a
+    // temp corpus, build the stage, touch the file, rebuild — the stale
+    // stage must be unpersisted, not stranded
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigstage").toFile
+    val src = new java.io.File(sf, "documents.parquet")
+    val dst = new java.io.File(tmp, "documents.parquet")
+    java.nio.file.Files.copy(src.toPath, dst.toPath)
+    try {
+      // plan-identity note: first/second share a logical plan, so
+      // Dataset.storageLevel can't tell old cache entry from new —
+      // track eviction by persistent-RDD ids instead
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val first = Dedup.shingleSigs(spark, tmp.getPath)
+      val firstIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(firstIds.nonEmpty, "stage build should register a cached RDD")
+      assert(dst.setLastModified(dst.lastModified() + 120000))
+      val second = Dedup.shingleSigs(spark, tmp.getPath)
+      val afterSecond = spark.sparkContext.getPersistentRDDs.keySet
+      assert(firstIds.forall(id => !afterSecond.contains(id)),
+        "stale-version stage should be unpersisted on rebuild")
+      assert(second.storageLevel.useMemory || second.storageLevel.useDisk)
+      assert(second.count() == first.count())
+    } finally {
+      SignatureStage.release(spark, tmp.getPath)
+      dst.delete(); tmp.delete()
+    }
   }
 
   test("shingleArray produces k-grams and handles short docs") {
