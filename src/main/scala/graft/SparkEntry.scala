@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Temporal.queries ++
       operators.Skew.queries ++
+      layout.BucketedLayout.queries ++
       streaming.EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.Temporal.oracles ++
       operators.Skew.oracles ++
+      layout.BucketedLayout.oracles ++
       streaming.EventStream.oracles
 }

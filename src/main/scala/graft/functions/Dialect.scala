@@ -33,7 +33,8 @@ object Dialect {
     // idempotency guard must cover EVERY name registered below — a guard
     // on a subset would skip the rest whenever the subset pre-exists
     // (e.g. a future Spark builtin strpos)
-    if (Seq("strpos", "string_agg", "cosine_sim", "simhash_agg", "simhash64", "minhash_sigs")
+    if (Seq("strpos", "string_agg", "cosine_sim", "simhash_agg", "simhash64", "minhash_sigs",
+            "rolling_hash")
           .forall(n => reg.functionExists(FunctionIdentifier(n)))) return
 
     reg.createOrReplaceTempFunction(
@@ -66,6 +67,10 @@ object Dialect {
     reg.createOrReplaceTempFunction(
       "simhash64",
       { case Seq(h) => Simhash64(h) }: PartialFunction[Seq[Expression], Expression],
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "rolling_hash",
+      { case Seq(t) => RollingHash64(t) }: PartialFunction[Seq[Expression], Expression],
       "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sigs",

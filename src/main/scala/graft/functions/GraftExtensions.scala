@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { exprs: Seq[Expression] => Simhash64(exprs(0)) }))
 
     ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(text) - polynomial fingerprint of the UTF-8 bytes, (acc*31+b) mod 1e9+7 (codegen)"),
+      { exprs: Seq[Expression] => RollingHash64(exprs(0)) }))
+
+    ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       info("minhash_sigs", "minhash_sigs(hashArray, n) - all n MinHash permutation minima in one pass (codegen)"),
       { exprs: Seq[Expression] =>

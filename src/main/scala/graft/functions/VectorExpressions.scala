@@ -399,6 +399,11 @@ object VectorFunctions {
   def nearest_centroid(vec: Column, centers: Array[Array[Double]]): Column =
     GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), centers))
 
+  /** `rolling_hash(text)` — polynomial fingerprint of the UTF-8 bytes
+    * (codegen'd single byte loop). */
+  def rolling_hash(text: Column): Column =
+    GraftBridge.column(RollingHash64(GraftBridge.expression(text)))
+
   /** `sign_buckets(vec)` against a constant plane set — all LSH table
     * buckets in one traversal; returns array<int> of length
     * planes.length / planesPerTable. */

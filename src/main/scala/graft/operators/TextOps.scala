@@ -129,14 +129,22 @@ object TextOps {
 
   /** Rolling polynomial fingerprint over the UTF-8 BYTES of a string:
     * h = fold(bytes, 0, (acc, b) → (acc·31 + b) mod 1e9+7). Byte-exact
-    * (non-ASCII safe) and expressible in both engines: the bytes are
-    * recovered from `hex(binary)` pairs, the fold is `aggregate` — all
-    * codegen'd built-ins, map-only, no shuffle. The modulus keeps every
-    * intermediate < 3.2e10, so ANSI-mode overflow checking never fires.
-    * (This is the order-sensitive rolling variant of [[fingerprint]]:
-    * md5 fingerprints equality, the rolling hash is the building block
-    * for content-defined chunking and incremental re-hashing.) */
-  def rollingFingerprint(text: Column): Column = {
+    * (non-ASCII safe); the modulus keeps every intermediate < 3.3e10, so
+    * ANSI-mode overflow checking never fires. Native codegen'd expression
+    * ([[graft.functions.RollingHash64]]) — one tight byte loop per doc;
+    * the interpreted `aggregate`-over-hex-pairs form it replaced survives
+    * as [[rollingFingerprintComposable]] for the parity spec and as the
+    * oracle shape. (This is the order-sensitive rolling variant of
+    * [[fingerprint]]: md5 fingerprints equality, the rolling hash is the
+    * building block for content-defined chunking and incremental
+    * re-hashing.) */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.VectorFunctions.rolling_hash(text)
+
+  /** Built-ins-only form of [[rollingFingerprint]] (bytes recovered from
+    * `hex(binary)` pairs, fold via `aggregate`) — kept as the executable
+    * specification the native expression is spec-checked against. */
+  private[operators] def rollingFingerprintComposable(text: Column): Column = {
     val hx = hex(text.cast("binary"))
     val n = (length(hx) / 2).cast("int")
     when(n === 0, lit(0L)).otherwise(

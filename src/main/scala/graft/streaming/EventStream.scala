@@ -37,6 +37,34 @@ object EventStream {
   val WindowDuration = "15 minutes"
   val WatermarkDelay = "1 minute"
 
+  /** Drain an append-mode streaming result through the FILE sink and read
+    * the emitted rows back. The memory sink would hold the entire result
+    * on the driver — fine for tiny aggregates, wrong as a posture: at
+    * 100 TB the emitted stream is itself large, and the production shape
+    * is exactly this (parquet sink + downstream batch read), with the
+    * checkpoint making the drain resumable/exactly-once. Driver memory
+    * stays O(1) regardless of result size.
+    *
+    * Output lands under `spark.graft.streamResultsDir` (default: the JVM
+    * temp dir) — locally a scratch path, on a cluster an object-store
+    * prefix subject to the results retention job. */
+  private def drainToFiles(spark: SparkSession, transformed: DataFrame): DataFrame = {
+    val base = spark.conf.getOption("spark.graft.streamResultsDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val root = s"$base/graft_stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = transformed.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$root/data")
+      .option("checkpointLocation", s"$root/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // explicit schema: a drain that emits zero rows leaves no data files,
+    // and the read must still return an empty, correctly-typed frame
+    spark.read.schema(transformed.schema).parquet(s"$root/data")
+  }
+
   /** Windowed counts/sums per event type with a watermark; append mode —
     * emits exactly the windows the watermark has closed. */
   def windowedAgg(stream: DataFrame): DataFrame =
@@ -59,19 +87,11 @@ object EventStream {
   def q34StreamWindows(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = s"graft_stream_${UUID.randomUUID().toString.replace("-", "")}"
     val stream = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val q = windowedAgg(stream).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("window_start", "event_type")
+    drainToFiles(spark, windowedAgg(stream)).orderBy("window_start", "event_type")
   }
 
   /** q44 — streaming gap-based sessionization via the NATIVE
@@ -84,12 +104,11 @@ object EventStream {
   def q44StreamSessions(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = s"graft_sess_${UUID.randomUUID().toString.replace("-", "")}"
     val stream = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val q = stream
+    val sessions = stream
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", WatermarkDelay)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -97,14 +116,7 @@ object EventStream {
       .select(
         col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"), col("session_value"))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("user_id", "session_start")
+    drainToFiles(spark, sessions).orderBy("user_id", "session_start")
   }
 
   private val docSchema = StructType(Seq(
@@ -131,22 +143,14 @@ object EventStream {
     * scheduling order, which no deterministic oracle should depend on. */
   def q48StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val name = s"graft_dedup_${UUID.randomUUID().toString.replace("-", "")}"
     val stream = spark.readStream
       .schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    val q = stream
+    val deduped = stream
       .select(md5(trim(col("text"))).as("fp"))
       .dropDuplicates("fp")
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("fp")
+    drainToFiles(spark, deduped).orderBy("fp")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

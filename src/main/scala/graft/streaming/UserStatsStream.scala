@@ -50,13 +50,18 @@ object UserStatsStream {
     StructField("props", StringType)))
 
   /** Run the stateful stream over `dir`'s events to completion and return
-    * the final per-user stats. Update output mode: the memory sink holds
-    * the latest state emission per key. */
+    * the final per-user stats. Update output mode can't use the file sink
+    * directly, so the drain is `foreachBatch` appending each micro-batch's
+    * state emissions to parquet — driver memory stays O(1) however many
+    * users/batches there are (the memory-sink form held every emission on
+    * the driver), and the read-back keeps the latest emission per key. */
   def run(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
-    val name = s"graft_ustats_${UUID.randomUUID().toString.replace("-", "")}"
+    val base = spark.conf.getOption("spark.graft.streamResultsDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val root = s"$base/graft_ustats_${UUID.randomUUID().toString.replace("-", "")}"
     val events = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -66,17 +71,20 @@ object UserStatsStream {
     val stats = events
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
+    val outSchema = stats.toDF().schema
     val q = stats.toDF().writeStream
       .outputMode(OutputMode.Update())
-      .format("memory")
-      .queryName(name)
+      .option("checkpointLocation", s"$root/checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$root/data")
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     // latest emission per user = final state
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
-    spark.table(name)
+    spark.read.schema(outSchema).parquet(s"$root/data")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("user_id", "n_events", "total_value", "last_ts_us")

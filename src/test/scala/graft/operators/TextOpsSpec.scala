@@ -57,6 +57,22 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == inputs.map(jvmRef))
   }
 
+  test("native rolling_hash matches the composable hex-pair fold on the corpus") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val mismatches = docs.select(
+        TextOps.rollingFingerprint(org.apache.spark.sql.functions.trim(col("text"))).as("native"),
+        TextOps.rollingFingerprintComposable(org.apache.spark.sql.functions.trim(col("text"))).as("composable"))
+      .filter(col("native") =!= col("composable"))
+      .count()
+    assert(mismatches == 0)
+    // and the SQL surface sees it
+    graft.functions.Dialect.register(spark)
+    val viaSql = spark.sql("SELECT rolling_hash('hello world')").head().getLong(0)
+    val ref = "hello world".getBytes("UTF-8")
+      .foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    assert(viaSql == ref)
+  }
+
   test("tf-idf emits exactly top-3 salient terms per document") {
     val rows = TextOps.q54TfIdf(spark, sf).collect()
     val perDoc = rows.groupBy(_.getLong(0))
