@@ -69,6 +69,10 @@ final class QueryExecutionManager(spark: SparkSession, resultsDir: String)(
   /** Status FSM — the `get_query_execution` shape. */
   def status(id: String): Option[ExecutionState] = Option(states.get(id))
 
+  /** All known executions (the `list_query_executions` surface; teardown
+    * uses it to stop in-flight work before purging artifacts). */
+  def list(): Seq[ExecutionState] = states.values().asScala.toSeq
+
   /** Cancel: transitions RUNNING → CANCELLED and stops the underlying
     * Spark jobs via their job group (cooperative + task interrupt).
     * Returns whether the state actually transitioned — cancelling an

@@ -50,6 +50,50 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"near-dup LSH recall $recall over ${exact.size} pairs")
   }
 
+  test("near-dup LSH at the production threshold: recall ≥ 0.9, candidates ≤ n²/8") {
+    // planted fixture for the cosine ≥ 0.9 regime the scaladoc documents
+    // (k=8, T=8): 400 random unit-ish vectors (near-orthogonal in 64-d,
+    // so no accidental near-dups) + 100 perturbed copies at cosine ≥ 0.95
+    import spark.implicits._
+    val rnd = new java.util.Random(7L)
+    val dim = 64
+    def randVec(): Array[Float] = Array.fill(dim)((rnd.nextGaussian()).toFloat)
+    def perturb(v: Array[Float]): Array[Float] = {
+      // small additive noise: cos(v, v+εu) ≥ 0.95 for ε ≈ 0.25·|v| in 64-d
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x + (rnd.nextGaussian() * 0.2 * n / math.sqrt(dim))).toFloat)
+    }
+    val base = Array.fill(400)(randVec())
+    val rows =
+      base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+        base.take(100).zipWithIndex.map { case (v, i) => (400L + i, perturb(v)) }
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+    val threshold = 0.9
+    val k = 8; val t = 8
+    // ground truth: exact all-pairs at the production threshold
+    import org.apache.spark.sql.functions.col
+    val l = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val r = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val exact = l.crossJoin(r).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), Similarity.cosine(col("e1"), col("e2")).as("c"))
+      .filter(col("c") >= threshold)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(exact.size >= 90, s"fixture should plant ~100 near-dup pairs, got ${exact.size}")
+    val got = Similarity.nearDupLshPairs(emb, threshold, t, k, dim)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    // precision exact by construction; recall per the collision bound:
+    // θ ≤ 18° → p1 = (1-θ/π)^8 ≈ 0.43, 1-(1-p1)^8 ≈ 0.99
+    assert(got.subsetOf(exact), s"false positives: ${(got diff exact).take(3)}")
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"production-threshold recall $recall over ${exact.size} pairs")
+    // pruning is real: candidate fraction ≈ T/2^k = 1/32 for the random
+    // mass; allow 4× slack (n²/8) so the assertion bounds, not flakes
+    val n = rows.length.toLong
+    val candidates = Similarity.nearDupLshCandidates(emb, t, k, dim).count()
+    assert(candidates <= n * (n - 1) / 2 / 8,
+      s"candidate fraction too high: $candidates of ${n * (n - 1) / 2} pairs")
+  }
+
   test("IVF ANN beats sign-LSH recall at comparable scan fraction") {
     val exact = Similarity.q29CosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -57,9 +101,12 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty)
     val recall = exact.count(ivf.contains).toDouble / exact.size
-    // IVF cells align with the label clusters → should comfortably beat
-    // the wide-angle sign-LSH recall floor
-    assert(recall >= 0.4, s"IVF recall@${Similarity.TopK} = $recall")
+    // operating point: recall ≥ 0.6 at nprobe/nlist = 4/16 = 25% scan
+    // fraction — IVF cells align with the label clusters, so this beats
+    // the wide-angle sign-LSH floor with margin
+    assert(Similarity.NumProbeLists.toDouble / Similarity.NumLists <= 0.25,
+      "scan fraction must stay ≤ 25%")
+    assert(recall >= 0.6, s"IVF recall@${Similarity.TopK} = $recall")
   }
 
   test("native cosine expression is bit-identical to the fold form") {
