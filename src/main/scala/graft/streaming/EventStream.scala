@@ -153,10 +153,41 @@ object EventStream {
     drainToFiles(spark, deduped).orderBy("fp")
   }
 
+  /** q56 — BOUNDED-STATE streaming dedup: the
+    * `dropDuplicatesWithinWatermark` variant q48's scaladoc points at for
+    * corpora whose distinct-key cardinality itself is too large to hold.
+    * State per key lives only until the watermark passes its event time +
+    * delay — memory is bounded by the key arrival rate × horizon, not by
+    * corpus cardinality, which is the form an always-on 100 TB ingest
+    * actually runs. Dedup key: (user_id, event_type) fingerprint.
+    *
+    * Semantics note: within-watermark dedup guarantees duplicates
+    * arriving inside the horizon collapse; an AvailableNow drain of a
+    * static table processes one batch with all state live, so the
+    * emitted set equals the batch DISTINCT — which is why this query CAN
+    * carry an exact oracle while still exercising the bounded-state
+    * operator. */
+  def q56StreamDedupBounded(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val deduped = stream
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), md5(concat_ws("#", col("user_id"), col("event_type"))).as("fp"))
+      .dropDuplicatesWithinWatermark("fp")
+      .select("fp")
+    drainToFiles(spark, deduped).orderBy("fp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_stream_windows"  -> (q34StreamWindows _),
     "q44_stream_sessions" -> (q44StreamSessions _),
-    "q48_stream_dedup"    -> (q48StreamDedup _))
+    "q48_stream_dedup"    -> (q48StreamDedup _),
+    "q56_stream_dedup_bounded" -> (q56StreamDedupBounded _))
 
   /** Oracle: append-mode emission = windows fully below the final
     * watermark (max event time − delay), recomputed relationally. */
@@ -194,5 +225,10 @@ object EventStream {
     // streaming dropDuplicates emits exactly the first-seen fingerprints
     // = the distinct-content set, so the batch DISTINCT is an exact oracle
     "q48_stream_dedup" ->
-      "SELECT DISTINCT md5(trim(text)) AS fp FROM documents ORDER BY fp")
+      "SELECT DISTINCT md5(trim(text)) AS fp FROM documents ORDER BY fp",
+    // single-batch drain → all state live → bounded-state dedup emits
+    // exactly the distinct keys (see q56 scaladoc)
+    "q56_stream_dedup_bounded" ->
+      """SELECT DISTINCT md5(concat(CAST(user_id AS VARCHAR), '#', event_type)) AS fp
+        |FROM events ORDER BY fp""".stripMargin)
 }

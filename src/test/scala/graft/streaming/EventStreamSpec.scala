@@ -31,4 +31,15 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.length == streamed.distinct.length, "no duplicate emissions")
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("bounded-state dedup (within watermark) equals batch distinct on a single drain") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.q56StreamDedupBounded(spark, sf).collect().map(_.getString(0))
+    val batch = graft.core.Tables.events(spark, sf)
+      .select(md5(concat_ws("#", col("user_id"), col("event_type"))).as("fp"))
+      .distinct().orderBy("fp").collect().map(_.getString(0))
+    assert(streamed.nonEmpty)
+    assert(streamed.length == streamed.distinct.length, "no duplicate emissions")
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
