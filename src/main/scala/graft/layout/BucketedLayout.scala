@@ -100,8 +100,10 @@ object BucketedLayout {
     prepared.get(key) match {
       case Some((v, db)) if v == version => db
       case _ =>
-        // identifier-safe, distinct per (dir, version)
-        val db = s"graft_b_${math.abs((sfDir + "#" + version).hashCode).toString}"
+        // identifier-safe, distinct per (dir, version); mask (not abs) —
+        // math.abs(Int.MinValue) is still negative and would put a '-'
+        // in the identifier
+        val db = s"graft_b_${((sfDir + "#" + version).hashCode & 0x7FFFFFFF).toString}"
         val base = spark.conf.getOption("spark.graft.bucketDir")
           .getOrElse(System.getProperty("java.io.tmpdir"))
         bucketize(spark, sfDir, db, s"$base/graft_buckets/$db")
