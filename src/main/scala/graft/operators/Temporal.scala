@@ -97,9 +97,75 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** Generic binned point-in-interval RANGE JOIN: every (point, interval)
+    * pair on the same key with `start <= pointTime <= end`.
+    *
+    * The naive `ON key AND t BETWEEN s AND e` plans a per-key nested-loop
+    * (O(points × intervals) comparisons — the classic range-join cliff).
+    * Binning restores an equijoin: intervals explode to the time bins
+    * they overlap, points map to their single bin, and the join key
+    * becomes (key, bin) — each candidate pair meets EXACTLY once (via
+    * the point's bin), so the exact BETWEEN post-filter needs no dedup.
+    * Cost: interval replication × (length/binWidth + 1), the standard
+    * trade — size `binWidthUs` near the typical interval length.
+    *
+    * Output: the point's columns then the interval's columns (caller
+    * projects; name collisions are the caller's to avoid). */
+  def rangeJoin(
+      points: DataFrame, intervals: DataFrame,
+      pointKey: Column, intervalKey: Column,
+      pointTime: Column, start: Column, end: Column,
+      binWidthUs: Long): DataFrame = {
+    require(binWidthUs > 0, "binWidthUs must be positive")
+    val p = points.select(
+      struct(points.columns.map(col): _*).as("__point"),
+      pointKey.as("__key"),
+      floor(unix_micros(pointTime) / lit(binWidthUs)).as("__bin"),
+      unix_micros(pointTime).as("__t"))
+    val iv = intervals.select(
+      struct(intervals.columns.map(col): _*).as("__interval"),
+      intervalKey.as("__key"),
+      unix_micros(start).as("__s"),
+      unix_micros(end).as("__e"))
+      .withColumn("__bin", explode(sequence(
+        floor(col("__s") / lit(binWidthUs)),
+        floor(col("__e") / lit(binWidthUs)))))
+    p.join(iv, Seq("__key", "__bin"))
+      .filter(col("__t") >= col("__s") && col("__t") <= col("__e"))
+      .select(col("__point.*"), col("__interval.*"))
+  }
+
+  /** q57 — range join in anger: assign every event to its containing
+    * session interval (the q40 sessions, kept at session granularity).
+    * Per-user sessions are disjoint with gaps > the bin width, so the
+    * assignment is 1:1 — row count equals the event count (spec-checked);
+    * the oracle is the relationally-recomputed BETWEEN join. */
+  def q57RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val cum = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(spark, dir)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("gap_us").isNull || col("gap_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id").as("s_user"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+    val points = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    rangeJoin(
+      points, sessions,
+      col("user_id"), col("s_user"),
+      col("ts"), col("session_start"), col("session_end"),
+      binWidthUs = SessionGapUs)
+      .select(col("event_id"), col("user_id"), col("session_start"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_asof_join"  -> (q39AsofJoin _),
-    "q40_sessionize" -> (q40Sessionize _))
+    "q40_sessionize" -> (q40Sessionize _),
+    "q57_range_join" -> (q57RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q39_asof_join" ->
@@ -110,6 +176,25 @@ object Temporal {
         |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    // the BETWEEN join recomputed relationally over the same session CTE
+    "q57_range_join" ->
+      s"""WITH g AS (
+         |  SELECT event_id, user_id, ts,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts,
+         |    sum(CASE WHEN gap_us IS NULL OR gap_us > $SessionGapUs THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM g),
+         |sess AS (
+         |  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+         |  FROM s GROUP BY user_id, session_id)
+         |SELECT e.event_id, e.user_id, x.session_start
+         |FROM events e JOIN sess x
+         |  ON e.user_id = x.user_id AND e.ts BETWEEN x.session_start AND x.session_end
+         |ORDER BY e.event_id""".stripMargin,
     "q40_sessionize" ->
       s"""WITH g AS (
          |  SELECT user_id, ts, value,

@@ -42,6 +42,38 @@ class TemporalSpec extends SparkSpec {
     assert(sessions(7L) == 2L && sessions(8L) == 1L)
   }
 
+  test("binned range join equals the naive BETWEEN join, including edge-touching points") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // crafted: intervals longer and shorter than the bin, overlapping
+    // intervals on one key, points exactly on start/end boundaries,
+    // points outside every interval, and a key with no intervals
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val points = Seq(
+      (1L, 10L, ts(0)), (2L, 10L, ts(30)), (3L, 10L, ts(45)), (4L, 10L, ts(200)),
+      (5L, 20L, ts(10)), (6L, 30L, ts(10))).toDF("pid", "key", "t")
+    val intervals = Seq(
+      (100L, 10L, ts(0), ts(30)),    // touches points 1 (start) and 2 (end)
+      (101L, 10L, ts(25), ts(120)),  // overlaps the first; spans >1 bin
+      (102L, 20L, ts(0), ts(5))).toDF("iid", "ikey", "s", "e")
+    val got = Temporal.rangeJoin(points, intervals,
+        col("key"), col("ikey"), col("t"), col("s"), col("e"),
+        binWidthUs = 30L * 60 * 1000000)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals,
+        col("key") === col("ikey") && col("t") >= col("s") && col("t") <= col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got == Set((1L, 100L), (2L, 100L), (2L, 101L), (3L, 101L)))
+  }
+
+  test("q57 assigns every event to exactly one session") {
+    val assigned = Temporal.q57RangeJoin(spark, sf)
+    val n = assigned.count()
+    assert(n == graft.core.Tables.events(spark, sf).count())
+    assert(assigned.select("event_id").distinct().count() == n)
+  }
+
   test("dedup apply elects exactly one keeper per near-dup cluster") {
     val rows = Dedup.q38DedupApply(spark, sf).collect()
     assert(rows.nonEmpty)
