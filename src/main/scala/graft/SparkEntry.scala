@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Temporal.queries ++
       operators.Skew.queries ++
+      operators.Sampling.queries ++
       layout.BucketedLayout.queries ++
       streaming.EventStream.queries
 
@@ -42,6 +43,7 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.Temporal.oracles ++
       operators.Skew.oracles ++
+      operators.Sampling.oracles ++
       layout.BucketedLayout.oracles ++
       streaming.EventStream.oracles
 }

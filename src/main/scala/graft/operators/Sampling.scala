@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Sessions, Tables}
+
+/** Deterministic sampling / split assignment over the `documents` corpus
+  * (SURVEY §2.9 adjacent — the dataset-mixing half of a training-data
+  * pipeline): content-hash train/val/test splits and per-source quota
+  * caps.
+  *
+  * Everything keys on a CONTENT hash (md5 of the trimmed text), not on
+  * row ids or `rand()`: the same document lands in the same split on
+  * every run, across corpus rewrites, repartitions and cluster sizes —
+  * the property that keeps held-out sets held out when the corpus is
+  * rebuilt. (This is why `rand(seed)` is wrong here: it is seeded per
+  * PARTITION, so any repartition reshuffles the split.) Both ops are
+  * map-only or one-window — no extra shuffles beyond their semantics,
+  * and both are exactly reproducible in the oracle engine, so the gate
+  * is a hash compare, not a statistical bound. */
+object Sampling {
+
+  /** Bucket 0-99 from the first 4 hex chars of the content hash —
+    * uniform (md5), deterministic, engine-portable. */
+  def hashBucket(text: Column): Column =
+    conv(substring(md5(trim(text)), 1, 4), 16, 10).cast("long") % 100
+
+  val TrainPct = 90
+  val ValPct = 5 // test gets the remainder
+
+  /** q58 — content-hash split assignment: train/val/test = 90/5/5 by
+    * md5 bucket. A document's split is a pure function of its content. */
+  def q58SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hashBucket(col("text")).as("b"))
+      .select(col("doc_id"),
+        when(col("b") < TrainPct, "train")
+          .when(col("b") < TrainPct + ValPct, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source document cap for domain balancing. */
+  val SourceCap = 50
+
+  /** q59 — per-source quota sampling: keep at most [[SourceCap]] docs per
+    * source, chosen by content-hash order (deterministic "random" — the
+    * kept set is stable across runs and corpus shuffles; doc_id breaks
+    * exact-duplicate-content ties). One shuffle on source, one sort —
+    * the window top-k shape, which AQE plans skew-aware when one domain
+    * dominates (the usual reason this op exists). */
+  def q59SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val w = Window.partitionBy("source").orderBy(md5(trim(col("text"))), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= SourceCap)
+      .select(col("doc_id"), col("source"), col("rnk").cast("long").as("rnk"))
+      .orderBy("source", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_split_assign" -> (q58SplitAssign _),
+    "q59_source_cap"   -> (q59SourceCap _))
+
+  val oracles: Map[String, String] = Map(
+    // nibble arithmetic reproduces conv(hex,16,10) exactly (md5 is
+    // lowercase hex in both engines)
+    "q58_split_assign" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, substr(md5(trim(text)), 1, 4) AS hx FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+         |     (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+         |     (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+         |     (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 100 AS bkt
+         |  FROM h)
+         |SELECT doc_id,
+         |  CASE WHEN bkt < $TrainPct THEN 'train'
+         |       WHEN bkt < ${TrainPct + ValPct} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "q59_source_cap" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(trim(text)), doc_id) AS rnk
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= $SourceCap ORDER BY source, rnk""".stripMargin)
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  test("split assignment is deterministic, total, and roughly 90/5/5") {
+    val rows = Sampling.q58SplitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.length == total, "every document gets a split")
+    val frac = rows.groupBy(_._2).view.mapValues(_.length.toDouble / total).toMap
+    assert(math.abs(frac.getOrElse("train", 0.0) - 0.90) < 0.06, s"train ${frac}")
+    assert(frac.getOrElse("val", 0.0) < 0.12 && frac.getOrElse("test", 0.0) < 0.12)
+    // deterministic: a second run assigns identically
+    val again = Sampling.q58SplitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.toSeq == again.toSeq)
+    // content-keyed: identical text ⇒ identical split (duplicate docs)
+    import org.apache.spark.sql.functions._
+    val splitsPerContent = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(trim(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byFp = rows.groupBy { case (id, _) => splitsPerContent(id) }
+    byFp.values.foreach(g => assert(g.map(_._2).distinct.length == 1,
+      "same content must never straddle splits"))
+  }
+
+  test("per-source cap keeps at most the quota, deterministically") {
+    val rows = Sampling.q59SourceCap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_._2)
+    bySource.foreach { case (src, g) =>
+      assert(g.length <= Sampling.SourceCap, s"source $src over quota")
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq, s"ranks contiguous for $src")
+    }
+    // sources with fewer docs than the cap keep everything
+    val counts = graft.core.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (src, n) =>
+      assert(bySource.get(src).map(_.length).getOrElse(0) == math.min(n, Sampling.SourceCap.toLong))
+    }
+  }
+}
