@@ -290,6 +290,40 @@ object Dedup {
     * iterations scale with log(diameter), not diameter. Convergence is
     * the monotonically decreasing label sum — one scalar read per
     * iteration over checkpointed labels, never a label collect. */
+  /** Edge-count threshold below which the CC solve runs driver-local
+    * (union-find over the collected pair list). A near-dup pair graph is
+    * usually TINY relative to the corpus (dup-rate-sized), and below this
+    * bound the collect is ≤ ~1.6 MB — cheaper than even one distributed
+    * iteration's scheduling. Above it, the distributed pointer-jumping
+    * loop runs (unbounded scale, O(1) driver). Same labels either way
+    * (spec-checked); override with `spark.graft.cc.localThreshold`
+    * (0 forces the distributed path). */
+  val LocalCcEdgeThreshold = 100000L
+
+  /** Driver-local min-label CC: path-compressing union-find keeping the
+    * MINIMUM id as representative — semantics identical to the
+    * distributed loop's min-label propagation. */
+  private[operators] def unionFindMinLabel(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x
+      while (parent.getOrElse(cur, cur) != cur) {
+        val next = parent.getOrElse(cur, cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min id wins as representative
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
   def q38DedupApply(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     // pair detection via the MinHash-LSH path — output-identical to the
@@ -304,6 +338,22 @@ object Dedup {
       // empty frame yields null)
       return pairs.select(
         col("d1").as("doc_id"), col("d1").as("keeper"), lit(true).as("is_keeper"))
+    }
+    val localThreshold = spark.conf.getOption("spark.graft.cc.localThreshold")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(LocalCcEdgeThreshold)
+    if (nEdges <= localThreshold) {
+      // sub-threshold graph: solve on the driver. The collect is bounded
+      // by the threshold (≤ ~16 bytes/edge), the solve is near-linear
+      // (inverse-Ackermann), and the result re-enters the engine as a
+      // local relation — strictly cheaper than one distributed iteration.
+      val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val labels = unionFindMinLabel(edges).toSeq.sorted
+      import spark.implicits._
+      return labels.toDF("doc_id", "keeper")
+        .select(col("doc_id"), col("keeper"),
+          (col("doc_id") === col("keeper")).as("is_keeper"))
+        .orderBy("doc_id")
     }
     // the pair graph is near-dup-sized (tiny relative to the corpus):
     // size the iteration partitioning to the graph, not the session

@@ -37,18 +37,36 @@ class DedupSpec extends SparkSpec {
       s"simhash false positives: ${bad.take(5)} of ${simPairs.size}")
   }
 
+  test("driver-local union-find CC equals the distributed pointer-jumping loop") {
+    val local = Dedup.q38DedupApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    spark.conf.set("spark.graft.cc.localThreshold", "0") // force distributed
+    try {
+      val distributed = Dedup.q38DedupApply(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(local.nonEmpty)
+      assert(local == distributed)
+    } finally spark.conf.unset("spark.graft.cc.localThreshold")
+  }
+
   test("q38 cluster labels are identical under the reliable-checkpoint flag") {
     // cluster posture (spark.graft.checkpointDir → real checkpoint) must
-    // change only fault tolerance, never the labels
-    val default = Dedup.q38DedupApply(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // change only fault tolerance, never the labels. Force the DISTRIBUTED
+    // path — the driver-local fast path never checkpoints, and this spec
+    // exists to exercise the checkpointing loop.
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
     val cpDir = java.nio.file.Files.createTempDirectory("graft_cc_cp").toString
-    spark.conf.set("spark.graft.checkpointDir", cpDir)
     try {
+      val default = Dedup.q38DedupApply(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      spark.conf.set("spark.graft.checkpointDir", cpDir)
       val reliable = Dedup.q38DedupApply(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
       assert(reliable == default)
-    } finally spark.conf.unset("spark.graft.checkpointDir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      spark.conf.unset("spark.graft.cc.localThreshold")
+    }
   }
 
   test("signature-stage caches are shared across the family and fully released") {
