@@ -72,15 +72,17 @@ object UserStatsStream {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
     val outSchema = stats.toDF().schema
-    val q = stats.toDF().writeStream
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", s"$root/checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(s"$root/data")
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    EventStream.withStreamStatePartitions(spark) {
+      val q = stats.toDF().writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$root/checkpoint")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$root/data")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // latest emission per user = final state
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
