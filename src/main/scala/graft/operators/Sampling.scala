@@ -62,9 +62,43 @@ object Sampling {
       .orderBy("source", "rnk")
   }
 
+  /** Keep-rates per quality tier (percent) for [[q60QualitySample]]. */
+  val KeepPct: Map[String, Int] = Map("high" -> 100, "medium" -> 50, "low" -> 10)
+
+  /** q60 — quality-weighted deterministic downsampling: keep documents
+    * with probability proportional to their quality tier (the q23
+    * score), decided by the content-hash bucket — so the sample is
+    * reproducible AND quality-skewed, the standard corpus-mixing move
+    * ("upsample high quality, thin the tail") done without randomness.
+    * Map-only; the keep decision is a pure function of the row. */
+  def q60QualitySample(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val toks = TextOps.tokens(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("text"),
+        size(toks).cast("double").as("n_tokens"),
+        size(array_distinct(toks)).cast("double").as("n_distinct"))
+      .withColumn("quality_score",
+        round(least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+              (col("n_distinct") / col("n_tokens")) * 0.5, 4))
+      .withColumn("quality_tier",
+        when(col("quality_score") >= 0.6, "high")
+          .when(col("quality_score") >= 0.4, "medium")
+          .otherwise("low"))
+    val keepPct = KeepPct.foldLeft(lit(0)) { case (acc, (tier, pct)) =>
+      when(col("quality_tier") === tier, pct).otherwise(acc)
+    }
+    scored
+      .filter(hashBucket(col("text")) < keepPct)
+      .select(col("doc_id"), col("quality_tier"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q58_split_assign" -> (q58SplitAssign _),
-    "q59_source_cap"   -> (q59SourceCap _))
+    "q58_split_assign"  -> (q58SplitAssign _),
+    "q59_source_cap"    -> (q59SourceCap _),
+    "q60_quality_sample" -> (q60QualitySample _))
 
   val oracles: Map[String, String] = Map(
     // nibble arithmetic reproduces conv(hex,16,10) exactly (md5 is
@@ -84,6 +118,37 @@ object Sampling {
          |       WHEN bkt < ${TrainPct + ValPct} THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+    // q23's score + q58's bucket arithmetic composed; keep-rate by tier
+    "q60_quality_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_tokens,
+         |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE) AS n_distinct
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, text,
+         |    round(least(n_tokens / 100.0, 1.0) * 0.5 + (n_distinct / n_tokens) * 0.5, 4) AS q
+         |  FROM t),
+         |tiered AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN q >= 0.6 THEN 'high'
+         |         WHEN q >= 0.4 THEN 'medium'
+         |         ELSE 'low' END AS quality_tier
+         |  FROM s),
+         |b AS (
+         |  SELECT doc_id, quality_tier, substr(md5(trim(text)), 1, 4) AS hx FROM tiered),
+         |k AS (
+         |  SELECT doc_id, quality_tier,
+         |    ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+         |     (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+         |     (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+         |     (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 100 AS bkt
+         |  FROM b)
+         |SELECT doc_id, quality_tier FROM k
+         |WHERE bkt < CASE quality_tier WHEN 'high' THEN ${KeepPct("high")}
+         |                              WHEN 'medium' THEN ${KeepPct("medium")}
+         |                              ELSE ${KeepPct("low")} END
+         |ORDER BY doc_id""".stripMargin,
     "q59_source_cap" ->
       s"""WITH r AS (
          |  SELECT doc_id, source,

@@ -26,6 +26,27 @@ class SamplingSpec extends SparkSpec {
       "same content must never straddle splits"))
   }
 
+  test("quality-weighted sample keeps all high-tier docs and thins the tail") {
+    val kept = Sampling.q60QualitySample(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(kept.nonEmpty)
+    val tierTotals = TextOps.q23QualityScore(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByTier = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // 100% keep-rate tier is kept in full; thinned tiers keep strictly
+    // fewer (rates are 50/10% — at corpus sizes a full keep is
+    // astronomically unlikely, so a strict check catches a broken filter)
+    assert(keptByTier.getOrElse("high", 0L) == tierTotals.getOrElse("high", 0L))
+    Seq("medium", "low").foreach { tier =>
+      val total = tierTotals.getOrElse(tier, 0L)
+      if (total > 20) assert(keptByTier.getOrElse(tier, 0L) < total, s"$tier not thinned")
+    }
+    // deterministic
+    val again = Sampling.q60QualitySample(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(kept.toSeq == again.toSeq)
+  }
+
   test("per-source cap keeps at most the quota, deterministically") {
     val rows = Sampling.q59SourceCap(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
