@@ -34,7 +34,7 @@ object Dialect {
     // on a subset would skip the rest whenever the subset pre-exists
     // (e.g. a future Spark builtin strpos)
     if (Seq("strpos", "string_agg", "cosine_sim", "simhash_agg", "simhash64", "minhash_sigs",
-            "rolling_hash")
+            "rolling_hash", "deflate_ratio")
           .forall(n => reg.functionExists(FunctionIdentifier(n)))) return
 
     reg.createOrReplaceTempFunction(
@@ -71,6 +71,10 @@ object Dialect {
     reg.createOrReplaceTempFunction(
       "rolling_hash",
       { case Seq(t) => RollingHash64(t) }: PartialFunction[Seq[Expression], Expression],
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "deflate_ratio",
+      { case Seq(t) => DeflateRatio(t) }: PartialFunction[Seq[Expression], Expression],
       "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sigs",

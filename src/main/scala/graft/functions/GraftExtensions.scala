@@ -62,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { exprs: Seq[Expression] => RollingHash64(exprs(0)) }))
 
     ext.injectFunction((
+      FunctionIdentifier("deflate_ratio"),
+      info("deflate_ratio", "deflate_ratio(text) - compressed/original byte ratio over UTF-8 bytes (quality signal)"),
+      { exprs: Seq[Expression] => DeflateRatio(exprs(0)) }))
+
+    ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       info("minhash_sigs", "minhash_sigs(hashArray, n) - all n MinHash permutation minima in one pass (codegen)"),
       { exprs: Seq[Expression] =>

@@ -66,3 +66,58 @@ case class RollingHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
     copy(child = newChild)
 }
+
+/** Deflate helper shared by interpreted eval and generated code — the
+  * compression itself is zlib (JNI); codegen only removes the expression
+  * interpreter around it. */
+object DeflateUtil {
+  /** Length of the DEFLATE stream for `bytes` at default level. */
+  def deflatedLen(bytes: Array[Byte]): Int = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    try {
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      n
+    } finally d.end()
+  }
+
+  /** compressed/original byte ratio; empty input → 1.0 (incompressible
+    * by convention — empty docs should not look like high-quality text). */
+  def ratio(bytes: Array[Byte]): Double =
+    if (bytes.isEmpty) 1.0 else deflatedLen(bytes).toDouble / bytes.length
+}
+
+/** Compression-ratio quality signal (SURVEY §2.9 "quality scoring"):
+  * deflate(bytes).length / bytes.length over the document's UTF-8 bytes.
+  * Highly repetitive/templated text (boilerplate, scraped junk, token
+  * floods) compresses far below natural prose — the classic
+  * cheap-and-robust corpus filter signal (used alongside length/stopword
+  * heuristics; see Gopher/CCNet-style quality pipelines in PAPERS.md).
+  * Map-only, row-local, deterministic for a given zlib. Not
+  * oracle-checkable (the oracle engine has no deflate) → spec-validated
+  * against a direct JVM computation and on planted repetitive/random
+  * fixtures. */
+case class DeflateRatio(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "deflate_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateUtil.ratio(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.DeflateUtil.ratio($a.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}

@@ -404,6 +404,11 @@ object VectorFunctions {
   def rolling_hash(text: Column): Column =
     GraftBridge.column(RollingHash64(GraftBridge.expression(text)))
 
+  /** `deflate_ratio(text)` — compressed/original byte ratio (quality
+    * signal; repetitive text ≪ natural prose). */
+  def deflate_ratio(text: Column): Column =
+    GraftBridge.column(DeflateRatio(GraftBridge.expression(text)))
+
   /** `sign_buckets(vec)` against a constant plane set — all LSH table
     * buckets in one traversal; returns array<int> of length
     * planes.length / planesPerTable. */

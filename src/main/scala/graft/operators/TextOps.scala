@@ -241,7 +241,23 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** q61 — compression-ratio quality signal (the deflate filter): per-doc
+    * ratio via the native [[graft.functions.DeflateRatio]] expression.
+    * Map-only scan; deterministic for a given zlib, but zlib output is
+    * not reproducible in the oracle engine → rows-only for the driver,
+    * spec-validated against a direct JVM deflate and planted
+    * repetitive-vs-natural fixtures. */
+  def q61CompressRatio(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(graft.functions.VectorFunctions.deflate_ratio(col("text")), 4)
+          .as("deflate_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_compress_ratio" -> (q61CompressRatio _),
     "q21_text_stats"    -> (q21TextStats _),
     "q22_lang_profile"  -> (q22LangProfile _),
     "q23_quality_score" -> (q23QualityScore _),

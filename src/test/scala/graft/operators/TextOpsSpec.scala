@@ -73,6 +73,24 @@ class TextOpsSpec extends SparkSpec {
     assert(viaSql == ref)
   }
 
+  test("deflate ratio separates repetitive from natural text and matches a JVM deflate") {
+    import spark.implicits._
+    val repetitive = "spam " * 500
+    val natural = (1 to 500).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
+    val rows = Seq((1L, repetitive), (2L, natural)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.deflate_ratio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) < 0.05, s"repetitive text should crush: ${rows(1L)}")
+    assert(rows(2L) > 3 * rows(1L), s"natural text must compress far less: $rows")
+    // exact parity with a direct JVM deflate of the same bytes
+    val expect = graft.functions.DeflateUtil.ratio(repetitive.getBytes("UTF-8"))
+    assert(rows(1L) == expect)
+    // SQL surface
+    graft.functions.Dialect.register(spark)
+    assert(spark.sql("SELECT deflate_ratio('')").head().getDouble(0) == 1.0)
+  }
+
   test("tf-idf emits exactly top-3 salient terms per document") {
     val rows = TextOps.q54TfIdf(spark, sf).collect()
     val perDoc = rows.groupBy(_.getLong(0))
