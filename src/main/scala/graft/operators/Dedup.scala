@@ -419,7 +419,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Eval-set membership rule for [[q62Decontaminate]]: a deterministic
+    * ~1% slice stands in for a benchmark/test set. */
+  val EvalDocModulus = 97L
+
+  /** q62 — benchmark DECONTAMINATION: find training documents sharing any
+    * shingle with the eval set (the n-gram-overlap contamination check
+    * every serious training-data pipeline runs before training). Reuses
+    * the per-corpus [[SignatureStage]] shingle table; the eval side is
+    * benchmark-sized by construction, so it BROADCASTS — the corpus-side
+    * scan stays shuffle-free and the whole check is one map-side join +
+    * one aggregate, linear in corpus size at any scale. Output: each
+    * contaminated train doc with its count of distinct shared shingles
+    * (the triage signal: 1 shared 5-gram is noise, 20 is a leak). */
+  def q62Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val sh = shingleSigs(spark, dir).select(col("doc_id"), explode(col("hs")).as("h"))
+    val evalSh = sh.filter(col("doc_id") % EvalDocModulus === 0).select("h").distinct()
+    sh.filter(col("doc_id") % EvalDocModulus =!= 0)
+      .join(broadcast(evalSh), Seq("h"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_decontaminate" -> (q62Decontaminate _),
     "q24_dedup_exact"   -> (q24DedupExact _),
     "q25_dedup_counts"  -> (q25DedupCounts _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
@@ -449,6 +474,22 @@ object Dedup {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // string-shingle recomputation of the hash-shingle overlap (counts
+    // agree unless xxhash64 collides across the corpus' distinct
+    // shingles — ~|shingles|²/2⁶⁵, see sigsOf)
+    "q62_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+         |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ')))) AS s
+         |  FROM toks),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % $EvalDocModulus = 0)
+         |SELECT t.doc_id, count(DISTINCT t.s) AS n_shared
+         |FROM sh t JOIN ev USING (s)
+         |WHERE t.doc_id % $EvalDocModulus <> 0
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q24_dedup_exact" ->
       """SELECT md5(trim(text)) AS fp, count(*) AS copies,
         |  CAST(min(doc_id) AS BIGINT) AS keeper

@@ -119,6 +119,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontamination flags exactly the train docs overlapping the eval slice") {
+    val rows = Dedup.q62Decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty, "low-entropy corpus should have eval-overlapping docs")
+    // no eval doc may appear in the output
+    assert(rows.keys.forall(_ % Dedup.EvalDocModulus != 0))
+    // spot-check one flagged doc against a direct shingle intersection
+    val (docId, nShared) = rows.head
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    def shingleSet(filter: org.apache.spark.sql.Column): Set[String] =
+      docs.filter(filter)
+        .select(explode(Dedup.shingleArray(col("text"))).as("s"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val evalSet = shingleSet(col("doc_id") % Dedup.EvalDocModulus === 0)
+    val docSet = shingleSet(col("doc_id") === docId)
+    assert((docSet intersect evalSet).size.toLong == nShared)
+  }
+
   test("shingleArray produces k-grams and handles short docs") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f"), (2L, "a b")).toDF("doc_id", "text")
