@@ -419,28 +419,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Eval-set membership rule for [[q62Decontaminate]]: a deterministic
-    * ~1% slice stands in for a benchmark/test set. */
+  /** Eval-set membership rule for the FIXTURE DEFAULT of
+    * [[q62Decontaminate]]: a deterministic ~1% slice stands in for a
+    * benchmark/test set when no real eval table is supplied. Production
+    * use passes the eval corpus as an input ([[decontaminate]]) — a
+    * corpus-derived slice grows with the corpus and is only a fixture. */
   val EvalDocModulus = 97L
 
-  /** q62 — benchmark DECONTAMINATION: find training documents sharing any
-    * shingle with the eval set (the n-gram-overlap contamination check
-    * every serious training-data pipeline runs before training). Reuses
-    * the per-corpus [[SignatureStage]] shingle table; the eval side is
-    * benchmark-sized by construction, so it BROADCASTS — the corpus-side
-    * scan stays shuffle-free and the whole check is one map-side join +
-    * one aggregate, linear in corpus size at any scale. Output: each
-    * contaminated train doc with its count of distinct shared shingles
-    * (the triage signal: 1 shared 5-gram is noise, 20 is a leak). */
-  def q62Decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    Sessions.prepare(spark)
-    val sh = shingleSigs(spark, dir).select(col("doc_id"), explode(col("hs")).as("h"))
-    val evalSh = sh.filter(col("doc_id") % EvalDocModulus === 0).select("h").distinct()
-    sh.filter(col("doc_id") % EvalDocModulus =!= 0)
-      .join(broadcast(evalSh), Seq("h"))
+  /** Broadcast guard for [[decontaminate]]: above this many distinct
+    * eval shingles (~16 MB of 64-bit hashes at the default) the join
+    * falls back to a shuffle. Override with
+    * `spark.graft.decontam.broadcastShingleLimit`. */
+  val BroadcastShingleLimit = 2000000L
+
+  /** Benchmark DECONTAMINATION: find training documents sharing any
+    * shingle with an eval set SUPPLIED AS AN INPUT (the n-gram-overlap
+    * contamination check every serious training-data pipeline runs
+    * before training). `trainSigs` is a [[sigsOf]]-shaped signature
+    * table (reuse the per-corpus [[SignatureStage]]); `evalDocs` is any
+    * (doc_id, text) table — a benchmark, a holdout split, another
+    * corpus — shingled here with the SAME pipeline so hashes align.
+    *
+    * Broadcast is a measured decision, not an assumption: the distinct
+    * eval-shingle count is computed first (one aggregate over the EVAL
+    * side only — the cheap side by definition) and the join broadcasts
+    * only under the limit; above it, it hash-partitions both sides —
+    * still linear in corpus size, one shuffle of the (doc_id, h) pairs.
+    * Output: each contaminated train doc with its count of distinct
+    * shared shingles (the triage signal: 1 shared 5-gram is noise, 20
+    * is a leak). */
+  def decontaminate(spark: SparkSession, trainSigs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val limit = spark.conf.getOption("spark.graft.decontam.broadcastShingleLimit")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(BroadcastShingleLimit)
+    val evalSh = sigsOf(evalDocs).select(explode(col("hs")).as("h")).distinct()
+    // count() re-plans evalSh for the join below; deliberate — the eval
+    // side is the small side, and caching it would pin blocks past the
+    // caller's action with no release point
+    val evalSide = if (evalSh.count() <= limit) broadcast(evalSh) else evalSh
+    trainSigs.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(evalSide, Seq("h"))
       .groupBy("doc_id")
       .agg(countDistinct(col("h")).as("n_shared"))
       .orderBy("doc_id")
+  }
+
+  /** q62 — [[decontaminate]] with the fixture eval slice (doc_id ≡ 0 mod
+    * [[EvalDocModulus]]) carved out of the corpus: eval = the slice,
+    * train = the rest. The slice plays the role a real benchmark table
+    * plays in production — the operator itself takes the eval set as an
+    * input and never assumes it fits in a broadcast. */
+  def q62Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val isEval = col("doc_id") % EvalDocModulus === 0
+    decontaminate(
+      spark,
+      shingleSigs(spark, dir).filter(!isEval),
+      Tables.documents(spark, dir).filter(isEval))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

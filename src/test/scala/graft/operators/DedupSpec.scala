@@ -138,6 +138,39 @@ class DedupSpec extends SparkSpec {
     assert((docSet intersect evalSet).size.toLong == nShared)
   }
 
+  test("decontamination guards the broadcast: oversized eval takes the shuffle join") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val isEval = col("doc_id") % Dedup.EvalDocModulus === 0
+    val trainSigs = Dedup.sigsOf(docs.filter(!isEval))
+    val evalDocs = docs.filter(isEval)
+    // pin auto-broadcast off so the ONLY way a BroadcastHashJoin appears
+    // is our explicit hint — isolates the operator's decision from the
+    // planner's size-based one
+    val prevAuto = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = Dedup.decontaminate(spark, trainSigs, evalDocs)
+      val expected = hinted.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "under the limit the eval side must broadcast")
+      spark.conf.set("spark.graft.decontam.broadcastShingleLimit", "1")
+      val fallback = Dedup.decontaminate(spark, trainSigs, evalDocs)
+      val rows = fallback.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      assert(rows == expected, "join strategy must not change results")
+      assert(!fallback.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "an over-limit eval set must not be broadcast")
+    } finally {
+      spark.conf.unset("spark.graft.decontam.broadcastShingleLimit")
+      prevAuto.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevAqe.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+  }
+
   test("shingleArray produces k-grams and handles short docs") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f"), (2L, "a b")).toDF("doc_id", "text")

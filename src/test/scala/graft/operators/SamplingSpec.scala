@@ -64,4 +64,32 @@ class SamplingSpec extends SparkSpec {
       assert(bySource.get(src).map(_.length).getOrElse(0) == math.min(n, Sampling.SourceCap.toLong))
     }
   }
+
+  test("per-source quota is skew-safe: bounded survivors, output = naive window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cap = 7
+    // one source owns 90% of the corpus — the regime a quota op exists for
+    val docs = ((1 to 900).map(i => (i.toLong, "dominant", s"doc text $i payload")) ++
+      (901 to 1000).map(i => (i.toLong, s"tail_${i % 10}", s"doc text $i payload")))
+      .toDF("doc_id", "source", "text")
+    // the skew guarantee: rows reaching the rank window are ≤ cap per
+    // source regardless of the input distribution — the dominant source
+    // was reduced map-side by the bounded kth_smallest threshold, never
+    // sorted whole on one reducer
+    val surv = Sampling.capSurvivors(docs, cap)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(surv("dominant") == cap.toLong, "dominant source must pre-reduce to exactly cap rows")
+    assert(surv.values.forall(_ <= cap.toLong))
+    // semantics unchanged: identical to the naive single-window top-k
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(md5(trim(col("text"))), col("doc_id"))
+    val reference = docs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+      .select(col("doc_id"), col("source"), col("rnk").cast("long").as("rnk"))
+      .orderBy("source", "rnk").collect().toSeq
+    val actual = Sampling.sourceCap(docs, cap).collect().toSeq
+    assert(actual == reference)
+  }
 }
