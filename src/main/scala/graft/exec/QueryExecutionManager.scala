@@ -101,28 +101,65 @@ final class QueryExecutionManager(spark: SparkSession, resultsDir: String)(
   /** One page of `get_query_results`: header + stringified cells (the
     * VarCharValue model of `test_pipeline.py:181-198`; null → None) +
     * a continuation token. Athena pages at 1000 rows (the reference's
-    * client walks NextToken); here the page is computed with
-    * `offset/limit` over the on-disk artifact, so the driver only ever
-    * holds one page of rows — a full-result `collect` at 100 TB is a
-    * driver OOM, paging is the scale-safe surface. */
+    * client walks NextToken); the driver only ever holds one page of
+    * rows — a full-result `collect` at 100 TB is a driver OOM, paging
+    * is the scale-safe surface.
+    *
+    * Pages are served from the row-indexed parquet twin of the CSV
+    * artifact: the page predicate (`__graft_row >= start AND < end`)
+    * pushes to the parquet row-group statistics, so page N reads only
+    * the row groups covering its range — a full P-page walk is one pass
+    * over the artifact, not the O(P²) rescans that `offset(start)` over
+    * a CSV costs (each page re-reading every row before it). Pre-parquet
+    * artifacts (or a query whose own schema uses the index column name)
+    * fall back to the CSV offset path. */
   def resultsPage(id: String, maxRows: Int = 1000, pageToken: Option[String] = None)
       : Option[ResultPage] = {
-    val dir = Paths.get(resultsDir, s"$id.csv")
     // malformed/negative tokens are invalid requests, not crashes —
     // the surface this models rejects them; None is our analogue
     val start = pageToken match {
       case None => 0
       case Some(t) => t.toIntOption.filter(_ >= 0).getOrElse(-1)
     }
-    if (!Files.exists(dir) || maxRows <= 0 || start < 0) None
-    else {
-      val df = spark.read.option("header", "true").csv(dir.toString)
+    if (maxRows <= 0 || start < 0) return None
+    pageFrame(id, start, maxRows).map { df =>
       val header = df.schema.fieldNames.toSeq
-      val rows = df.offset(start).limit(maxRows).collect().toSeq.map(r =>
+      val rows = df.collect().toSeq.map(r =>
         header.indices.map(i => Option(r.get(i)).map(_.toString)))
       val next = if (rows.size < maxRows) None else Some((start + maxRows).toString)
-      Some(ResultPage(header, rows, next))
+      ResultPage(header, rows, next)
     }
+  }
+
+  /** The lazy frame for one page — exposed for plan-shape specs (the
+    * O(P)-walk property IS the pushed row-index predicate). */
+  private[exec] def pageFrame(id: String, start: Int, maxRows: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val pages = Paths.get(resultsDir, s"$id$PagesSuffix")
+    val csv = Paths.get(resultsDir, s"$id.csv")
+    if (Files.exists(pages)) {
+      val df = spark.read.parquet(pages.toString)
+      Some(df.filter(col(RowIdx) >= start.toLong && col(RowIdx) < start.toLong + maxRows)
+        .orderBy(RowIdx).drop(RowIdx))
+    } else if (Files.exists(csv)) {
+      val df = spark.read.option("header", "true").csv(csv.toString)
+      Some(df.offset(start).limit(maxRows))
+    } else None
+  }
+
+  /** Per-execution engine metrics parsed from the `.metadata` sidecar —
+    * the workgroup-metrics surface (reference
+    * `data_pipeline_stack.py:161` `publishCloudWatchMetrics`): rows
+    * produced, wall time, and bytes actually scanned by the plan's file
+    * sources. */
+  def stats(id: String): Option[ExecutionStats] = {
+    val p = Paths.get(resultsDir, s"$id.csv.metadata")
+    if (!Files.exists(p)) return None
+    val meta = Files.readString(p)
+    def num(field: String): Option[Long] =
+      (s""""$field":(-?\\d+)""").r.findFirstMatchIn(meta).map(_.group(1).toLong)
+    for (n <- num("rowCount"); d <- num("durationMs"); b <- num("bytesScanned"))
+      yield ExecutionStats(n, d, b)
   }
 
   /** Convenience full-result walk over [[resultsPage]] — test/demo scale
@@ -140,17 +177,43 @@ final class QueryExecutionManager(spark: SparkSession, resultsDir: String)(
 
   private def deleteArtifacts(id: String): Unit = {
     Retention.deleteRecursively(Paths.get(resultsDir, s"$id.csv"))
+    Retention.deleteRecursively(Paths.get(resultsDir, s"$id$PagesSuffix"))
     Files.deleteIfExists(Paths.get(resultsDir, s"$id.csv.metadata"))
   }
 
+  /** Two passes over the plan, zero result pinning: pass 1 executes the
+    * query's OWN physical plan (`toRdd.count`) — that run populates the
+    * plan's SQLMetrics, which is where the true bytes-scanned figure
+    * lives — and pass 2 writes the row-indexed parquet page artifact.
+    * The CSV twin is then derived from the parquet (a local file copy,
+    * not a third plan execution). The previous shape (`cache()` the
+    * result between count and write) pinned an unbounded result set in
+    * executor memory — exactly the thing this surface must never do at
+    * 100 TB; two plan executions cost time, not correctness or memory. */
   private def writeArtifacts(id: String, sql: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+    val t0 = System.nanoTime()
+    val exec = df.queryExecution
+    val n = exec.toRdd.count()
+    val bytesScanned = scanBytes(exec.executedPlan)
     val target = Paths.get(resultsDir, s"$id.csv").toString
-    val n = df.cache().count()
-    df.coalesce(1).write.option("header", "true").mode("overwrite").csv(target)
-    df.unpersist()
+    val pages = Paths.get(resultsDir, s"$id$PagesSuffix").toString
+    if (df.columns.contains(RowIdx)) {
+      // index-column collision: serve this execution CSV-only
+      df.coalesce(1).write.option("header", "true").mode("overwrite").csv(target)
+    } else {
+      // single partition ⇒ monotonically_increasing_id is 0..n-1 in
+      // artifact row order, the paging key
+      df.coalesce(1).withColumn(RowIdx, monotonically_increasing_id())
+        .write.mode("overwrite").parquet(pages)
+      spark.read.parquet(pages).orderBy(RowIdx).drop(RowIdx)
+        .coalesce(1).write.option("header", "true").mode("overwrite").csv(target)
+    }
+    val durationMs = (System.nanoTime() - t0) / 1000000L
     val schemaJson = df.schema.json
     val meta =
       s"""{"executionId":"$id","rowCount":$n,
+         |"durationMs":$durationMs,"bytesScanned":$bytesScanned,
          |"query":${jsonString(sql)},
          |"schema":$schemaJson,
          |"completedAt":"${java.time.Instant.now()}"}""".stripMargin
@@ -159,6 +222,29 @@ final class QueryExecutionManager(spark: SparkSession, resultsDir: String)(
 }
 
 object QueryExecutionManager {
+
+  /** Row-index column of the parquet page artifact. */
+  private[exec] val RowIdx = "__graft_row"
+  private[exec] val PagesSuffix = ".pages.parquet"
+
+  /** Sum of "size of files read" over every file-source scan in an
+    * EXECUTED plan, recursing through AQE stage boundaries (a
+    * `plan.collect` misses scans inside materialized query stages —
+    * same trap as `BucketedLayout.collectExchanges`). */
+  private[exec] def scanBytes(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    nodes(plan).flatMap(_.metrics.get("filesSize")).map(_.value).sum
+  }
+
+  /** Engine metrics for one finished execution (the CloudWatch-workgroup
+    * analogue): see [[QueryExecutionManager.stats]]. */
+  final case class ExecutionStats(rowCount: Long, durationMs: Long, bytesScanned: Long)
 
   sealed abstract class Status(val name: String)
   object Status {

@@ -90,6 +90,36 @@ class QueryExecutionManagerSpec extends SparkSpec {
     assert(all == (0 until 25).toList)
   }
 
+  test("metadata sidecar carries engine metrics and stats() surfaces them") {
+    val dir = Files.createTempDirectory("graft_results_m").toString
+    val mgr = new QueryExecutionManager(spark, dir)
+    graft.core.Tables.registerAll(spark, sf)
+    val id = mgr.submit(
+      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority")
+    assert(mgr.await(id).status == Status.Succeeded)
+    val Some(st) = mgr.stats(id)
+    assert(st.rowCount == 5)
+    assert(st.durationMs > 0)
+    assert(st.bytesScanned > 0, "the plan scanned parquet — bytes must be non-zero")
+    assert(mgr.stats("no-such-id").isEmpty)
+  }
+
+  test("page walk pushes the row-index predicate into the parquet artifact") {
+    val dir = Files.createTempDirectory("graft_results_px").toString
+    val mgr = new QueryExecutionManager(spark, dir)
+    graft.core.Tables.registerAll(spark, sf)
+    val id = mgr.submit("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")
+    assert(mgr.await(id).status == Status.Succeeded)
+    assert(Files.exists(Paths.get(dir, s"$id${QueryExecutionManager.PagesSuffix}")))
+    val Some(frame) = mgr.pageFrame(id, 10, 10)
+    val plan = frame.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the O(P)-walk property: each page reads only the row groups its
+    // range touches, because the index predicate reaches the scan
+    assert(raw"PushedFilters: \[[^\]]*__graft_row".r.findFirstIn(plan).isDefined,
+      s"row-index predicate not pushed\n$plan")
+  }
+
   test("retention deletes only artifacts older than the TTL") {
     val dir = Files.createTempDirectory("graft_results_r").toString
     val old = Paths.get(dir, "old.csv")
