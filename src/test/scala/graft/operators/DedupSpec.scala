@@ -119,6 +119,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("persisted signature stages survive release and reload without rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigpersist").toFile
+    val src = new java.io.File(sf, "documents.parquet")
+    val dst = new java.io.File(tmp, "documents.parquet")
+    java.nio.file.Files.copy(src.toPath, dst.toPath)
+    spark.conf.set("spark.graft.signatures.persist", "true")
+    try {
+      val first = Dedup.shingleSigs(spark, tmp.getPath)
+      val n = first.count()
+      val root = new java.io.File(tmp, "_graft/signatures")
+      assert(root.isDirectory && root.listFiles().nonEmpty,
+        "stage should be written as parquet next to the corpus")
+      // a fresh session has a new applicationId and an empty in-memory
+      // cache — release() reproduces that state; the rebuilt stage must
+      // come from disk, proven by a build thunk that would fail the test
+      SignatureStage.release(spark, tmp.getPath)
+      var rebuilt = false
+      val second = SignatureStage.stage(spark, tmp.getPath, "shingle_sigs") {
+        rebuilt = true
+        Dedup.sigsOf(graft.core.Tables.documents(spark, tmp.getPath))
+      }
+      assert(!rebuilt, "stage must load from storage, not recompute the corpus pass")
+      assert(second.count() == n)
+      // a corpus rewrite changes the version: the old on-disk version is
+      // evicted when the new one persists
+      val versionsBefore = root.listFiles().map(_.getName).toSet
+      assert(dst.setLastModified(dst.lastModified() + 120000))
+      Dedup.shingleSigs(spark, tmp.getPath).count()
+      val versionsAfter = root.listFiles().map(_.getName).toSet
+      assert(versionsAfter.size == 1 && (versionsAfter intersect versionsBefore).isEmpty,
+        s"stale persisted versions must be deleted: before=$versionsBefore after=$versionsAfter")
+    } finally {
+      spark.conf.unset("spark.graft.signatures.persist")
+      SignatureStage.release(spark, tmp.getPath)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("decontamination flags exactly the train docs overlapping the eval slice") {
     val rows = Dedup.q62Decontaminate(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

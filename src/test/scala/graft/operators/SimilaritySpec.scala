@@ -101,12 +101,13 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty)
     val recall = exact.count(ivf.contains).toDouble / exact.size
-    // operating point: recall ≥ 0.6 at nprobe/nlist = 4/16 = 25% scan
-    // fraction — IVF cells align with the label clusters, so this beats
-    // the wide-angle sign-LSH floor with margin
-    assert(Similarity.NumProbeLists.toDouble / Similarity.NumLists <= 0.25,
-      "scan fraction must stay ≤ 25%")
-    assert(recall >= 0.6, s"IVF recall@${Similarity.TopK} = $recall")
+    // operating point: recall ≥ 0.8 at nprobe × spill / nlist =
+    // 4 × 2 / 32 = 25% expected scan fraction — spill-to-2nd-nearest
+    // assignment recovers the boundary vectors single-assignment misses,
+    // buying recall with index size instead of scan budget
+    assert(Similarity.NumProbeLists.toDouble * Similarity.SpillAssign / Similarity.NumLists
+      <= 0.25, "expected scan fraction must stay ≤ 25%")
+    assert(recall >= 0.8, s"IVF recall@${Similarity.TopK} = $recall")
   }
 
   test("native cosine expression is bit-identical to the fold form") {
