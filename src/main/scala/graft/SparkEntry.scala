@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Temporal.queries ++
       operators.Skew.queries ++
       operators.Sampling.queries ++
+      operators.Corpus.queries ++
       layout.BucketedLayout.queries ++
       streaming.EventStream.queries
 
@@ -44,6 +45,7 @@ object SparkEntry {
       operators.Temporal.oracles ++
       operators.Skew.oracles ++
       operators.Sampling.oracles ++
+      operators.Corpus.oracles ++
       layout.BucketedLayout.oracles ++
       streaming.EventStream.oracles
 }

@@ -448,14 +448,15 @@ object Dedup {
     * Output: each contaminated train doc with its count of distinct
     * shared shingles (the triage signal: 1 shared 5-gram is noise, 20
     * is a leak). */
-  def decontaminate(spark: SparkSession, trainSigs: DataFrame, evalDocs: DataFrame): DataFrame = {
+  def decontaminate(spark: SparkSession, trainSigs: DataFrame, evalSigs: DataFrame): DataFrame = {
     val limit = spark.conf.getOption("spark.graft.decontam.broadcastShingleLimit")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       .getOrElse(BroadcastShingleLimit)
-    val evalSh = sigsOf(evalDocs).select(explode(col("hs")).as("h")).distinct()
+    val evalSh = evalSigs.select(explode(col("hs")).as("h")).distinct()
     // count() re-plans evalSh for the join below; deliberate — the eval
-    // side is the small side, and caching it would pin blocks past the
-    // caller's action with no release point
+    // side is the small side (and usually a cached signature stage), and
+    // caching it here would pin blocks past the caller's action with no
+    // release point
     val evalSide = if (evalSh.count() <= limit) broadcast(evalSh) else evalSh
     trainSigs.select(col("doc_id"), explode(col("hs")).as("h"))
       .join(evalSide, Seq("h"))
@@ -466,16 +467,15 @@ object Dedup {
 
   /** q62 — [[decontaminate]] with the fixture eval slice (doc_id ≡ 0 mod
     * [[EvalDocModulus]]) carved out of the corpus: eval = the slice,
-    * train = the rest. The slice plays the role a real benchmark table
-    * plays in production — the operator itself takes the eval set as an
-    * input and never assumes it fits in a broadcast. */
+    * train = the rest, both sides served from the one cached signature
+    * stage. The slice plays the role a real benchmark table plays in
+    * production (shingle it with [[sigsOf]]) — the operator itself takes
+    * the eval set as an input and never assumes it fits in a broadcast. */
   def q62Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     val isEval = col("doc_id") % EvalDocModulus === 0
-    decontaminate(
-      spark,
-      shingleSigs(spark, dir).filter(!isEval),
-      Tables.documents(spark, dir).filter(isEval))
+    val sigs = shingleSigs(spark, dir)
+    decontaminate(spark, sigs.filter(!isEval), sigs.filter(isEval))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

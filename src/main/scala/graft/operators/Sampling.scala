@@ -134,12 +134,135 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Sequence-packing parameters: context budget in tokens and shard
+    * fan-out. Shards are the parallelism knob — packing is shard-local
+    * (the standard pretraining shape: concatenate docs in a fixed order,
+    * cut fixed-size sequences; docs may straddle sequence boundaries),
+    * so shard count scales with the corpus and no shard ever sees more
+    * than corpus/shards tokens. */
+  val SeqBudget = 256L
+  val PackShards = 8L
+
+  /** Uniform bucket from 4 hex chars of the content hash at `pos`
+    * (1-based) — [[hashBucket]] generalized so independent decisions
+    * (split / shard / mix) draw from DISJOINT nibble ranges of the same
+    * md5 and stay uncorrelated. */
+  private[operators] def hexBucket(text: Column, pos: Int): Column =
+    conv(substring(md5(trim(text)), pos, 4), 16, 10).cast("long")
+
+  /** q63 — token-budget SEQUENCE PACKING: documents are concatenated in
+    * content-hash order within a hash shard and cut into fixed
+    * [[SeqBudget]]-token training sequences; each doc reports the
+    * sequence index and offset where it starts. Deterministic (content
+    * order, not arrival order), map-only except one windowed cumsum per
+    * shard — and shards are uniform by construction (md5 nibbles), so
+    * the window never sees a skewed partition, unlike partitioning by a
+    * natural key. */
+  def q63SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val toks = TextOps.tokens(col("text"))
+    val w = Window.partitionBy("shard").orderBy("ch", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        (hexBucket(col("text"), 5) % PackShards).as("shard"),
+        md5(trim(col("text"))).as("ch"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("shard"),
+        (col("cum_before") / SeqBudget).cast("long").as("seq_idx"),
+        (col("cum_before") % SeqBudget).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature for [[q64TemperatureMix]]: α < 1 flattens the source
+    * distribution (the multilingual/multi-domain resampling standard). */
+  val MixAlpha = 0.7
+
+  /** q64 — TEMPERATURE-SCALED SOURCE MIXING with deterministic
+    * repetition: target count per source c_s = K·n_s^α / Σ n_t^α (K =
+    * corpus size), i.e. repetition factor r_s = c_s / n_s — big sources
+    * thin (r < 1), small sources repeat (r > 1), the standard α-sampling
+    * move done without randomness: every doc carries
+    * `floor(r_s)` copies plus one more iff its content-hash fraction
+    * falls under frac(r_s). Per-source counts are one tiny aggregate
+    * (broadcast); the copy decision is map-only. Fractions are rounded
+    * to 6 dp in-plan so the oracle's independently-computed pow() agrees
+    * at the compare precision. */
+  def q64TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val docs = Tables.documents(spark, dir)
+    val srcStats = docs.groupBy("source")
+      .agg(count(lit(1)).cast("double").as("n_s"))
+      .withColumn("w_s", pow(col("n_s"), lit(MixAlpha)))
+    // Σ n_t^α and K as plan scalars: a 1-row cross join keeps the whole
+    // computation in one lazy plan (no driver-side collect of data stats)
+    val totals = srcStats.agg(
+      sum(col("w_s")).as("w_tot"), sum(col("n_s")).as("k_tot"))
+    val rates = srcStats.crossJoin(broadcast(totals))
+      .select(col("source"),
+        round(col("k_tot") * col("w_s") / (col("w_tot") * col("n_s")), 6).as("rep"))
+    docs.join(broadcast(rates), Seq("source"))
+      .select(
+        col("doc_id"), col("source"),
+        (floor(col("rep")).cast("long") +
+          when((hexBucket(col("text"), 9) % 1000000L) / 1000000.0 <
+               col("rep") - floor(col("rep")), 1L).otherwise(0L)).as("n_copies"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_split_assign"  -> (q58SplitAssign _),
     "q59_source_cap"    -> (q59SourceCap _),
-    "q60_quality_sample" -> (q60QualitySample _))
+    "q60_quality_sample" -> (q60QualitySample _),
+    "q63_sequence_pack" -> (q63SequencePack _),
+    "q64_temperature_mix" -> (q64TemperatureMix _))
+
+  /** DuckDB nibble arithmetic reproducing `conv(substr(hx, pos, 4), 16,
+    * 10)` — md5 hex is lowercase in both engines. */
+  private def hex4Sql(hx: String, pos: Int): String =
+    s"""((strpos('0123456789abcdef', substr($hx, $pos, 1)) - 1) * 4096 +
+       | (strpos('0123456789abcdef', substr($hx, ${pos + 1}, 1)) - 1) * 256 +
+       | (strpos('0123456789abcdef', substr($hx, ${pos + 2}, 1)) - 1) * 16 +
+       | (strpos('0123456789abcdef', substr($hx, ${pos + 3}, 1)) - 1))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q63_sequence_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, md5(trim(text)) AS ch,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, ch, n_tokens,
+         |    CAST(${hex4Sql("ch", 5)} % $PackShards AS BIGINT) AS shard
+         |  FROM t),
+         |c AS (
+         |  SELECT doc_id, shard,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ch, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM s)
+         |SELECT doc_id, shard,
+         |  CAST(cum_before // $SeqBudget AS BIGINT) AS seq_idx,
+         |  CAST(cum_before % $SeqBudget AS BIGINT) AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q64_temperature_mix" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY source),
+         |t AS (
+         |  SELECT sum(pow(n_s, $MixAlpha)) AS w_tot, sum(n_s) AS k_tot FROM s),
+         |r AS (
+         |  SELECT source, round(k_tot * pow(n_s, $MixAlpha) / (w_tot * n_s), 6) AS rep
+         |  FROM s, t),
+         |h AS (
+         |  SELECT d.doc_id, d.source, r.rep,
+         |    ${hex4Sql("md5(trim(d.text))", 9)} % 1000000 AS b
+         |  FROM documents d JOIN r USING (source))
+         |SELECT doc_id, source,
+         |  CAST(floor(rep) + CASE WHEN b / 1000000.0 < rep - floor(rep)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |FROM h ORDER BY doc_id""".stripMargin,
     // nibble arithmetic reproduces conv(hex,16,10) exactly (md5 is
     // lowercase hex in both engines)
     "q58_split_assign" ->

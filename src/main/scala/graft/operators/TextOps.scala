@@ -256,7 +256,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Chunking parameters: window size and stride in tokens (overlap =
+    * [[ChunkSize]] − [[ChunkStride]]). */
+  val ChunkSize = 40
+  val ChunkStride = 30
+
+  /** q65 — sliding-window CHUNKING with overlap: each document explodes
+    * into [[ChunkSize]]-token windows every [[ChunkStride]] tokens (the
+    * long-context splitting step before embedding or packing), each
+    * chunk carrying its token count and content fingerprint. Map-only —
+    * a pure per-row explode, embarrassingly parallel at any corpus
+    * size; chunk count per doc is ⌈max(n−C, 0) / S⌉ + 1 so the final
+    * partial window is kept and no token is dropped. */
+  def q65ChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val toks = tokens(col("text"))
+    val nChunks = (ceil(greatest(col("n_tokens") - ChunkSize, lit(0)) /
+      lit(ChunkStride.toDouble)) + 1).cast("int")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_idx", "c")))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * ChunkStride + 1, lit(ChunkSize)).as("ct"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("ct")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("ct"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_chunk_overlap" -> (q65ChunkOverlap _),
     "q61_compress_ratio" -> (q61CompressRatio _),
     "q21_text_stats"    -> (q21TextStats _),
     "q22_lang_profile"  -> (q22LangProfile _),
@@ -268,6 +301,27 @@ object TextOps {
     "q54_tfidf"         -> (q54TfIdf _))
 
   val oracles: Map[String, String] = Map(
+    "q65_chunk_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, toks, len(toks) AS n_tokens,
+         |    CAST(ceil(greatest(len(toks) - $ChunkSize, 0) / ${ChunkStride.toDouble}) + 1 AS INTEGER) AS n_chunks
+         |  FROM t WHERE len(toks) > 0),
+         |e AS (
+         |  -- DuckDB 1.0: no lateral generate_series; unnest in the SELECT
+         |  -- list expands rows instead
+         |  SELECT doc_id, toks, CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+         |  FROM n),
+         |c AS (
+         |  SELECT doc_id, chunk_idx,
+         |    toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkSize] AS ct
+         |  FROM e)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(ct, ' ')) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q21_text_stats" ->
       """WITH t AS (
         |  SELECT doc_id,

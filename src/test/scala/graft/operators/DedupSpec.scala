@@ -184,7 +184,9 @@ class DedupSpec extends SparkSpec {
     val docs = graft.core.Tables.documents(spark, sf)
     val isEval = col("doc_id") % Dedup.EvalDocModulus === 0
     val trainSigs = Dedup.sigsOf(docs.filter(!isEval))
-    val evalDocs = docs.filter(isEval)
+    // the production shape: an external benchmark table shingled with the
+    // same pipeline
+    val evalDocs = Dedup.sigsOf(docs.filter(isEval))
     // pin auto-broadcast off so the ONLY way a BroadcastHashJoin appears
     // is our explicit hint — isolates the operator's decision from the
     // planner's size-based one

@@ -65,6 +65,42 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing assigns every doc once with in-budget offsets") {
+    val rows = Sampling.q63SequencePack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.length == total, "every document starts in exactly one sequence")
+    rows.foreach { case (id, shard, seq, off) =>
+      assert(off >= 0 && off < Sampling.SeqBudget, s"doc $id offset $off out of budget")
+      assert(shard >= 0 && shard < Sampling.PackShards && seq >= 0)
+    }
+    // packing is tight: within a shard, consecutive docs (in pack order)
+    // start exactly prev_start + prev_tokens into the token stream
+    val again = Sampling.q63SequencePack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq, "deterministic across runs")
+  }
+
+  test("temperature mix conserves corpus size and flattens the source distribution") {
+    val rows = Sampling.q64TemperatureMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.length == n, "one decision row per doc")
+    val copies = rows.map(_._3).sum
+    // K is preserved in expectation; hash rounding keeps it within a few %
+    assert(math.abs(copies - n).toDouble / n < 0.1, s"total copies $copies vs corpus $n")
+    val bySource = rows.groupBy(_._2).view
+      .mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    val (bigSrc, (bigN, bigCopies)) = bySource.maxBy(_._2._1)
+    val (smallSrc, (smallN, smallCopies)) = bySource.minBy(_._2._1)
+    if (bigN > smallN * 2) {
+      // α < 1: the dominant source is thinned below 1×, the smallest is
+      // repeated above 1× — the whole point of temperature sampling
+      assert(bigCopies.toDouble / bigN < 1.0, s"$bigSrc should downsample")
+      assert(smallCopies.toDouble / smallN > 1.0, s"$smallSrc should upsample")
+    }
+  }
+
   test("per-source quota is skew-safe: bounded survivors, output = naive window") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -109,4 +109,30 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(2) >= r.getLong(1)),
       "subword pieces must be >= whole words")
   }
+
+  test("chunking covers every token with the declared window and stride") {
+    val chunks = TextOps.q65ChunkOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val nTokens = graft.core.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          TextOps.tokens(org.apache.spark.sql.functions.col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (c, s) = (TextOps.ChunkSize, TextOps.ChunkStride)
+    nTokens.foreach { case (id, n) =>
+      if (n == 0) assert(!chunks.contains(id), "empty docs emit no chunks")
+      else {
+        val expected = math.ceil(math.max(n - c, 0).toDouble / s).toInt + 1
+        val got = chunks(id).sortBy(_._2)
+        assert(got.length == expected, s"doc $id: ${got.length} chunks, expected $expected")
+        // coverage: the last chunk reaches token n; all but the last are full
+        val lastStart = (got.length - 1).toLong * s
+        assert(lastStart + got.last._3 == n.toLong, s"doc $id: tail tokens dropped")
+        got.dropRight(1).foreach { case (_, idx, len) =>
+          assert(len == c.toLong, s"doc $id chunk $idx: non-final chunk not full")
+        }
+      }
+    }
+  }
 }
