@@ -197,11 +197,16 @@ object Sampling {
     val srcStats = docs.groupBy("source")
       .agg(count(lit(1)).cast("double").as("n_s"))
       .withColumn("w_s", pow(col("n_s"), lit(MixAlpha)))
-    // Σ n_t^α and K as plan scalars: a 1-row cross join keeps the whole
-    // computation in one lazy plan (no driver-side collect of data stats)
-    val totals = srcStats.agg(
-      sum(col("w_s")).as("w_tot"), sum(col("n_s")).as("k_tot"))
-    val rates = srcStats.crossJoin(broadcast(totals))
+    // Σ n_t^α and K via a GLOBAL window over the per-source frame — the
+    // frame is sources-sized (not data-sized), so the single-partition
+    // window is a few rows and the corpus is scanned ONCE for stats
+    // (a separate agg + cross join would re-run the corpus groupBy)
+    val tot = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = srcStats
+      .select(col("source"), col("n_s"), col("w_s"),
+        sum(col("w_s")).over(tot).as("w_tot"),
+        sum(col("n_s")).over(tot).as("k_tot"))
       .select(col("source"),
         round(col("k_tot") * col("w_s") / (col("w_tot") * col("n_s")), 6).as("rep"))
     docs.join(broadcast(rates), Seq("source"))
