@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Skew.queries ++
       operators.Sampling.queries ++
       operators.Corpus.queries ++
+      operators.Privacy.queries ++
       layout.BucketedLayout.queries ++
       streaming.EventStream.queries
 
@@ -46,6 +47,7 @@ object SparkEntry {
       operators.Skew.oracles ++
       operators.Sampling.oracles ++
       operators.Corpus.oracles ++
+      operators.Privacy.oracles ++
       layout.BucketedLayout.oracles ++
       streaming.EventStream.oracles
 }

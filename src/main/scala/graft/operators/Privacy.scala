@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sessions, Tables}
+
+/** PII detection + redaction over the documents corpus — the scrubbing
+  * stage every training-data pipeline runs before anything else sees the
+  * text (emails, phone numbers, IP addresses → typed placeholders, with
+  * per-category match counts for the compliance report).
+  *
+  * Scale shape: pure map-side `regexp_extract_all` / `regexp_replace`
+  * chains over codegen'd built-ins — zero shuffles, zero UDFs, linear in
+  * corpus bytes, embarrassingly parallel over document partitions. The
+  * regexes avoid lookarounds and backreferences so they run identically
+  * on Java's engine and RE2 (and stay in the linear-time subset).
+  */
+object Privacy {
+
+  /** Conservative PII patterns (shared verbatim with the oracle SQL —
+    * RE2/Java-common subset: no lookaround, no backrefs). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  val EmailTag = "<EMAIL>"
+  val PhoneTag = "<PHONE>"
+  val IpTag = "<IP>"
+
+  /** Three-phase scrub of one text column: redact emails, then phone
+    * numbers, then IPs, counting matches on the text each phase actually
+    * sees (so a phase never double-counts bytes an earlier phase already
+    * replaced). Returns (n_emails, n_phones, n_ips, redacted). */
+  def scrub(text: Column): (Column, Column, Column, Column) = {
+    val nEmails = size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")
+    val t1 = regexp_replace(text, EmailRe, EmailTag)
+    val nPhones = size(regexp_extract_all(t1, lit(PhoneRe), lit(0))).cast("long")
+    val t2 = regexp_replace(t1, PhoneRe, PhoneTag)
+    val nIps = size(regexp_extract_all(t2, lit(IpRe), lit(0))).cast("long")
+    val t3 = regexp_replace(t2, IpRe, IpTag)
+    (nEmails, nPhones, nIps, t3)
+  }
+
+  /** The synthetic corpus carries no PII, so the fixture query plants a
+    * deterministic contact trailer per document (a pure function of
+    * doc_id, reconstructed identically by the oracle) and scrubs the
+    * combined text. The operator itself ([[scrub]]) takes any text
+    * column. */
+  private[operators] def withPlantedPii(text: Column, docId: Column): Column =
+    concat(text,
+      lit(" contact user"), docId.cast("string"), lit("@example.com"),
+      lit(" tel 555-"), lpad((docId % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((docId % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (docId % 256).cast("string"),
+      lit(".0."), (docId % 100).cast("string"))
+
+  /** q67 — PII redaction report: per-document counts by category plus the
+    * redacted text's length and fingerprint (the downstream stages consume
+    * the redacted fingerprint; shipping the full scrubbed text back to the
+    * gate would just re-test parquet IO). */
+  def q67PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val pii = withPlantedPii(col("text"), col("doc_id"))
+    val (nEmails, nPhones, nIps, redacted) = scrub(pii)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nEmails.as("n_emails"),
+        nPhones.as("n_phones"),
+        nIps.as("n_ips"),
+        length(redacted).cast("long").as("redacted_len"),
+        md5(redacted).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_pii_redact" -> (q67PiiRedact _))
+
+  // DuckDB single-quoted strings do no backslash processing, so the
+  // patterns interpolate verbatim — the same bytes Spark's Java engine
+  // compiles.
+  private val emailSql = EmailRe
+  private val phoneSql = PhoneRe
+  private val ipSql = IpRe
+
+  val oracles: Map[String, String] = Map(
+    "q67_pii_redact" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |      || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS t0
+         |  FROM documents),
+         |s1 AS (
+         |  SELECT doc_id, t0,
+         |    len(regexp_extract_all(t0, '$emailSql')) AS n_emails,
+         |    regexp_replace(t0, '$emailSql', '$EmailTag', 'g') AS t1
+         |  FROM p),
+         |s2 AS (
+         |  SELECT doc_id, n_emails,
+         |    len(regexp_extract_all(t1, '$phoneSql')) AS n_phones,
+         |    regexp_replace(t1, '$phoneSql', '$PhoneTag', 'g') AS t2
+         |  FROM s1),
+         |s3 AS (
+         |  SELECT doc_id, n_emails, n_phones,
+         |    len(regexp_extract_all(t2, '$ipSql')) AS n_ips,
+         |    regexp_replace(t2, '$ipSql', '$IpTag', 'g') AS t3
+         |  FROM s2)
+         |SELECT doc_id,
+         |  CAST(n_emails AS BIGINT) AS n_emails,
+         |  CAST(n_phones AS BIGINT) AS n_phones,
+         |  CAST(n_ips AS BIGINT) AS n_ips,
+         |  CAST(length(t3) AS BIGINT) AS redacted_len,
+         |  md5(t3) AS redacted_fp
+         |FROM s3 ORDER BY doc_id""".stripMargin)
+}

@@ -288,7 +288,57 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** q68 — intra-document repetition signals (the Gopher/C4-style
+    * repetition filters: Rae et al. 2021 §A1.1 uses duplicate-line and
+    * repeated-n-gram fractions to drop degenerate documents):
+    *   - `dup_token_frac`   = 1 − distinct/total tokens,
+    *   - `top_token_frac`   = most-frequent-token share,
+    *   - `dup_2gram_frac`   = 1 − distinct/total bigrams,
+    * plus a `repetition_tier` classification over the rounded signals.
+    *
+    * Everything is map-side: the most-frequent-token count comes from the
+    * max run length of the SORTED token array (one `array_sort` + one
+    * `aggregate` fold per document, no (doc, token) shuffle) — per-doc
+    * O(n log n), zero exchanges at any corpus size. The oracle computes
+    * the same count relationally (unnest → group → max), which is equal
+    * by definition. */
+  def q68Repetition(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val toks = tokens(col("text"))
+    // max run in sorted order == max occurrence count of any token
+    val maxRun = aggregate(
+      array_sort(col("toks")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, t) => {
+        val run = when(t === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    val bigrams = transform(sequence(lit(1), col("n") - 1),
+      i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .filter(col("n") > 0)
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n"), 4)
+          .as("dup_token_frac"),
+        round(maxRun.cast("double") / col("n"), 4).as("top_token_frac"),
+        when(col("n") < 2, lit(0.0)).otherwise(
+          round(lit(1.0) - size(array_distinct(bigrams)).cast("double") / (col("n") - 1), 4))
+          .as("dup_2gram_frac"))
+    sig
+      .withColumn("repetition_tier",
+        when(col("top_token_frac") > 0.2 || col("dup_2gram_frac") > 0.5, "repetitive")
+          .otherwise("clean"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_repetition"    -> (q68Repetition _),
     "q65_chunk_overlap" -> (q65ChunkOverlap _),
     "q61_compress_ratio" -> (q61CompressRatio _),
     "q21_text_stats"    -> (q21TextStats _),
@@ -301,6 +351,32 @@ object TextOps {
     "q54_tfidf"         -> (q54TfIdf _))
 
   val oracles: Map[String, String] = Map(
+    "q68_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    len(list_distinct(toks)) AS nd,
+        |    len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1]))) AS nbd
+        |  FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, token, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(toks) AS token FROM b)
+        |  GROUP BY doc_id, token),
+        |m AS (SELECT doc_id, max(cnt) AS maxc FROM c GROUP BY doc_id),
+        |s AS (
+        |  SELECT b.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |    round(1.0 - CAST(nd AS DOUBLE) / n, 4) AS dup_token_frac,
+        |    round(CAST(maxc AS DOUBLE) / n, 4) AS top_token_frac,
+        |    CASE WHEN n < 2 THEN 0.0
+        |         ELSE round(1.0 - CAST(nbd AS DOUBLE) / (n - 1), 4) END AS dup_2gram_frac
+        |  FROM b JOIN m ON b.doc_id = m.doc_id)
+        |SELECT doc_id, n_tokens, dup_token_frac, top_token_frac, dup_2gram_frac,
+        |  CASE WHEN top_token_frac > 0.2 OR dup_2gram_frac > 0.5
+        |       THEN 'repetitive' ELSE 'clean' END AS repetition_tier
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q65_chunk_overlap" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

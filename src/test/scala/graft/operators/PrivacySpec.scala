@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrub redacts emails, phones and IPs with per-category counts") {
+    val df = Seq(
+      (1L, "mail a.b+c@site-x.org or d@e.io tel 555-123-4567 host 192.168.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "edge 555-12-34567 is not a phone; 300.1.2.3 still matches ip shape")
+    ).toDF("doc_id", "text")
+    val (ne, np, ni, red) = Privacy.scrub(col("text"))
+    val out = df.select(col("doc_id"), ne.as("e"), np.as("p"), ni.as("i"),
+      red.as("r")).orderBy("doc_id").collect()
+
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 1 && out(0).getLong(3) == 1)
+    assert(out(0).getString(4) ==
+      "mail <EMAIL> or <EMAIL> tel <PHONE> host <IP>")
+    assert(out(1).getLong(1) == 0 && out(1).getLong(2) == 0 && out(1).getLong(3) == 0)
+    assert(out(1).getString(4) == "no pii here at all")
+    // 555-12-34567: no 3-3-4 word-bounded window → not redacted;
+    // 300.1.2.3 matches the conservative dotted-quad shape (no range check)
+    assert(out(2).getLong(2) == 0 && out(2).getLong(3) == 1)
+    assert(out(2).getString(4).contains("555-12-34567"))
+    assert(out(2).getString(4).contains("<IP>"))
+  }
+
+  test("q67 plants PII deterministically and scrubs every planted item") {
+    val out = Privacy.q67PiiRedact(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every document gains exactly one planted email/phone/ip
+    assert(rows.forall(r => r.getLong(1) == 1 && r.getLong(2) == 1 && r.getLong(3) == 1))
+    // rerun is bit-identical (pure function of the corpus)
+    assert(out.collect().map(_.getString(5)).toSeq ==
+      rows.map(_.getString(5)).toSeq)
+  }
+
+  test("q68 repetition signals match a hand computation") {
+    val df = Seq(
+      (1L, "a a a b"),        // 4 toks: dup=1-2/4=0.5, top=3/4=0.75, bigrams: "a a","a a","a b" → 1-2/3
+      (2L, "x y z"),          // all distinct: dup=0, top=1/3, bigrams distinct → 0
+      (3L, "w")               // single token: dup=0, top=1, 2gram frac pinned 0
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    df.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val out = TextOps.q68Repetition(spark, tmp).collect()
+
+    assert(out(0).getDouble(2) == 0.5)
+    assert(out(0).getDouble(3) == 0.75)
+    assert(out(0).getDouble(4) == math.rint((1.0 - 2.0 / 3) * 1e4) / 1e4)
+    assert(out(0).getString(5) == "repetitive")
+    assert(out(1).getDouble(2) == 0.0 && out(1).getDouble(4) == 0.0)
+    assert(out(1).getString(5) == "repetitive") // top 1/3 = 0.3333 > 0.2
+    assert(out(2).getDouble(3) == 1.0 && out(2).getDouble(4) == 0.0)
+  }
+}
