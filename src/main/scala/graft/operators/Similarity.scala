@@ -299,7 +299,64 @@ object Similarity {
       .orderBy(col("probe_id"), col("cosine").desc, col("neighbor_id"))
   }
 
+  /** SemDeDup parameters: cluster count for the semantic-dedup pass and
+    * the duplicate threshold. The synthetic embeddings' near-dup pairs
+    * sit at cosine ≈ 0.45-0.51 (see [[NearDupThreshold]]); production
+    * text-embedding corpora run τ ≈ 0.95+ — a caller knob on
+    * [[semDedup]]. */
+  val SemClusters = 16
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the IVF coarse
+    * quantizer, then look for duplicate pairs ONLY within a cluster —
+    * pairwise cost drops from O(n²) to Σ|cluster|², and each cluster's
+    * pairs compute independently after one shuffle on cluster id. Greedy
+    * keeper election (the paper's "keep one random point; we keep the
+    * lowest vec_id" — deterministic here): a vector is `drop` iff some
+    * lower-id vector in ITS cluster has cosine ≥ τ with it.
+    *
+    * At 100 TB: k scales as n / target-cluster-size so Σ|c|² stays
+    * bounded; the quantizer trains on a capped sample ([[IvfIndex]]) and
+    * assignment is a map-only codegen pass. A dup pair straddling a
+    * cluster boundary is missed — that is the documented SemDeDup
+    * trade (recall, never precision), spec-measured against the exact
+    * all-pairs twin. */
+  def semDedup(
+      emb: DataFrame,
+      centers: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    val assigned = emb.select(
+      col("vec_id"),
+      col("embedding"),
+      element_at(graft.functions.VectorFunctions.nearest_centroids(
+        col("embedding"), centers, 1), 1).as("cluster"))
+    val l = assigned.select(col("cluster"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(col("v1") < col("v2"))
+      .filter(cosine(col("e1"), col("e2")) >= threshold)
+      .select(col("v2").as("vec_id"))
+      .distinct()
+      .withColumn("status", lit("drop"))
+    assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        coalesce(col("status"), lit("keep")).as("status"))
+  }
+
+  /** q69 — [[semDedup]] over the embeddings table at the corpus's
+    * near-dup threshold. Approximate (cluster-local) → rows-only for the
+    * driver; exact-twin parity + planted-duplicate recall spec'd in
+    * `SimilaritySpec`. */
+  def q69SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val emb = Tables.embeddings(spark, dir)
+    semDedup(emb, IvfIndex.centroids(spark, dir, SemClusters), NearDupThreshold)
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_sem_dedup"       -> (q69SemDedup _),
     "q29_cosine_topk"     -> (q29CosineTopK _),
     "q30_ann_lsh"         -> (q30AnnLsh _),
     "q31_cosine_near_dup" -> (q31CosineNearDup _),

@@ -94,6 +94,73 @@ class SimilaritySpec extends SparkSpec {
       s"candidate fraction too high: $candidates of ${n * (n - 1) / 2} pairs")
   }
 
+  test("SemDeDup: join path ≡ exact within-cluster twin; statuses partition the corpus") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.q69SemDedup(spark, sf).collect()
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    assert(out.length == emb.count())
+    // twin: same clustering, brute-force all-pairs drop rule computed
+    // driver-side — must agree EXACTLY (the cluster restriction is the
+    // approximation; the join plumbing must not add to it)
+    val centers = IvfIndex.centroids(spark, sf, Similarity.SemClusters)
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    def cluster(v: Array[Float]): Int =
+      centers.indices.minBy { j =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - centers(j)(i); s += d * d; i += 1 }
+        s
+      }
+    val byCluster = vecs.toSeq.groupBy { case (_, v) => cluster(v) }
+    val expectDrop = byCluster.values.flatMap { members =>
+      val sorted = members.sortBy(_._1)
+      sorted.indices.flatMap { i =>
+        val (id, v) = sorted(i)
+        if ((0 until i).exists(j => cos(sorted(j)._2, v) >= Similarity.NearDupThreshold))
+          Some(id)
+        else None
+      }
+    }.toSet
+    val gotDrop = out.filter(_.getString(2) == "drop").map(_.getLong(0)).toSet
+    assert(gotDrop == expectDrop,
+      s"mismatch: extra=${(gotDrop diff expectDrop).take(3)} missing=${(expectDrop diff gotDrop).take(3)}")
+    assert(out.forall(r => r.getString(2) == "keep" || r.getString(2) == "drop"))
+  }
+
+  test("SemDeDup: planted duplicate groups collapse to one keeper each") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new java.util.Random(11L)
+    val dim = 64
+    def randVec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // 200 well-separated originals; the first 40 get two EXACT copies each
+    val base = Array.fill(200)(randVec())
+    val rows =
+      base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+        base.take(40).zipWithIndex.flatMap { case (v, i) =>
+          Seq((200L + 2 * i, v.clone()), (201L + 2 * i, v.clone()))
+        }
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+    val centers = IvfIndex.lloyd(rows.map(_._2.map(_.toDouble)), 8)
+    val out = Similarity.semDedup(emb, centers, threshold = 0.999).collect()
+    // identical vectors always share a cluster → every copy drops, every
+    // group keeps exactly its lowest id
+    val dropped = out.filter(_.getString(2) == "drop").map(_.getLong(0)).toSet
+    assert(dropped == (200L until 280L).toSet,
+      s"copies 200-279 must drop, originals keep: got ${dropped.size} drops")
+    // determinism: rerun is identical
+    val again = Similarity.semDedup(emb, centers, threshold = 0.999).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq)
+  }
+
   test("IVF ANN beats sign-LSH recall at comparable scan fraction") {
     val exact = Similarity.q29CosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
