@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Sampling.queries ++
       operators.Corpus.queries ++
       operators.Privacy.queries ++
+      operators.Retrieval.queries ++
       layout.BucketedLayout.queries ++
       streaming.EventStream.queries
 
@@ -48,6 +49,7 @@ object SparkEntry {
       operators.Sampling.oracles ++
       operators.Corpus.oracles ++
       operators.Privacy.oracles ++
+      operators.Retrieval.oracles ++
       layout.BucketedLayout.oracles ++
       streaming.EventStream.oracles
 }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sessions, Tables}
+
+/** Full-text retrieval over the corpus: BM25-ranked top-k per query — the
+  * inverted-index search shape (Lucene/Elasticsearch scoring; Robertson &
+  * Zaragoza 2009) expressed relationally, the way a Spark-resident corpus
+  * serves ad-hoc "find me training docs about X" queries without an
+  * external search cluster.
+  *
+  * Scale shape: the exploded token stream is filtered to the QUERY
+  * VOCABULARY before any shuffle (a literal IN list — broadcast-free,
+  * codegen'd), so the one aggregation shuffles only query-term
+  * occurrences, never the corpus token stream. Document length rides the
+  * explode (no corpus-sized join-back), corpus-level scalars (N, avgdl)
+  * come from a 1-row aggregate cross-joined in, and the final ranking is
+  * a per-query top-k window over candidate docs only.
+  *
+  * Oracle parity: per-term BM25 contributions are computed in double but
+  * fixed to integer MICROS (round(contrib·10⁶) as BIGINT) before the
+  * per-(query, doc) sum — integer addition is order-free, so the
+  * engine's aggregation order can never flip a rank tie, and ranking on
+  * the exact micro total (then doc_id) is fully deterministic across
+  * engines. */
+object Retrieval {
+
+  /** BM25 constants (the classic defaults). Keep every constant a parsed
+    * DECIMAL LITERAL on both engines (2.2, 1.2, 0.25, 0.75) — arithmetic
+    * like `k1 + 1` can land a half-ulp from the literal `2.2` and break
+    * bit parity. */
+  val K1 = 1.2
+  val B = 0.75
+
+  val TopK = 10
+
+  /** Fixture query set (terms from the synthetic corpus vocabulary). */
+  val QuerySet: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join",
+    2L -> "window", 2L -> "merge",
+    3L -> "customer", 3L -> "batch", 3L -> "query")
+
+  /** BM25 top-k docs per query over any (doc_id, text) frame.
+    * `queries` is (query_id, term) — one row per query term. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = queries.map(_._2).distinct
+    val toks = TextOps.tokens(col("text"))
+    val d = docs.select(col("doc_id"), toks.as("toks"), size(toks).as("dl"))
+    // corpus scalars: one tiny row, broadcast by the cross join
+    val stats = d.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n"))
+    // query-vocabulary filter BEFORE the aggregation shuffle
+    val tf = d
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val q = queries.toDF("query_id", "term")
+    val contrib = q
+      .join(tf, q("term") === tf("token"))
+      .join(df, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("query_id"), col("doc_id"),
+        round(
+          log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) *
+            lit(1000000)).cast("long").as("contrib"))
+    val agg = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("micro"))
+    val w = Window.partitionBy("query_id").orderBy(col("micro").desc, col("doc_id"))
+    agg
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(
+        col("query_id"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+        round(col("micro") / lit(1000000.0), 4).as("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q70 — [[bm25TopK]] over the documents table for [[QuerySet]]. */
+  def q70Bm25(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    bm25TopK(Tables.documents(spark, dir), QuerySet, TopK)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_bm25" -> (q70Bm25 _))
+
+  private val valuesSql =
+    QuerySet.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q70_bm25" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+         |stats AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n
+         |  FROM dd),
+         |q(query_id, term) AS (VALUES $valuesSql),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dd) u
+         |  WHERE token IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |contrib AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    CAST(round(
+         |      ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |        (tf.tf * 2.2) /
+         |        (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)) *
+         |      1000000) AS BIGINT) AS contrib
+         |  FROM q JOIN tf ON q.term = tf.token JOIN df ON df.token = tf.token, stats),
+         |agg AS (
+         |  SELECT query_id, doc_id, sum(contrib) AS micro
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id, micro,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY micro DESC, doc_id) AS rnk
+         |  FROM agg)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+         |  doc_id, round(micro / 1000000.0, 4) AS score
+         |FROM r WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin)
+}

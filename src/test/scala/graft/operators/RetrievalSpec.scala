@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 ranks the term-dense short doc above a diluted long doc") {
+    val docs = Seq(
+      (1L, "spark spark spark"),                        // dense in 'spark'
+      (2L, "spark alpha beta gamma delta epsilon zeta eta theta iota"), // diluted
+      (3L, "alpha beta gamma"),                         // no match
+      (4L, "spark spark alpha")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, Seq(1L -> "spark"), k = 10).collect()
+    // only matching docs appear, ranked dense-first
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 4L, 2L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_.getDouble(3) > 0))
+  }
+
+  test("multi-term queries sum per-term contributions; rank ties break by doc_id") {
+    val docs = Seq(
+      (1L, "red blue"),
+      (2L, "red blue"),   // identical content → identical score, tie → doc_id
+      (3L, "red red"),
+      (4L, "green")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, Seq(7L -> "red", 7L -> "blue"), k = 10).collect()
+    assert(out.map(_.getLong(2)).contains(3L))
+    val d1 = out.find(_.getLong(2) == 1L).get
+    val d2 = out.find(_.getLong(2) == 2L).get
+    assert(d1.getDouble(3) == d2.getDouble(3), "identical docs score identically")
+    assert(d1.getLong(1) < d2.getLong(1), "tie broken by doc_id")
+    // two-term doc beats the single-repeated-term doc (idf of both terms)
+    assert(out.head.getLong(2) == 1L)
+  }
+
+  test("q70 returns TopK rows per fixture query, deterministically") {
+    val out = Retrieval.q70Bm25(spark, sf)
+    val rows = out.collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(1L, 2L, 3L))
+    byQuery.values.foreach { rs =>
+      assert(rs.length == Retrieval.TopK)
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to Retrieval.TopK).toSeq)
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse, "scores descend with rank")
+    }
+    assert(out.collect().toSeq == rows.toSeq, "rerun is bit-identical")
+  }
+}
