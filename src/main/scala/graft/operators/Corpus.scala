@@ -60,10 +60,79 @@ object Corpus {
     diff(v1, v2).orderBy("doc_id")
   }
 
+  /** q71 — corpus COMPOSITION DRIFT between two versions: per
+    * (source, lang) cell, each version's document share, the share drift,
+    * and the cell's add-one-smoothed KL(v2 ‖ v1) contribution — the
+    * monitoring table a training pipeline watches so a recrawl that
+    * silently shifts the source/language mix is caught before a model is
+    * trained on it (sums of `kl_term` = the divergence scalar).
+    *
+    * Versions are the [[q66CorpusDiff]] fixture rules, but membership is
+    * evaluated per-row as conditional aggregates — ONE corpus scan, one
+    * shuffle to the (source, lang) cells, then totals via a global window
+    * over the cell frame (cells = sources × langs, trivially small at any
+    * corpus scale — the same shape as the temperature-mix totals).
+    * Add-one smoothing keeps the KL term finite when a cell is empty in
+    * one version, and everything derives from integer counts so the
+    * oracle matches exactly. */
+  /** Share / drift / smoothed-KL columns over a pre-aggregated
+    * (source, lang, n1, n2) cell frame — the cell frame is
+    * sources × langs, trivially small at any corpus scale, so the global
+    * window costs nothing. */
+  def drift(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val t = cells
+      .withColumn("t1", sum(col("n1")).over(w))
+      .withColumn("t2", sum(col("n2")).over(w))
+      .withColumn("cells", count(lit(1)).over(w))
+    val p = (col("n2") + lit(1.0)) / (col("t2") + col("cells"))
+    val q = (col("n1") + lit(1.0)) / (col("t1") + col("cells"))
+    t.select(
+      col("source"), col("lang"), col("n1"), col("n2"),
+      round(col("n1").cast("double") / col("t1"), 6).as("share_v1"),
+      round(col("n2").cast("double") / col("t2"), 6).as("share_v2"),
+      round(col("n2").cast("double") / col("t2") - col("n1").cast("double") / col("t1"), 6)
+        .as("drift"),
+      round(p * log(p / q), 6).as("kl_term"))
+      .orderBy("source", "lang")
+  }
+
+  def q71CompositionDrift(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    drift(Tables.documents(spark, dir)
+      .groupBy("source", "lang")
+      .agg(
+        sum(when(col("doc_id") % RemovedInV2Mod =!= RemovedInV2Rem, 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(col("doc_id") % DroppedFromV1Mod =!= DroppedFromV1Rem, 1L).otherwise(0L))
+          .as("n2")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_composition_drift" -> (q71CompositionDrift _),
     "q66_corpus_diff" -> (q66CorpusDiff _))
 
   val oracles: Map[String, String] = Map(
+    "q71_composition_drift" ->
+      s"""WITH c AS (
+         |  SELECT source, lang,
+         |    CAST(sum(CASE WHEN doc_id % $RemovedInV2Mod <> $RemovedInV2Rem
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN doc_id % $DroppedFromV1Mod <> $DroppedFromV1Rem
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM documents GROUP BY source, lang),
+         |t AS (
+         |  SELECT *, sum(n1) OVER () AS t1, sum(n2) OVER () AS t2,
+         |    count(*) OVER () AS cells
+         |  FROM c)
+         |SELECT source, lang, n1, n2,
+         |  round(CAST(n1 AS DOUBLE) / t1, 6) AS share_v1,
+         |  round(CAST(n2 AS DOUBLE) / t2, 6) AS share_v2,
+         |  round(CAST(n2 AS DOUBLE) / t2 - CAST(n1 AS DOUBLE) / t1, 6) AS drift,
+         |  round(((n2 + 1.0) / (t2 + cells)) *
+         |    ln(((n2 + 1.0) / (t2 + cells)) / ((n1 + 1.0) / (t1 + cells))), 6) AS kl_term
+         |FROM t ORDER BY source, lang""".stripMargin,
     "q66_corpus_diff" ->
       s"""WITH v1 AS (
          |  SELECT doc_id,

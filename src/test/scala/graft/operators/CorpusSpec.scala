@@ -30,4 +30,34 @@ class CorpusSpec extends SparkSpec {
     val docs = graft.core.Tables.documents(spark, sf)
     assert(Corpus.diff(docs, docs).isEmpty, "self-diff must be empty")
   }
+
+  test("composition drift: self-drift is zero, shifted mix yields KL > 0") {
+    import spark.implicits._
+    // identical versions → zero drift, zero KL everywhere
+    val same = Seq(("s1", "en", 60L, 60L), ("s1", "de", 20L, 20L), ("s2", "en", 20L, 20L))
+      .toDF("source", "lang", "n1", "n2")
+    Corpus.drift(same).collect().foreach { r =>
+      assert(r.getDouble(6) == 0.0 && r.getDouble(7) == 0.0, s"self-drift: $r")
+    }
+    // v2 shifts mass from s1/en to s2/en → drift signs match, KL sum > 0
+    val shifted = Seq(("s1", "en", 80L, 40L), ("s2", "en", 20L, 60L))
+      .toDF("source", "lang", "n1", "n2")
+    val rows = Corpus.drift(shifted).collect()
+    assert(rows.find(_.getString(0) == "s1").get.getDouble(6) < 0)
+    assert(rows.find(_.getString(0) == "s2").get.getDouble(6) > 0)
+    assert(rows.map(_.getDouble(7)).sum > 0, "KL(v2||v1) must be positive for a real shift")
+    // shares are proper distributions
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-9)
+  }
+
+  test("q71 cell counts conserve the two fixture versions' totals") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val rows = Corpus.q71CompositionDrift(spark, sf).collect()
+    val v1 = docs.filter(s"doc_id % ${Corpus.RemovedInV2Mod} <> ${Corpus.RemovedInV2Rem}").count()
+    val v2 = docs.filter(s"doc_id % ${Corpus.DroppedFromV1Mod} <> ${Corpus.DroppedFromV1Rem}").count()
+    assert(rows.map(_.getLong(2)).sum == v1)
+    assert(rows.map(_.getLong(3)).sum == v2)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+  }
 }
