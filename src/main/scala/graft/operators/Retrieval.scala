@@ -61,11 +61,15 @@ object Retrieval {
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // document frequency as a window over the ALREADY-AGGREGATED tf frame
+    // (candidate docs × query terms — small): deriving it with a second
+    // groupBy + join-back would replan the whole explode subtree and scan
+    // the corpus a second time
+    val tfdf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("token")))
     val q = queries.toDF("query_id", "term")
     val contrib = q
-      .join(tf, q("term") === tf("token"))
-      .join(df, Seq("token"))
+      .join(tfdf, q("term") === tfdf("token"))
       .crossJoin(broadcast(stats))
       .select(
         col("query_id"), col("doc_id"),
