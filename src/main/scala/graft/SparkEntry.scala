@@ -33,6 +33,7 @@ object SparkEntry {
       operators.Corpus.queries ++
       operators.Privacy.queries ++
       operators.Retrieval.queries ++
+      operators.Audit.queries ++
       layout.BucketedLayout.queries ++
       streaming.EventStream.queries
 
@@ -50,6 +51,7 @@ object SparkEntry {
       operators.Corpus.oracles ++
       operators.Privacy.oracles ++
       operators.Retrieval.oracles ++
+      operators.Audit.oracles ++
       layout.BucketedLayout.oracles ++
       streaming.EventStream.oracles
 }

@@ -337,7 +337,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate detection parameters: shingle width (tokens), the
+    * "appears in ≥ this many documents" threshold, and the report size. */
+  val BoilerK = 3
+  val BoilerMinDocs = 3
+  val BoilerTop = 50
+
+  /** q73 — inter-document BOILERPLATE n-gram detection (the cross-corpus
+    * complement of q68's intra-document repetition): token shingles that
+    * recur across ≥ [[BoilerMinDocs]] distinct documents, ranked by
+    * document frequency — the C4-style "this 3-gram is a template/header,
+    * strip or down-weight it" signal (Raffel et al. 2020 §2.2 drop
+    * repeated boilerplate lines; this is the n-gram generalization).
+    *
+    * Scale shape: shingles are distinct WITHIN a document before the
+    * explode ([[Dedup.shingleArray]]), so the one aggregation counts
+    * documents with a plain `count`, not a `countDistinct` — partial
+    * aggregation collapses each mapper's contribution to one row per
+    * distinct shingle, and the shuffle carries the (sublinear) shingle
+    * vocabulary, never the corpus token stream. The final report is a
+    * bounded top-k. */
+  def q73Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Dedup.shingles(Tables.documents(spark, dir), BoilerK)
+      .groupBy(col("s").as("shingle"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= BoilerMinDocs)
+      .orderBy(col("n_docs").desc, col("shingle"))
+      .limit(BoilerTop)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_boilerplate"   -> (q73Boilerplate _),
     "q68_repetition"    -> (q68Repetition _),
     "q65_chunk_overlap" -> (q65ChunkOverlap _),
     "q61_compress_ratio" -> (q61CompressRatio _),
@@ -351,6 +382,23 @@ object TextOps {
     "q54_tfidf"         -> (q54TfIdf _))
 
   val oracles: Map[String, String] = Map(
+    "q73_boilerplate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(w) - ${BoilerK - 1}, 1) + 1),
+         |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER),
+         |      CAST(i AS INTEGER) + ${BoilerK - 1}), ' ')))) AS s
+         |  FROM toks),
+         |c AS (
+         |  SELECT s AS shingle, CAST(count(*) AS BIGINT) AS n_docs,
+         |    min(doc_id) AS first_doc
+         |  FROM sh GROUP BY s)
+         |SELECT shingle, n_docs, first_doc FROM c
+         |WHERE n_docs >= $BoilerMinDocs
+         |ORDER BY n_docs DESC, shingle LIMIT $BoilerTop""".stripMargin,
     "q68_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("healthy corpus audits to an all-zero report with all issue classes present") {
+    val rows = Audit.q72IntegrityAudit(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set(
+      "doc_missing_embedding", "embedding_orphan", "embedding_nan",
+      "embedding_zero_norm", "embedding_dim_mismatch", "empty_text", "null_lang"))
+    assert(rows.forall(_.getLong(1) == 0L), s"expected clean: ${rows.mkString(",")}")
+  }
+
+  test("every issue class is detected on a planted dirty fixture") {
+    val docs = Seq(
+      (1L, "fine text", "en"),
+      (2L, "   ", "en"),      // empty after trim
+      (3L, "fine too", ""),   // missing lang
+      (9L, "no embedding", "en")
+    ).toDF("doc_id", "text", "lang")
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(Float.NaN, 1.0f)),          // NaN component
+      (3L, Array(0.0f, 0.0f)),               // zero vector
+      (7L, Array(1.0f, 1.0f)),               // orphan (no doc 7)
+      (4L, Array(1.0f, 2.0f, 3.0f))          // wrong dim AND orphan
+    ).toDF("vec_id", "embedding")
+    val got = Audit.integrity(docs, emb, expectedDim = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("empty_text") == 1)
+    assert(got("null_lang") == 1)
+    assert(got("embedding_nan") == 1)
+    assert(got("embedding_zero_norm") == 1)
+    assert(got("embedding_dim_mismatch") == 1)
+    assert(got("doc_missing_embedding") == 1) // doc 9
+    assert(got("embedding_orphan") == 2)      // vecs 7 and 4
+  }
+
+  test("boilerplate report finds shingles planted across many documents") {
+    val marker = "lorem ipsum dolor"
+    val docs = (0L until 10L).map { i =>
+      (i, s"unique$i words here $marker tail$i", "en", "s", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val rows = TextOps.q73Boilerplate(spark, tmp).collect()
+    // the marker and its two cross-boundary neighbors span all 10 docs
+    val full = rows.filter(_.getLong(1) == 10L).map(_.getString(0)).toSet
+    assert(full.contains(marker), s"planted 3-gram must be reported: $full")
+    assert(rows.head.getLong(1) == 10L, "full-coverage shingles rank first")
+    val markerRow = rows.find(_.getString(0) == marker).get
+    assert(markerRow.getLong(2) == 0L, "first_doc is the minimum doc_id")
+    assert(rows.forall(_.getLong(1) >= TextOps.BoilerMinDocs))
+  }
+}
