@@ -82,4 +82,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 2,
       s"q12 runs $shuffles shuffle exchanges (expected ≤ 2): $exchanges")
   }
+
+  private def shuffleCount(name: String): Int = {
+    val (df, _) = executed(name)
+    BucketedLayout.collectExchanges(df.queryExecution.executedPlan)
+      .count(_.toLowerCase.contains("shuffle"))
+  }
+
+  test("map-side text operators shuffle only for their output sort (q67, q68)") {
+    // PII scrub and repetition signals are per-document map work; the one
+    // legitimate exchange is the deterministic ORDER BY for the gate
+    Seq("q67_pii_redact", "q68_repetition").foreach { q =>
+      val n = shuffleCount(q)
+      assert(n <= 1, s"$q runs $n shuffles (expected ≤ 1 — map + output sort)")
+    }
+  }
+
+  test("boilerplate report is partial-agg + bounded top-k (q73)") {
+    val (df, plan) = executed("q73_boilerplate")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q73: bounded report must not global-sort\n$plan")
+    val n = BucketedLayout.collectExchanges(df.queryExecution.executedPlan)
+      .count(_.toLowerCase.contains("shuffle"))
+    assert(n <= 1, s"q73 runs $n shuffles (expected 1 — the shingle aggregation)")
+  }
+
+  test("BM25 never scans the corpus for document frequency (q70)") {
+    // df derives from the aggregated tf frame; a regression that replans
+    // it from the token stream shows up as a third corpus scan. Count
+    // scan NODES in the executed plan (the formatted string prints the
+    // AQE initial plan too, double-counting).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => 1 + s.children.map(scans).sum
+      case o => o.children.map(scans).sum
+    }
+    val (df, _) = executed("q70_bm25")
+    val n = scans(df.queryExecution.executedPlan)
+    assert(n <= 2, s"q70 runs $n parquet scans (expected 2: tf pass + corpus stats)")
+  }
 }
