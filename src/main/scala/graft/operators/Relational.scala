@@ -369,7 +369,50 @@ object Relational {
   }
 
   /** The (SparkSession, sfDir) => DataFrame entries for SparkEntry.queries. */
+  /** q74 — semi-structured JSON extraction (SURVEY S2's decode surface
+    * applied to a COLUMN: the reference stores raw JSON strings and
+    * queries them relationally; here `events.props` carries a JSON
+    * payload whose field is extracted, typed, and aggregated). Spark's
+    * `get_json_object` is a codegen'd scalar — the extraction rides the
+    * scan, no UDF, no intermediate parse table; at 100 TB the same query
+    * shape works on any sidecar-JSON column. Buckets the extracted value
+    * and profiles event counts per bucket. */
+  def q74JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        floor(get_json_object(col("props"), "$.k").cast("long") / lit(10.0))
+          .cast("long").as("k_decile"))
+      .filter(col("k_decile").isNotNull)
+      .groupBy("event_type", "k_decile")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type", "k_decile")
+  }
+
+  /** q75 — ROLLUP subtotals (the GROUPING SETS family, SURVEY §2.3's
+    * multi-level reporting shape): per (returnflag, linestatus) metrics
+    * with per-flag subtotals and a grand total in one pass — Spark plans
+    * one Expand + one aggregation, not three scans. `grouping_id`
+    * disambiguates subtotal rows; explicit NULLS FIRST ordering keeps
+    * both engines' output order identical. */
+  def q75Rollup(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(
+        col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_json_extract"      -> (q74JsonExtract _),
+    "q75_rollup"            -> (q75Rollup _),
     "q01_count"             -> (q01Count _),
     "q02_proj_filter_limit" -> (q02ProjFilterLimit _),
     "q03_group_topk"        -> (q03GroupTopK _),
@@ -398,6 +441,24 @@ object Relational {
 
   /** DuckDB-runnable oracle SQL, column-name-aligned with the Spark plans. */
   val oracles: Map[String, String] = Map(
+    "q74_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0)
+        |      AS BIGINT) AS k_decile
+        |  FROM events)
+        |SELECT event_type, k_decile, count(*) AS n_events
+        |FROM e WHERE k_decile IS NOT NULL
+        |GROUP BY event_type, k_decile
+        |ORDER BY event_type, k_decile""".stripMargin,
+    "q75_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q01_count" ->
       "SELECT count(*) AS record_count FROM lineitem",
     "q02_proj_filter_limit" ->

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class RelationalExtraSpec extends SparkSpec {
+
+  test("q74 JSON extraction buckets every event with a valid props.k") {
+    val rows = Relational.q74JsonExtract(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // decile buckets are sane and counts conserve the event total
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 9))
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.events(spark, sf).count(),
+      "every event carries a parseable props.k in the fixture")
+  }
+
+  test("q75 rollup: detail rows sum to subtotals, subtotals to the grand total") {
+    val rows = Relational.q75Rollup(spark, sf).collect()
+    val detail = rows.filter(_.getLong(2) == 0L)
+    val subtotals = rows.filter(_.getLong(2) == 1L)
+    val grand = rows.filter(_.getLong(2) == 3L)
+    assert(grand.length == 1)
+    assert(detail.map(_.getLong(3)).sum == grand.head.getLong(3))
+    assert(subtotals.map(_.getLong(3)).sum == grand.head.getLong(3))
+    // each subtotal row aggregates its flag's detail rows
+    subtotals.foreach { s =>
+      val flag = s.getString(0)
+      assert(s.getLong(3) == detail.filter(_.getString(0) == flag).map(_.getLong(3)).sum)
+      assert(s.isNullAt(1), "subtotal rows null out the aggregated-away column")
+    }
+    assert(grand.head.isNullAt(0) && grand.head.isNullAt(1))
+  }
+}
