@@ -109,11 +109,83 @@ object Corpus {
           .as("n2")))
   }
 
+  /** Per-source corpus statistics — the maintained table of
+    * [[incrementalStats]] (in production this is STORED next to the
+    * corpus and updated per crawl, not recomputed). */
+  def statsOf(docs: DataFrame): DataFrame =
+    docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+
+  /** INCREMENTAL maintenance of per-source stats across a corpus update:
+    * given the previous version's stats table and both corpus versions,
+    * produce the new stats by touching only the CHANGED documents —
+    * the recompute cost is change-sized, not corpus-sized (the property
+    * [[diff]] exists to enable).
+    *
+    * Shape: the diff is broadcast against each version (change-sized by
+    * construction), so each corpus side is a map-only scan that keeps
+    * only its changed rows — the shuffle carries per-source deltas
+    * (sources × changes, tiny). Removed/changed docs subtract their v1
+    * contribution; added/changed docs add their v2 contribution; the
+    * full-outer merge with the previous stats handles sources that
+    * appear or empty out. */
+  def incrementalStats(prevStats: DataFrame, v1: DataFrame, v2: DataFrame): DataFrame = {
+    val d = broadcast(diff(v1, v2))
+    val nt = size(TextOps.tokens(col("text"))).cast("long")
+    val minus = v1
+      .join(d.filter(col("status").isin("removed", "changed")), Seq("doc_id"))
+      .select(col("source"), lit(-1L).as("dd"), (-nt).as("dt"))
+    val plus = v2
+      .join(d.filter(col("status").isin("added", "changed")), Seq("doc_id"))
+      .select(col("source"), lit(1L).as("dd"), nt.as("dt"))
+    val delta = minus.unionAll(plus)
+      .groupBy("source")
+      .agg(sum(col("dd")).as("dd"), sum(col("dt")).as("dt"))
+    prevStats
+      .join(delta, Seq("source"), "full_outer")
+      .select(
+        col("source"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("n_docs"),
+        (coalesce(col("n_tokens"), lit(0L)) + coalesce(col("dt"), lit(0L))).as("n_tokens"))
+      .filter(col("n_docs") > 0)
+  }
+
+  /** q76 fixture: v1 additionally carries a 3-token legacy footer on the
+    * "changed" docs, so the incremental path must reconcile real token
+    * deltas (a changed doc whose token count did not change would hide a
+    * broken delta term). */
+  val ChangedFooter = " legacy footer line"
+
+  /** q76 — [[incrementalStats]] over the fixture versions; the gate
+    * compares against the oracle's DIRECT v2 aggregation, proving
+    * change-sized maintenance lands on the exact full-recompute answer. */
+  def q76IncrementalStats(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs
+      .filter(col("doc_id") % RemovedInV2Mod =!= RemovedInV2Rem)
+      .withColumn("text",
+        when(col("doc_id") % ChangedMod === 0, concat(col("text"), lit(ChangedFooter)))
+          .otherwise(col("text")))
+    val v2 = docs.filter(col("doc_id") % DroppedFromV1Mod =!= DroppedFromV1Rem)
+    incrementalStats(statsOf(v1), v1, v2).orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_incremental_stats" -> (q76IncrementalStats _),
     "q71_composition_drift" -> (q71CompositionDrift _),
     "q66_corpus_diff" -> (q66CorpusDiff _))
 
   val oracles: Map[String, String] = Map(
+    // the INCREMENTAL path must land on the exact DIRECT v2 aggregation
+    "q76_incremental_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+         |    AS BIGINT) AS n_tokens
+         |FROM documents
+         |WHERE doc_id % $DroppedFromV1Mod <> $DroppedFromV1Rem
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q71_composition_drift" ->
       s"""WITH c AS (
          |  SELECT source, lang,

@@ -51,6 +51,26 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-9)
   }
 
+  test("incremental stats maintenance lands exactly on the direct v2 aggregation") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "a b c", "s1"), (2L, "d e", "s1"),        // doc 2 will change
+      (3L, "f g h i", "s2"),                          // will be removed
+      (4L, "j", "s3")                                 // s3 empties out
+    ).toDF("doc_id", "text", "source")
+    val v2 = Seq(
+      (1L, "a b c", "s1"), (2L, "d e EXTENDED NOW", "s1"),
+      (5L, "new doc here", "s4")                      // s4 appears
+    ).toDF("doc_id", "text", "source")
+    val got = Corpus.incrementalStats(Corpus.statsOf(v1), v1, v2)
+      .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val direct = Corpus.statsOf(v2)
+      .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == direct.toSeq)
+    assert(!got.map(_._1).contains("s3"), "emptied-out source disappears")
+    assert(got.map(_._1).contains("s4"), "new source appears")
+  }
+
   test("q71 cell counts conserve the two fixture versions' totals") {
     val docs = graft.core.Tables.documents(spark, sf)
     val rows = Corpus.q71CompositionDrift(spark, sf).collect()
