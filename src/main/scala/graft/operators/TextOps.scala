@@ -224,15 +224,21 @@ object TextOps {
     Sessions.prepare(spark)
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count()
+    // corpus size as a broadcast 1-row aggregate inside the one plan —
+    // a driver-side count() would be a second corpus action/scan
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, Seq("token"))
+    // document frequency via a window over the aggregated tf frame: a
+    // groupBy + join-back would replan the explode subtree and scan the
+    // corpus twice (same shape as the q70 BM25 df derivation)
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+        round(col("tf") * log(col("n_docs") / col("df")), 4))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
     scored
       .withColumn("rnk", row_number().over(w))
