@@ -318,8 +318,16 @@ object Relational {
       .groupBy("r_name", "n_name", "c_mktsegment")
       .agg(
         count(lit(1)).as("n_customers"),
-        round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+        // exact integer cents: `round(avg(double), 2)` ties on .xx5
+        // boundaries where engines disagree on shortest-decimal vs
+        // raw-binary rounding; summing 2-dp money as BIGINT cents and
+        // rounding half-up with integer arithmetic is engine-portable
+        sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
       .filter(col("n_customers") >= 1)
+      .select(
+        col("r_name"), col("n_name"), col("c_mktsegment"), col("n_customers"),
+        (floor((col("sum_cents") * 2 + col("n_customers")) /
+          (col("n_customers") * 2)) / 100.0).as("avg_acctbal"))
       .orderBy("r_name", "n_name", "c_mktsegment")
   }
 
@@ -571,7 +579,8 @@ object Relational {
         |ORDER BY c_name""".stripMargin,
     "q36_geo_group" ->
       """SELECT r_name, n_name, c_mktsegment, count(*) AS n_customers,
-        |  round(avg(c_acctbal), 2) AS avg_acctbal
+        |  floor((2 * sum(CAST(round(c_acctbal * 100) AS BIGINT)) + count(*))
+        |        / (2.0 * count(*))) / 100.0 AS avg_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE c_acctbal IS NOT NULL

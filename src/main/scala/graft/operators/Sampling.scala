@@ -150,6 +150,14 @@ object Sampling {
   private[operators] def hexBucket(text: Column, pos: Int): Column =
     conv(substring(md5(trim(text)), pos, 4), 16, 10).cast("long")
 
+  /** Uniform fraction in [0,1) from 6 hex chars (24 bits) of the content
+    * hash at `pos`. 24 bits, not 16: a 16-bit draw divided by a larger
+    * constant compresses the range and biases any threshold compare —
+    * the q64 class of bug. 1/2^24 granularity is finer than the 6-dp
+    * rounding of the rates it is compared against. */
+  private[operators] def hexFrac(text: Column, pos: Int): Column =
+    conv(substring(md5(trim(text)), pos, 6), 16, 10).cast("long") / 16777216.0
+
   /** q63 — token-budget SEQUENCE PACKING: documents are concatenated in
     * content-hash order within a hash shard and cut into fixed
     * [[SeqBudget]]-token training sequences; each doc reports the
@@ -191,12 +199,10 @@ object Sampling {
     * (broadcast); the copy decision is map-only. Fractions are rounded
     * to 6 dp in-plan so the oracle's independently-computed pow() agrees
     * at the compare precision. */
-  def q64TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
-    Sessions.prepare(spark)
-    val docs = Tables.documents(spark, dir)
+  def temperatureMix(docs: DataFrame, alpha: Double): DataFrame = {
     val srcStats = docs.groupBy("source")
       .agg(count(lit(1)).cast("double").as("n_s"))
-      .withColumn("w_s", pow(col("n_s"), lit(MixAlpha)))
+      .withColumn("w_s", pow(col("n_s"), lit(alpha)))
     // Σ n_t^α and K via a GLOBAL window over the per-source frame — the
     // frame is sources-sized (not data-sized), so the single-partition
     // window is a few rows and the corpus is scanned ONCE for stats
@@ -213,9 +219,14 @@ object Sampling {
       .select(
         col("doc_id"), col("source"),
         (floor(col("rep")).cast("long") +
-          when((hexBucket(col("text"), 9) % 1000000L) / 1000000.0 <
-               col("rep") - floor(col("rep")), 1L).otherwise(0L)).as("n_copies"))
+          when(hexFrac(col("text"), 9) < col("rep") - floor(col("rep")), 1L)
+            .otherwise(0L)).as("n_copies"))
       .orderBy("doc_id")
+  }
+
+  def q64TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    temperatureMix(Tables.documents(spark, dir), MixAlpha)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -232,6 +243,13 @@ object Sampling {
        | (strpos('0123456789abcdef', substr($hx, ${pos + 1}, 1)) - 1) * 256 +
        | (strpos('0123456789abcdef', substr($hx, ${pos + 2}, 1)) - 1) * 16 +
        | (strpos('0123456789abcdef', substr($hx, ${pos + 3}, 1)) - 1))""".stripMargin
+
+  /** 24-bit variant of [[hex4Sql]] — matches [[hexFrac]]'s numerator. */
+  private def hex6Sql(hx: String, pos: Int): String =
+    (0 until 6).map { i =>
+      val mult = 1L << (4 * (5 - i))
+      s"(strpos('0123456789abcdef', substr($hx, ${pos + i}, 1)) - 1) * $mult"
+    }.mkString("(", " +\n ", ")")
 
   val oracles: Map[String, String] = Map(
     "q63_sequence_pack" ->
@@ -262,10 +280,10 @@ object Sampling {
          |  FROM s, t),
          |h AS (
          |  SELECT d.doc_id, d.source, r.rep,
-         |    ${hex4Sql("md5(trim(d.text))", 9)} % 1000000 AS b
+         |    ${hex6Sql("md5(trim(d.text))", 9)} AS b
          |  FROM documents d JOIN r USING (source))
          |SELECT doc_id, source,
-         |  CAST(floor(rep) + CASE WHEN b / 1000000.0 < rep - floor(rep)
+         |  CAST(floor(rep) + CASE WHEN b / 16777216.0 < rep - floor(rep)
          |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
          |FROM h ORDER BY doc_id""".stripMargin,
     // nibble arithmetic reproduces conv(hex,16,10) exactly (md5 is

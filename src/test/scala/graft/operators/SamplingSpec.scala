@@ -101,6 +101,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix realizes fractional repetition rates, not their ceiling") {
+    import spark.implicits._
+    // Skewed fixture chosen so frac(rep_s) lands mid-range for every
+    // source (≈0.2–0.9, nothing near 0) — the regime where a compressed
+    // uniform draw (the 16-bit-numerator / 1e6-denominator bug this test
+    // pins) rounds EVERY doc up to ceil(rep) instead of a frac(rep)
+    // share of them.
+    val docs = ((1 to 800).map(i => (i.toLong, "big", s"alpha payload $i text body")) ++
+      (801 to 950).map(i => (i.toLong, "mid", s"beta payload $i text body")) ++
+      (951 to 1030).map(i => (i.toLong, "small", s"gamma payload $i text body")))
+      .toDF("doc_id", "source", "text")
+    val alpha = 0.7
+    val rows = Sampling.temperatureMix(docs, alpha).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val sizes = Map("big" -> 800L, "mid" -> 150L, "small" -> 80L)
+    val wTot = sizes.values.map(n => math.pow(n.toDouble, alpha)).sum
+    val kTot = sizes.values.sum.toDouble
+    val bySource = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    sizes.foreach { case (src, n) =>
+      val rep = BigDecimal(kTot * math.pow(n.toDouble, alpha) / (wTot * n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val frac = rep - math.floor(rep)
+      assert(frac > 0.1 && frac < 0.95, s"fixture degenerate for $src: frac=$frac")
+      val expected = n * rep
+      // binomial tolerance on the fractional-copy count; the ceil-rounding
+      // bug overshoots by n·(1-frac) — an order of magnitude outside it
+      val tol = 4 * math.sqrt(n * frac * (1 - frac)) + 2
+      val got = bySource(src).toDouble
+      assert(math.abs(got - expected) <= tol,
+        s"$src: realized $got copies vs target $expected (rep=$rep, tol=$tol)")
+    }
+  }
+
   test("per-source quota is skew-safe: bounded survivors, output = naive window") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
