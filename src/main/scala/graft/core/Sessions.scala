@@ -49,6 +49,7 @@ object Sessions {
     // one-group-per-document aggregates. Measured 2.4x slowdown at sf0.1.
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     graft.functions.Dialect.register(spark)
+    graft.functions.TableFunctions.register(spark)
     spark
   }
 }

@@ -66,6 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("deflate_ratio", "deflate_ratio(text) - compressed/original byte ratio over UTF-8 bytes (quality signal)"),
       { exprs: Seq[Expression] => DeflateRatio(exprs(0)) }))
 
+    TableFunctions.builders.foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        info(name, s"$name(...) - graft LLM-pipeline table function (see TableFunctions)"),
+        builder))
+    }
+
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       info("minhash_sigs", "minhash_sigs(hashArray, n) - all n MinHash permutation minima in one pass (codegen)"),

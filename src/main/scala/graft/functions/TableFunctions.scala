@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** SQL table functions over the LLM-pipeline operator family.
+  *
+  * The reference's one query API is SQL-in, CSV-out
+  * (reference `test_pipeline.py:144-214` — `start_query_execution` with a
+  * SQL string); graft mirrors it in
+  * [[graft.exec.QueryExecutionManager]]. Until now the table-SHAPED
+  * operators (BM25 retrieval, decontamination, semantic dedup, source
+  * quotas, corpus diff) were reachable only as Scala calls — a user of
+  * the SQL surface could not run them at all. This registrar puts them
+  * behind Spark's native table-valued-function resolution, so
+  *
+  * {{{
+  *   SELECT * FROM bm25('spark join', 5)
+  *   SELECT * FROM source_cap(50) WHERE source = 'web'
+  *   SELECT * FROM sem_dedup(0.45)
+  *   SELECT * FROM decontaminate('eval_docs')
+  *   SELECT * FROM corpus_diff('documents_v1', 'documents')
+  * }}}
+  *
+  * all work through `spark.sql(...)` — and therefore through the
+  * manager's submit/status/results lifecycle, composing with ordinary
+  * SQL around them (projection, WHERE, joins, LIMIT).
+  *
+  * Each builder resolves its input tables BY NAME from the session
+  * catalog (`spark.table`), the same way the reference's SQL addresses
+  * crawler-registered tables — so the corpus the function sees is
+  * whatever `documents`/`embeddings` resolve to (temp view, catalog
+  * table, [[graft.catalog.TableRegistry]] registration). The returned
+  * plan is the operator's ordinary DataFrame plan: everything downstream
+  * (pushdown into the function's output, AQE, codegen) behaves exactly
+  * as the Scala call does, because it IS the same plan.
+  *
+  * Arguments must be literals (they parameterize plan construction at
+  * analysis time). `sem_dedup` additionally trains its capped-sample
+  * quantizer during resolution — a bounded (≤4096-row) job, the same
+  * cost the Scala entry pays.
+  */
+object TableFunctions {
+
+  /** Default cluster count for the `sem_dedup` TVF quantizer — mirrors
+    * [[graft.operators.Similarity.SemClusters]]. */
+  private def semClusters = graft.operators.Similarity.SemClusters
+
+  private val names =
+    Seq("bm25", "source_cap", "sem_dedup", "decontaminate", "corpus_diff")
+
+  /** Idempotent per-session registration (the table-function analogue of
+    * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
+    * here). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    if (names.forall(n => reg.functionExists(FunctionIdentifier(n)))) return
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  /** The builders, exposed for [[GraftExtensions]] to inject
+    * config-driven (`spark.sql.extensions`) with identical semantics. */
+  private[functions] val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "bm25" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(q, k) =>
+          val terms = string(q, "bm25(query, k)")
+            .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+          require(terms.nonEmpty, "bm25: query must contain at least one term")
+          plan(spark => graft.operators.Retrieval.bm25TopK(
+            spark.table("documents"), terms.map(0L -> _), int(k, "bm25(query, k)")))
+        case _ => throw new IllegalArgumentException(
+          "bm25 expects (query string, k)")
+      }
+    },
+    "source_cap" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(cap) =>
+          plan(spark => graft.operators.Sampling.sourceCap(
+            spark.table("documents"), int(cap, "source_cap(cap)")))
+        case _ => throw new IllegalArgumentException("source_cap expects (cap)")
+      }
+    },
+    "sem_dedup" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(thr) =>
+          plan { spark =>
+            val emb = spark.table("embeddings")
+            graft.operators.Similarity.semDedup(
+              emb,
+              graft.operators.IvfIndex.centroidsOf(emb, semClusters),
+              dbl(thr, "sem_dedup(threshold)"))
+          }
+        case _ => throw new IllegalArgumentException("sem_dedup expects (threshold)")
+      }
+    },
+    "decontaminate" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(evalTable) =>
+          plan { spark =>
+            val sigs = graft.operators.Dedup.sigsOf _
+            graft.operators.Dedup.decontaminate(
+              spark,
+              sigs(spark.table("documents")),
+              sigs(spark.table(string(evalTable, "decontaminate(eval_table)"))))
+          }
+        case _ => throw new IllegalArgumentException(
+          "decontaminate expects (eval_table name)")
+      }
+    },
+    "corpus_diff" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(v1, v2) =>
+          plan(spark => graft.operators.Corpus.diff(
+            spark.table(string(v1, "corpus_diff(v1, v2)")),
+            spark.table(string(v2, "corpus_diff(v1, v2)"))))
+        case _ => throw new IllegalArgumentException(
+          "corpus_diff expects (v1 table name, v2 table name)")
+      }
+    })
+
+  /** Build the operator frame against the session resolving the query
+    * and hand its analyzed plan to the outer analyzer (idempotent on
+    * resolved subtrees). */
+  private def plan(f: SparkSession => DataFrame): LogicalPlan =
+    f(SparkSession.active).queryExecution.analyzed
+
+  private def value(e: Expression, sig: String): Any = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$sig: arguments must be literals")
+    val v = e.eval()
+    if (v == null) throw new IllegalArgumentException(s"$sig: argument is NULL")
+    v
+  }
+
+  private def string(e: Expression, sig: String): String = value(e, sig).toString
+
+  private def int(e: Expression, sig: String): Int = value(e, sig) match {
+    case n: java.lang.Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$sig: expected an integer, got $other")
+  }
+
+  private def dbl(e: Expression, sig: String): Double = value(e, sig) match {
+    case n: java.lang.Number => n.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$sig: expected a number, got $other")
+  }
+}

@@ -44,7 +44,7 @@ object Dedup {
     * distinct shingles are ~|shingles|²/2⁶⁵ — negligible against the LSH
     * probability bounds already accepted by this family), and the shingle
     * count rides along as a column instead of costing a groupBy shuffle. */
-  private[operators] def sigsOf(docs: DataFrame): DataFrame =
+  private[graft] def sigsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), transform(shingleArray(col("text")), s => xxhash64(s)).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))

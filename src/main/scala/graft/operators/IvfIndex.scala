@@ -59,8 +59,15 @@ object IvfIndex {
   /** Drop cached indexes (tests / corpus refresh). */
   def invalidate(): Unit = cache.clear()
 
-  private def build(spark: SparkSession, dir: String, k: Int): Array[Array[Double]] = {
-    val sample = Tables.embeddings(spark, dir)
+  private def build(spark: SparkSession, dir: String, k: Int): Array[Array[Double]] =
+    centroidsOf(Tables.embeddings(spark, dir), k)
+
+  /** Centroids for ANY (vec_id, embedding) frame — the uncached entry the
+    * SQL table-function surface uses (no corpus dir to version-key on).
+    * The training sample is capped at [[SampleSize]], so the collect is
+    * bounded at any corpus scale. */
+  def centroidsOf(emb: org.apache.spark.sql.DataFrame, k: Int): Array[Array[Double]] = {
+    val sample = emb
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(SampleSize)
       .select("embedding")

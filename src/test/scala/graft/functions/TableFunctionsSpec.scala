@@ -1,0 +1,109 @@
+package graft.functions
+
+import java.nio.file.{Files, Paths}
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.exec.QueryExecutionManager
+import graft.exec.QueryExecutionManager.Status
+
+/** The LLM-pipeline operator family reached through the SQL surface:
+  * each table function must return EXACTLY the frame its Scala entry
+  * returns (same plan, same rows), compose with ordinary SQL, and run
+  * end-to-end through the query-execution lifecycle (submit → CSV +
+  * metadata), since SQL-in/CSV-out is the reference's one query API. */
+class TableFunctionsSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("bm25 TVF = Scala bm25TopK on the same corpus") {
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql("SELECT * FROM bm25('spark join', 5)")
+    val viaScala = graft.operators.Retrieval.bm25TopK(
+      Tables.documents(spark, sf), Seq(0L -> "spark", 0L -> "join"), 5)
+    assert(rows(viaSql) == rows(viaScala))
+    assert(viaSql.columns.toSeq == Seq("query_id", "rnk", "doc_id", "score"))
+    assert(viaSql.count() == 5)
+  }
+
+  test("source_cap TVF = Scala sourceCap, and composes with WHERE") {
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql("SELECT * FROM source_cap(10)")
+    val viaScala = graft.operators.Sampling.sourceCap(Tables.documents(spark, sf), 10)
+    assert(rows(viaSql) == rows(viaScala))
+    // ordinary SQL composes around the function's output
+    val one = spark.sql(
+      "SELECT count(*) AS n FROM source_cap(10) WHERE rnk <= 3 GROUP BY source LIMIT 1")
+    assert(one.collect().head.getLong(0) == 3L)
+  }
+
+  test("sem_dedup TVF = Scala semDedup at the same threshold") {
+    Tables.registerAll(spark, sf)
+    val thr = graft.operators.Similarity.NearDupThreshold
+    val viaSql = spark.sql(s"SELECT * FROM sem_dedup($thr)")
+    val emb = Tables.embeddings(spark, sf)
+    val viaScala = graft.operators.Similarity.semDedup(
+      emb,
+      graft.operators.IvfIndex.centroidsOf(emb, graft.operators.Similarity.SemClusters),
+      thr)
+    assert(rows(viaSql) == rows(viaScala))
+  }
+
+  test("decontaminate TVF finds overlap against a named eval table") {
+    Tables.registerAll(spark, sf)
+    // eval set = the q62 fixture slice, registered as its own table — the
+    // production shape (a benchmark table by name)
+    Tables.documents(spark, sf)
+      .filter(col("doc_id") % graft.operators.Dedup.EvalDocModulus === 0)
+      .createOrReplaceTempView("eval_docs")
+    val viaSql = spark.sql("SELECT * FROM decontaminate('eval_docs')")
+    // eval docs share all their shingles with themselves (they are in
+    // `documents` too), so every eval doc appears; q62's train-only
+    // variant is the subset with the eval slice removed from train
+    assert(viaSql.count() > 0)
+    val sigs = graft.operators.Dedup.sigsOf(Tables.documents(spark, sf))
+    val viaScala = graft.operators.Dedup.decontaminate(
+      spark, sigs,
+      graft.operators.Dedup.sigsOf(spark.table("eval_docs")))
+    assert(rows(viaSql) == rows(viaScala))
+  }
+
+  test("corpus_diff TVF diffs two named corpus versions") {
+    Tables.registerAll(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 10 =!= 0).createOrReplaceTempView("docs_v1")
+    val viaSql = spark.sql("SELECT * FROM corpus_diff('docs_v1', 'documents')")
+    val viaScala = graft.operators.Corpus.diff(
+      spark.table("docs_v1"), docs)
+    assert(rows(viaSql) == rows(viaScala))
+    // every tenth doc was absent from v1 ⇒ shows up as added
+    val added = viaSql.filter(col("status") === "added").count()
+    assert(added == docs.filter(col("doc_id") % 10 === 0).count())
+  }
+
+  test("TVFs run end-to-end through the query-execution lifecycle") {
+    Tables.registerAll(spark, sf)
+    val dir = Files.createTempDirectory("graft_tvf_results").toString
+    val mgr = new QueryExecutionManager(spark, dir)
+    val id = mgr.submit("SELECT query_id, rnk, doc_id FROM bm25('customer batch', 3)")
+    val st = mgr.await(id)
+    assert(st.status == Status.Succeeded, st.reason)
+    assert(Files.exists(Paths.get(dir, s"$id.csv")))
+    assert(Files.exists(Paths.get(dir, s"$id.csv.metadata")))
+    val Some((header, rs)) = mgr.results(id)
+    assert(header == Seq("query_id", "rnk", "doc_id"))
+    assert(rs.length == 3)
+  }
+
+  test("literal-argument contract: non-literal or malformed args fail cleanly") {
+    Tables.registerAll(spark, sf)
+    val e = intercept[Exception](spark.sql("SELECT * FROM bm25('', 5)").collect())
+    assert(e.getMessage.contains("at least one term"))
+    val e2 = intercept[Exception](spark.sql("SELECT * FROM corpus_diff('docs_v1')").collect())
+    assert(e2.getMessage.toLowerCase.contains("expects"))
+  }
+}
