@@ -330,14 +330,28 @@ object Dedup {
     // exact join (verified) at a fraction of the cost, and served from
     // the per-corpus SignatureStage cache (q27 and q38 in one session pay
     // for the LSH pipeline once); the CC step only needs the pair list
-    val pairs = verifiedPairs(spark, dir).select("d1", "d2")
+    minLabelComponents(spark, verifiedPairs(spark, dir).select("d1", "d2"))
+      .select(col("doc_id"), col("keeper"),
+        (col("doc_id") === col("keeper")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components with min-id labels over a (d1, d2) pair frame —
+    * the duplicate-GROUP primitive shared by q38 (dedup apply) and q69
+    * (SemDeDup keeper election), so every graft operator agrees on what
+    * a "duplicate group" means: the transitive closure of pairs, keeper
+    * = minimum id. Returns (doc_id, keeper) for every node that appears
+    * in a pair. Hybrid execution: graphs under
+    * `spark.graft.cc.localThreshold` edges solve on the driver with
+    * union-find; larger graphs run distributed min-label propagation
+    * with pointer jumping. */
+  private[graft] def minLabelComponents(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val nEdges = pairs.count()
     if (nEdges == 0) {
-      // no near-dup pairs → no clusters; return the empty (typed) result
-      // instead of running the loop (whose convergence aggregate over an
-      // empty frame yields null)
-      return pairs.select(
-        col("d1").as("doc_id"), col("d1").as("keeper"), lit(true).as("is_keeper"))
+      // no pairs → no groups; return the empty (typed) result instead of
+      // running the loop (whose convergence aggregate over an empty
+      // frame yields null)
+      return pairs.select(col("d1").as("doc_id"), col("d1").as("keeper"))
     }
     val localThreshold = spark.conf.getOption("spark.graft.cc.localThreshold")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
@@ -351,9 +365,6 @@ object Dedup {
       val labels = unionFindMinLabel(edges).toSeq.sorted
       import spark.implicits._
       return labels.toDF("doc_id", "keeper")
-        .select(col("doc_id"), col("keeper"),
-          (col("doc_id") === col("keeper")).as("is_keeper"))
-        .orderBy("doc_id")
     }
     // the pair graph is near-dup-sized (tiny relative to the corpus):
     // size the iteration partitioning to the graph, not the session
@@ -413,10 +424,7 @@ object Dedup {
         .warn(s"q38DedupApply: CC loop hit MaxCcIters=$MaxCcIters without " +
           "converging — cluster labels may be incomplete")
     allEdges.unpersist()
-    labels
-      .select(col("doc_id"), col("lbl").as("keeper"),
-        (col("doc_id") === col("lbl")).as("is_keeper"))
-      .orderBy("doc_id")
+    labels.select(col("doc_id"), col("lbl").as("keeper"))
   }
 
   /** Eval-set membership rule for the FIXTURE DEFAULT of

@@ -310,10 +310,19 @@ object Similarity {
     * arXiv:2303.09540): cluster the embedding space with the IVF coarse
     * quantizer, then look for duplicate pairs ONLY within a cluster —
     * pairwise cost drops from O(n²) to Σ|cluster|², and each cluster's
-    * pairs compute independently after one shuffle on cluster id. Greedy
-    * keeper election (the paper's "keep one random point; we keep the
-    * lowest vec_id" — deterministic here): a vector is `drop` iff some
-    * lower-id vector in ITS cluster has cosine ≥ τ with it.
+    * pairs compute independently after one shuffle on cluster id.
+    *
+    * Keeper election is GROUP-based and shared with q38: the
+    * within-cluster pairs feed [[Dedup.minLabelComponents]] (hybrid
+    * union-find / distributed min-label CC), each duplicate group keeps
+    * its minimum vec_id (the paper keeps one representative per group;
+    * ours is the deterministic choice) and drops the rest. One CC pass
+    * over the pair graph — which is near-dup-sized, tiny relative to the
+    * corpus — replaces the earlier chain-greedy rule ("drop iff ANY
+    * lower-id similar neighbor"), which disagreed with q38 about what a
+    * duplicate group means on star-shaped graphs (a member whose direct
+    * neighbors all have higher ids survived even though its group's
+    * keeper was lower).
     *
     * At 100 TB: k scales as n / target-cluster-size so Σ|c|² stays
     * bounded; the quantizer trains on a capped sample ([[IvfIndex]]) and
@@ -332,16 +341,17 @@ object Similarity {
         col("embedding"), centers, 1), 1).as("cluster"))
     val l = assigned.select(col("cluster"), col("vec_id").as("v1"), col("embedding").as("e1"))
     val r = assigned.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2"))
-    val dropped = l.join(r, Seq("cluster"))
+    val pairs = l.join(r, Seq("cluster"))
       .filter(col("v1") < col("v2"))
       .filter(cosine(col("e1"), col("e2")) >= threshold)
-      .select(col("v2").as("vec_id"))
-      .distinct()
-      .withColumn("status", lit("drop"))
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val groups = Dedup.minLabelComponents(emb.sparkSession, pairs)
+      .select(col("doc_id").as("vec_id"), col("keeper"))
     assigned
-      .join(dropped, Seq("vec_id"), "left")
+      .join(groups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
-        coalesce(col("status"), lit("keep")).as("status"))
+        when(col("keeper").isNull || col("keeper") === col("vec_id"), "keep")
+          .otherwise("drop").as("status"))
   }
 
   /** q69 — [[semDedup]] over the embeddings table at the corpus's

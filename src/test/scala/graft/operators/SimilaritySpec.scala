@@ -119,14 +119,17 @@ class SimilaritySpec extends SparkSpec {
         s
       }
     val byCluster = vecs.toSeq.groupBy { case (_, v) => cluster(v) }
+    // group semantics, same as q38: duplicate groups are connected
+    // components of the within-cluster pair graph; keeper = group min
     val expectDrop = byCluster.values.flatMap { members =>
       val sorted = members.sortBy(_._1)
-      sorted.indices.flatMap { i =>
-        val (id, v) = sorted(i)
-        if ((0 until i).exists(j => cos(sorted(j)._2, v) >= Similarity.NearDupThreshold))
-          Some(id)
-        else None
-      }
+      val edges = for {
+        i <- sorted.indices
+        j <- 0 until i
+        if cos(sorted(j)._2, sorted(i)._2) >= Similarity.NearDupThreshold
+      } yield (sorted(j)._1, sorted(i)._1)
+      Dedup.unionFindMinLabel(edges.toArray)
+        .collect { case (id, keeper) if id != keeper => id }
     }.toSet
     val gotDrop = out.filter(_.getString(2) == "drop").map(_.getLong(0)).toSet
     assert(gotDrop == expectDrop,
@@ -159,6 +162,24 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.semDedup(emb, centers, threshold = 0.999).collect()
     assert(out.map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq ==
       again.map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq)
+  }
+
+  test("SemDeDup keeper election is group-consistent on star graphs") {
+    import spark.implicits._
+    // pair graph 1~3, 2~3 (NOT 1~2): unit vectors at 0°, 50°, 25° with
+    // τ=0.9 → cos(1,3)=cos(2,3)=cos25°≈0.906 ≥ τ, cos(1,2)=cos50°≈0.64.
+    // One duplicate GROUP {1,2,3}, keeper 1 — vec 2 must drop even though
+    // its only direct neighbor (3) has a higher id. The chain-greedy rule
+    // this replaced kept 2, disagreeing with q38's union-find semantics.
+    def at(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val emb = Seq((1L, at(0)), (2L, at(50)), (3L, at(25))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, Array(Array(1.0, 0.0)), threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "keep", 2L -> "drop", 3L -> "drop"),
+      s"one keeper per duplicate group (the component min): $out")
   }
 
   test("IVF ANN beats sign-LSH recall at comparable scan fraction") {
