@@ -67,24 +67,54 @@ object Bench {
       scala.util.Try(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ")(0)).getOrElse("-1")
     calibrate() // JIT-warm the calibration loop itself, or before > after on any machine
-    val calibBefore = calibrate()
-    val loadBefore = loadavg()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> samples(samples.length / 2)
+
+    /** One full timed sweep bracketed by calibrations. */
+    case class Sweep(results: Seq[(String, Double)],
+        calibBefore: Double, calibAfter: Double,
+        loadBefore: String, loadAfter: String)
+    def sweep(): Sweep = {
+      val cb = calibrate()
+      val lb = loadavg()
+      val res = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val samples = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> samples(samples.length / 2)
+      }
+      Sweep(res, cb, calibrate(), lb, loadavg())
     }
-    val calibAfter = calibrate()
-    val loadAfter = loadavg()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // contention verdict for a sweep: the two calibration runs of the SAME
+    // constant workload disagreeing by >2× means the machine's spare CPU
+    // changed materially while we measured. (Load average is reported in
+    // the JSON for transparency but is NOT a trigger: by sweep time it
+    // reflects our own warmup/bench threads, not external load.)
+    def contended(sw: Sweep): Boolean = {
+      val ratio = math.max(sw.calibBefore, sw.calibAfter) /
+        math.max(1e-9, math.min(sw.calibBefore, sw.calibAfter))
+      ratio > 2.0
+    }
+    // self-healing (round-5 verdict item 3): a contended first pass
+    // re-runs ONCE — timings from a machine whose background load shifted
+    // mid-sweep are noise, and emitting them as BENCH_r*.json misreads as
+    // a code regression. If the retry is contended too, emit it but say
+    // so ("contended": true) instead of pretending the numbers are clean.
+    var sw = sweep()
+    var retried = false
+    if (contended(sw)) {
+      System.err.println(
+        s"[bench] contended sweep (calib ${sw.calibBefore} -> ${sw.calibAfter}); re-running once")
+      retried = true
+      sw = sweep()
+    }
+    val qs = sw.results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = sw.results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","calib_before":$calibBefore,"calib_after":$calibAfter""" +
-      s""","loadavg_before":$loadBefore,"loadavg_after":$loadAfter}"""
+      s""","calib_before":${sw.calibBefore},"calib_after":${sw.calibAfter}""" +
+      s""","loadavg_before":${sw.loadBefore},"loadavg_after":${sw.loadAfter}""" +
+      s""","retried":$retried,"contended":${contended(sw)}}"""
     // emit on BOTH channels: a bare stdout line (build.sbt routes forked
     // run output straight to stdout, un-prefixed) and a file — so the
     // driver's parser never has to fish the metric out of sbt log noise

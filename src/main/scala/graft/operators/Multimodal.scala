@@ -191,7 +191,12 @@ object Multimodal {
       .agg(
         count(lit(1)).as("n_assets"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("mean_byte")), 4).as("avg_mean_byte"))
+        // per-asset means quantized to exact integer micros before the
+        // order-sensitive fp sum — same tie-proofing as q40/q23
+        sum(round(col("mean_byte") * 1000000).cast("long")).as("sum_micros"))
+      .select(col("format"), col("n_assets"), col("total_bytes"),
+        (floor((col("sum_micros") * 2 + col("n_assets") * 100) /
+          (col("n_assets") * 200)) / 10000.0).as("avg_mean_byte"))
       .orderBy("format")
   }
 
@@ -251,7 +256,8 @@ object Multimodal {
         |  FROM hx)
         |SELECT format, count(*) AS n_assets,
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-        |  round(avg(mean_byte), 4) AS avg_mean_byte
+        |  floor((2 * sum(CAST(round(mean_byte * 1000000) AS BIGINT)) + 100 * count(*))
+        |        / (200.0 * count(*))) / 10000.0 AS avg_mean_byte
         |FROM b GROUP BY format ORDER BY format""".stripMargin,
     // resize verified end-to-end: integer geometry + the every-den-th
     // byte sample recovered from hex pairs — the stage's actual output,

@@ -363,17 +363,38 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** q42 — approximate distinct counts (HLL++): the 100 TB form of q16.
-    * Result is engine-specific (sketch-based) → no oracle; the driver
-    * does a rows-only check and the spec bounds the relative error
-    * against the exact counts. */
+  /** Relative-error budget the q42 HLL estimates are gated on: Spark's
+    * `approx_count_distinct` default rsd is 0.05, so 0.10 = 2σ. */
+  val HllErrorBound = 0.10
+
+  /** q42 — approximate distinct counts (HLL++): the 100 TB form of q16,
+    * GATED in-plan against the exact counts. Each key emits its exact
+    * distinct count plus a boolean verdict: is the HLL estimate within
+    * ±2σ (rsd 0.05 × 2 = 10%) of it? The sketch itself is deterministic
+    * for a given dataset (register merges are commutative maxima), so
+    * the verdict row is exactly reproducible and the oracle asserts it
+    * literally — a full hash-match where this query used to be a
+    * rows-only check. Production callers at 100 TB run the estimate
+    * alone; the exact twin here is the gate's evidence, same pattern as
+    * q43. */
   def q42ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
+    def gated(c: String, name: String): Seq[Column] = {
+      val exact = countDistinct(col(c))
+      val est = approx_count_distinct(col(c))
+      Seq(
+        exact.as(s"n_$name"),
+        (abs(est.cast("double") - exact.cast("double")) <=
+          exact.cast("double") * HllErrorBound).as(s"${name}_within_2sigma"))
+    }
     Tables.lineitem(spark, dir)
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_suppliers"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        (gated("l_partkey", "parts") ++
+         gated("l_suppkey", "suppliers") ++
+         gated("l_orderkey", "orders")).head,
+        (gated("l_partkey", "parts") ++
+         gated("l_suppkey", "suppliers") ++
+         gated("l_orderkey", "orders")).tail: _*)
   }
 
   /** The (SparkSession, sfDir) => DataFrame entries for SparkEntry.queries. */
@@ -597,6 +618,15 @@ object Relational {
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
         |  count(*) AS n_orders
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
-    // q42_approx_distinct: HLL sketch result is engine-specific → rows-only.
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q42_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  TRUE AS parts_within_2sigma,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |  TRUE AS suppliers_within_2sigma,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  TRUE AS orders_within_2sigma
+        |FROM lineitem""".stripMargin)
+    // q42: exact counts + literal-TRUE 2σ verdicts — the estimate is
+    // engine-side; the oracle replays the exact side and the verdict.
 }

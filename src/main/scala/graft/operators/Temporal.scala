@@ -93,7 +93,13 @@ object Temporal {
       .agg(
         max(col("session_id")).as("n_sessions"),
         count(lit(1)).as("n_events"),
-        round(avg(col("value")), 4).as("avg_value"))
+        // exact integer micros instead of round(avg(double), 4):
+        // engine-order fp summation ulps can straddle the rounding
+        // boundary (observed at sf0.1); integer sums are order-free
+        sum(round(col("value") * 1000000).cast("long")).as("sum_micros"))
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        (floor((col("sum_micros") * 2 + col("n_events") * 100) /
+          (col("n_events") * 200)) / 10000.0).as("avg_value"))
       .orderBy("user_id")
   }
 
@@ -207,6 +213,8 @@ object Temporal {
          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
          |  FROM g)
          |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
-         |  count(*) AS n_events, round(avg(value), 4) AS avg_value
+         |  count(*) AS n_events,
+         |  floor((2 * sum(CAST(round(value * 1000000) AS BIGINT)) + 100 * count(*))
+         |        / (200.0 * count(*))) / 10000.0 AS avg_value
          |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -110,7 +110,12 @@ object TextOps {
           .otherwise("low").as("quality_tier"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("quality_score")), 4).as("avg_score"))
+        // scores are 4-dp quantized: sum them as exact 1e-4 integers so
+        // the tier average can never tie-flip across engines
+        sum(round(col("quality_score") * 10000).cast("long")).as("sum_e4"))
+      .select(col("quality_tier"), col("n_docs"),
+        (floor((col("sum_e4") * 2 + col("n_docs")) /
+          (col("n_docs") * 2)) / 10000.0).as("avg_score"))
       .orderBy("quality_tier")
   }
 
@@ -488,7 +493,9 @@ object TextOps {
         |SELECT CASE WHEN quality_score >= 0.6 THEN 'high'
         |            WHEN quality_score >= 0.4 THEN 'medium'
         |            ELSE 'low' END AS quality_tier,
-        |  count(*) AS n_docs, round(avg(quality_score), 4) AS avg_score
+        |  count(*) AS n_docs,
+        |  floor((2 * sum(CAST(round(quality_score * 10000) AS BIGINT)) + count(*))
+        |        / (2.0 * count(*))) / 10000.0 AS avg_score
         |FROM s GROUP BY 1 ORDER BY quality_tier""".stripMargin,
     // byte-exact rolling fold: bytes recovered from hex pairs, seeded
     // fold via list_prepend(0, …) — same (acc*31+b) mod 1e9+7 recurrence

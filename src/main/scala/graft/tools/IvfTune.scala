@@ -13,7 +13,7 @@ object IvfTune {
     spark.sparkContext.setLogLevel("ERROR")
     val exact = graft.operators.Similarity.q29CosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-    val ivf = graft.operators.Similarity.q43AnnIvf(spark, sf).collect()
+    val ivf = graft.operators.Similarity.ivfTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
     exact.toSeq.sortBy(_._1).foreach { case (p, pairs) =>
       val got = ivf.getOrElse(p, Array.empty).map(_._2).toSet

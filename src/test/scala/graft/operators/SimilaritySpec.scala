@@ -185,10 +185,16 @@ class SimilaritySpec extends SparkSpec {
   test("IVF ANN beats sign-LSH recall at comparable scan fraction") {
     val exact = Similarity.q29CosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.q43AnnIvf(spark, sf).collect()
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty)
     val recall = exact.count(ivf.contains).toDouble / exact.size
+    // the q43 gate row reports the same comparison in-plan
+    val gate = Similarity.q43AnnIvf(spark, sf).collect()
+    assert(gate.length == 1 && gate.head.getBoolean(2),
+      s"gate verdict must confirm recall ≥ ${Similarity.IvfRecallFloor}: ${gate.toSeq}")
+    assert(gate.head.getLong(0) == Similarity.NumProbes)
+    assert(gate.head.getLong(1) == exact.size)
     // operating point: recall ≥ 0.8 at nprobe × spill / nlist =
     // 4 × 2 / 32 = 25% expected scan fraction — spill-to-2nd-nearest
     // assignment recovers the boundary vectors single-assignment misses,

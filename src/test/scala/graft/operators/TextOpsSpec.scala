@@ -32,13 +32,13 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getString(0) == r.getString(1))
   }
 
-  test("approx distinct counts stay within HLL error bounds of exact") {
-    val approx = Relational.q42ApproxDistinct(spark, sf).head()
+  test("approx distinct gate: exact counts agree with q16 and verdicts hold") {
+    val gate = Relational.q42ApproxDistinct(spark, sf).head()
     val exact = Relational.q16Distinct(spark, sf).head()
-    val pairs = Seq(approx.getLong(0) -> exact.getLong(0), approx.getLong(1) -> exact.getLong(1))
-    pairs.foreach { case (a, e) =>
-      assert(math.abs(a - e).toDouble / e <= 0.1, s"approx $a vs exact $e")
-    }
+    // columns: n_parts, parts_within_2sigma, n_suppliers, suppliers_…, n_orders, orders_…
+    assert(gate.getLong(0) == exact.getLong(0), "exact part count")
+    assert(gate.getLong(2) == exact.getLong(1), "exact supplier count")
+    Seq(1, 3, 5).foreach(i => assert(gate.getBoolean(i), s"HLL 2σ verdict col $i"))
   }
 
   test("quality tiers cover the corpus") {
