@@ -54,6 +54,23 @@ object Dedup {
   private[operators] def shingleSigs(spark: SparkSession, dir: String): DataFrame =
     SignatureStage.stage(spark, dir, "shingle_sigs")(sigsOf(Tables.documents(spark, dir)))
 
+  /** Bucket fan-out for the persisted exploded shingle table — sized to
+    * the fixtures; a deployment sizes it to ~128-256 MB per bucket. */
+  val ShingleHashBuckets = 8
+
+  /** Pre-exploded (doc_id, h) shingle-hash pairs — the JOIN-ready grain
+    * of the signature table, bucketed by `h` when persisted: any later
+    * equi-join on the hash (decontamination's shuffle fallback, external
+    * overlap probes) then plans WITHOUT an Exchange on the corpus side,
+    * in this session or any later one that reloads the stage — the
+    * [[graft.layout.BucketedLayout]] lever applied to the family's own
+    * intermediates. */
+  private[operators] def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    SignatureStage.stage(spark, dir, "shingle_h",
+        Some(SignatureStage.BucketSpec(Seq("h"), ShingleHashBuckets))) {
+      shingleSigs(spark, dir).select(col("doc_id"), explode(col("hs")).as("h"))
+    }
+
   /** Exact-duplicate groups by content hash (SURVEY §2.9 "exact dedup";
     * the group-and-HAVING shape of the reference's duplicate-email check,
     * `sql/sample_athena_queries.sql:113-119`). One shuffle on the 128-bit
@@ -456,7 +473,15 @@ object Dedup {
     * Output: each contaminated train doc with its count of distinct
     * shared shingles (the triage signal: 1 shared 5-gram is noise, 20
     * is a leak). */
-  def decontaminate(spark: SparkSession, trainSigs: DataFrame, evalSigs: DataFrame): DataFrame = {
+  def decontaminate(spark: SparkSession, trainSigs: DataFrame, evalSigs: DataFrame): DataFrame =
+    decontaminateExploded(spark,
+      trainSigs.select(col("doc_id"), explode(col("hs")).as("h")), evalSigs)
+
+  /** [[decontaminate]] over an ALREADY-exploded (doc_id, h) train side —
+    * the entry the bucketed [[shingleHashes]] stage feeds, so the
+    * corpus-side join key arrives pre-partitioned. */
+  private[operators] def decontaminateExploded(
+      spark: SparkSession, trainH: DataFrame, evalSigs: DataFrame): DataFrame = {
     val limit = spark.conf.getOption("spark.graft.decontam.broadcastShingleLimit")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       .getOrElse(BroadcastShingleLimit)
@@ -466,8 +491,7 @@ object Dedup {
     // caching it here would pin blocks past the caller's action with no
     // release point
     val evalSide = if (evalSh.count() <= limit) broadcast(evalSh) else evalSh
-    trainSigs.select(col("doc_id"), explode(col("hs")).as("h"))
-      .join(evalSide, Seq("h"))
+    trainH.join(evalSide, Seq("h"))
       .groupBy("doc_id")
       .agg(countDistinct(col("h")).as("n_shared"))
       .orderBy("doc_id")
@@ -482,8 +506,12 @@ object Dedup {
   def q62Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     val isEval = col("doc_id") % EvalDocModulus === 0
-    val sigs = shingleSigs(spark, dir)
-    decontaminate(spark, sigs.filter(!isEval), sigs.filter(isEval))
+    // train side from the exploded stage (bucket-partitioned on h when
+    // persisted — a doc_id filter preserves that); eval side keeps the
+    // doc-grain signature rows it needs for its own explode+distinct
+    decontaminateExploded(spark,
+      shingleHashes(spark, dir).filter(!isEval),
+      shingleSigs(spark, dir).filter(isEval))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -40,10 +40,19 @@ object SignatureStage {
   private def key(spark: SparkSession, dir: String): (String, String) =
     (spark.sparkContext.applicationId, dir)
 
+  /** Physical bucket layout for a persisted stage: when set, the stage
+    * is persisted as a BUCKETED+SORTED table instead of flat parquet, so
+    * every later join on the bucket columns — including in a fresh
+    * session that merely reloads the stage — plans without an Exchange
+    * on the stage side (same lever as [[graft.layout.BucketedLayout]],
+    * applied to the dedup family's intermediates). */
+  private[operators] final case class BucketSpec(cols: Seq[String], n: Int)
+
   /** The named stage for `dir`, built (cached + materialized) on first
     * use and reused until the corpus content changes or it is released.
     * Build functions must derive only from the corpus under `dir`. */
-  private[operators] def stage(spark: SparkSession, dir: String, name: String)(
+  private[operators] def stage(spark: SparkSession, dir: String, name: String,
+      buckets: Option[BucketSpec] = None)(
       build: => DataFrame): DataFrame = synchronized {
     val k = key(spark, dir)
     val version = TableVersion.signature(spark, dir, "documents.parquet")
@@ -56,9 +65,9 @@ object SignatureStage {
         e
     }
     live.stages.getOrElseUpdate(name, {
-      val df = loadPersisted(spark, dir, version, name).getOrElse {
+      val df = loadPersisted(spark, dir, version, name, buckets).getOrElse {
         val built = build
-        persist(spark, dir, version, name, built).getOrElse(built)
+        persist(spark, dir, version, name, built, buckets).getOrElse(built)
       }
       val cached = df.cache()
       cached.count() // materialize: later queries read blocks, never re-plan
@@ -88,31 +97,76 @@ object SignatureStage {
       .map(new HPath(_))
       .getOrElse(new HPath(dir, "_graft/signatures"))
 
+  /** Catalog identifier for a bucketed persisted stage. Bucket METADATA
+    * lives in the session catalog (parquet files alone don't carry it),
+    * so a fresh session re-registers the table over the existing files
+    * with CREATE TABLE … CLUSTERED BY … LOCATION — the files are already
+    * bucket-id-named by the original write, re-registration is pure DDL. */
+  private def tableIdent(dir: String, version: String, name: String): String = {
+    val mask = ((dir + "#" + version).hashCode & 0x7FFFFFFF).toString
+    s"graft_sigs.${name}_$mask"
+  }
+
+  private def registerBucketed(spark: SparkSession, ident: String, p: HPath,
+      schemaDdl: String, b: BucketSpec): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sigs")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $ident ($schemaDdl) USING parquet
+         |CLUSTERED BY (${b.cols.mkString(", ")})
+         |SORTED BY (${b.cols.mkString(", ")}) INTO ${b.n} BUCKETS
+         |LOCATION '${p.toString}'""".stripMargin)
+  }
+
   private def loadPersisted(
-      spark: SparkSession, dir: String, version: String, name: String): Option[DataFrame] = {
+      spark: SparkSession, dir: String, version: String, name: String,
+      buckets: Option[BucketSpec]): Option[DataFrame] = {
     if (!persistEnabled(spark)) return None
     scala.util.Try {
       val p = new HPath(new HPath(persistRoot(spark, dir), version), name)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new HPath(p, "_SUCCESS"))) Some(spark.read.parquet(p.toString)) else None
+      if (!fs.exists(new HPath(p, "_SUCCESS"))) None
+      else buckets match {
+        case None => Some(spark.read.parquet(p.toString))
+        case Some(b) =>
+          // schema from the files; bucket layout re-declared over them
+          val schemaDdl = spark.read.parquet(p.toString).schema.toDDL
+          val ident = tableIdent(dir, version, name)
+          registerBucketed(spark, ident, p, schemaDdl, b)
+          Some(spark.table(ident))
+      }
     }.toOption.flatten
   }
 
   private def persist(
       spark: SparkSession, dir: String, version: String, name: String,
-      df: DataFrame): Option[DataFrame] = {
+      df: DataFrame, buckets: Option[BucketSpec]): Option[DataFrame] = {
     if (!persistEnabled(spark)) return None
     scala.util.Try {
       val root = persistRoot(spark, dir)
       val p = new HPath(new HPath(root, version), name)
-      df.write.mode("overwrite").parquet(p.toString)
+      val reread = buckets match {
+        case None =>
+          df.write.mode("overwrite").parquet(p.toString)
+          spark.read.parquet(p.toString)
+        case Some(b) =>
+          val ident = tableIdent(dir, version, name)
+          spark.sql("CREATE DATABASE IF NOT EXISTS graft_sigs")
+          spark.sql(s"DROP TABLE IF EXISTS $ident")
+          df.write.mode("overwrite")
+            .option("path", p.toString)
+            .bucketBy(b.n, b.cols.head, b.cols.tail: _*)
+            .sortBy(b.cols.head, b.cols.tail: _*)
+            .format("parquet")
+            .saveAsTable(ident)
+          spark.table(ident)
+      }
       // evict stale on-disk versions — same rule as the in-memory cache:
       // one live version per corpus, rewrites don't strand old tables
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(root)
         .filter(st => st.isDirectory && st.getPath.getName != version)
         .foreach(st => fs.delete(st.getPath, true))
-      spark.read.parquet(p.toString)
+      reread
     }.toOption
   }
 

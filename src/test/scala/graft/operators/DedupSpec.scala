@@ -119,6 +119,85 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bucketed shingle_h stage: reloaded join path has no corpus-side Exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigbucket").toFile
+    val src = new java.io.File(sf, "documents.parquet")
+    val dst = new java.io.File(tmp, "documents.parquet")
+    java.nio.file.Files.copy(src.toPath, dst.toPath)
+    spark.conf.set("spark.graft.signatures.persist", "true")
+    // force the shuffle-join fallback — the path bucketing exists for
+    spark.conf.set("spark.graft.decontam.broadcastShingleLimit", "0")
+    // the fixture eval side is tiny, so AQE would broadcast it and hide
+    // the shuffle join this test exists to exercise — force the SMJ the
+    // production regime (eval set over the broadcast limit) would plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions.col
+    val isEval = col("doc_id") % Dedup.EvalDocModulus === 0
+    // flatten through AQE stage boundaries AND cached-relation walls (an
+    // InMemoryTableScan's subtree hangs off relation.cachedPlan, not
+    // children — without this case the bucketed scan is invisible)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: flatten(q.plan)
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        i +: flatten(i.relation.cachedPlan)
+      case o => o +: o.children.flatMap(flatten)
+    }
+    def smjSides(df: org.apache.spark.sql.DataFrame) =
+      flatten(df.queryExecution.executedPlan).collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => Seq(j.left, j.right)
+      }.getOrElse(fail("expected a sort-merge join in the fallback plan"))
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      flatten(p).count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    try {
+      // baseline twin BEFORE the bucketed stage exists: explode inline,
+      // unbucketed — both sides of the h-join shuffle
+      val sigs = Dedup.shingleSigs(spark, tmp.getPath)
+      val flat = Dedup.decontaminate(spark, sigs.filter(!isEval), sigs.filter(isEval))
+      val expected = flat.collect().map(_.toString).sorted.toSeq
+      smjSides(flat).foreach(side => assert(shuffles(side) > 0,
+        "unbucketed fallback must shuffle both join sides"))
+      // build + persist the bucketed stage, then reload it the way a
+      // fresh session would (release wipes the in-memory cache; the
+      // throwing thunk proves the reload comes from storage)
+      Dedup.shingleHashes(spark, tmp.getPath).count()
+      graft.operators.SignatureStage.release(spark, tmp.getPath)
+      val reloaded = graft.operators.SignatureStage.stage(spark, tmp.getPath, "shingle_h",
+        Some(graft.operators.SignatureStage.BucketSpec(Seq("h"), Dedup.ShingleHashBuckets))) {
+        throw new AssertionError("bucketed stage must reload, not rebuild")
+      }
+      val bucketed = Dedup.decontaminateExploded(spark,
+        reloaded.filter(!isEval), sigs.filter(isEval))
+      assert(bucketed.collect().map(_.toString).sorted.toSeq == expected,
+        "bucketing must change the plan, never the values")
+      val plan = bucketed.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val sides = smjSides(bucketed)
+      val (corpusSide, evalSide) = sides.partition(side =>
+        flatten(side).exists(_.toString.contains("shingle_h"))) match {
+        case (Seq(c), rest) => (c, rest)
+        case other => fail(s"exactly one join side should read shingle_h: $other\n$plan")
+      }
+      assert(shuffles(corpusSide) == 0,
+        s"the corpus side must ride its bucket partitioning — no Exchange\n$plan")
+      assert(evalSide.forall(shuffles(_) > 0),
+        "the eval side still shuffles to match the bucket layout")
+    } finally {
+      spark.conf.unset("spark.graft.signatures.persist")
+      spark.conf.unset("spark.graft.decontam.broadcastShingleLimit")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      graft.operators.SignatureStage.release(spark, tmp.getPath)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("persisted signature stages survive release and reload without rebuild") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sigpersist").toFile
     val src = new java.io.File(sf, "documents.parquet")
@@ -207,6 +286,8 @@ class DedupSpec extends SparkSpec {
         "an over-limit eval set must not be broadcast")
     } finally {
       spark.conf.unset("spark.graft.decontam.broadcastShingleLimit")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       prevAuto.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
       prevAqe.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
