@@ -108,7 +108,25 @@ object Bench {
       retried = true
       sw = sweep()
     }
-    val qs = sw.results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // state-store twin rows (round-5 verdict item 6): the four streaming
+    // drains re-timed on the RocksDB provider, emitted as "<name>_rocksdb"
+    // alongside the default-provider rows so the backend delta is a
+    // recorded fact, not a guess. Excluded from "total" (which tracks the
+    // round-1 query set under default config).
+    val streamingNames = Seq("q34_stream_windows", "q44_stream_sessions",
+      "q48_stream_dedup", "q56_stream_dedup_bounded")
+    spark.conf.set("spark.graft.streaming.stateStoreProvider", "rocksdb")
+    val rocksRows =
+      try streamingNames.filter(SparkEntry.queries.contains).map { name =>
+        val fn = SparkEntry.queries(name)
+        val samples = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (name + "_rocksdb") -> samples(samples.length / 2)
+      } finally spark.conf.unset("spark.graft.streaming.stateStoreProvider")
+    val qs = (sw.results ++ rocksRows).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = sw.results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +

@@ -50,14 +50,14 @@ object Corpus {
   /** q66 — [[diff]] over the two fixture versions, ordered for the gate. */
   def q66CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val docs = Tables.documents(spark, dir)
-    val v1 = docs
-      .filter(col("doc_id") % RemovedInV2Mod =!= RemovedInV2Rem)
-      .select(col("doc_id"),
-        when(col("doc_id") % ChangedMod === 0, upper(col("text")))
-          .otherwise(col("text")).as("text"))
-    val v2 = docs.filter(col("doc_id") % DroppedFromV1Mod =!= DroppedFromV1Rem)
-    diff(v1, v2).orderBy("doc_id")
+    // both versions read from MATERIALIZED snapshot files
+    // ([[SnapshotFixture]]): two real file sets with distinct contents,
+    // the production recrawl shape — the oracle reconstructs them from
+    // the derivation rules, so agreement proves the files are faithful
+    diff(
+      SnapshotFixture.table(spark, dir, "documents_v1_edit"),
+      SnapshotFixture.table(spark, dir, "documents_v2"))
+      .orderBy("doc_id")
   }
 
   /** q71 — corpus COMPOSITION DRIFT between two versions: per
@@ -100,13 +100,16 @@ object Corpus {
 
   def q71CompositionDrift(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    drift(Tables.documents(spark, dir)
-      .groupBy("source", "lang")
-      .agg(
-        sum(when(col("doc_id") % RemovedInV2Mod =!= RemovedInV2Rem, 1L).otherwise(0L))
-          .as("n1"),
-        sum(when(col("doc_id") % DroppedFromV1Mod =!= DroppedFromV1Rem, 1L).otherwise(0L))
-          .as("n2")))
+    // one map-side cell aggregate per snapshot file set, then a cell-grain
+    // outer join — each snapshot scanned once, the honest shape when the
+    // versions are distinct file sets rather than filters of one table
+    // (the cells frame is sources × langs, trivially small at any scale)
+    def cells(name: String, out: String): DataFrame =
+      SnapshotFixture.table(spark, dir, name)
+        .groupBy("source", "lang").agg(count(lit(1)).as(out))
+    drift(cells("documents_v1_edit", "n1")
+      .join(cells("documents_v2", "n2"), Seq("source", "lang"), "full_outer")
+      .na.fill(0L, Seq("n1", "n2")))
   }
 
   /** Per-source corpus statistics — the maintained table of
@@ -162,13 +165,8 @@ object Corpus {
     * change-sized maintenance lands on the exact full-recompute answer. */
   def q76IncrementalStats(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val docs = Tables.documents(spark, dir)
-    val v1 = docs
-      .filter(col("doc_id") % RemovedInV2Mod =!= RemovedInV2Rem)
-      .withColumn("text",
-        when(col("doc_id") % ChangedMod === 0, concat(col("text"), lit(ChangedFooter)))
-          .otherwise(col("text")))
-    val v2 = docs.filter(col("doc_id") % DroppedFromV1Mod =!= DroppedFromV1Rem)
+    val v1 = SnapshotFixture.table(spark, dir, "documents_v1_growth")
+    val v2 = SnapshotFixture.table(spark, dir, "documents_v2")
     incrementalStats(statsOf(v1), v1, v2).orderBy("source")
   }
 

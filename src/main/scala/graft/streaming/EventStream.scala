@@ -82,9 +82,39 @@ object EventStream {
   private[streaming] def withStreamStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val parts = spark.conf.getOption("spark.graft.streamStatePartitions").getOrElse("8")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption(ProviderClassConf)
     spark.conf.set("spark.sql.shuffle.partitions", parts)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.conf.set(ProviderClassConf, providerClass(spark))
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProvider match {
+        case Some(v) => spark.conf.set(ProviderClassConf, v)
+        case None => spark.conf.unset(ProviderClassConf)
+      }
+    }
   }
+
+  private val ProviderClassConf = "spark.sql.streaming.stateStore.providerClass"
+
+  /** State-store backend for the streaming family, selected with
+    * `spark.graft.streaming.stateStoreProvider` = `hdfs` (default) |
+    * `rocksdb`. The HDFS-backed store keeps every version of state on
+    * the executor JVM heap — at the fixtures' state sizes it is the
+    * faster floor (measured: see BENCH `*_rocksdb` twin rows), which is
+    * why it stays the default HERE; at 100 TB-ingest state sizes the
+    * heap-resident store is the first thing to fall over (GC pressure,
+    * OOM at millions of keys per partition), and a deployment flips this
+    * knob to `rocksdb` for off-heap, spill-to-disk state with
+    * changelog checkpointing. The knob exists so that flip is one conf,
+    * not a code change. */
+  private[streaming] def providerClass(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.streaming.stateStoreProvider")
+      .map(_.trim.toLowerCase).getOrElse("hdfs") match {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case _ =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    }
 
   /** Windowed counts/sums per event type with a watermark; append mode —
     * emits exactly the windows the watermark has closed. */

@@ -26,6 +26,48 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("snapshot fixture: materialized once per corpus version, invalidated on rewrite") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap").toFile
+    val src = new java.io.File(sf, "documents.parquet")
+    val dst = new java.io.File(tmp, "documents.parquet")
+    java.nio.file.Files.copy(src.toPath, dst.toPath)
+    val snapBase = java.nio.file.Files.createTempDirectory("graft_snapbase").toFile
+    spark.conf.set("spark.graft.snapshotDir", snapBase.getPath)
+    try {
+      val first = SnapshotFixture.ensure(spark, tmp.getPath)
+      val names = new java.io.File(first.toUri.getPath).listFiles().map(_.getName).toSet
+      assert(Set("documents_v1_edit", "documents_v1_growth", "documents_v2")
+        .subsetOf(names), s"all three snapshot tables materialized: $names")
+      // second call reuses the files (marker mtime unchanged)
+      val marker = new java.io.File(first.toUri.getPath, "_graft_source")
+      val stamp = marker.lastModified()
+      assert(SnapshotFixture.ensure(spark, tmp.getPath).toString == first.toString)
+      assert(marker.lastModified() == stamp, "re-ensure must not rewrite")
+      // the materialized v2 equals the rule-derived v2 (the files are
+      // faithful — the property the oracle agreement rests on)
+      import org.apache.spark.sql.functions.col
+      val fromFiles = SnapshotFixture.table(spark, tmp.getPath, "documents_v2")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val derived = graft.core.Tables.documents(spark, tmp.getPath)
+        .filter(col("doc_id") % Corpus.DroppedFromV1Mod =!= Corpus.DroppedFromV1Rem)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(fromFiles == derived)
+      // a corpus rewrite re-materializes under a new version key and
+      // deletes the stale one — file-level versioning end-to-end
+      assert(dst.setLastModified(dst.lastModified() + 120000))
+      val second = SnapshotFixture.ensure(spark, tmp.getPath)
+      assert(second.toString != first.toString, "new corpus version, new snapshot key")
+      assert(!new java.io.File(first.toUri.getPath).exists(),
+        "stale snapshot version must be deleted")
+    } finally {
+      spark.conf.unset("spark.graft.snapshotDir")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp); rm(snapBase)
+    }
+  }
+
   test("diff output is change-sized: identical corpora diff to empty") {
     val docs = graft.core.Tables.documents(spark, sf)
     assert(Corpus.diff(docs, docs).isEmpty, "self-diff must be empty")

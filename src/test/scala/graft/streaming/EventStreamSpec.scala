@@ -22,6 +22,16 @@ class EventStreamSpec extends SparkSpec {
     assert(s == b, s"streamed=${s.size} batch=${b.size} diff=${(s diff b).take(3)} ${(b diff s).take(3)}")
   }
 
+  test("RocksDB state store produces identical results to the default store") {
+    val base = EventStream.q44StreamSessions(spark, sf).collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.streaming.stateStoreProvider", "rocksdb")
+    try {
+      assert(EventStream.providerClass(spark).contains("RocksDBStateStoreProvider"))
+      val rocks = EventStream.q44StreamSessions(spark, sf).collect().map(_.toString).sorted.toSeq
+      assert(rocks == base, "state-store backend must never change results")
+    } finally spark.conf.unset("spark.graft.streaming.stateStoreProvider")
+  }
+
   test("streaming dedup emits exactly the distinct-content fingerprints") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.q48StreamDedup(spark, sf).collect().map(_.getString(0))
