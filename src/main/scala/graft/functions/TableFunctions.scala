@@ -22,6 +22,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM sem_dedup(0.45)
   *   SELECT * FROM decontaminate('eval_docs')
   *   SELECT * FROM corpus_diff('documents_v1', 'documents')
+  *   SELECT * FROM near_dup_pairs(0.6)
+  *   SELECT * FROM dedup_apply(0.6) WHERE NOT is_keeper
+  *   SELECT * FROM temperature_mix(0.7)
+  *   SELECT * FROM corpus_drift('documents_v1', 'documents')
+  *   SELECT * FROM chunk(40, 30)
+  *   SELECT * FROM pii_redact()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -48,8 +54,10 @@ object TableFunctions {
     * [[graft.operators.Similarity.SemClusters]]. */
   private def semClusters = graft.operators.Similarity.SemClusters
 
-  private val names =
-    Seq("bm25", "source_cap", "sem_dedup", "decontaminate", "corpus_diff")
+  private val names = Seq(
+    "bm25", "source_cap", "sem_dedup", "decontaminate", "corpus_diff",
+    "near_dup_pairs", "dedup_apply", "temperature_mix", "corpus_drift",
+    "chunk", "pii_redact")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -120,6 +128,76 @@ object TableFunctions {
             spark.table(string(v2, "corpus_diff(v1, v2)"))))
         case _ => throw new IllegalArgumentException(
           "corpus_diff expects (v1 table name, v2 table name)")
+      }
+    },
+    "near_dup_pairs" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(thr) =>
+          plan(spark => graft.operators.Dedup.jaccardPairs(
+            graft.operators.Dedup.sigsOf(spark.table("documents")),
+            dbl(thr, "near_dup_pairs(threshold)")))
+        case _ => throw new IllegalArgumentException("near_dup_pairs expects (threshold)")
+      }
+    },
+    "dedup_apply" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(thr) =>
+          plan { spark =>
+            import org.apache.spark.sql.functions.col
+            val pairs = graft.operators.Dedup.jaccardPairs(
+              graft.operators.Dedup.sigsOf(spark.table("documents")),
+              dbl(thr, "dedup_apply(threshold)")).select("d1", "d2")
+            graft.operators.Dedup.minLabelComponents(spark, pairs)
+              .select(col("doc_id"), col("keeper"),
+                (col("doc_id") === col("keeper")).as("is_keeper"))
+              .orderBy("doc_id")
+          }
+        case _ => throw new IllegalArgumentException("dedup_apply expects (threshold)")
+      }
+    },
+    "temperature_mix" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(alpha) =>
+          plan(spark => graft.operators.Sampling.temperatureMix(
+            spark.table("documents"), dbl(alpha, "temperature_mix(alpha)")))
+        case _ => throw new IllegalArgumentException("temperature_mix expects (alpha)")
+      }
+    },
+    "corpus_drift" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(v1, v2) =>
+          plan { spark =>
+            import org.apache.spark.sql.functions.{count, lit}
+            def cells(table: String, out: String) =
+              spark.table(table)
+                .groupBy("source", "lang").agg(count(lit(1)).as(out))
+            graft.operators.Corpus.drift(
+              cells(string(v1, "corpus_drift(v1, v2)"), "n1")
+                .join(cells(string(v2, "corpus_drift(v1, v2)"), "n2"),
+                  Seq("source", "lang"), "full_outer")
+                .na.fill(0L, Seq("n1", "n2")))
+          }
+        case _ => throw new IllegalArgumentException(
+          "corpus_drift expects (v1 table name, v2 table name)")
+      }
+    },
+    "chunk" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(size, stride) =>
+          plan(spark => graft.operators.TextOps.chunkOverlap(
+            spark.table("documents"),
+            int(size, "chunk(size, stride)"), int(stride, "chunk(size, stride)")))
+        case _ => throw new IllegalArgumentException("chunk expects (size, stride)")
+      }
+    },
+    "pii_redact" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan { spark =>
+            import org.apache.spark.sql.functions.col
+            graft.operators.Privacy.redact(spark.table("documents"), col("text"))
+          }
+        case _ => throw new IllegalArgumentException("pii_redact expects no arguments")
       }
     })
 

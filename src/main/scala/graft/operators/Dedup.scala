@@ -107,7 +107,7 @@ object Dedup {
     * set (for LSH verification). The self-join keys on the hashed
     * shingles; per-doc shingle counts come from the `n_sh` column — no
     * counting shuffle, no re-tokenization. */
-  private[operators] def jaccardPairs(
+  private[graft] def jaccardPairs(
       sigs: DataFrame,
       threshold: Double,
       candidates: Option[DataFrame] = None): DataFrame = {
@@ -482,16 +482,25 @@ object Dedup {
     * corpus-side join key arrives pre-partitioned. */
   private[operators] def decontaminateExploded(
       spark: SparkSession, trainH: DataFrame, evalSigs: DataFrame): DataFrame = {
-    val limit = spark.conf.getOption("spark.graft.decontam.broadcastShingleLimit")
-      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-      .getOrElse(BroadcastShingleLimit)
+    val limit = math.min(
+      spark.conf.getOption("spark.graft.decontam.broadcastShingleLimit")
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .getOrElse(BroadcastShingleLimit),
+      Int.MaxValue - 1L).toInt
     val evalSh = evalSigs.select(explode(col("hs")).as("h")).distinct()
-    // count() re-plans evalSh for the join below; deliberate — the eval
-    // side is the small side (and usually a cached signature stage), and
-    // caching it here would pin blocks past the caller's action with no
-    // release point
-    val evalSide = if (evalSh.count() <= limit) broadcast(evalSh) else evalSh
-    trainH.join(evalSide, Seq("h"))
+    // one eval pass, not two: collect up to limit+1 distinct hashes — if
+    // they all fit, the collected set IS the broadcast side (a
+    // LocalRelation, broadcast straight from the driver, no re-planned
+    // second scan of the eval subtree); if the bounded collect overflows,
+    // fall back to the shuffle join. Driver memory is O(limit) longs by
+    // construction — the measured-decision guard, now paid once.
+    import spark.implicits._
+    val sample = evalSh.as[Long].limit(limit + 1).collect()
+    val joined =
+      if (sample.length <= limit)
+        trainH.join(broadcast(sample.toSeq.toDF("h")), Seq("h"))
+      else trainH.join(evalSh, Seq("h"))
+    joined
       .groupBy("doc_id")
       .agg(countDistinct(col("h")).as("n_shared"))
       .orderBy("doc_id")

@@ -59,19 +59,23 @@ object Privacy {
     * redacted text's length and fingerprint (the downstream stages consume
     * the redacted fingerprint; shipping the full scrubbed text back to the
     * gate would just re-test parquet IO). */
+  /** [[scrub]] applied to a (doc_id, text) frame — per-doc category
+    * counts + redacted-text fingerprint. Map-only at any scale. */
+  def redact(docs: DataFrame, text: org.apache.spark.sql.Column): DataFrame = {
+    val (nEmails, nPhones, nIps, redacted) = scrub(text)
+    docs.select(
+      col("doc_id"),
+      nEmails.as("n_emails"),
+      nPhones.as("n_phones"),
+      nIps.as("n_ips"),
+      length(redacted).cast("long").as("redacted_len"),
+      md5(redacted).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
   def q67PiiRedact(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val pii = withPlantedPii(col("text"), col("doc_id"))
-    val (nEmails, nPhones, nIps, redacted) = scrub(pii)
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        nEmails.as("n_emails"),
-        nPhones.as("n_phones"),
-        nIps.as("n_ips"),
-        length(redacted).cast("long").as("redacted_len"),
-        md5(redacted).as("redacted_fp"))
-      .orderBy("doc_id")
+    redact(Tables.documents(spark, dir), withPlantedPii(col("text"), col("doc_id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

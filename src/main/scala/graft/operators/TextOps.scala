@@ -279,23 +279,28 @@ object TextOps {
     * a pure per-row explode, embarrassingly parallel at any corpus
     * size; chunk count per doc is ⌈max(n−C, 0) / S⌉ + 1 so the final
     * partial window is kept and no token is dropped. */
-  def q65ChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
-    Sessions.prepare(spark)
+  def chunkOverlap(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, "chunk size and stride must be positive")
     val toks = tokens(col("text"))
-    val nChunks = (ceil(greatest(col("n_tokens") - ChunkSize, lit(0)) /
-      lit(ChunkStride.toDouble)) + 1).cast("int")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("toks"), size(toks).as("n_tokens"))
+    val nChunks = (ceil(greatest(col("n_tokens") - size, lit(0)) /
+      lit(stride.toDouble)) + 1).cast("int")
+    docs
+      .select(col("doc_id"), toks.as("toks"), org.apache.spark.sql.functions.size(toks).as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .select(col("doc_id"), col("toks"),
         posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_idx", "c")))
       .select(
         col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        slice(col("toks"), col("chunk_idx") * ChunkStride + 1, lit(ChunkSize)).as("ct"))
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(size)).as("ct"))
       .select(
         col("doc_id"), col("chunk_idx"),
-        size(col("ct")).cast("long").as("n_chunk_tokens"),
+        org.apache.spark.sql.functions.size(col("ct")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("ct"))).as("chunk_fp"))
+  }
+
+  def q65ChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    chunkOverlap(Tables.documents(spark, dir), ChunkSize, ChunkStride)
       .orderBy("doc_id", "chunk_idx")
   }
 

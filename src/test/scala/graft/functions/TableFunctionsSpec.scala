@@ -85,6 +85,53 @@ class TableFunctionsSpec extends SparkSpec {
     assert(added == docs.filter(col("doc_id") % 10 === 0).count())
   }
 
+  test("near_dup_pairs / dedup_apply TVFs = Scala pipeline at the same threshold") {
+    Tables.registerAll(spark, sf)
+    val sigs = graft.operators.Dedup.sigsOf(Tables.documents(spark, sf))
+    val pairsSql = spark.sql("SELECT * FROM near_dup_pairs(0.6)")
+    val pairsScala = graft.operators.Dedup.jaccardPairs(sigs, 0.6)
+    assert(rows(pairsSql) == rows(pairsScala))
+    assert(pairsSql.count() > 0, "fixture corpus has planted near-dups")
+    val applySql = spark.sql("SELECT * FROM dedup_apply(0.6)")
+    // group semantics: every keeper is its own group min
+    val byKeeper = applySql.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .groupBy(_._2)
+    byKeeper.foreach { case (keeper, members) =>
+      assert(members.map(_._1).min == keeper, s"keeper $keeper must be the group min")
+      assert(members.count(_._3) == 1, s"exactly one is_keeper row per group")
+    }
+  }
+
+  test("temperature_mix / chunk / pii_redact TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(rows(spark.sql("SELECT * FROM temperature_mix(0.7)")) ==
+      rows(graft.operators.Sampling.temperatureMix(docs, 0.7)))
+    assert(rows(spark.sql("SELECT * FROM chunk(40, 30)")) ==
+      rows(graft.operators.TextOps.chunkOverlap(docs, 40, 30)))
+    assert(rows(spark.sql("SELECT * FROM pii_redact()")) ==
+      rows(graft.operators.Privacy.redact(docs, col("text"))))
+  }
+
+  test("corpus_drift TVF over two named versions matches the cell-join twin") {
+    Tables.registerAll(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 3 =!= 0).createOrReplaceTempView("drift_v1")
+    val viaSql = spark.sql("SELECT * FROM corpus_drift('drift_v1', 'documents')")
+    def cells(df: org.apache.spark.sql.DataFrame, out: String) =
+      df.groupBy("source", "lang").agg(count(lit(1)).as(out))
+    val viaScala = graft.operators.Corpus.drift(
+      cells(spark.table("drift_v1"), "n1")
+        .join(cells(docs, "n2"), Seq("source", "lang"), "full_outer")
+        .na.fill(0L, Seq("n1", "n2")))
+    assert(rows(viaSql) == rows(viaScala))
+    // dropping a third of every cell shifts no SHARE (uniform thinning):
+    // drift ≈ 0 per cell, but the columns exist and totals differ
+    assert(viaSql.agg(sum(col("n1"))).head.getLong(0) <
+      viaSql.agg(sum(col("n2"))).head.getLong(0))
+  }
+
   test("TVFs run end-to-end through the query-execution lifecycle") {
     Tables.registerAll(spark, sf)
     val dir = Files.createTempDirectory("graft_tvf_results").toString
