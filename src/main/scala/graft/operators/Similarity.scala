@@ -96,7 +96,7 @@ object Similarity {
     * ≈ 0.5, i.e. ~60°, where each plane disagrees with p ≈ 1/3).
     * Approximate by construction — recall is spec-checked against q29,
     * not oracle-checked. Output shape matches q29 for comparability. */
-  def q30AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     val emb = Tables.embeddings(spark, dir)
     val planes = hyperplanes(NumPlanes, 64)
@@ -121,6 +121,31 @@ object Similarity {
       .filter(col("rnk") <= TopK)
       .select(col("probe_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cosine"))
       .orderBy(col("probe_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
+  /** Corpus-level recall floor for the q30 sign-LSH gate — the spec
+    * floor (single-probe sign-LSH at the fixtures' wide neighbor angles
+    * is a modest-recall regime; zero means broken). */
+  val LshRecallFloor = 0.2
+
+  /** q30 — the sign-LSH ANN gate: [[annLshTopK]] against the exact twin
+    * IN-PLAN, same verdict shape as q43 — probe count, exact-result
+    * count, recall-floor boolean; deterministic (fixed-seed planes,
+    * fixed probe set), so the oracle asserts the row literally and this
+    * query is a full hash-match instead of rows-only. Production callers
+    * use [[annLshTopK]]. */
+  def q30AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val exact = q29CosineTopK(spark, dir).select("probe_id", "neighbor_id")
+    val ann = annLshTopK(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(ann, Seq("probe_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct(col("probe_id")).as("n_probes"),
+        count(lit(1)).as("n_exact_results"),
+        (sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1))).as("recall"))
+      .select(col("n_probes"), col("n_exact_results"),
+        (col("recall") >= LshRecallFloor).as("recall_ok"))
   }
 
   /** Near-dup cosine threshold. The fixture corpus has no true embedding
@@ -170,9 +195,37 @@ object Similarity {
     * not the wide thing), then EXACT cosine + threshold verifies, so
     * precision is exact and only recall is probabilistic (spec-checked
     * against q31). Approximate → rows-only for the driver. */
+  /** Corpus-level recall floor for the q49 gate (spec floor: multi-table
+    * miss probability ≈ (1−p^k)^T ≈ 0.21 at the widest corpus pair
+    * angle, so ≥ 0.5 aggregate recall holds with wide margin). */
+  val NearDupRecallFloor = 0.5
+
+  /** q49 — the near-dup LSH gate: [[nearDupLshPairs]] against the exact
+    * all-pairs twin (q31) IN-PLAN. Emits the exact pair count (an
+    * oracle-recomputable corpus fact), a precision verdict (the LSH
+    * output must be a SUBSET of the exact pairs — exact by construction,
+    * the verify step recomputes the cosine) and the recall-floor
+    * verdict. Deterministic (fixed-seed planes), so the whole row
+    * hash-matches a literal oracle. Production callers use
+    * [[nearDupLshPairs]] — no O(n²) twin in that path. */
   def q49NearDupLsh(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    nearDupLshPairs(Tables.embeddings(spark, dir), NearDupThreshold, NumTables, PlanesPerTable)
+    val exact = q31CosineNearDup(spark, dir)
+      .select(col("v1"), col("v2"), lit(1L).as("ex"))
+    val lsh = nearDupLshPairs(
+      Tables.embeddings(spark, dir), NearDupThreshold, NumTables, PlanesPerTable)
+      .select(col("v1"), col("v2"), lit(1L).as("hit"))
+    exact.join(lsh, Seq("v1", "v2"), "full_outer")
+      .agg(
+        sum(coalesce(col("ex"), lit(0L))).as("n_exact_pairs"),
+        sum(when(col("ex").isNull, 1L).otherwise(0L)).as("n_false_pos"),
+        sum(when(col("ex").isNotNull && col("hit").isNotNull, 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(
+        col("n_exact_pairs"),
+        (col("n_false_pos") === 0L).as("precision_ok"),
+        (col("n_hits").cast("double") / col("n_exact_pairs") >= NearDupRecallFloor)
+          .as("recall_ok"))
   }
 
   /** Multi-table sign-LSH candidate id pairs over any (vec_id, embedding)
@@ -411,6 +464,21 @@ object Similarity {
          |  CAST(count(*) * $TopK AS BIGINT) AS n_exact_results,
          |  TRUE AS recall_ok
          |FROM embeddings WHERE vec_id < $NumProbes""".stripMargin,
+    // q30: same verdict shape as q43 at the sign-LSH recall floor.
+    "q30_ann_lsh" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(count(*) * $TopK AS BIGINT) AS n_exact_results,
+         |  TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $NumProbes""".stripMargin,
+    // q49: the exact near-dup pair count is a corpus fact the oracle
+    // recomputes with the q31 arithmetic; both verdicts deterministic.
+    "q49_near_dup_lsh" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+         |  TRUE AS precision_ok, TRUE AS recall_ok
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+         |    sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+         |         list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= $NearDupThreshold""".stripMargin,
     "q29_cosine_topk" ->
       s"""WITH probes AS (
          |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
@@ -438,6 +506,7 @@ object Similarity {
          |    sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
          |         list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= $NearDupThreshold
          |ORDER BY v1, v2""".stripMargin)
-    // q30_ann_lsh is approximate by construction → driver rows-only
-    // check; its recall is asserted in ScalaTest against q29.
+    // remaining rows-only: q28 (xxhash64-based simhash pairs) and q69
+    // (quantizer-dependent cluster column) — their detail outputs are
+    // the point and are spec-validated against exact twins.
 }

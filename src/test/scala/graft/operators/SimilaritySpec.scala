@@ -18,7 +18,7 @@ class SimilaritySpec extends SparkSpec {
   test("ANN-LSH neighbors are a subset of the corpus with exact cosines") {
     val exactAll = Similarity.q29CosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val ann = Similarity.q30AnnLsh(spark, sf).collect()
+    val ann = Similarity.annLshTopK(spark, sf).collect()
     assert(ann.nonEmpty, "LSH buckets should yield candidates")
     // any ANN pair that is also in the exact top-k must carry the same cosine
     ann.foreach { r =>
@@ -30,24 +30,37 @@ class SimilaritySpec extends SparkSpec {
   test("ANN-LSH achieves non-trivial recall against brute force") {
     val exact = Similarity.q29CosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = Similarity.q30AnnLsh(spark, sf).collect()
+    val ann = Similarity.annLshTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(ann.contains).toDouble / exact.size
     // single-probe sign-LSH: modest recall expected, zero means broken
-    assert(recall >= 0.2, s"recall@${Similarity.TopK} = $recall")
+    assert(recall >= Similarity.LshRecallFloor, s"recall@${Similarity.TopK} = $recall")
+    // the q30 gate row reports the same comparison in-plan
+    val gate = Similarity.q30AnnLsh(spark, sf).collect()
+    assert(gate.length == 1 && gate.head.getBoolean(2), s"gate verdict: ${gate.toSeq}")
+    assert(gate.head.getLong(0) == Similarity.NumProbes)
+    assert(gate.head.getLong(1) == exact.size)
   }
 
   test("LSH near-dup scale path: exact precision, probabilistic recall vs q31") {
     val exact = Similarity.q31CosineNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val lsh = Similarity.q49NearDupLsh(spark, sf).collect()
+    val lsh = Similarity.nearDupLshPairs(
+      graft.core.Tables.embeddings(spark, sf), Similarity.NearDupThreshold,
+      Similarity.NumTables, Similarity.PlanesPerTable).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(exact.nonEmpty)
     // precision is exact by construction (verify step recomputes cosine)
     assert(lsh.subsetOf(exact), s"false positives: ${(lsh diff exact).take(3)}")
     // recall is probabilistic: 1-(1-p^k)^T ≈ 0.79 at the widest pair angle
     val recall = exact.count(lsh.contains).toDouble / exact.size
-    assert(recall >= 0.5, s"near-dup LSH recall $recall over ${exact.size} pairs")
+    assert(recall >= Similarity.NearDupRecallFloor,
+      s"near-dup LSH recall $recall over ${exact.size} pairs")
+    // the q49 gate row reports the same three facts in-plan
+    val gate = Similarity.q49NearDupLsh(spark, sf).collect()
+    assert(gate.length == 1, gate.toSeq)
+    assert(gate.head.getLong(0) == exact.size, "n_exact_pairs")
+    assert(gate.head.getBoolean(1) && gate.head.getBoolean(2), s"verdicts: ${gate.toSeq}")
   }
 
   test("near-dup LSH at the production threshold: recall ≥ 0.9, candidates ≤ n²/8") {
