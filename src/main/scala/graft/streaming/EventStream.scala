@@ -234,15 +234,76 @@ object EventStream {
     drainToFiles(spark, deduped).orderBy("fp")
   }
 
+  /** Attribution window for [[q77StreamJoin]]: a purchase attributes to
+    * every click by the same user in the preceding window. */
+  val AttributionWindow = "30 minutes"
+
+  /** q77 — STREAM-STREAM interval join (the §2.8 shape the
+    * window/session/dedup family doesn't cover): click→purchase
+    * attribution, each purchase joined to the same user's clicks within
+    * the preceding [[AttributionWindow]]. Both sides carry watermarks
+    * and the join condition carries the time bound, so Spark can evict
+    * matched-out state as the watermark advances — state is
+    * O(events within window horizon), not O(stream); the RIGHT way to
+    * correlate two unbounded streams at 100 TB ingest. The drained
+    * result equals the batch interval join exactly (inner join, static
+    * AvailableNow input ⇒ no late drops), which is why this streaming
+    * query can be ORACLE-checked, not just spec-compared. */
+  def q77StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(eventType: String, prefix: String): DataFrame =
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("event_type") === eventType)
+        .select(
+          col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"),
+          col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", WatermarkDelay)
+    val joined = side("click", "click").join(
+      side("purchase", "purchase"),
+      col("purchase_user") === col("click_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $AttributionWindow"))
+      .select(
+        col("purchase_id"), col("click_id"),
+        col("purchase_user").as("user_id"),
+        ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))) / 1000000L)
+          .cast("long").as("gap_sec"))
+    drainToFiles(spark, joined).orderBy("purchase_id", "click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_stream_windows"  -> (q34StreamWindows _),
     "q44_stream_sessions" -> (q44StreamSessions _),
     "q48_stream_dedup"    -> (q48StreamDedup _),
-    "q56_stream_dedup_bounded" -> (q56StreamDedupBounded _))
+    "q56_stream_dedup_bounded" -> (q56StreamDedupBounded _),
+    "q77_stream_join"     -> (q77StreamJoin _))
 
   /** Oracle: append-mode emission = windows fully below the final
     * watermark (max event time − delay), recomputed relationally. */
   val oracles: Map[String, String] = Map(
+    // q77: inner interval join over a static AvailableNow input emits
+    // every matching pair — identical to the batch join. Timestamps
+    // truncate ns→µs on both sides (Spark: `ts div 1000`; oracle:
+    // CAST(TIMESTAMP_NS AS TIMESTAMP)), so the window boundary compares
+    // at the same precision.
+    "q77_stream_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS gap_sec
+        |FROM c JOIN p ON p.user_id = c.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "q34_stream_windows" ->
       """WITH b AS (
         |  SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS window_start,

@@ -22,6 +22,28 @@ class EventStreamSpec extends SparkSpec {
     assert(s == b, s"streamed=${s.size} batch=${b.size} diff=${(s diff b).take(3)} ${(b diff s).take(3)}")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.q77StreamJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(streamed.nonEmpty, "fixture has click->purchase pairs inside the window")
+    val ev = graft.core.Tables.events(spark, sf)
+    def sideOf(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val c = sideOf("click").toDF("user_id", "click_id", "cts")
+    val p = sideOf("purchase").toDF("p_user", "purchase_id", "pts")
+    val batch = c.join(p, col("p_user") === col("user_id") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("interval 30 minutes"))
+      .select(col("purchase_id"), col("click_id"), col("p_user"),
+        ((unix_micros(col("pts")) - unix_micros(col("cts"))) / 1000000L).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(streamed == batch, s"stream join must equal batch: ${streamed.size} vs ${batch.size}")
+    // every attribution respects the window
+    streamed.foreach { case (_, _, _, gap) => assert(gap >= 0 && gap <= 1800) }
+  }
+
   test("RocksDB state store produces identical results to the default store") {
     val base = EventStream.q44StreamSessions(spark, sf).collect().map(_.toString).sorted.toSeq
     spark.conf.set("spark.graft.streaming.stateStoreProvider", "rocksdb")
