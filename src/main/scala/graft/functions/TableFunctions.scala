@@ -57,7 +57,7 @@ object TableFunctions {
   private val names = Seq(
     "bm25", "source_cap", "sem_dedup", "decontaminate", "corpus_diff",
     "near_dup_pairs", "dedup_apply", "temperature_mix", "corpus_drift",
-    "chunk", "pii_redact")
+    "chunk", "pii_redact", "lm_score")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -198,6 +198,13 @@ object TableFunctions {
             graft.operators.Privacy.redact(spark.table("documents"), col("text"))
           }
         case _ => throw new IllegalArgumentException("pii_redact expects no arguments")
+      }
+    },
+    "lm_score" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.TextOps.unigramLogprob(spark.table("documents")))
+        case _ => throw new IllegalArgumentException("lm_score expects no arguments")
       }
     })
 

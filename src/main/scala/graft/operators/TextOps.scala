@@ -389,7 +389,49 @@ object TextOps {
       .limit(BoilerTop)
   }
 
+  /** q78 — corpus-self-trained UNIGRAM LM scoring (the CCNet-style
+    * perplexity-proxy quality signal: documents whose tokens are
+    * improbable under the corpus LM are noise; documents whose tokens
+    * are too probable are boilerplate — filtering cuts both tails).
+    * Per-token surprisal −log2 p(t) with p(t) = corpus count / corpus
+    * size; per-document mean bits/token.
+    *
+    * Plan shape at scale: one token explode → vocabulary-sized count
+    * shuffle → join token scores back (AQE broadcasts a small
+    * vocabulary; a 100 TB vocabulary hash-joins on the token — either
+    * way the corpus token stream shuffles at most once) → per-doc
+    * aggregate. Parity: per-token surprisal is fixed to INTEGER micros
+    * before the order-sensitive sum (the BM25 move), and the per-doc
+    * mean uses half-up integer division — so float addition order can
+    * never flip a score in either engine. */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // surprisal per TOKEN TYPE in micro-bits (vocab-sized frame)
+    val scores = counts
+      .withColumn("n_total", sum(col("cnt")).over(total))
+      .select(col("token"),
+        round(-log2(col("cnt").cast("double") / col("n_total")) * 1000000)
+          .cast("long").as("micro_bits"))
+    tok.join(scores, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micro_bits")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor((col("s") * 2 + col("n_tokens") * 100) /
+          (col("n_tokens") * 200)) / 10000.0).as("bits_per_token"))
+      .orderBy("doc_id")
+  }
+
+  def q78UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    unigramLogprob(Tables.documents(spark, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_unigram_logprob" -> (q78UnigramLogprob _),
     "q73_boilerplate"   -> (q73Boilerplate _),
     "q68_repetition"    -> (q68Repetition _),
     "q65_chunk_overlap" -> (q65ChunkOverlap _),
@@ -404,6 +446,24 @@ object TextOps {
     "q54_tfidf"         -> (q54TfIdf _))
 
   val oracles: Map[String, String] = Map(
+    // q78: integer micro-bits per token type before any order-sensitive
+    // sum; log2 agrees across engines at micro precision (same risk
+    // profile as q70 BM25, which is oracle-exact).
+    "q78_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |n AS (SELECT sum(cnt) AS n_total FROM counts),
+        |scores AS (
+        |  SELECT token,
+        |    CAST(round(-log2(CAST(cnt AS DOUBLE) / n_total) * 1000000) AS BIGINT) AS micro_bits
+        |  FROM counts, n)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  floor((2 * sum(s.micro_bits) + 100 * count(*)) / (200.0 * count(*))) / 10000.0
+        |    AS bits_per_token
+        |FROM tok t JOIN scores s USING (token)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q73_boilerplate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w

@@ -112,6 +112,8 @@ class TableFunctionsSpec extends SparkSpec {
       rows(graft.operators.TextOps.chunkOverlap(docs, 40, 30)))
     assert(rows(spark.sql("SELECT * FROM pii_redact()")) ==
       rows(graft.operators.Privacy.redact(docs, col("text"))))
+    assert(rows(spark.sql("SELECT * FROM lm_score()")) ==
+      rows(graft.operators.TextOps.unigramLogprob(docs)))
   }
 
   test("corpus_drift TVF over two named versions matches the cell-join twin") {

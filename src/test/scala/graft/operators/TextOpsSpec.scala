@@ -41,6 +41,54 @@ class TextOpsSpec extends SparkSpec {
     Seq(1, 3, 5).foreach(i => assert(gate.getBoolean(i), s"HLL 2σ verdict col $i"))
   }
 
+  test("unigram LM scoring: rare-token docs score more bits than common-token docs") {
+    val rows = TextOps.q78UnigramLogprob(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val total = graft.core.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.col("text"))) > 0).count()
+    assert(rows.length == total, "every non-empty doc gets a score")
+    rows.foreach { case (id, n, bits) =>
+      assert(n > 0 && bits > 0, s"doc $id: n=$n bits=$bits")
+    }
+    // exact-value check on a tiny hand-computed corpus: 9 docs of
+    // "common common" + 1 of "rare rare" → p(common)=18/20, p(rare)=2/20;
+    // every token in a doc has the same surprisal, so the per-doc mean
+    // IS that token's micro-bits value
+    import spark.implicits._
+    val tiny = ((1 to 9).map(i => (i.toLong, "common common")) :+ (10L, "rare rare"))
+      .toDF("doc_id", "text")
+    def microBits(p: Double): Double =
+      math.floor((2 * math.round(-(math.log(p) / math.log(2)) * 1000000) * 2 + 2 * 100) /
+        (2 * 200.0)) / 10000.0
+    // run the same plan over the tiny corpus via a temp swap of the
+    // documents source: easiest is to recompute with the public pieces
+    val tok = tiny.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.explode(TextOps.tokens(
+        org.apache.spark.sql.functions.col("text"))).as("token"))
+    val got = {
+      import org.apache.spark.sql.functions._
+      val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val scores = counts.withColumn("n_total", sum(col("cnt")).over(w))
+        .select(col("token"),
+          round(-log2(col("cnt").cast("double") / col("n_total")) * 1000000)
+            .cast("long").as("micro_bits"))
+      tok.join(scores, Seq("token")).groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum(col("micro_bits")).as("s"))
+        .select(col("doc_id"),
+          (floor((col("s") * 2 + col("n") * 100) / (col("n") * 200)) / 10000.0)
+            .as("bits"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(math.abs(got(1L) - microBits(18.0 / 20)) < 1e-9, s"common doc: ${got(1L)}")
+    assert(math.abs(got(10L) - microBits(2.0 / 20)) < 1e-9, s"rare doc: ${got(10L)}")
+    assert(got(10L) > got(1L), "rare tokens must cost more bits")
+  }
+
   test("quality tiers cover the corpus") {
     val rows = TextOps.q23QualityScore(spark, sf).collect()
     val total = rows.map(_.getLong(1)).sum
