@@ -189,25 +189,32 @@ final class QueryExecutionManager(spark: SparkSession, resultsDir: String)(
     * not a third plan execution). The previous shape (`cache()` the
     * result between count and write) pinned an unbounded result set in
     * executor memory — exactly the thing this surface must never do at
-    * 100 TB; two plan executions cost time, not correctness or memory. */
+    * 100 TB; two plan executions cost time, not correctness or memory.
+    * The two executions CAN disagree on rows for a non-deterministic
+    * query (LIMIT without ORDER BY), so the metadata rowCount is taken
+    * from the WRITTEN artifact — re-read locally, already loaded for the
+    * CSV twin — never from the metrics pass. */
   private def writeArtifacts(id: String, sql: String, df: DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
     val t0 = System.nanoTime()
     val exec = df.queryExecution
-    val n = exec.toRdd.count()
+    exec.toRdd.count() // metrics pass only: populates SQLMetrics for scanBytes
     val bytesScanned = scanBytes(exec.executedPlan)
     val target = Paths.get(resultsDir, s"$id.csv").toString
     val pages = Paths.get(resultsDir, s"$id$PagesSuffix").toString
-    if (df.columns.contains(RowIdx)) {
+    val n = if (df.columns.contains(RowIdx)) {
       // index-column collision: serve this execution CSV-only
       df.coalesce(1).write.option("header", "true").mode("overwrite").csv(target)
+      spark.read.option("header", "true").csv(target).count()
     } else {
       // single partition ⇒ monotonically_increasing_id is 0..n-1 in
       // artifact row order, the paging key
       df.coalesce(1).withColumn(RowIdx, monotonically_increasing_id())
         .write.mode("overwrite").parquet(pages)
-      spark.read.parquet(pages).orderBy(RowIdx).drop(RowIdx)
+      val written = spark.read.parquet(pages)
+      written.orderBy(RowIdx).drop(RowIdx)
         .coalesce(1).write.option("header", "true").mode("overwrite").csv(target)
+      written.count()
     }
     val durationMs = (System.nanoTime() - t0) / 1000000L
     val schemaJson = df.schema.json

@@ -23,10 +23,17 @@ object Corpus {
     * full outer join on doc_id — the natural co-partitioned key (both
     * versions of a corpus bucket identically on doc_id, so with a
     * bucketed layout this join is Exchange-free; see
-    * [[graft.layout.BucketedLayout]]). No collects, no windows. */
-  def diff(v1: DataFrame, v2: DataFrame): DataFrame = {
-    val a = v1.select(col("doc_id"), md5(trim(col("text"))).as("fp1"))
-    val b = v2.select(col("doc_id"), md5(trim(col("text"))).as("fp2"))
+    * [[graft.layout.BucketedLayout]]). No collects, no windows.
+    *
+    * `fingerprint` defines what "changed" means — content by default;
+    * callers maintaining per-ATTRIBUTE aggregates must fold those
+    * attributes in (see [[incrementalStats]], where a doc whose source
+    * moves with unchanged text would otherwise read as `unchanged` and
+    * silently corrupt both sources' running stats). */
+  def diff(v1: DataFrame, v2: DataFrame,
+      fingerprint: org.apache.spark.sql.Column = trim(col("text"))): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(fingerprint).as("fp1"))
+    val b = v2.select(col("doc_id"), md5(fingerprint).as("fp2"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("fp1").isNull, "added")
@@ -132,9 +139,13 @@ object Corpus {
     * (sources × changes, tiny). Removed/changed docs subtract their v1
     * contribution; added/changed docs add their v2 contribution; the
     * full-outer merge with the previous stats handles sources that
-    * appear or empty out. */
+    * appear or empty out. The diff fingerprint folds `source` in: the
+    * stats are keyed per source, so a doc moving between sources with
+    * unchanged text IS a change here (v1 source loses it, v2 source
+    * gains it) even though a content-only diff calls it unchanged. */
   def incrementalStats(prevStats: DataFrame, v1: DataFrame, v2: DataFrame): DataFrame = {
-    val d = broadcast(diff(v1, v2))
+    val d = broadcast(diff(v1, v2,
+      fingerprint = concat_ws("\u001f", col("source"), trim(col("text")))))
     val nt = size(TextOps.tokens(col("text"))).cast("long")
     val minus = v1
       .join(d.filter(col("status").isin("removed", "changed")), Seq("doc_id"))

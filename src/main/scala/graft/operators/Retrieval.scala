@@ -28,12 +28,19 @@ import graft.core.{Sessions, Tables}
   * engines. */
 object Retrieval {
 
-  /** BM25 constants (the classic defaults). Keep every constant a parsed
-    * DECIMAL LITERAL on both engines (2.2, 1.2, 0.25, 0.75) — arithmetic
-    * like `k1 + 1` can land a half-ulp from the literal `2.2` and break
-    * bit parity. */
-  val K1 = 1.2
-  val B = 0.75
+  /** BM25 constants (the classic defaults). Every constant reaches BOTH
+    * engines as a parsed DECIMAL LITERAL derived from these two values —
+    * runtime arithmetic like `k1 + 1` can land a half-ulp from the
+    * literal `2.2` and break bit parity, so the derived literals are
+    * computed once in exact decimal and rendered into the Spark plan and
+    * the oracle SQL from the same strings (editing K1/B updates both
+    * engines together; they cannot drift). */
+  val K1 = BigDecimal("1.2")
+  val B = BigDecimal("0.75")
+  private val K1Plus1Lit = (K1 + 1).toString  // tf numerator factor
+  private val K1Lit = K1.toString
+  private val OneMinusBLit = (1 - B).toString
+  private val BLit = B.toString
 
   val TopK = 10
 
@@ -75,8 +82,9 @@ object Retrieval {
         col("query_id"), col("doc_id"),
         round(
           log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-            (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) *
+            (col("tf") * lit(K1Plus1Lit.toDouble)) /
+            (col("tf") + lit(K1Lit.toDouble) *
+              (lit(OneMinusBLit.toDouble) + lit(BLit.toDouble) * col("dl") / col("avgdl"))) *
             lit(1000000)).cast("long").as("contrib"))
     val agg = contrib.groupBy("query_id", "doc_id")
       .agg(sum(col("contrib")).as("micro"))
@@ -122,8 +130,8 @@ object Retrieval {
          |  SELECT q.query_id, tf.doc_id,
          |    CAST(round(
          |      ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
-         |        (tf.tf * 2.2) /
-         |        (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)) *
+         |        (tf.tf * $K1Plus1Lit) /
+         |        (tf.tf + $K1Lit * ($OneMinusBLit + $BLit * tf.dl / stats.avgdl)) *
          |      1000000) AS BIGINT) AS contrib
          |  FROM q JOIN tf ON q.term = tf.token JOIN df ON df.token = tf.token, stats),
          |agg AS (

@@ -78,9 +78,12 @@ object SignatureStage {
   /** Storage persistence (the 100 TB shape): with
     * `spark.graft.signatures.persist=true`, stages are ALSO written as
     * parquet under `<root>/<version>/<name>` — root defaults to
-    * `<dir>/_graft/signatures`, overridable with
-    * `spark.graft.signatures.dir` for corpora on read-only storage —
-    * and loaded-if-present before building, so a fresh session (new
+    * `<dir>/_graft/signatures`; `spark.graft.signatures.dir` (for
+    * corpora on read-only storage) overrides it, namespaced per corpus
+    * as `<override>/corpus_<hash(dir)>` so several corpora can share
+    * one override root without stale-version eviction for corpus A
+    * deleting corpus B's persisted stages — and loaded-if-present
+    * before building, so a fresh session (new
     * applicationId, or a new cluster entirely) reuses the materialized
     * table instead of recomputing the corpus-sized shingle pass. The
     * version directory carries the [[TableVersion]] signature: a corpus
@@ -94,7 +97,11 @@ object SignatureStage {
 
   private def persistRoot(spark: SparkSession, dir: String): HPath =
     spark.conf.getOption("spark.graft.signatures.dir")
-      .map(new HPath(_))
+      // eviction deletes every non-current version dir under the root,
+      // so a SHARED root must be subdivided per corpus before eviction
+      // is safe — the default root lives inside the corpus dir and is
+      // already exclusive
+      .map(r => new HPath(r, s"corpus_${(dir.hashCode & 0x7FFFFFFF).toString}"))
       .getOrElse(new HPath(dir, "_graft/signatures"))
 
   /** Catalog identifier for a bucketed persisted stage. Bucket METADATA

@@ -113,6 +113,22 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(_._1).contains("s4"), "new source appears")
   }
 
+  test("incremental stats: a doc moving between sources with unchanged text reconciles") {
+    import spark.implicits._
+    // doc 2's text is identical in both versions — only its source moves.
+    // A content-only diff calls it unchanged and BOTH sources' stats
+    // silently diverge from the recompute; the source-folded fingerprint
+    // must classify it as changed (−1 doc/−2 tokens for s1, +1/+2 for s2).
+    val v1 = Seq((1L, "a b c", "s1"), (2L, "d e", "s1")).toDF("doc_id", "text", "source")
+    val v2 = Seq((1L, "a b c", "s1"), (2L, "d e", "s2")).toDF("doc_id", "text", "source")
+    val got = Corpus.incrementalStats(Corpus.statsOf(v1), v1, v2)
+      .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val direct = Corpus.statsOf(v2)
+      .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == direct.toSeq,
+      s"moved-source doc must reconcile: got=${got.toSeq} want=${direct.toSeq}")
+  }
+
   test("q71 cell counts conserve the two fixture versions' totals") {
     val docs = graft.core.Tables.documents(spark, sf)
     val rows = Corpus.q71CompositionDrift(spark, sf).collect()

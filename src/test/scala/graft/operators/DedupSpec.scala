@@ -239,6 +239,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("shared signatures.dir root: persisting corpus B keeps corpus A's stages") {
+    val shared = java.nio.file.Files.createTempDirectory("graft_sigshared").toFile
+    def corpus(name: String): java.io.File = {
+      val d = new java.io.File(shared, name)
+      d.mkdirs()
+      java.nio.file.Files.copy(
+        new java.io.File(sf, "documents.parquet").toPath,
+        new java.io.File(d, "documents.parquet").toPath)
+      d
+    }
+    val (a, b) = (corpus("corpusA"), corpus("corpusB"))
+    val root = new java.io.File(shared, "sigroot")
+    spark.conf.set("spark.graft.signatures.persist", "true")
+    spark.conf.set("spark.graft.signatures.dir", root.getPath)
+    try {
+      Dedup.shingleSigs(spark, a.getPath).count() // persists A under the shared root
+      Dedup.shingleSigs(spark, b.getPath).count() // B's eviction must not touch A
+      SignatureStage.release(spark, a.getPath)
+      var rebuilt = false
+      SignatureStage.stage(spark, a.getPath, "shingle_sigs") {
+        rebuilt = true
+        Dedup.sigsOf(graft.core.Tables.documents(spark, a.getPath))
+      }.count()
+      assert(!rebuilt,
+        "corpus A's persisted stage must survive corpus B's stale-version eviction")
+    } finally {
+      spark.conf.unset("spark.graft.signatures.persist")
+      spark.conf.unset("spark.graft.signatures.dir")
+      Seq(a, b).foreach(d => SignatureStage.release(spark, d.getPath))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(shared)
+    }
+  }
+
   test("decontamination flags exactly the train docs overlapping the eval slice") {
     val rows = Dedup.q62Decontaminate(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
