@@ -239,11 +239,12 @@ object Dedup {
   val SimhashHamming = 8
   val SimhashChunks = 9
 
-  /** q28 — SimHash near-dup pairs at Hamming ≤ [[SimhashHamming]], via
-    * chunk-banding + exact verify. Not oracle-checked (xxhash64 isn't
-    * available to the oracle engine); spec-validated against the
-    * exact-Jaccard pairs. */
-  def q28Simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** PRODUCTION SimHash near-dup pairs at Hamming ≤ [[SimhashHamming]],
+    * via chunk-banding + exact Hamming verify. The signature bits ride
+    * xxhash64, so the pair list itself is engine-hash-dependent; the
+    * [[q28Simhash]] gate compares it against the exact-Jaccard twin
+    * in-plan instead of exposing the raw pairs to the oracle. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     // derived map-only from the cached signature table: the codegen'd
     // Simhash64 re-runs per reference below, but over cached `hs` arrays
@@ -272,6 +273,41 @@ object Dedup {
       .filter(col("hamming") <= SimhashHamming)
       .distinct()
       .orderBy("d1", "d2")
+  }
+
+  /** q28 gate floors. Measured on the fixtures (both driver SFs):
+    * recall of the Jaccard ≥ 0.9 planted pairs ≈ 0.96 (a near-dup at
+    * Jaccard 0.9 sits well inside Hamming 8), and EVERY surfaced SimHash
+    * pair has exact Jaccard ≥ 0.6 (precision 1.0) — the floors leave
+    * real margin without being vacuous. */
+  val SimhashRecallJaccard = 0.9
+  val SimhashRecallFloor = 0.8
+  val SimhashPrecisionFloor = 0.9
+
+  /** q28 — the SimHash VERDICT GATE (same pattern as the q30/q43/q49
+    * ANN gates): [[simhashPairs]] against the exact-Jaccard twin
+    * IN-PLAN, emitting the deterministic exact-pair count plus
+    * recall/precision-floor booleans — xxhash64 never reaches the
+    * output, so the DuckDB oracle recomputes the count with the q26
+    * arithmetic and asserts the verdicts literally (full hash-match
+    * instead of rows-only). Production callers use [[simhashPairs]]. */
+  def q28Simhash(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val sim = simhashPairs(spark, dir).select(col("d1"), col("d2"), lit(1L).as("hit"))
+    val exact = verifiedPairs(spark, dir).select(col("d1"), col("d2"), col("jaccard"))
+    val hi = exact.filter(col("jaccard") >= SimhashRecallJaccard)
+    val recallAgg = hi.join(sim, Seq("d1", "d2"), "left")
+      .agg(
+        count(lit(1)).as("n_exact_pairs"),
+        (sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1))).as("recall"))
+    val precAgg = sim
+      .join(exact.select(col("d1"), col("d2"), lit(1L).as("ex")), Seq("d1", "d2"), "left")
+      .agg((sum(coalesce(col("ex"), lit(0L))).cast("double") / count(lit(1))).as("precision"))
+    recallAgg.crossJoin(precAgg) // two 1-row aggregates — broadcast scalar attach
+      .select(
+        col("n_exact_pairs"),
+        (col("recall") >= SimhashRecallFloor).as("recall_ok"),
+        (col("precision") >= SimhashPrecisionFloor).as("precision_ok"))
   }
 
   /** Iteration cap for the CC loop. The chase step makes convergence
@@ -532,9 +568,9 @@ object Dedup {
     "q28_simhash"       -> (q28Simhash _),
     "q38_dedup_apply"   -> (q38DedupApply _))
 
-  /** Shared exact-Jaccard oracle text (q26 and q27 converge to the same
-    * exact answer — see q27 scaladoc). */
-  private val jaccardOracle =
+  /** Shared exact-Jaccard CTE block (string-shingle recomputation of the
+    * hash-shingle overlap). */
+  private val jaccardCtes =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
       |  FROM documents),
@@ -546,7 +582,12 @@ object Dedup {
       |p AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared exact-Jaccard oracle text (q26 and q27 converge to the same
+    * exact answer — see q27 scaladoc). */
+  private val jaccardOracle =
+    s"""$jaccardCtes
       |SELECT d1, d2,
       |  round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) AS jaccard
       |FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
@@ -579,6 +620,16 @@ object Dedup {
         |  count(DISTINCT md5(trim(text))) AS distinct_docs FROM documents""".stripMargin,
     "q26_ngram_jaccard" -> jaccardOracle,
     "q27_minhash_lsh"   -> jaccardOracle,
+    // q28 gate: the exact high-Jaccard pair count is a corpus fact the
+    // oracle recomputes with the q26 arithmetic; the recall/precision
+    // verdicts are deterministic (fixed hash, fixed chunking) booleans.
+    "q28_simhash" ->
+      s"""$jaccardCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+         |  TRUE AS recall_ok, TRUE AS precision_ok
+         |FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+         |WHERE round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4)
+         |  >= $SimhashRecallJaccard""".stripMargin,
     // connected components over the same exact-Jaccard pair graph,
     // as a recursive CTE (reachability → min reachable id per node)
     "q38_dedup_apply" ->
@@ -606,6 +657,4 @@ object Dedup {
          |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS keeper,
          |  id = min(r) AS is_keeper
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
-    // q28_simhash intentionally has no oracle: signature bits depend on
-    // xxhash64, which the oracle engine lacks → driver rows-only check.
 }

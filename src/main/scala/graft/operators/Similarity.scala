@@ -434,15 +434,56 @@ object Similarity {
           .otherwise("drop").as("status"))
   }
 
-  /** q69 — [[semDedup]] over the embeddings table at the corpus's
-    * near-dup threshold. Approximate (cluster-local) → rows-only for the
-    * driver; exact-twin parity + planted-duplicate recall spec'd in
-    * `SimilaritySpec`. */
-  def q69SemDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** PRODUCTION SemDeDup statuses: [[semDedup]] over the embeddings
+    * table at the corpus's near-dup threshold — one (vec_id, cluster,
+    * status) row per vector. The cluster column depends on the trained
+    * quantizer, so the detail rows are not oracle-reproducible; the
+    * [[q69SemDedup]] gate verifies them against the exact all-pairs twin
+    * in-plan instead. Exact-twin parity + planted-duplicate recall
+    * spec'd in `SimilaritySpec`. */
+  def semDedupStatuses(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     val emb = Tables.embeddings(spark, dir)
     semDedup(emb, IvfIndex.centroids(spark, dir, SemClusters), NearDupThreshold)
       .orderBy("vec_id")
+  }
+
+  /** q69 — the SemDeDup VERDICT GATE (same pattern as the q28/q30/q43/q49
+    * gates): [[semDedupStatuses]] against the exact all-pairs twin
+    * IN-PLAN. Emits the vector count and the exact duplicate-involved
+    * vector count (both corpus facts the oracle recomputes with the q31
+    * arithmetic) plus two deterministic verdicts: every dropped vector
+    * is an endpoint of some EXACT near-dup pair (precision — a drop is
+    * always justified by a real pair), and no exact pair whose endpoints
+    * share a cluster survives with both sides kept (the within-cluster
+    * twin property; pairs straddling cluster boundaries are the
+    * documented SemDeDup recall trade). Quantizer-dependent columns
+    * never reach the output → full hash-match instead of rows-only.
+    * Production callers use [[semDedupStatuses]]. */
+  def q69SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val statuses = semDedupStatuses(spark, dir)
+    val pairs = q31CosineNearDup(spark, dir).select(col("v1"), col("v2"))
+    val dupVecs = pairs
+      .select(explode(array(col("v1"), col("v2"))).as("vec_id")).distinct()
+    val nAgg = statuses.agg(count(lit(1)).as("n_vectors"))
+    val dvAgg = dupVecs.agg(count(lit(1)).as("n_exact_dup_vectors"))
+    val badDrops = statuses.filter(col("status") === "drop")
+      .join(dupVecs, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_bad_drops"))
+    val survived = pairs
+      .join(statuses.select(col("vec_id").as("v1"), col("cluster").as("c1"),
+        col("status").as("st1")), Seq("v1"))
+      .join(statuses.select(col("vec_id").as("v2"), col("cluster").as("c2"),
+        col("status").as("st2")), Seq("v2"))
+      .agg(coalesce(sum(when(col("c1") === col("c2") &&
+        col("st1") === "keep" && col("st2") === "keep", 1L).otherwise(0L)), lit(0L))
+        .as("n_uncollapsed"))
+    nAgg.crossJoin(dvAgg).crossJoin(badDrops).crossJoin(survived) // 1-row aggs
+      .select(
+        col("n_vectors"), col("n_exact_dup_vectors"),
+        (col("n_bad_drops") === 0).as("drops_are_true_dups"),
+        (col("n_uncollapsed") === 0).as("same_cluster_pairs_collapsed"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -505,8 +546,21 @@ object Similarity {
          |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
          |    sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
          |         list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= $NearDupThreshold
-         |ORDER BY v1, v2""".stripMargin)
-    // remaining rows-only: q28 (xxhash64-based simhash pairs) and q69
-    // (quantizer-dependent cluster column) — their detail outputs are
-    // the point and are spec-validated against exact twins.
+         |ORDER BY v1, v2""".stripMargin,
+    // q69 gate: both counts are corpus facts recomputed with the q31
+    // arithmetic; the precision/collapse verdicts are deterministic
+    // (fixed-sample quantizer, exact cosine) booleans.
+    "q69_sem_dedup" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+         |      sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+         |           list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= $NearDupThreshold),
+         |dv AS (SELECT DISTINCT v FROM (SELECT v1 AS v FROM p UNION ALL SELECT v2 FROM p))
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM dv) AS n_exact_dup_vectors,
+         |  TRUE AS drops_are_true_dups,
+         |  TRUE AS same_cluster_pairs_collapsed""".stripMargin)
 }

@@ -252,19 +252,54 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
-  /** q61 — compression-ratio quality signal (the deflate filter): per-doc
-    * ratio via the native [[graft.functions.DeflateRatio]] expression.
-    * Map-only scan; deterministic for a given zlib, but zlib output is
-    * not reproducible in the oracle engine → rows-only for the driver,
-    * spec-validated against a direct JVM deflate and planted
-    * repetitive-vs-natural fixtures. */
-  def q61CompressRatio(spark: SparkSession, dir: String): DataFrame = {
+  /** PRODUCTION compression-ratio quality signal (the deflate filter):
+    * per-doc ratio via the native [[graft.functions.DeflateRatio]]
+    * expression. Map-only scan; deterministic for a given zlib, but zlib
+    * output is not reproducible in the oracle engine — the [[q61CompressRatio]]
+    * gate checks it against an oracle-computable entropy proxy instead of
+    * exposing the raw ratios. */
+  def compressionRatios(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         round(graft.functions.VectorFunctions.deflate_ratio(col("text")), 4)
           .as("deflate_ratio"))
       .orderBy("doc_id")
+  }
+
+  /** q61 gate bounds. Measured on the fixtures (both driver SFs):
+    * ratios sit in [0.38, 1.13] (deflate never expands text beyond the
+    * small-input header overhead) and the Pearson correlation between
+    * deflate ratio and the distinct-token ratio — the oracle-computable
+    * entropy proxy — is ≈ 0.95; the floors leave wide margin while a
+    * broken deflate (all-zero, inverted, or uncorrelated output) fails
+    * them immediately. */
+  val DeflateRatioMax = 1.5
+  val DeflateCorrFloor = 0.5
+
+  /** q61 — the compression-ratio VERDICT GATE (same pattern as the
+    * q28/q30/q43/q49 gates): [[compressionRatios]] validated IN-PLAN
+    * against the distinct-token entropy proxy, emitting the corpus count
+    * plus bounds/correlation booleans — zlib bytes never reach the
+    * output, so the DuckDB oracle asserts the row literally (full
+    * hash-match instead of rows-only). Production callers use
+    * [[compressionRatios]]. */
+  def q61CompressRatio(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        graft.functions.VectorFunctions.deflate_ratio(col("text")).as("r"),
+        (size(array_distinct(toks)).cast("double") /
+          greatest(size(toks), lit(1))).as("dtr"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("r")).as("rmin"), max(col("r")).as("rmax"),
+        corr(col("r"), col("dtr")).as("c"))
+      .select(
+        col("n_docs"),
+        (col("rmin") > 0.0 && col("rmax") <= DeflateRatioMax).as("bounds_ok"),
+        (col("c") >= DeflateCorrFloor).as("corr_ok"))
   }
 
   /** Chunking parameters: window size and stride in tokens (overlap =
@@ -446,6 +481,11 @@ object TextOps {
     "q54_tfidf"         -> (q54TfIdf _))
 
   val oracles: Map[String, String] = Map(
+    // q61 gate: the corpus count is the only non-boolean column; the
+    // bounds/correlation verdicts are deterministic for a given zlib.
+    "q61_compress_ratio" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS bounds_ok, TRUE AS corr_ok FROM documents""".stripMargin,
     // q78: integer micro-bits per token type before any order-sensitive
     // sum; log2 agrees across engines at micro precision (same risk
     // profile as q70 BM25, which is oracle-exact).

@@ -18,7 +18,7 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.q26NgramJaccard(spark, sf).collect()
       .filter(_.getDouble(2) >= 0.9)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = Dedup.q28Simhash(spark, sf).collect()
+    val sim = Dedup.simhashPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     val recall = exact.count(sim.contains).toDouble / exact.size
@@ -27,7 +27,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhash pairs are truly similar (precision against jaccard)") {
     // every surfaced simhash pair should share a meaningful shingle overlap
-    val simPairs = Dedup.q28Simhash(spark, sf).collect()
+    val simPairs = Dedup.simhashPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs = graft.core.Tables.documents(spark, sf)
     val all = Dedup.jaccardPairs(Dedup.sigsOf(docs), 0.0).collect()
@@ -35,6 +35,14 @@ class DedupSpec extends SparkSpec {
     val bad = simPairs.filter(p => all.getOrElse(p, 0.0) < 0.3)
     assert(bad.size <= simPairs.size / 10,
       s"simhash false positives: ${bad.take(5)} of ${simPairs.size}")
+  }
+
+  test("q28 gate verdict: exact-pair count matches and both floors hold") {
+    val row = Dedup.q28Simhash(spark, sf).head()
+    val expected = Dedup.q26NgramJaccard(spark, sf).collect()
+      .count(_.getDouble(2) >= Dedup.SimhashRecallJaccard)
+    assert(row.getLong(0) == expected.toLong, "gate count must equal the exact twin's")
+    assert(row.getBoolean(1) && row.getBoolean(2), s"gate verdicts must hold: $row")
   }
 
   test("driver-local union-find CC equals the distributed pointer-jumping loop") {
@@ -75,7 +83,7 @@ class DedupSpec extends SparkSpec {
     // running the whole family must add only SignatureStage-owned caches…
     Dedup.q26NgramJaccard(spark, sf).collect()
     Dedup.q27MinhashLsh(spark, sf).collect()
-    Dedup.q28Simhash(spark, sf).collect()
+    Dedup.simhashPairs(spark, sf).collect()
     val sigs = Dedup.shingleSigs(spark, sf)
     val cand = Dedup.candidatePairs(spark, sf)
     val verified = Dedup.verifiedPairs(spark, sf)

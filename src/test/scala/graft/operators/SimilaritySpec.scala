@@ -109,7 +109,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("SemDeDup: join path ≡ exact within-cluster twin; statuses partition the corpus") {
     import org.apache.spark.sql.functions.col
-    val out = Similarity.q69SemDedup(spark, sf).collect()
+    val out = Similarity.semDedupStatuses(spark, sf).collect()
     val emb = graft.core.Tables.embeddings(spark, sf)
     assert(out.length == emb.count())
     // twin: same clustering, brute-force all-pairs drop rule computed
@@ -148,6 +148,16 @@ class SimilaritySpec extends SparkSpec {
     assert(gotDrop == expectDrop,
       s"mismatch: extra=${(gotDrop diff expectDrop).take(3)} missing=${(expectDrop diff gotDrop).take(3)}")
     assert(out.forall(r => r.getString(2) == "keep" || r.getString(2) == "drop"))
+  }
+
+  test("q69 gate verdict: counts match the exact twin and both verdicts hold") {
+    val row = Similarity.q69SemDedup(spark, sf).head()
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    assert(row.getLong(0) == emb.count())
+    val pairs = Similarity.q31CosineNearDup(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(row.getLong(1) == pairs.size.toLong)
+    assert(row.getBoolean(2) && row.getBoolean(3), s"gate verdicts must hold: $row")
   }
 
   test("SemDeDup: planted duplicate groups collapse to one keeper each") {

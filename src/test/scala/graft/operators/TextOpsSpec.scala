@@ -89,6 +89,15 @@ class TextOpsSpec extends SparkSpec {
     assert(got(10L) > got(1L), "rare tokens must cost more bits")
   }
 
+  test("q61 gate verdict: per-doc ratios stay produced, bounds and correlation hold") {
+    val row = TextOps.q61CompressRatio(spark, sf).head()
+    val detail = TextOps.compressionRatios(spark, sf).collect()
+    assert(row.getLong(0) == detail.length.toLong)
+    assert(row.getBoolean(1) && row.getBoolean(2), s"gate verdicts must hold: $row")
+    // the production entry still carries the per-doc signal the gate vouches for
+    assert(detail.forall(r => r.getDouble(1) > 0.0 && r.getDouble(1) <= TextOps.DeflateRatioMax))
+  }
+
   test("quality tiers cover the corpus") {
     val rows = TextOps.q23QualityScore(spark, sf).collect()
     val total = rows.map(_.getLong(1)).sum
