@@ -57,7 +57,7 @@ object TableFunctions {
   private val names = Seq(
     "bm25", "source_cap", "sem_dedup", "decontaminate", "corpus_diff",
     "near_dup_pairs", "dedup_apply", "temperature_mix", "corpus_drift",
-    "chunk", "pii_redact", "lm_score")
+    "chunk", "pii_redact", "lm_score", "span_dedup")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -205,6 +205,17 @@ object TableFunctions {
         case Seq() =>
           plan(spark => graft.operators.TextOps.unigramLogprob(spark.table("documents")))
         case _ => throw new IllegalArgumentException("lm_score expects no arguments")
+      }
+    },
+    "span_dedup" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Dedup.spanDedup(
+            spark.table("documents"), graft.operators.Dedup.SpanWindow))
+        case Seq(w) =>
+          plan(spark => graft.operators.Dedup.spanDedup(
+            spark.table("documents"), int(w, "span_dedup(window_tokens)")))
+        case _ => throw new IllegalArgumentException("span_dedup expects () or (window_tokens)")
       }
     })
 

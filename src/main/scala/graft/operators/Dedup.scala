@@ -310,6 +310,62 @@ object Dedup {
         (col("precision") >= SimhashPrecisionFloor).as("precision_ok"))
   }
 
+  /** Span-grid window width (tokens) for [[spanDedup]]. Production
+    * substring dedup uses 50-token spans (Lee et al. 2022); the fixture
+    * corpus' planted near-dups share shorter runs, so the grid is finer
+    * here — a caller knob. */
+  val SpanWindow = 10
+
+  /** Span-grid EXACT substring deduplication (the C4 "repeated span"
+    * rule, grid-aligned: Raffel et al. 2020 §2.2 dedupe repeated
+    * three-sentence spans; Lee et al. 2022, arXiv:2107.06499, dedupe
+    * repeated 50-token substrings — public-knowledge methods, original
+    * Spark implementation). Each document's token stream is cut into
+    * NON-OVERLAPPING `win`-token windows; the first occurrence of each
+    * distinct window content in corpus order (doc_id, window index)
+    * survives, every later occurrence is removed, and documents are
+    * reassembled from their surviving windows (a document whose every
+    * window is removed disappears — the C4 empty-doc drop).
+    *
+    * Scale shape: the token stream shuffles exactly twice, both
+    * unavoidable — once keyed on the span fingerprint (md5, the exact
+    * analogue of q24's content hash at span granularity, so the oracle
+    * reproduces it verbatim) for the global first-occurrence election
+    * (one row_number window, no self-join, never all-pairs), once on
+    * doc_id for reassembly. No collects; state per span key is one row. */
+  def spanDedup(docs: DataFrame, win: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .withColumn("n_win", ceil(size(col("t")) / lit(win.toDouble)).cast("long"))
+    val wins = t
+      .select(col("doc_id"), col("n_win"),
+        posexplode(transform(sequence(lit(0), (col("n_win") - 1).cast("int")),
+          i => array_join(slice(col("t"), i * win + 1, lit(win)), " "))))
+      .select(col("doc_id"), col("n_win"),
+        col("pos").cast("long").as("widx"), col("col").as("wtext"))
+    val firstSeen = Window.partitionBy(md5(col("wtext"))).orderBy("doc_id", "widx")
+    wins
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("widx"), col("wtext")))),
+            s => s.getField("wtext")),
+          " ").as("text_dedup"),
+        count(lit(1)).as("n_kept"),
+        (first(col("n_win")) - count(lit(1))).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** q80 — [[spanDedup]] over the documents table at [[SpanWindow]]. */
+  def q80SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    spanDedup(Tables.documents(spark, dir), SpanWindow)
+  }
+
   /** Iteration cap for the CC loop. The chase step makes convergence
     * O(log diameter), so 50 covers graphs of astronomically large
     * diameter; hitting the cap is logged (never silent — a truncated
@@ -566,7 +622,8 @@ object Dedup {
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
     "q27_minhash_lsh"   -> (q27MinhashLsh _),
     "q28_simhash"       -> (q28Simhash _),
-    "q38_dedup_apply"   -> (q38DedupApply _))
+    "q38_dedup_apply"   -> (q38DedupApply _),
+    "q80_span_dedup"    -> (q80SpanDedup _))
 
   /** Shared exact-Jaccard CTE block (string-shingle recomputation of the
     * hash-shingle overlap). */
@@ -620,6 +677,32 @@ object Dedup {
         |  count(DISTINCT md5(trim(text))) AS distinct_docs FROM documents""".stripMargin,
     "q26_ngram_jaccard" -> jaccardOracle,
     "q27_minhash_lsh"   -> jaccardOracle,
+    // q80: the span fingerprint is md5 on both engines, so the election
+    // and the reassembled text agree verbatim; list_slice bounds are
+    // both-inclusive (= Spark's slice(start, length) at length 10).
+    "q80_span_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, w, CAST(ceil(len(w) / $SpanWindow.0) AS BIGINT) AS n_win
+         |  FROM t WHERE len(w) > 0),
+         |wins AS (
+         |  SELECT doc_id, n_win, i AS widx,
+         |    array_to_string(list_slice(w,
+         |      CAST(i * $SpanWindow + 1 AS INTEGER),
+         |      CAST(i * $SpanWindow + $SpanWindow AS INTEGER)), ' ') AS wtext
+         |  FROM d, unnest(range(n_win)) AS u(i)),
+         |kept AS (
+         |  SELECT doc_id, n_win, widx, wtext FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(wtext) ORDER BY doc_id, widx) AS rn
+         |    FROM wins) WHERE rn = 1)
+         |SELECT doc_id,
+         |  string_agg(wtext, ' ' ORDER BY widx) AS text_dedup,
+         |  count(*) AS n_kept,
+         |  max(n_win) - count(*) AS n_removed
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q28 gate: the exact high-Jaccard pair count is a corpus fact the
     // oracle recomputes with the q26 arithmetic; the recall/precision
     // verdicts are deterministic (fixed hash, fixed chunking) booleans.

@@ -439,9 +439,33 @@ object Relational {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** q81 — CUBE over (returnflag, linestatus): every grouping-set
+    * combination — cell, per-flag, per-status, grand total — in ONE
+    * pass (completes the grouping-sets family next to q75's ROLLUP,
+    * which omits the per-status cut). Same plan shape: one Expand (4
+    * replicas per row) + one partial-agged aggregation — at 100 TB the
+    * Expand multiplies the MAP side only; the shuffle still carries one
+    * partial row per (grouping set × cell), never the fact table.
+    * `grouping_id` disambiguates; NULLS FIRST keeps engine order
+    * identical. */
+  def q81Cube(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(
+        col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_json_extract"      -> (q74JsonExtract _),
     "q75_rollup"            -> (q75Rollup _),
+    "q81_cube"              -> (q81Cube _),
     "q01_count"             -> (q01Count _),
     "q02_proj_filter_limit" -> (q02ProjFilterLimit _),
     "q03_group_topk"        -> (q03GroupTopK _),
@@ -487,6 +511,14 @@ object Relational {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q81_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q01_count" ->
       "SELECT count(*) AS record_count FROM lineitem",

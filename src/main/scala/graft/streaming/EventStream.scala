@@ -277,7 +277,40 @@ object EventStream {
     drainToFiles(spark, joined).orderBy("purchase_id", "click_id")
   }
 
+  /** q79 — STREAM-STATIC enrich join (with q77 this completes the §2.8
+    * join family): the event firehose joined to the customer→nation
+    * dimension star per micro-batch — THE most common production
+    * streaming shape (enrich the stream with slowly-changing dims, land
+    * it in the lake). Map-only on the stream side: both dimensions are
+    * `broadcast()` so no micro-batch ever shuffles the firehose, there
+    * is no stateful operator, no watermark, and state is ZERO — the
+    * 100 TB/day regime rides entirely on broadcast size (dims re-read
+    * per batch, so a dim update lands on the next batch without a
+    * restart). Inner join over a static AvailableNow input emits every
+    * enriched event — identical to the batch join, hence oracle-checked
+    * like q77. */
+  def q79StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val cust = graft.core.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = graft.core.Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val enriched = stream
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("n_name").as("nation"))
+    drainToFiles(spark, enriched).orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_stream_enrich"   -> (q79StreamEnrich _),
     "q34_stream_windows"  -> (q34StreamWindows _),
     "q44_stream_sessions" -> (q44StreamSessions _),
     "q48_stream_dedup"    -> (q48StreamDedup _),
@@ -287,6 +320,14 @@ object EventStream {
   /** Oracle: append-mode emission = windows fully below the final
     * watermark (max event time − delay), recomputed relationally. */
   val oracles: Map[String, String] = Map(
+    // q79: stateless inner enrich join over a static AvailableNow input
+    // emits every matching event — identical to the batch star join.
+    "q79_stream_enrich" ->
+      """SELECT e.event_id, e.event_type, e.value, n.n_name AS nation
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY e.event_id""".stripMargin,
     // q77: inner interval join over a static AvailableNow input emits
     // every matching pair — identical to the batch join. Timestamps
     // truncate ns→µs on both sides (Spark: `ts div 1000`; oracle:

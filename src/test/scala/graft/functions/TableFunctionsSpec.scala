@@ -114,6 +114,8 @@ class TableFunctionsSpec extends SparkSpec {
       rows(graft.operators.Privacy.redact(docs, col("text"))))
     assert(rows(spark.sql("SELECT * FROM lm_score()")) ==
       rows(graft.operators.TextOps.unigramLogprob(docs)))
+    assert(rows(spark.sql("SELECT * FROM span_dedup(10)")) ==
+      rows(graft.operators.Dedup.spanDedup(docs, 10)))
   }
 
   test("corpus_drift TVF over two named versions matches the cell-join twin") {

@@ -37,6 +37,36 @@ class DedupSpec extends SparkSpec {
       s"simhash false positives: ${bad.take(5)} of ${simPairs.size}")
   }
 
+  test("span dedup: later grid-aligned duplicate spans drop, docs reassemble in order") {
+    import spark.implicits._
+    def span(p: String): String = (1 to 4).map(p + _).mkString(" ") // 4-token spans, win=4
+    // doc 1: A B; doc 2: A C (A repeats → doc 2 keeps only C);
+    // doc 3: B (fully duplicate → disappears); doc 4: D E (untouched)
+    val docs = Seq(
+      (1L, s"${span("a")} ${span("b")}"),
+      (2L, s"${span("a")} ${span("c")}"),
+      (3L, span("b")),
+      (4L, s"${span("d")} ${span("e")}")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L), s"fully-duplicate doc 3 must disappear: $out")
+    assert(out(1L) == ((s"${span("a")} ${span("b")}", 2L, 0L)), "first occurrences all survive")
+    assert(out(2L) == ((span("c"), 1L, 1L)), "repeated span drops, remainder reassembles")
+    assert(out(4L) == ((s"${span("d")} ${span("e")}", 2L, 0L)))
+    // corpus conservation on the real fixture: kept spans = distinct spans
+    val fixture = Dedup.q80SpanDedup(spark, sf).collect()
+    val kept = fixture.map(_.getLong(2)).sum
+    val docsT = graft.core.Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions._
+    val totalDistinct = docsT
+      .select(explode(transform(
+        sequence(lit(0), (ceil(size(TextOps.tokens(col("text"))) / lit(Dedup.SpanWindow.toDouble)) - 1).cast("int")),
+        i => array_join(slice(TextOps.tokens(col("text")), i * Dedup.SpanWindow + 1, lit(Dedup.SpanWindow)), " "))).as("w"))
+      .filter(col("w") =!= "").select(countDistinct(col("w"))).head().getLong(0)
+    assert(kept == totalDistinct, s"kept=$kept distinct=$totalDistinct")
+  }
+
   test("q28 gate verdict: exact-pair count matches and both floors hold") {
     val row = Dedup.q28Simhash(spark, sf).head()
     val expected = Dedup.q26NgramJaccard(spark, sf).collect()

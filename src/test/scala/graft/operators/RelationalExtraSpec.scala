@@ -31,4 +31,22 @@ class RelationalExtraSpec extends SparkSpec {
     }
     assert(grand.head.isNullAt(0) && grand.head.isNullAt(1))
   }
+
+  test("q81 cube: every grouping-set cut sums to the grand total") {
+    val rows = Relational.q81Cube(spark, sf).collect()
+    val detail = rows.filter(_.getLong(2) == 0L)       // (flag, status)
+    val byFlag = rows.filter(_.getLong(2) == 1L)       // (flag, ·)
+    val byStatus = rows.filter(_.getLong(2) == 2L)     // (·, status) — the cut ROLLUP lacks
+    val grand = rows.filter(_.getLong(2) == 3L)
+    assert(grand.length == 1)
+    val total = grand.head.getLong(3)
+    assert(detail.map(_.getLong(3)).sum == total)
+    assert(byFlag.map(_.getLong(3)).sum == total)
+    assert(byStatus.map(_.getLong(3)).sum == total)
+    byStatus.foreach { s =>
+      assert(s.isNullAt(0), "per-status rows null out the flag")
+      val status = s.getString(1)
+      assert(s.getLong(3) == detail.filter(_.getString(1) == status).map(_.getLong(3)).sum)
+    }
+  }
 }

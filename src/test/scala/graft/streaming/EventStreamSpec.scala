@@ -54,6 +54,26 @@ class EventStreamSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.streaming.stateStoreProvider")
   }
 
+  test("stream-static enrich join equals the batch star join, event-complete") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.q79StreamEnrich(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    val events = graft.core.Tables.events(spark, sf)
+    val batch = events
+      .join(graft.core.Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+      .join(graft.core.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("n_name").as("nation"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(streamed.toSeq == batch.toSeq)
+    // the fixture's user ids all resolve to a customer: enrich loses no events
+    assert(streamed.length.toLong == events.count(),
+      "every event must survive the dimension joins")
+  }
+
   test("streaming dedup emits exactly the distinct-content fingerprints") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.q48StreamDedup(spark, sf).collect().map(_.getString(0))
