@@ -431,29 +431,36 @@ object TextOps {
     * Per-token surprisal −log2 p(t) with p(t) = corpus count / corpus
     * size; per-document mean bits/token.
     *
-    * Plan shape at scale: one token explode → vocabulary-sized count
-    * shuffle → join token scores back (AQE broadcasts a small
-    * vocabulary; a 100 TB vocabulary hash-joins on the token — either
-    * way the corpus token stream shuffles at most once) → per-doc
-    * aggregate. Parity: per-token surprisal is fixed to INTEGER micros
-    * before the order-sensitive sum (the BM25 move), and the per-doc
-    * mean uses half-up integer division — so float addition order can
-    * never flip a score in either engine. */
+    * Plan shape at scale: the token stream is reduced to per-doc term
+    * frequencies FIRST (map-side-combined groupBy — the only shuffle
+    * that carries corpus-proportional rows), corpus counts per token
+    * type come from a window over that already-aggregated frame
+    * partitioned BY TOKEN (so the vocabulary never coalesces to one
+    * partition — a global window here would single-thread a billion-type
+    * vocabulary), and the corpus token total is one scalar row attached
+    * by broadcast cross join (the BM25 move; its scan is column-pruned
+    * and explode-free). Parity: per-token surprisal is fixed to INTEGER
+    * micros before the order-sensitive sum, and the per-doc mean uses
+    * half-up integer division — so float addition order can never flip
+    * a score in either engine. */
   def unigramLogprob(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val total = org.apache.spark.sql.expressions.Window.partitionBy()
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    // surprisal per TOKEN TYPE in micro-bits (vocab-sized frame)
-    val scores = counts
-      .withColumn("n_total", sum(col("cnt")).over(total))
-      .select(col("token"),
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val docTok = docs
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // corpus total: one tiny row, broadcast by the cross join; the scan
+    // reads only `text` and never explodes
+    val total = docs.agg(sum(size(toks)).cast("long").as("n_total"))
+    docTok
+      .withColumn("cnt", sum(col("tf")).over(Window.partitionBy("token")))
+      .crossJoin(broadcast(total))
+      .withColumn("micro_bits",
         round(-log2(col("cnt").cast("double") / col("n_total")) * 1000000)
-          .cast("long").as("micro_bits"))
-    tok.join(scores, Seq("token"))
+          .cast("long"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("micro_bits")).as("s"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("micro_bits") * col("tf")).as("s"))
       .select(col("doc_id"), col("n_tokens"),
         (floor((col("s") * 2 + col("n_tokens") * 100) /
           (col("n_tokens") * 200)) / 10000.0).as("bits_per_token"))

@@ -107,6 +107,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(n <= 1, s"q73 runs $n shuffles (expected 1 — the shingle aggregation)")
   }
 
+  test("unigram LM never single-partitions the vocabulary (q78)") {
+    // corpus token counts come from a window PARTITIONED BY TOKEN over
+    // the aggregated tf frame and the corpus total attaches by broadcast
+    // — a regression to a global window shows up as a SinglePartition
+    // shuffle, which would single-thread a 100 TB vocabulary
+    val (df, plan) = executed("q78_unigram_logprob")
+    val exchanges = BucketedLayout.collectExchanges(df.queryExecution.executedPlan)
+    assert(!exchanges.exists(_.contains("SinglePartition")),
+      s"q78 coalesces to one partition: $exchanges\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"q78: corpus total must attach by broadcast\n$plan")
+  }
+
+  test("span dedup shuffles only for election, reassembly and output order (q80)") {
+    val n = shuffleCount("q80_span_dedup")
+    assert(n <= 3,
+      s"q80 runs $n shuffles (expected ≤ 3: span-key election + doc reassembly + sort)")
+  }
+
+  test("CUBE is one Expand + one aggregation, never multiple scans (q81)") {
+    val (_, plan) = executed("q81_cube")
+    assert(raw"(?m)^.*Expand".r.findAllMatchIn(plan).nonEmpty, s"q81: no Expand\n$plan")
+    val readSchemas = raw"ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).toSeq
+    assert(readSchemas.length <= 2, // formatted output prints AQE initial plan too
+      s"q81 scans the fact table more than once\n$plan")
+  }
+
   test("BM25 never scans the corpus for document frequency (q70)") {
     // df derives from the aggregated tf frame; a regression that replans
     // it from the token stream shows up as a third corpus scan. Count
