@@ -486,7 +486,48 @@ object Similarity {
         (col("n_uncollapsed") === 0).as("same_cluster_pairs_collapsed"))
   }
 
+  /** q82 — per-source embedding CENTROID DRIFT between two corpus
+    * versions (the embedding-space twin of q71's composition drift: a
+    * recrawl can keep the source mix stable while the CONTENT of a
+    * source shifts — the centroid moves, the mix doesn't; monitoring
+    * both catches both failure modes before a model trains on them).
+    * Version membership is the q66 fixture rule set, evaluated per-row
+    * as conditional aggregates — ONE scan of the embeddings, one
+    * shuffle from (rows × dims) down to the (source, dim) cell frame
+    * (partial-agg combines map-side; cells = sources × 64, trivially
+    * small at any corpus scale), then a per-source fold of the 64-dim
+    * centroid pair into cosine drift. Drift is rounded at 6: the
+    * per-cell mean is a double sum whose partition-order wobble is
+    * ~1e-13 relative, far inside the rounding. */
+  def q82CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val cells = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(src, Seq("vec_id"))
+      .select(col("vec_id"), col("source"), posexplode(col("embedding")))
+      .select(
+        col("source"), col("pos").as("dim"), col("col").cast("double").as("v"),
+        (col("vec_id") % Corpus.RemovedInV2Mod =!= Corpus.RemovedInV2Rem).as("in1"),
+        (col("vec_id") % Corpus.DroppedFromV1Mod =!= Corpus.DroppedFromV1Rem).as("in2"))
+      .groupBy("source", "dim")
+      .agg(
+        avg(when(col("in1"), col("v"))).as("a1"),
+        avg(when(col("in2"), col("v"))).as("a2"))
+    cells.groupBy("source")
+      .agg(
+        sum(col("a1") * col("a2")).as("dot"),
+        sum(col("a1") * col("a1")).as("n1"),
+        sum(col("a2") * col("a2")).as("n2"))
+      .select(col("source"),
+        round(lit(1.0) - col("dot") / sqrt(col("n1") * col("n2")), 6)
+          .as("centroid_drift"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_centroid_drift"  -> (q82CentroidDrift _),
     "q69_sem_dedup"       -> (q69SemDedup _),
     "q29_cosine_topk"     -> (q29CosineTopK _),
     "q30_ann_lsh"         -> (q30AnnLsh _),
@@ -547,6 +588,27 @@ object Similarity {
          |    sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
          |         list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) >= $NearDupThreshold
          |ORDER BY v1, v2""".stripMargin,
+    // q82: DuckDB's parallel unnests zip positionally, so dim/value pair
+    // exactly like Spark's posexplode; both engines average in double
+    // and round the final drift at 6 (see the q82 scaladoc on wobble).
+    "q82_centroid_drift" ->
+      s"""WITH e AS (
+         |  SELECT d.source,
+         |    unnest(range(len(e.embedding))) AS dim,
+         |    unnest(CAST(e.embedding AS DOUBLE[])) AS v,
+         |    (e.vec_id % ${Corpus.RemovedInV2Mod} <> ${Corpus.RemovedInV2Rem}) AS in1,
+         |    (e.vec_id % ${Corpus.DroppedFromV1Mod} <> ${Corpus.DroppedFromV1Rem}) AS in2
+         |  FROM embeddings e
+         |  JOIN documents d ON e.vec_id = d.doc_id),
+         |c AS (
+         |  SELECT source, dim,
+         |    avg(CASE WHEN in1 THEN v END) AS a1,
+         |    avg(CASE WHEN in2 THEN v END) AS a2
+         |  FROM e GROUP BY source, dim)
+         |SELECT source,
+         |  round(1.0 - sum(a1 * a2) / sqrt(sum(a1 * a1) * sum(a2 * a2)), 6)
+         |    AS centroid_drift
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // q69 gate: both counts are corpus facts recomputed with the q31
     // arithmetic; the precision/collapse verdicts are deterministic
     // (fixed-sample quantizer, exact cosine) booleans.

@@ -150,6 +150,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => r.getString(2) == "keep" || r.getString(2) == "drop"))
   }
 
+  test("centroid drift: zero only where the versions' source slices agree") {
+    val rows = Similarity.q82CentroidDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach(d => assert(d >= 0.0 && d <= 2.0, s"cosine drift range: $rows"))
+    // recompute which sources actually lose/gain vectors between versions;
+    // exactly those may drift, identical slices must not
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val changed = docs.filter(
+      (col("doc_id") % Corpus.RemovedInV2Mod === Corpus.RemovedInV2Rem) ||
+        (col("doc_id") % Corpus.DroppedFromV1Mod === Corpus.DroppedFromV1Rem))
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { case (s, d) =>
+      if (!changed.contains(s)) assert(d == 0.0, s"source $s has identical slices: $d")
+      else assert(d > 0.0, s"source $s lost/gained vectors yet drift is zero")
+    }
+  }
+
   test("q69 gate verdict: counts match the exact twin and both verdicts hold") {
     val row = Similarity.q69SemDedup(spark, sf).head()
     val emb = graft.core.Tables.embeddings(spark, sf)
