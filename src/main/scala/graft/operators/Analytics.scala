@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sessions, Tables}
+
+/** Reporting analytics over the warehouse tables: PIVOT cross-tabs,
+  * ordered-funnel conversion, and fixed-window time-series smoothing —
+  * the dashboard layer a pipeline team runs on top of the same star
+  * schema the curation operators feed (reference
+  * `sql/sample_athena_queries.sql` is exactly this kind of reporting
+  * surface, expressed over Athena).
+  */
+object Analytics {
+
+  /** q83 — PIVOT cross-tab: order count + revenue per
+    * (priority row, status column). Pivot values are DECLARED, not
+    * discovered: with an explicit value list Spark plans ONE pass of
+    * conditional aggregates (same shuffle as a plain GROUP BY); omitting
+    * it would add a full discovery pass over the fact table just to
+    * learn the column set — never acceptable on a 100 TB fact table.
+    */
+  def q83Pivot(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val statuses = Seq("F", "O", "P")
+    val out = Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", statuses)
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+    // absent (priority, status) cells: pivot yields null counts where
+    // the oracle's `count(*) FILTER` yields 0 — normalize to 0
+    out.na.fill(0L, statuses.map(s => s"${s}_n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q84 — strict ordered funnel (view → click → purchase) per user, in
+    * ONE scan and ONE shuffle: every stage timestamp is a conditional
+    * `min` WINDOW over the same `user_id` partitioning — t2's predicate
+    * references t1, t3's references t2, so all three windows plan into a
+    * single Window node chain with no re-partitioning — then the same
+    * partitioning feeds the per-user reduction for free. The classic
+    * 3-way self-join formulation scans the event log three times and
+    * shuffles it twice more; at a 100 TB event log the window form is
+    * the only acceptable plan. */
+  def q84Funnel(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val w = Window.partitionBy("user_id")
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+    // user-grain reduce rides the window's partitioning (no new Exchange);
+    // the global roll-up then aggregates a users-sized frame
+    staged.groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("view_users"),
+        count(col("t2")).as("click_users"),
+        count(col("t3")).as("purchase_users"))
+      .select(
+        col("n_users"), col("view_users"), col("click_users"),
+        col("purchase_users"),
+        round(col("click_users").cast("double") / col("view_users"), 4)
+          .as("view_to_click"),
+        round(col("purchase_users").cast("double") / col("click_users"), 4)
+          .as("click_to_purchase"))
+  }
+
+  /** q85 — daily revenue with a 7-day moving average and day-over-day
+    * delta. All window arithmetic runs on BIGINT cents (the q36 trick):
+    * Spark's sliding-frame aggregation and DuckDB's segment-tree window
+    * aggregation sum in DIFFERENT orders, so double sums would drift by
+    * ulps and break the hash gate — integer sums are order-free, and the
+    * one double division per output row is identical in both engines.
+    *
+    * Scale shape: the window runs over the DAY-GRAIN aggregate (bounded
+    * by the calendar, ~2.4k rows for 6.5 years — tiny at any fact-table
+    * scale), not the fact table; the single unpartitioned sort it needs
+    * costs nothing at that grain. The fact table itself is touched once,
+    * by the partial-aggregated GROUP BY. */
+  def q85MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("order_date"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w7 = Window.orderBy("order_date").rowsBetween(-6, 0)
+    val w1 = Window.orderBy("order_date")
+    daily
+      .withColumn("ma_cents", sum("cents").over(w7))
+      .withColumn("ma_days", count(lit(1)).over(w7))
+      .withColumn("prev_cents", lag("cents", 1).over(w1))
+      .select(
+        col("order_date"), col("n_orders"),
+        round(col("cents") / 100.0, 2).as("day_total"),
+        round(col("ma_cents") / (col("ma_days") * 100.0), 4).as("ma7"),
+        round((col("cents") - col("prev_cents")) / 100.0, 2).as("delta"))
+      .orderBy("order_date")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_pivot" -> (q83Pivot _),
+    "q84_funnel" -> (q84Funnel _),
+    "q85_moving_avg" -> (q85MovingAvg _))
+
+  val oracles: Map[String, String] = Map(
+    "q83_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F_n",
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS "F_total",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O_n",
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS "O_total",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P_n",
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS "P_total"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q84_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3
+        |  FROM s2),
+        |u AS (
+        |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        |  FROM s3 GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  count(t1) AS view_users,
+        |  count(t2) AS click_users,
+        |  count(t3) AS purchase_users,
+        |  round(CAST(count(t2) AS DOUBLE) / count(t1), 4) AS view_to_click,
+        |  round(CAST(count(t3) AS DOUBLE) / count(t2), 4) AS click_to_purchase
+        |FROM u""".stripMargin,
+    "q85_moving_avg" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |    count(*) AS n_orders,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT *,
+        |    sum(cents) OVER (ORDER BY order_date
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma_cents,
+        |    count(*) OVER (ORDER BY order_date
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma_days,
+        |    lag(cents, 1) OVER (ORDER BY order_date) AS prev_cents
+        |  FROM d)
+        |SELECT order_date, n_orders,
+        |  round(cents / 100.0, 2) AS day_total,
+        |  round(ma_cents / (ma_days * 100.0), 4) AS ma7,
+        |  round((cents - prev_cents) / 100.0, 2) AS delta
+        |FROM w ORDER BY order_date""".stripMargin)
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.layout.BucketedLayout
+
+class AnalyticsSpec extends SparkSpec {
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    BucketedLayout.collectExchanges(df.queryExecution.executedPlan)
+      .count(_.toLowerCase.contains("shuffle"))
+  }
+
+  /** Final-plan text only (AQE's toString repeats the initial plan, which
+    * would double-count scans). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  /** Number of parquet scans in a formatted plan (each scan prints once in
+    * the tree and once as a numbered detail header — count the headers). */
+  private def scanCount(plan: String): Int =
+    raw"\(\d+\) Scan parquet".r.findAllIn(plan).length
+
+  test("q83 pivot: declared values, one fact scan, cells match direct filters") {
+    val df = Analytics.q83Pivot(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 5) // one per priority
+    assert(df.columns.toSeq ==
+      Seq("o_orderpriority", "F_n", "F_total", "O_n", "O_total", "P_n", "P_total"))
+    // cross-check one cell against a direct conditional count
+    val orders = graft.core.Tables.orders(spark, sf)
+    val p1 = rows.find(_.getString(0) == "1-URGENT").get
+    val direct = orders.filter("o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'").count()
+    assert(p1.getLong(df.columns.indexOf("F_n")) == direct)
+    // declared pivot values ⇒ single pass over orders (no discovery job)
+    val plan = finalPlan(df)
+    assert(scanCount(plan) == 1, s"q83 should scan orders exactly once\n$plan")
+  }
+
+  test("q84 funnel: stage counts are monotone and match a 3-join reference") {
+    import org.apache.spark.sql.functions._
+    val r = Analytics.q84Funnel(spark, sf).collect().head
+    val (nUsers, nView, nClick, nPurchase) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nUsers >= nView && nView >= nClick && nClick >= nPurchase)
+    assert(nPurchase > 0, "fixture should funnel some users all the way through")
+    // reference: explicit stepwise joins (the formulation the window
+    // version replaces) must agree on every stage count
+    val e = graft.core.Tables.events(spark, sf).select("user_id", "event_type", "ts")
+    val v = e.filter("event_type = 'view'").groupBy("user_id").agg(min("ts").as("t1"))
+    val c = e.filter("event_type = 'click'").join(v, "user_id")
+      .filter(col("ts") > col("t1")).groupBy("user_id").agg(min("ts").as("t2"))
+    val p = e.filter("event_type = 'purchase'").join(c, "user_id")
+      .filter(col("ts") > col("t2")).groupBy("user_id").agg(min("ts").as("t3"))
+    assert(nView == v.count() && nClick == c.count() && nPurchase == p.count())
+  }
+
+  test("q84 funnel: one event-log scan, windows and reduce share one shuffle") {
+    val df = Analytics.q84Funnel(spark, sf)
+    val plan = finalPlan(df)
+    assert(scanCount(plan) == 1, s"q84 must scan the event log exactly once\n$plan")
+    // user_id hash shuffle + the 1-row global rollup; a third would mean
+    // the user-grain reduce stopped riding the window partitioning
+    assert(shuffles(df) <= 2, s"q84 shuffle count regressed\n$plan")
+  }
+
+  test("q85 moving average: warm-up frames, integer-exact window arithmetic") {
+    val rows = Analytics.q85MovingAvg(spark, sf).collect()
+    assert(rows.length > 100)
+    val first = rows.head
+    // frame of size 1: ma7 == day_total, delta is null
+    assert(math.abs(first.getDouble(3) - first.getDouble(2)) < 1e-9)
+    assert(first.isNullAt(4))
+    // steady state: ma7 equals the mean of the last 7 day totals
+    val idx = 100
+    val last7 = (idx - 6 to idx).map(i => rows(i).getDouble(2))
+    assert(math.abs(rows(idx).getDouble(3) - last7.sum / 7) < 1e-3)
+  }
+
+  test("q85 windows run over the day-grain aggregate, not the fact table") {
+    val df = Analytics.q85MovingAvg(spark, sf)
+    val plan = finalPlan(df)
+    // the single-partition sort the window needs must sit ABOVE the
+    // partial-aggregated day frame: exactly one scan, and the hash
+    // aggregate appears below the Window node in the tree
+    assert(scanCount(plan) == 1)
+    val aggPos = plan.indexOf("HashAggregate")
+    val winPos = plan.indexOf("Window")
+    assert(aggPos >= 0 && winPos >= 0 && winPos < plan.lastIndexOf("HashAggregate"),
+      s"q85 window should consume the day-grain aggregate\n$plan")
+  }
+}
