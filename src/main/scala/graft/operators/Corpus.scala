@@ -181,12 +181,80 @@ object Corpus {
     incrementalStats(statsOf(v1), v1, v2).orderBy("source")
   }
 
+  /** SCD2 history merge of two corpus snapshots: one row per (doc_id,
+    * content version) with validity bounds — the slowly-changing-dimension
+    * table a pipeline keeps so every training run can be traced to the
+    * exact document contents it saw.
+    *
+    *  - unchanged doc → one open row `[v1, current]`
+    *  - changed doc   → closed `[v1, v1]` + open `[v2, current]`
+    *  - removed doc   → closed `[v1, v1]`
+    *  - added doc     → open `[v2, current]`
+    *
+    * Shape: each side reduces map-side to (doc_id, fingerprint), ONE
+    * full-outer join on doc_id (co-partitioned under a bucketed layout,
+    * like [[diff]]), and both output branches project from that single
+    * joined frame — no second pass, no window. The history table is
+    * corpus-sized + change-sized, the minimum any SCD2 merge can emit. */
+  def scd2(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val j = v1.select(col("doc_id"), md5(trim(col("text"))).as("fp1"))
+      .join(v2.select(col("doc_id"), md5(trim(col("text"))).as("fp2")),
+        Seq("doc_id"), "full_outer")
+    val v1Rows = j.filter(col("fp1").isNotNull).select(
+      col("doc_id"), col("fp1").as("content_fp"),
+      lit("v1").as("valid_from"),
+      when(col("fp2").isNotNull && col("fp1") === col("fp2"), lit("current"))
+        .otherwise(lit("v1")).as("valid_to"),
+      (col("fp2").isNotNull && col("fp1") === col("fp2")).as("is_current"))
+    val v2Rows = j.filter(col("fp2").isNotNull &&
+        (col("fp1").isNull || col("fp1") =!= col("fp2"))).select(
+      col("doc_id"), col("fp2").as("content_fp"),
+      lit("v2").as("valid_from"), lit("current").as("valid_to"),
+      lit(true).as("is_current"))
+    v1Rows.unionAll(v2Rows)
+  }
+
+  /** q86 — [[scd2]] over the materialized snapshot pair, ordered for the
+    * gate (doc_id + valid_from is the natural unique key). */
+  def q86Scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    scd2(
+      SnapshotFixture.table(spark, dir, "documents_v1_edit"),
+      SnapshotFixture.table(spark, dir, "documents_v2"))
+      .orderBy("doc_id", "valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_incremental_stats" -> (q76IncrementalStats _),
     "q71_composition_drift" -> (q71CompositionDrift _),
-    "q66_corpus_diff" -> (q66CorpusDiff _))
+    "q66_corpus_diff" -> (q66CorpusDiff _),
+    "q86_scd2_merge" -> (q86Scd2Merge _))
 
   val oracles: Map[String, String] = Map(
+    // SCD2 rows reconstructed from the fixture version rules — the engine
+    // answers from the materialized snapshot files, the oracle from the
+    // derivation arithmetic, and every row must agree
+    "q86_scd2_merge" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id,
+         |    md5(trim(CASE WHEN doc_id % $ChangedMod = 0 THEN upper(text)
+         |                  ELSE text END)) AS fp1
+         |  FROM documents WHERE doc_id % $RemovedInV2Mod <> $RemovedInV2Rem),
+         |v2 AS (
+         |  SELECT doc_id, md5(trim(text)) AS fp2
+         |  FROM documents WHERE doc_id % $DroppedFromV1Mod <> $DroppedFromV1Rem),
+         |j AS (
+         |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, fp1, fp2
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         |SELECT doc_id, fp1 AS content_fp, 'v1' AS valid_from,
+         |  CASE WHEN fp2 IS NOT NULL AND fp1 = fp2 THEN 'current'
+         |       ELSE 'v1' END AS valid_to,
+         |  (fp2 IS NOT NULL AND fp1 = fp2) AS is_current
+         |FROM j WHERE fp1 IS NOT NULL
+         |UNION ALL
+         |SELECT doc_id, fp2, 'v2', 'current', TRUE
+         |FROM j WHERE fp2 IS NOT NULL AND (fp1 IS NULL OR fp1 <> fp2)
+         |ORDER BY doc_id, valid_from""".stripMargin,
     // the INCREMENTAL path must land on the exact DIRECT v2 aggregation
     "q76_incremental_stats" ->
       s"""SELECT source, count(*) AS n_docs,

@@ -138,4 +138,33 @@ class CorpusSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum == v2)
     assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
   }
+
+  test("SCD2 merge: row multiplicity per doc matches its diff status") {
+    import org.apache.spark.sql.functions._
+    val hist = Corpus.q86Scd2Merge(spark, sf)
+    val byDoc = hist.groupBy("doc_id").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val status = Corpus.q66CorpusDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byDoc.foreach { case (id, (n, nCur)) =>
+      status.get(id) match {
+        case Some("changed") => assert(n == 2 && nCur == 1, s"doc $id changed: $n/$nCur")
+        case Some("removed") => assert(n == 1 && nCur == 0, s"doc $id removed: $n/$nCur")
+        case Some("added")   => assert(n == 1 && nCur == 1, s"doc $id added: $n/$nCur")
+        case _               => assert(n == 1 && nCur == 1, s"doc $id unchanged: $n/$nCur")
+      }
+    }
+    // every doc in either snapshot appears; nobody else does
+    val v1 = SnapshotFixture.table(spark, sf, "documents_v1_edit")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val v2 = SnapshotFixture.table(spark, sf, "documents_v2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byDoc.keySet == (v1 ++ v2))
+    // current rows reproduce v2 exactly (the SCD2 "as-of now" slice)
+    val current = hist.filter(col("is_current")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(current == v2, "as-of-now slice must equal the v2 snapshot")
+  }
 }
