@@ -34,6 +34,9 @@ object SparkEntry {
       operators.Privacy.queries ++
       operators.Retrieval.queries ++
       operators.Audit.queries ++
+      operators.Analytics.queries ++
+      operators.BloomPrune.queries ++
+      operators.Quantize.queries ++
       layout.BucketedLayout.queries ++
       streaming.EventStream.queries
 
@@ -52,6 +55,9 @@ object SparkEntry {
       operators.Privacy.oracles ++
       operators.Retrieval.oracles ++
       operators.Audit.oracles ++
+      operators.Analytics.oracles ++
+      operators.BloomPrune.oracles ++
+      operators.Quantize.oracles ++
       layout.BucketedLayout.oracles ++
       streaming.EventStream.oracles
 }
