@@ -28,6 +28,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM corpus_drift('documents_v1', 'documents')
   *   SELECT * FROM chunk(40, 30)
   *   SELECT * FROM pii_redact()
+  *   SELECT * FROM scd2('documents_v1', 'documents')
+  *   SELECT * FROM quantize_error()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -57,7 +59,8 @@ object TableFunctions {
   private val names = Seq(
     "bm25", "source_cap", "sem_dedup", "decontaminate", "corpus_diff",
     "near_dup_pairs", "dedup_apply", "temperature_mix", "corpus_drift",
-    "chunk", "pii_redact", "lm_score", "span_dedup")
+    "chunk", "pii_redact", "lm_score", "span_dedup", "scd2",
+    "quantize_error")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -205,6 +208,27 @@ object TableFunctions {
         case Seq() =>
           plan(spark => graft.operators.TextOps.unigramLogprob(spark.table("documents")))
         case _ => throw new IllegalArgumentException("lm_score expects no arguments")
+      }
+    },
+    "scd2" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(v1, v2) =>
+          plan(spark => graft.operators.Corpus.scd2(
+            spark.table(string(v1, "scd2(v1, v2)")),
+            spark.table(string(v2, "scd2(v1, v2)"))))
+        case _ => throw new IllegalArgumentException(
+          "scd2 expects (v1 table name, v2 table name)")
+      }
+    },
+    "quantize_error" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan { spark =>
+            import org.apache.spark.sql.functions.col
+            graft.operators.Quantize.int8Error(
+              spark.table("embeddings"), col("embedding"))
+          }
+        case _ => throw new IllegalArgumentException("quantize_error expects no arguments")
       }
     },
     "span_dedup" -> { exprs: Seq[Expression] =>

@@ -157,4 +157,21 @@ class TableFunctionsSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql("SELECT * FROM corpus_diff('docs_v1')").collect())
     assert(e2.getMessage.toLowerCase.contains("expects"))
   }
+
+  test("scd2 / quantize_error TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 10 =!= 0).createOrReplaceTempView("docs_v1")
+    val scd = spark.sql("SELECT * FROM scd2('docs_v1', 'documents')")
+    assert(rows(scd) == rows(graft.operators.Corpus.scd2(
+      spark.table("docs_v1"), docs)))
+    // composes with SQL around it: as-of-now slice equals v2
+    val current = spark.sql(
+      "SELECT count(*) AS n FROM scd2('docs_v1', 'documents') WHERE is_current")
+      .collect().head.getLong(0)
+    assert(current == docs.count())
+    val qe = spark.sql("SELECT * FROM quantize_error()")
+    assert(rows(qe) == rows(graft.operators.Quantize.int8Error(
+      Tables.embeddings(spark, sf), col("embedding"))))
+  }
 }
