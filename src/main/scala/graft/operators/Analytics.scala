@@ -110,12 +110,89 @@ object Analytics {
       .orderBy("order_date")
   }
 
+  /** q89 — winsorized order-value statistics per priority: the robust
+    * mean a monitoring pipeline wants when a few fat-finger orders would
+    * otherwise swing the average. Bounds are NEAREST-RANK percentiles
+    * (the value at rank ⌈p·n⌉) rather than interpolated ones —
+    * interpolation arithmetic differs between engines in the last ulp
+    * (lo + (hi−lo)·f vs lo·(1−f) + hi·f), a real data value is
+    * bit-identical in both. Means are the q36 integer-cents trick
+    * (floor((2·sum+n)/2n)), so no double sum ever crosses the gate.
+    *
+    * Shape: one fact scan; the rank window and the final aggregate share
+    * the priority partitioning (no re-shuffle); the bounds never leave
+    * the frame, so there is no second scan or self-join. At 100 TB the
+    * per-group sort the window needs is the irreducible cost of exact
+    * order statistics (q41's interpolated percentiles pay it too). */
+  def q89Winsorized(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val wOrd = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    val wAll = Window.partitionBy("o_orderpriority")
+    val ranked = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("r", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("lo", min(when(
+        col("r") === greatest(ceil(col("n") * 0.05), lit(1L)),
+        col("o_totalprice"))).over(wAll))
+      .withColumn("hi", min(when(
+        col("r") === ceil(col("n") * 0.95),
+        col("o_totalprice"))).over(wAll))
+    val cents = (c: org.apache.spark.sql.Column) => round(c * 100).cast("long")
+    val meanCents = (sumC: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =>
+      floor((sumC * 2 + n) / (n * 2.0)) / 100.0
+    ranked
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice") < col("lo"), 1L)
+          .when(col("o_totalprice") > col("hi"), 1L).otherwise(0L))
+          .as("n_clamped"),
+        min("lo").as("lo"), min("hi").as("hi"),
+        sum(cents(col("o_totalprice"))).as("raw_cents"),
+        sum(cents(least(greatest(col("o_totalprice"), col("lo")), col("hi"))))
+          .as("win_cents"))
+      .select(
+        col("o_orderpriority"), col("n_orders"), col("n_clamped"),
+        col("lo"), col("hi"),
+        meanCents(col("raw_cents"), col("n_orders")).as("raw_avg"),
+        meanCents(col("win_cents"), col("n_orders")).as("win_avg"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_pivot" -> (q83Pivot _),
     "q84_funnel" -> (q84Funnel _),
-    "q85_moving_avg" -> (q85MovingAvg _))
+    "q85_moving_avg" -> (q85MovingAvg _),
+    "q89_winsorized" -> (q89Winsorized _))
 
   val oracles: Map[String, String] = Map(
+    "q89_winsorized" ->
+      """WITH rk AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice) AS r,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |b AS (
+        |  SELECT *,
+        |    min(CASE WHEN r = greatest(CAST(ceil(n * 0.05) AS BIGINT), 1)
+        |             THEN o_totalprice END)
+        |      OVER (PARTITION BY o_orderpriority) AS lo,
+        |    min(CASE WHEN r = CAST(ceil(n * 0.95) AS BIGINT)
+        |             THEN o_totalprice END)
+        |      OVER (PARTITION BY o_orderpriority) AS hi
+        |  FROM rk)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+        |  min(lo) AS lo, min(hi) AS hi,
+        |  floor((sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 2 + count(*))
+        |        / (count(*) * 2.0)) / 100.0 AS raw_avg,
+        |  floor((sum(CAST(round(least(greatest(o_totalprice, lo), hi) * 100)
+        |               AS BIGINT)) * 2 + count(*))
+        |        / (count(*) * 2.0)) / 100.0 AS win_avg
+        |FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q83_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F_n",

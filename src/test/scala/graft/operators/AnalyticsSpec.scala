@@ -79,6 +79,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rows(idx).getDouble(3) - last7.sum / 7) < 1e-3)
   }
 
+  test("q89 winsorized stats: ~10% clamped, robust mean inside the bounds") {
+    val df = Analytics.q89Winsorized(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, nClamped) = (r.getLong(1), r.getLong(2))
+      val (lo, hi) = (r.getDouble(3), r.getDouble(4))
+      val (rawAvg, winAvg) = (r.getDouble(5), r.getDouble(6))
+      assert(lo < hi)
+      // nearest-rank p05/p95 ⇒ strictly-outside rows are < 10% + rank slack
+      assert(nClamped <= n / 10 + 2 && nClamped > 0,
+        s"${r.getString(0)}: $nClamped of $n clamped")
+      assert(winAvg >= lo && winAvg <= hi)
+      // clamping a right-skewed distribution pulls the mean, slightly
+      assert(math.abs(winAvg - rawAvg) < (hi - lo),
+        s"winsorized mean implausibly far from raw: $winAvg vs $rawAvg")
+    }
+    // one fact scan; rank window + final sort are the only shuffles
+    val plan = finalPlan(df)
+    assert(scanCount(plan) == 1, s"q89 must scan orders once\n$plan")
+    assert(shuffles(df) <= 2, s"q89 shuffle count regressed\n$plan")
+  }
+
   test("q85 windows run over the day-grain aggregate, not the fact table") {
     val df = Analytics.q85MovingAvg(spark, sf)
     val plan = finalPlan(df)
