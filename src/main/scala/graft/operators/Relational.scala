@@ -462,7 +462,33 @@ object Relational {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** q91 — explicit GROUPING SETS: the two one-dimension cuts plus the
+    * cell grain, WITHOUT the grand total — the set list neither ROLLUP
+    * (q75) nor CUBE (q81) can express, completing the grouping family.
+    * Same scale shape as both: one Expand (3 replicas per row, map side
+    * only) + one partial-agged aggregation; the shuffle carries one
+    * partial row per (set × cell), never the fact table. */
+  def q91GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")),
+          Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(
+        col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_grouping_sets"     -> (q91GroupingSets _),
     "q74_json_extract"      -> (q74JsonExtract _),
     "q75_rollup"            -> (q75Rollup _),
     "q81_cube"              -> (q81Cube _),
@@ -504,6 +530,15 @@ object Relational {
         |FROM e WHERE k_decile IS NOT NULL
         |GROUP BY event_type, k_decile
         |ORDER BY event_type, k_decile""".stripMargin,
+    "q91_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q75_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

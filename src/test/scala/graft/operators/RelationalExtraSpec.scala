@@ -49,4 +49,19 @@ class RelationalExtraSpec extends SparkSpec {
       assert(s.getLong(3) == detail.filter(_.getString(1) == status).map(_.getLong(3)).sum)
     }
   }
+
+  test("q91 grouping sets: exactly the three declared cuts, no grand total") {
+    val rows = Relational.q91GroupingSets(spark, sf).collect()
+    val gids = rows.map(_.getLong(2)).toSet
+    assert(gids == Set(0L, 1L, 2L), s"unexpected grouping ids: $gids")
+    val detail = rows.filter(_.getLong(2) == 0L)
+    val byFlag = rows.filter(_.getLong(2) == 1L)
+    val byStatus = rows.filter(_.getLong(2) == 2L)
+    val total = detail.map(_.getLong(3)).sum
+    assert(byFlag.map(_.getLong(3)).sum == total)
+    assert(byStatus.map(_.getLong(3)).sum == total)
+    // the set list (a,b),(a),(b) is expressible by neither rollup (no
+    // (·,b) cut) nor cube (which would add the grand total)
+    assert(!gids.contains(3L))
+  }
 }
