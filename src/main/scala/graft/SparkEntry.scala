@@ -37,6 +37,7 @@ object SparkEntry {
       operators.Analytics.queries ++
       operators.BloomPrune.queries ++
       operators.Quantize.queries ++
+      operators.HeavyHitters.queries ++
       layout.BucketedLayout.queries ++
       streaming.EventStream.queries
 
@@ -58,6 +59,7 @@ object SparkEntry {
       operators.Analytics.oracles ++
       operators.BloomPrune.oracles ++
       operators.Quantize.oracles ++
+      operators.HeavyHitters.oracles ++
       layout.BucketedLayout.oracles ++
       streaming.EventStream.oracles
 }
