@@ -472,7 +472,73 @@ object TextOps {
     unigramLogprob(Tables.documents(spark, dir))
   }
 
+  /** Collocation-mining support floor: a bigram must occur this often
+    * to be scored (PMI of singletons is noise). */
+  val PmiMinPair = 5
+
+  /** q92 — PMI collocations: top bigrams by pointwise mutual information
+    * (log₂ p(ab)/(p(a)p(b))) — the collocation extractor a tokenizer/
+    * vocabulary pipeline runs to find multi-word units worth merging.
+    *
+    * Scan budget (spec-gated at exactly 2, the q70 BM25 standard):
+    * unigrams and bigrams explode together as tagged rows into one
+    * aggregation shape; the second-word lookup and the totals row REUSE
+    * the first two branches\u2019 exchanges (ReusedExchange, spec-gated), so
+    * four logical consumers cost two physical corpus scans \u2014 the join
+    * constraint inference pushes `isnotnull` predicates on the derived
+    * word keys into the bigram branch only, which keeps that branch\u2019s
+    * exchange from unifying with the unigram one (the alternative, a
+    * pinned cache of the counts frame, is a worse trade inside a
+    * query operator). Count frames are vocab-sized, so the attach joins
+    * broadcast under AQE; totals attach as a 1-row broadcast. PMI lands
+    * as integer micro-bits (round(log\u2082\u00b71e6), the q78 contract) so
+    * ordering and the gate are ulp-proof. */
+  def q92PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val tagged = docs.select(explode(concat(
+      transform(col("t"), x => struct(lit("u").as("kind"), x.as("key"))),
+      transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(lit("b").as("kind"),
+          concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))
+            .as("key"))))).as("e"))
+      .select(col("e.kind").as("kind"), col("e.key").as("key"))
+    // group on KEY alone (unigram and bigram keys are disjoint — bigrams
+    // contain a space): `kind` rides along as an aggregate, so the branch
+    // filters below cannot push past the aggregation — all three branches
+    // share ONE exchange (ReusedQueryStage) instead of re-scanning the
+    // corpus per branch, which is the whole point of the tagged union
+    val counts = tagged.groupBy("key")
+      .agg(count(lit(1)).as("cnt"), max(col("kind")).as("kind"))
+    val uni = counts.filter(col("kind") === "u")
+      .select(col("key").as("w"), col("cnt").as("c"))
+    val big = counts.filter(col("kind") === "b")
+      .filter(col("cnt") >= PmiMinPair)
+      .select(col("key").as("bigram"), col("cnt").as("n_pair"),
+        // get() not getItem(): ANSI indexing throws where a predicate
+        // reorder lets a unigram key reach this projection
+        get(split(col("key"), " "), lit(0)).as("w1"),
+        get(split(col("key"), " "), lit(1)).as("w2"))
+    val totals = counts.groupBy().agg(
+      sum(when(col("kind") === "u", col("cnt"))).as("n_u"),
+      sum(when(col("kind") === "b", col("cnt"))).as("n_b"))
+    val ratio = (col("n_pair").cast("double") * col("n_u") * col("n_u")) /
+      (col("n_b").cast("double") * col("c1") * col("c2"))
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("n_pair"),
+        col("c1").as("n_first"), col("c2").as("n_second"),
+        round(log2(ratio) * lit(1e6)).cast("long").as("pmi_micro"))
+      .orderBy(desc("pmi_micro"), col("bigram"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_pmi_collocations" -> (q92PmiCollocations _),
     "q78_unigram_logprob" -> (q78UnigramLogprob _),
     "q73_boilerplate"   -> (q73Boilerplate _),
     "q68_repetition"    -> (q68Repetition _),
@@ -488,6 +554,32 @@ object TextOps {
     "q54_tfidf"         -> (q54TfIdf _))
 
   val oracles: Map[String, String] = Map(
+    "q92_pmi_collocations" ->
+      s"""WITH d AS (
+         |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |d2 AS (SELECT t FROM d WHERE len(t) >= 2),
+         |uc AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(t) AS w FROM d2) GROUP BY w),
+         |bc AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS cb
+         |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+         |          i -> t[i] || ' ' || t[i + 1])) AS bg FROM d2)
+         |  GROUP BY bg),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_u,
+         |         (SELECT CAST(sum(cb) AS BIGINT) FROM bc) AS n_b)
+         |SELECT bg AS bigram, cb AS n_pair, u1.c AS n_first, u2.c AS n_second,
+         |  CAST(round(log2((CAST(cb AS DOUBLE) * n_u * n_u)
+         |    / (CAST(n_b AS DOUBLE) * u1.c * u2.c)) * 1000000) AS BIGINT)
+         |    AS pmi_micro
+         |FROM bc
+         |CROSS JOIN tot
+         |JOIN uc u1 ON u1.w = string_split(bg, ' ')[1]
+         |JOIN uc u2 ON u2.w = string_split(bg, ' ')[2]
+         |WHERE cb >= $PmiMinPair
+         |ORDER BY pmi_micro DESC, bigram LIMIT 30""".stripMargin,
     // q61 gate: the corpus count is the only non-boolean column; the
     // bounds/correlation verdicts are deterministic for a given zlib.
     "q61_compress_ratio" ->

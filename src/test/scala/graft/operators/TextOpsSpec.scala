@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode, size, sum}
 import graft.SparkSpec
 
 class TextOpsSpec extends SparkSpec {
@@ -191,5 +191,40 @@ class TextOpsSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("q92 PMI collocations: supported, ordered, and computed from one corpus scan") {
+    val df = TextOps.q92PmiCollocations(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 30)
+    // support floor and deterministic ordering
+    assert(rows.forall(_.getLong(1) >= TextOps.PmiMinPair))
+    val micros = rows.map(_.getLong(4)).toSeq
+    assert(micros == micros.sorted.reverse, "must order by pmi desc")
+    // PMI sanity on the winner: recompute from raw counts
+    val top = rows.head
+    val toks = graft.core.Tables.documents(spark, sf)
+      .select(TextOps.tokens(col("text")).as("t")).filter(size(col("t")) >= 2)
+    val nU = toks.select(explode(col("t"))).count().toDouble
+    val nB = toks.select((size(col("t")) - 1).cast("long").as("m"))
+      .agg(sum("m")).head.getLong(0).toDouble
+    val Array(w1, w2) = top.getString(0).split(" ")
+    val c1 = toks.select(explode(col("t")).as("w")).filter(col("w") === w1).count()
+    val c2 = toks.select(explode(col("t")).as("w")).filter(col("w") === w2).count()
+    val expected = math.log((top.getLong(1) * nU * nU) / (nB * c1 * c2)) / math.log(2.0)
+    assert(math.abs(top.getLong(4) / 1e6 - expected) < 1e-4)
+    // scan budget: four logical consumers (bigram counts, two word
+    // lookups, totals) must cost exactly TWO physical corpus scans, the
+    // other branches riding ReusedExchange (the q70 BM25 standard)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // judge the FINAL (post-reuse) plan; the initial-plan section that
+    // FormattedMode appends still shows the pre-reuse scans
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(finalSection).length == 2,
+      s"q92 corpus-scan budget is 2\n$plan")
+    assert(finalSection.contains("ReusedExchange"),
+      s"q92 word/totals branches must reuse the aggregated exchanges\n$plan")
   }
 }
