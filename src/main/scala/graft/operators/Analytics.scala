@@ -160,13 +160,131 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** q93 — per-priority revenue TREND: the closed-form OLS slope of
+    * order value over time, cents/day. The five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) accumulate as EXACT integers in one
+    * partial-agged pass — x is days since 2000-01-01 (|x| ≤ ~2k over the
+    * fixture's date range, keeping Σxy ≲ 10¹⁶ at sf0.1; a 100 TB run
+    * would widen these to decimal(38)), y is cents — and only the final
+    * slope combines them in double (identical single ops in both
+    * engines). No window, no sort: a regression is just a GROUP BY when
+    * written as sufficient statistics. */
+  def q93RevenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val x = datediff(col("o_orderdate").cast("date"),
+      lit("2000-01-01").cast("date")).cast("long")
+    val y = round(col("o_totalprice") * 100).cast("long")
+    val stats = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), x.as("x"), y.as("y"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val num = col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")
+    val den = col("n").cast("double") * col("sxx") -
+      col("sx").cast("double") * col("sx")
+    stats.select(
+      col("o_orderpriority"), col("n").as("n_orders"),
+      round(num / den, 6).as("slope_cents_per_day"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q96 — σ-outlier monitor over the event stream's `value`: per event
+    * type, mean/σ from the five exact-integer sufficient statistics
+    * (cents this time) and the count of events beyond 3σ — the data-
+    * quality tripwire a pipeline fires before ingesting a day's events.
+    *
+    * Shape: ONE scan; the stats window (partitioned by event type) and
+    * the final reduce share the same partitioning, so a fact-sized
+    * self-join never appears. The z² > 9 comparison happens in double,
+    * but both engines derive it from identical integers — bit-identical
+    * either side of the (measure-zero) boundary. */
+  def q96ValueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val w = Window.partitionBy("event_type")
+    val y = round(col("value") * 100).cast("long")
+    val staged = Tables.events(spark, dir)
+      .select(col("event_type"), y.as("yc"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sy", sum(col("yc")).over(w))
+      .withColumn("syy", sum(col("yc") * col("yc")).over(w))
+    // z² = (n·y − Σy)²·(n−1) / (n·(nΣy² − (Σy)²)), compared against 9
+    val dev = col("n").cast("double") * col("yc") - col("sy")
+    val spread = col("n").cast("double") * col("syy") -
+      col("sy").cast("double") * col("sy")
+    val isOutlier = dev * dev * (col("n") - 1) >
+      lit(9.0) * col("n") * spread
+    staged
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(isOutlier, 1L).otherwise(0L)).as("n_outliers"),
+        min(col("n")).as("n"), min(col("sy")).as("syv"), min(col("syy")).as("syyv"))
+      .select(
+        col("event_type"), col("n_events"), col("n_outliers"),
+        (floor((col("syv") * 2 + col("n")) / (col("n") * 2)) / 100.0)
+          .as("mean_value"),
+        round(
+          sqrt((col("n").cast("double") * col("syyv") -
+            col("syv").cast("double") * col("syv")) /
+            (col("n").cast("double") * (col("n") - 1))) / 100.0, 6)
+          .as("stddev_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_pivot" -> (q83Pivot _),
     "q84_funnel" -> (q84Funnel _),
     "q85_moving_avg" -> (q85MovingAvg _),
-    "q89_winsorized" -> (q89Winsorized _))
+    "q89_winsorized" -> (q89Winsorized _),
+    "q93_revenue_trend" -> (q93RevenueTrend _),
+    "q96_value_outliers" -> (q96ValueOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "q96_value_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS yc
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type, yc,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(yc) OVER (PARTITION BY event_type) AS sy,
+        |    sum(yc * yc) OVER (PARTITION BY event_type) AS syy
+        |  FROM s)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN (CAST(n AS DOUBLE) * yc - sy)
+        |                     * (CAST(n AS DOUBLE) * yc - sy) * (n - 1)
+        |                   > 9.0 * n * (CAST(n AS DOUBLE) * syy
+        |                                - CAST(sy AS DOUBLE) * sy)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  floor((min(sy) * 2 + min(n)) / (min(n) * 2)) / 100.0 AS mean_value,
+        |  round(sqrt((CAST(min(n) AS DOUBLE) * min(syy)
+        |              - CAST(min(sy) AS DOUBLE) * min(sy))
+        |             / (CAST(min(n) AS DOUBLE) * (min(n) - 1))) / 100.0, 6)
+        |    AS stddev_value
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q93_revenue_trend" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority,
+        |    CAST(datediff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM s GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n AS n_orders,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+        |    AS slope_cents_per_day
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
     "q89_winsorized" ->
       """WITH rk AS (
         |  SELECT o_orderpriority, o_totalprice,

@@ -114,4 +114,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(aggPos >= 0 && winPos >= 0 && winPos < plan.lastIndexOf("HashAggregate"),
       s"q85 window should consume the day-grain aggregate\n$plan")
   }
+
+  test("q93 revenue trend: slope matches a driver-side OLS recompute") {
+    val rows = Analytics.q93RevenueTrend(spark, sf).collect()
+    assert(rows.length == 5)
+    val orders = graft.core.Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_orderdate", "o_totalprice").collect()
+    rows.foreach { r =>
+      val pr = r.getString(0)
+      val pts = orders.filter(_.getString(0) == pr).map { o =>
+        val days = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.of(2000, 1, 1),
+          o.getAs[java.time.LocalDateTime](1).toLocalDate).toDouble
+        (days, math.round(o.getDouble(2) * 100).toDouble)
+      }
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getDouble(2) - slope) < 1e-3,
+        s"$pr: got ${r.getDouble(2)}, want $slope")
+      assert(r.getLong(1) == pts.length)
+    }
+  }
+
+  test("q96 outliers: stats match a driver recompute, 3-sigma rate is sane") {
+    val rows = Analytics.q96ValueOutliers(spark, sf).collect()
+    assert(rows.length == 5)
+    val events = graft.core.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val ys = events.filter(_._1 == t).map(_._2.toDouble)
+      val n = ys.length.toDouble
+      val mean = ys.sum / n
+      val sd = math.sqrt((n * ys.map(y => y * y).sum - ys.sum * ys.sum) / (n * (n - 1)))
+      assert(r.getLong(1) == ys.length)
+      assert(math.abs(r.getDouble(3) - mean / 100.0) < 0.01)
+      assert(math.abs(r.getDouble(4) - sd / 100.0) < 0.01)
+      val outliers = ys.count(y => math.abs(y - mean) > 3 * sd)
+      assert(r.getLong(2) == outliers, s"$t: ${r.getLong(2)} vs $outliers")
+      assert(outliers < ys.length / 20, "3-sigma flags must be rare")
+    }
+  }
 }
