@@ -2,6 +2,7 @@ package graft.operators
 
 import java.util.concurrent.ConcurrentHashMap
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -22,10 +23,11 @@ import graft.core.Tables
   * distributed top-k (heap per partition, no full sort, no shuffle of the
   * corpus).
   *
-  * Centroids are cached per (corpus, nlist) in a JVM-wide map — the
-  * local analogue of persisting the index next to the corpus; a real
-  * deployment would write [[centroids]]' result to storage keyed by the
-  * corpus version and load it at query time.
+  * Centroids are cached per (corpus, nlist) in a JVM-wide map, and —
+  * under the shared derived-stage persistence switch — written to
+  * storage next to the corpus keyed by its version signature, so later
+  * sessions load the trained quantizer instead of refitting (see
+  * [[centroids]]).
   */
 object IvfIndex {
 
@@ -43,12 +45,74 @@ object IvfIndex {
     * cached thereafter. The cached value folds in a corpus-version
     * signature (max file mtime + file count under the embeddings table)
     * so a rewritten corpus at the same path invalidates the quantizer
-    * instead of silently degrading recall in a long-lived session. */
+    * instead of silently degrading recall in a long-lived session.
+    *
+    * With `spark.graft.signatures.persist=true` (the one derived-stage
+    * persistence switch, shared with [[SignatureStage]]) the trained
+    * quantizer is ALSO written next to the corpus, keyed by the same
+    * version signature — so a FRESH session (or another cluster) loads
+    * the index instead of re-running the sample + Lloyd fit, the way a
+    * faiss deployment ships its trained quantizer with the shard. Stale
+    * version files for this corpus are evicted on persist; IO failures
+    * degrade to cache-only. */
   def centroids(spark: SparkSession, dir: String, k: Int): Array[Array[Double]] = {
     val version = corpusVersion(spark, dir)
     cache.compute((dir, k), (_, prev) =>
       if (prev != null && prev._1 == version) prev
-      else (version, build(spark, dir, k)))._2
+      else (version, loadPersisted(spark, dir, version, k).getOrElse {
+        val c = build(spark, dir, k)
+        persistCentroids(spark, dir, version, k, c)
+        c
+      }))._2
+  }
+
+  private def persistEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.signatures.persist").exists(_.trim.toBoolean)
+
+  /** Mirror of SignatureStage's root rules: inside the corpus dir by
+    * default; a shared override root is namespaced per corpus before any
+    * eviction runs. */
+  private def ivfRoot(spark: SparkSession, dir: String): HPath =
+    spark.conf.getOption("spark.graft.signatures.dir")
+      .map(r => new HPath(r, s"corpus_${(dir.hashCode & 0x7FFFFFFF).toString}/ivf"))
+      .getOrElse(new HPath(dir, "_graft/ivf"))
+
+  /** Centroid file format: one line per centroid, comma-separated
+    * `Double.toString` components (round-trips exactly via parseDouble). */
+  private def loadPersisted(
+      spark: SparkSession, dir: String, version: String, k: Int): Option[Array[Array[Double]]] = {
+    if (!persistEnabled(spark)) return None
+    scala.util.Try {
+      val p = new HPath(ivfRoot(spark, dir), s"$version/centroids_$k.txt")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val rows = text.split("\n").filter(_.nonEmpty)
+          .map(_.split(",").map(java.lang.Double.parseDouble))
+        if (rows.nonEmpty) Some(rows) else None
+      }
+    }.toOption.flatten
+  }
+
+  private def persistCentroids(
+      spark: SparkSession, dir: String, version: String, k: Int,
+      cs: Array[Array[Double]]): Unit = {
+    if (!persistEnabled(spark)) return
+    scala.util.Try {
+      val root = ivfRoot(spark, dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new HPath(root, s"$version/centroids_$k.txt")
+      val out = fs.create(p, true)
+      try out.write(cs.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      // evict stale versions of THIS corpus' index (root is corpus-scoped)
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName != version)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    ()
   }
 
   /** Cheap corpus signature over the embeddings table files — see
