@@ -224,13 +224,85 @@ object Corpus {
       .orderBy("doc_id", "valid_from")
   }
 
+  /** Cross-corpus NOVELTY: per document of the current corpus, the
+    * fraction of its distinct shingles that never appear in a REFERENCE
+    * corpus — the "how much of this recrawl is actually new text"
+    * monitor (and, pointed at an eval set, the contamination-rate twin
+    * of q62's decontamination verdict).
+    *
+    * Shape: the current side rides the SHARED persisted shingle stage
+    * (q73/q90's `shingles_k3`); the reference side reduces map-side to
+    * its distinct-shingle set; one hash join on the shingle key (both
+    * sides bucket identically under a bucketed layout), then a per-doc
+    * reduce that reuses the join output's partitioning-free aggregation.
+    * Counts are integers; the one ratio is a single double division. */
+  def novelty(docShingles: DataFrame, reference: DataFrame): DataFrame = {
+    val refSet = reference.select(col("s")).distinct()
+      .withColumn("known", lit(1L))
+    docShingles
+      .join(refSet, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("known"), lit(0L))).as("n_known"))
+      .select(col("doc_id"), col("n_shingles"), col("n_known"),
+        round(lit(1.0) - col("n_known").cast("double") / col("n_shingles"), 4)
+          .as("novelty"))
+  }
+
+  /** q94 — [[novelty]] of the current corpus against the v1_edit
+    * snapshot (the "old crawl"): changed/added docs surface with
+    * non-zero novelty, unchanged docs score 0. */
+  def q94Novelty(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    import graft.operators.TextOps.BoilerK
+    val docShingles = SignatureStage.stage(spark, dir, s"shingles_k$BoilerK")(
+      Dedup.shingles(Tables.documents(spark, dir), BoilerK))
+    val ref = Dedup.shingles(
+      SnapshotFixture.table(spark, dir, "documents_v1_edit"), BoilerK)
+    novelty(docShingles, ref).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_novelty" -> (q94Novelty _),
     "q76_incremental_stats" -> (q76IncrementalStats _),
     "q71_composition_drift" -> (q71CompositionDrift _),
     "q66_corpus_diff" -> (q66CorpusDiff _),
     "q86_scd2_merge" -> (q86Scd2Merge _))
 
   val oracles: Map[String, String] = Map(
+    // novelty vs the rule-derived v1_edit reference (uppercased docs'
+    // shingles differ from their originals — exactly what novelty sees)
+    "q94_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(w) - 2, 1) + 1),
+         |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER),
+         |      CAST(i AS INTEGER) + 2), ' ')))) AS s
+         |  FROM toks),
+         |rtoks AS (
+         |  SELECT list_filter(string_split(
+         |      CASE WHEN doc_id % $ChangedMod = 0 THEN upper(text) ELSE text END,
+         |      ' '), x -> x <> '') AS w
+         |  FROM documents WHERE doc_id % $RemovedInV2Mod <> $RemovedInV2Rem),
+         |rsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(w) - 2, 1) + 1),
+         |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER),
+         |      CAST(i AS INTEGER) + 2), ' ')))) AS s
+         |  FROM rtoks),
+         |j AS (
+         |  SELECT sh.doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN rsh.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_known
+         |  FROM sh LEFT JOIN rsh ON sh.s = rsh.s
+         |  GROUP BY sh.doc_id)
+         |SELECT doc_id, n_shingles, n_known,
+         |  round(1.0 - CAST(n_known AS DOUBLE) / n_shingles, 4) AS novelty
+         |FROM j ORDER BY doc_id""".stripMargin,
     // SCD2 rows reconstructed from the fixture version rules — the engine
     // answers from the materialized snapshot files, the oracle from the
     // derivation arithmetic, and every row must agree

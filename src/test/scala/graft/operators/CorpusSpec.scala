@@ -167,4 +167,26 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(current == v2, "as-of-now slice must equal the v2 snapshot")
   }
+
+  test("q94 novelty: docs carried unchanged from v1 score exactly zero") {
+    val rows = Corpus.q94Novelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val allDocs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(rows.keySet == allDocs.toSet, "every current doc is scored")
+    var unchanged = 0
+    allDocs.foreach { id =>
+      val (nSh, nKnown, nov) = rows(id)
+      assert(nKnown <= nSh && nov >= 0.0 && nov <= 1.0)
+      val inV1 = id % Corpus.RemovedInV2Mod != Corpus.RemovedInV2Rem
+      val edited = id % Corpus.ChangedMod == 0
+      if (inV1 && !edited) { // its exact shingle set is in the reference
+        assert(nov == 0.0, s"doc $id unchanged from v1 but novelty $nov")
+        unchanged += 1
+      }
+    }
+    assert(unchanged > 100)
+    // the fixture plants real novelty: some doc scores above zero
+    assert(rows.values.exists(_._3 > 0.0))
+  }
 }
