@@ -64,10 +64,62 @@ object Quantize {
       .orderBy("label")
   }
 
+  /** q95 — embedding NORM audit per label: zero-vector and unit-norm
+    * counts plus exact min/max/mean of ‖x‖² — the vector-QA table a
+    * similarity pipeline checks before trusting cosine (a zero vector
+    * NaNs every cosine it touches; wild norms mean a broken encoder).
+    * ‖x‖² is a left-fold in double (the [[graft.functions]] cosine
+    * contract) converted to integer nano²-units per vector BEFORE any
+    * aggregation — min/max/sum over BIGINT are order-free, so the gate
+    * is exact. Map-only + one label-grain shuffle. */
+  def q95NormAudit(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val emb = col("embedding")
+    val norm2 = aggregate(emb, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val micro = floor(norm2 * lit(1e9) + lit(0.5)).cast("long")
+    Tables.embeddings(spark, dir)
+      .select(col("label"), micro.as("n2"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        // "unit" to within 1e-3 of ‖x‖²=1 in nano² units
+        sum(when(abs(col("n2") - lit(1000000000L)) <= lit(1000000L), 1L)
+          .otherwise(0L)).as("n_unit"),
+        min(col("n2")).as("min_norm2_nano"),
+        max(col("n2")).as("max_norm2_nano"),
+        sum(col("n2")).as("sum_norm2_nano"))
+      .select(col("label"), col("n_vecs"), col("n_zero"), col("n_unit"),
+        col("min_norm2_nano"), col("max_norm2_nano"),
+        (floor((col("sum_norm2_nano") * 2 + col("n_vecs")) /
+          (col("n_vecs") * 2)) / lit(1e9)).as("avg_norm2"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q88_quantize_error" -> (q88QuantizeError _))
+    "q88_quantize_error" -> (q88QuantizeError _),
+    "q95_norm_audit" -> (q95NormAudit _))
 
   val oracles: Map[String, String] = Map(
+    // norm² is an ORDERED left fold over doubles — list_reduce, not
+    // list_sum, so the oracle replays Spark's aggregate() exactly
+    "q95_norm_audit" ->
+      """WITH v AS (
+        |  SELECT label,
+        |    CAST(floor(list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (acc, e) -> acc + e) * 1e9 + 0.5) AS BIGINT) AS n2
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN abs(n2 - 1000000000) <= 1000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unit,
+        |  min(n2) AS min_norm2_nano, max(n2) AS max_norm2_nano,
+        |  floor((CAST(sum(n2) AS BIGINT) * 2 + count(*)) / (count(*) * 2))
+        |    / 1e9 AS avg_norm2
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
     "q88_quantize_error" ->
       """WITH q AS (
         |  SELECT label, CAST(len(embedding) AS BIGINT) AS dim,

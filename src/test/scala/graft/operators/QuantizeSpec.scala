@@ -45,4 +45,18 @@ class QuantizeSpec extends SparkSpec {
     assert(raw"\(\d+\) Scan parquet".r.findAllIn(plan).length == 1,
       s"q88 must scan embeddings once\n$plan")
   }
+
+  test("q95 norm audit: exact integer bounds bracket the mean, no zero vectors") {
+    val rows = Quantize.q95NormAudit(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(1)).sum == 500)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0, "fixture has no zero vectors")
+      val (lo, hi) = (r.getLong(4), r.getLong(5))
+      val avg = r.getDouble(6)
+      assert(lo <= hi)
+      assert(avg * 1e9 >= lo - 1 && avg * 1e9 <= hi + 1,
+        s"label ${r.get(0)}: avg $avg outside [$lo, $hi] nano")
+    }
+  }
 }
