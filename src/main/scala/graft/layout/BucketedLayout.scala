@@ -125,10 +125,57 @@ object BucketedLayout {
     colocatedOrderRevenue(spark, db).orderBy("o_orderkey")
   }
 
+  /** Event log bucketed by `user_id` (sorted by user, time) — the
+    * per-entity layout: every per-user computation (funnels, sessions,
+    * windows, stateful features) then runs with ZERO data shuffles,
+    * because the bucketed scan already satisfies the window's
+    * ClusteredDistribution(user_id). Separate guard from the join pair
+    * (its own key, its own content version). */
+  private val preparedEvents = scala.collection.mutable.Map.empty[(String, String), (String, String)]
+
+  def ensureEvents(spark: SparkSession, sfDir: String, buckets: Int = 8): String = synchronized {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val version = graft.core.TableVersion.signature(spark, sfDir, "events.parquet")
+    preparedEvents.get(key) match {
+      case Some((v, db)) if v == version => db
+      case _ =>
+        val db = s"graft_be_${((sfDir + "#" + version).hashCode & 0x7FFFFFFF).toString}"
+        val base = spark.conf.getOption("spark.graft.bucketDir")
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        Tables.events(spark, sfDir)
+          .write.mode(SaveMode.Overwrite)
+          .option("path", s"$base/graft_buckets/$db/events_b")
+          .bucketBy(buckets, "user_id").sortBy("user_id", "ts")
+          .format("parquet")
+          .saveAsTable(s"$db.events_b")
+        preparedEvents(key) = (version, db)
+        db
+    }
+  }
+
+  /** q97 — the q84 funnel over the BUCKETED event log: identical output
+    * (the oracle IS q84's), but the chained conditional-min windows and
+    * the user-grain reduce all ride the bucket partitioning — the only
+    * Exchange left in the plan is the 1-row global roll-up. At 100 TB
+    * the flat funnel's one shuffle IS the event log; the bucketed layout
+    * moves it to (one-time) ingest, the q55 story applied to per-entity
+    * analytics instead of a join. */
+  def q97FunnelBucketed(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Sessions.prepare(spark)
+    val db = ensureEvents(spark, dir)
+    graft.operators.Analytics.funnelOver(spark.table(s"$db.events_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q55_colocated_join" -> (q55ColocatedJoin _))
+    "q55_colocated_join" -> (q55ColocatedJoin _),
+    "q97_funnel_bucketed" -> (q97FunnelBucketed _))
 
   val oracles: Map[String, String] = Map(
+    // the FLAT funnel (q84's oracle verbatim): bucketing must change the
+    // plan, never a value
+    "q97_funnel_bucketed" ->
+      graft.operators.Analytics.oracles("q84_funnel"),
     // the FLAT join: bucketing must change the plan, never a value
     // (decimal arithmetic on both sides — see colocatedOrderRevenue)
     "q55_colocated_join" ->

@@ -48,8 +48,16 @@ object Analytics {
     * the only acceptable plan. */
   def q84Funnel(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
+    funnelOver(Tables.events(spark, dir))
+  }
+
+  /** The funnel body over ANY (user_id, event_type, ts) frame — q84 runs
+    * it on the flat event log (one shuffle to cluster users); over an
+    * event log BUCKETED by user_id the same plan runs with ZERO data
+    * shuffles ([[graft.layout.BucketedLayout]] q97). */
+  def funnelOver(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
-    val staged = Tables.events(spark, dir)
+    val staged = events
       .select(col("user_id"), col("event_type"), col("ts"))
       .withColumn("t1",
         min(when(col("event_type") === "view", col("ts"))).over(w))

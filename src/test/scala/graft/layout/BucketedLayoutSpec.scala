@@ -77,4 +77,20 @@ class BucketedLayoutSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("q97 funnel runs with no data shuffle over the bucketed event log") {
+    val df = BucketedLayout.q97FunnelBucketed(spark, sf)
+    val row = df.collect().head
+    // identical values to the flat-log funnel
+    val flat = graft.operators.Analytics.q84Funnel(spark, sf).collect().head
+    assert(row == flat)
+    // the bucket layout satisfies the window + reduce clustering: the
+    // only Exchange left is the 1-row global roll-up (SinglePartition)
+    val exchanges = BucketedLayout.collectExchanges(df.queryExecution.executedPlan)
+    val dataShuffles = exchanges.filter(_.toLowerCase.contains("shuffle"))
+    assert(dataShuffles.size <= 1, s"unexpected shuffles: $exchanges")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(user_id"),
+      s"funnel re-shuffled the bucketed log\n$plan")
+  }
 }
