@@ -39,7 +39,8 @@ object SparkEntry {
       operators.Quantize.queries ++
       operators.HeavyHitters.queries ++
       layout.BucketedLayout.queries ++
-      streaming.EventStream.queries
+      streaming.EventStream.queries ++
+      streaming.FunnelStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +62,6 @@ object SparkEntry {
       operators.Quantize.oracles ++
       operators.HeavyHitters.oracles ++
       layout.BucketedLayout.oracles ++
-      streaming.EventStream.oracles
+      streaming.EventStream.oracles ++
+      streaming.FunnelStream.oracles
 }
