@@ -141,6 +141,42 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Exact set-similarity join via PREFIX FILTERING (Bayardo et al.,
+    * WWW'07 "Scaling Up All Pairs"; Xiao et al., WWW'08 PPJoin) — the
+    * EXACT third path of the near-dup family: q26's all-shared-shingle
+    * self-join is exact but joins on every shingle; q49's LSH is
+    * sublinear but probabilistic; prefix filtering is exact AND prunes.
+    *
+    * Any pair with J(A,B) ≥ τ shares ≥ ⌈τ·|A|⌉ elements, so under ANY
+    * global element order the first |A| − ⌈τ·|A|⌉ + 1 elements of A
+    * (its "prefix") must intersect B's prefix — pairs sharing no prefix
+    * element are provably below τ and are never generated. The shingle
+    * join therefore explodes only the ~(1−τ) prefix fraction of every
+    * document, and the exact verify runs on the surviving candidate
+    * pairs only ([[jaccardPairs]]' candidate path). The global order
+    * here is the shingle hash itself — order-agnostic correctness; a
+    * production tune would order by ascending document frequency to
+    * shrink candidates further (rarest-first), at the price of a
+    * df-counting pass. */
+  private[graft] def prefixJaccardPairs(sigs: DataFrame, threshold: Double): DataFrame = {
+    val prefLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
+    val pref = sigs.select(col("doc_id"),
+      explode(slice(array_sort(col("hs")), lit(1), prefLen)).as("h"))
+    val cands = pref.select(col("doc_id").as("d1"), col("h"))
+      .join(pref.select(col("doc_id").as("d2"), col("h")), Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    jaccardPairs(sigs, threshold, Some(cands))
+  }
+
+  /** q99 — [[prefixJaccardPairs]] at the q26 threshold: same exact
+    * answer (the oracle IS q26's), produced without the full shingle
+    * self-join. */
+  def q99PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    prefixJaccardPairs(shingleSigs(spark, dir), 0.6)
+  }
+
   /** MinHash parameters: 24 permutations = 8 bands × 3 rows. For true
     * Jaccard j, P(candidate) = 1 − (1−j³)⁸ — at j=0.9 that is
     * 1 − 3.4e-5; at j=0.3 only 2%. The planted near-dups sit at j≥0.97
@@ -620,6 +656,7 @@ object Dedup {
     "q24_dedup_exact"   -> (q24DedupExact _),
     "q25_dedup_counts"  -> (q25DedupCounts _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
+    "q99_prefix_join"   -> (q99PrefixJoin _),
     "q27_minhash_lsh"   -> (q27MinhashLsh _),
     "q28_simhash"       -> (q28Simhash _),
     "q38_dedup_apply"   -> (q38DedupApply _),
@@ -676,6 +713,8 @@ object Dedup {
       """SELECT count(*) AS total_docs,
         |  count(DISTINCT md5(trim(text))) AS distinct_docs FROM documents""".stripMargin,
     "q26_ngram_jaccard" -> jaccardOracle,
+    // prefix filtering must not change the exact answer
+    "q99_prefix_join"   -> jaccardOracle,
     "q27_minhash_lsh"   -> jaccardOracle,
     // q80: the span fingerprint is md5 on both engines, so the election
     // and the reassembled text agree verbatim; list_slice bounds are

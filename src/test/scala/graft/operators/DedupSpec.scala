@@ -378,4 +378,31 @@ class DedupSpec extends SparkSpec {
     assert(m(1L) == Seq("a b c d e", "b c d e f"))
     assert(m(2L) == Seq("a b")) // shorter than k: one truncated shingle
   }
+
+  test("q99 prefix filtering: exact q26 answer from a pruned candidate set") {
+    import org.apache.spark.sql.functions._
+    val got = Dedup.q99PrefixJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.q26NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exact)
+    assert(got.nonEmpty)
+    // the prefix join generates strictly fewer candidate pairs than the
+    // full shared-shingle self-join (the pruning that makes it scale)
+    val sigs = Dedup.shingleSigs(spark, sf)
+    def pairsOf(frame: org.apache.spark.sql.DataFrame): Long = {
+      val sh = frame.select(col("doc_id"), explode(col("hs")).as("h"))
+      sh.select(col("doc_id").as("d1"), col("h"))
+        .join(sh.select(col("doc_id").as("d2"), col("h")), Seq("h"))
+        .filter(col("d1") < col("d2")).select("d1", "d2").distinct().count()
+    }
+    val thr = 0.6
+    val prefLen = (col("n_sh") - ceil(col("n_sh") * thr) + 1).cast("int")
+    val prefixPairs = pairsOf(sigs.select(col("doc_id"),
+      slice(array_sort(col("hs")), lit(1), prefLen).as("hs")))
+    val allPairs = pairsOf(sigs)
+    assert(prefixPairs < allPairs,
+      s"prefix must prune: $prefixPairs vs $allPairs")
+    assert(prefixPairs >= got.size, "candidates must cover every result pair")
+  }
 }
