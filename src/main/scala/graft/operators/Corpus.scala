@@ -263,7 +263,43 @@ object Corpus {
     novelty(docShingles, ref).orderBy("doc_id")
   }
 
+  /** INCREMENTAL maintenance of the per-doc signature table across a
+    * corpus update — [[incrementalStats]]' change-sized story applied to
+    * the near-dup family's most expensive artifact: re-shingle ONLY the
+    * added/changed documents, carry every unchanged doc's signature row
+    * forward untouched, drop removed/changed docs' old rows. At 100 TB
+    * a recrawl touching 0.1% of documents then costs 0.1% of the
+    * signature build, not a rebuild (and the result feeds the persisted
+    * [[SignatureStage]] the family already loads).
+    *
+    * The diff is broadcast (change-sized by construction); the carried
+    * side is a map-only anti-join over the EXISTING signature table —
+    * the v2 corpus text is only read for the changed slice. */
+  def incrementalSigs(prevSigs: DataFrame, v1: DataFrame, v2: DataFrame): DataFrame = {
+    val d = broadcast(diff(v1, v2))
+    val kept = prevSigs
+      .join(d.filter(col("status").isin("removed", "changed")),
+        Seq("doc_id"), "left_anti")
+    val fresh = Dedup.sigsOf(
+      v2.join(d.filter(col("status").isin("added", "changed")), Seq("doc_id"))
+        .select(v2.columns.map(col): _*))
+    kept.unionByName(fresh)
+  }
+
+  /** q100 — [[incrementalSigs]] across the snapshot pair, reduced to the
+    * oracle-checkable (doc_id, n_sh) grain; the oracle is the DIRECT v2
+    * shingle count — incremental maintenance must land on the rebuild. */
+  def q100IncrementalSigs(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val v1 = SnapshotFixture.table(spark, dir, "documents_v1_edit")
+    val v2 = SnapshotFixture.table(spark, dir, "documents_v2")
+    incrementalSigs(Dedup.sigsOf(v1), v1, v2)
+      .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_incremental_sigs" -> (q100IncrementalSigs _),
     "q94_novelty" -> (q94Novelty _),
     "q76_incremental_stats" -> (q76IncrementalStats _),
     "q71_composition_drift" -> (q71CompositionDrift _),
@@ -271,6 +307,18 @@ object Corpus {
     "q86_scd2_merge" -> (q86Scd2Merge _))
 
   val oracles: Map[String, String] = Map(
+    // the DIRECT v2 signature build: incremental maintenance must land
+    // on exactly the rebuild's answer
+    "q100_incremental_sigs" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_distinct(list_transform(
+         |    range(1, greatest(len(w) - 4, 1) + 1),
+         |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER),
+         |      CAST(i AS INTEGER) + 4), ' ')))) AS BIGINT) AS n_sh
+         |FROM (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents WHERE doc_id % $DroppedFromV1Mod <> $DroppedFromV1Rem)
+         |ORDER BY doc_id""".stripMargin,
     // novelty vs the rule-derived v1_edit reference (uppercased docs'
     // shingles differ from their originals — exactly what novelty sees)
     "q94_novelty" ->

@@ -189,4 +189,29 @@ class CorpusSpec extends SparkSpec {
     // the fixture plants real novelty: some doc scores above zero
     assert(rows.values.exists(_._3 > 0.0))
   }
+
+  test("incremental signature maintenance touches only the changed slice") {
+    import org.apache.spark.sql.functions._
+    val v1 = SnapshotFixture.table(spark, sf, "documents_v1_edit")
+    val v2 = SnapshotFixture.table(spark, sf, "documents_v2")
+    // equality with the direct rebuild, at full signature grain (the
+    // oracle checks (doc_id, n_sh); here compare the hash arrays too)
+    val inc = Corpus.incrementalSigs(Dedup.sigsOf(v1), v1, v2)
+      .select(col("doc_id"), col("hs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val rebuilt = Dedup.sigsOf(v2)
+      .select(col("doc_id"), col("hs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(inc == rebuilt)
+    // change-sized: the fresh side re-shingles exactly the added/changed docs
+    val changed = Corpus.diff(v1, v2).collect()
+      .filter(r => Set("added", "changed").contains(r.getString(1)))
+      .map(_.getLong(0)).toSet
+    val carried = inc.keySet -- changed
+    // carried rows must be the v1 signatures verbatim
+    val prev = Dedup.sigsOf(v1).select(col("doc_id"), col("hs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    carried.foreach(id => assert(inc(id) == prev(id)))
+    assert(changed.nonEmpty && carried.nonEmpty)
+  }
 }
