@@ -244,15 +244,71 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q102 — weekly cohort retention: users grouped by first-active week,
+    * per-offset active counts and retention against the cohort's size —
+    * the standard engagement matrix. (The synthetic fixture is dense —
+    * every user starts in week one — so the fixture output is a single
+    * cohort; the SEMANTICS are spec'd on a crafted sparse frame.)
+    *
+    * Shape: the event log reduces map-side to distinct (user, week)
+    * pairs; the first-week reduce and the join back are co-partitioned
+    * on user_id (one shuffle); cohort cells are calendar-bounded, so
+    * the retention window costs nothing. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val cohorts = uw.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    val cells = uw.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val w = Window.partitionBy("cohort_week")
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(w))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  def q102CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    cohortRetention(Tables.events(spark, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_pivot" -> (q83Pivot _),
     "q84_funnel" -> (q84Funnel _),
     "q85_moving_avg" -> (q85MovingAvg _),
     "q89_winsorized" -> (q89Winsorized _),
     "q93_revenue_trend" -> (q93RevenueTrend _),
-    "q96_value_outliers" -> (q96ValueOutliers _))
+    "q96_value_outliers" -> (q96ValueOutliers _),
+    "q102_cohort_retention" -> (q102CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "q102_cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id),
+        |cells AS (
+        |  SELECT cohort_week,
+        |    CAST(datediff('day', cohort_week, wk) / 7 AS INTEGER) AS week_offset,
+        |    count(*) AS n_active
+        |  FROM uw JOIN c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_active,
+        |  max(CASE WHEN week_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_week) AS cohort_size,
+        |  round(CAST(n_active AS DOUBLE) /
+        |    max(CASE WHEN week_offset = 0 THEN n_active END)
+        |      OVER (PARTITION BY cohort_week), 4) AS retention
+        |FROM cells ORDER BY cohort_week, week_offset""".stripMargin,
     "q96_value_outliers" ->
       """WITH s AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS yc

@@ -78,7 +78,34 @@ object Privacy {
     redact(Tables.documents(spark, dir), withPlantedPii(col("text"), col("doc_id")))
   }
 
+  /** k-anonymity threshold for [[q101KAnonymity]]: a quasi-identifier
+    * cell smaller than this re-identifies its members. */
+  val KAnonThreshold = 5L
+
+  /** q101 — k-anonymity audit over the customer dimension: group by the
+    * quasi-identifier (market segment × nation), flag every cell whose
+    * population is below [[KAnonThreshold]] — the release-readiness
+    * check a privacy review runs before an extract ships (the
+    * structured-data complement of q67's free-text redaction).
+    *
+    * Shape: one partial-agged shuffle on the QI key; the flagging is a
+    * map over the cell frame (cells = segments × nations, tiny at any
+    * scale). A 100 TB fact table audits the same way: the cell frame,
+    * not the row count, bounds everything after the first aggregate. */
+  def q101KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_mktsegment", "n_name")
+      .agg(count(lit(1)).as("k"))
+      .select(col("c_mktsegment"), col("n_name"), col("k"),
+        (col("k") < KAnonThreshold).as("at_risk"))
+      .orderBy("c_mktsegment", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_k_anonymity" -> (q101KAnonymity _),
     "q67_pii_redact" -> (q67PiiRedact _))
 
   // DuckDB single-quoted strings do no backslash processing, so the
@@ -89,6 +116,12 @@ object Privacy {
   private val ipSql = IpRe
 
   val oracles: Map[String, String] = Map(
+    "q101_k_anonymity" ->
+      s"""SELECT c_mktsegment, n_name, count(*) AS k,
+         |  count(*) < $KAnonThreshold AS at_risk
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY c_mktsegment, n_name
+         |ORDER BY c_mktsegment, n_name""".stripMargin,
     "q67_pii_redact" ->
       s"""WITH p AS (
          |  SELECT doc_id,

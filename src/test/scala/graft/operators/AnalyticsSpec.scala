@@ -159,4 +159,20 @@ class AnalyticsSpec extends SparkSpec {
       assert(outliers < ys.length / 20, "3-sigma flags must be rare")
     }
   }
+
+  test("q102 cohort retention semantics on a sparse crafted frame") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // cohort of Jan-1 week: users 1,2; only user 1 returns the next week.
+    // cohort of Jan-8 week: user 3.
+    val events = Seq(
+      (1L, t(1)), (2L, t(2)), (1L, t(9)), (3L, t(10)))
+      .toDF("user_id", "ts")
+    val rows = Analytics.cohortRetention(events).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 0.5),
+      ("2024-01-08", 0, 1L, 1.0)))
+  }
 }

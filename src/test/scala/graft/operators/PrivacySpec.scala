@@ -60,4 +60,14 @@ class PrivacySpec extends SparkSpec {
     assert(out(1).getString(5) == "repetitive") // top 1/3 = 0.3333 > 0.2
     assert(out(2).getDouble(3) == 1.0 && out(2).getDouble(4) == 0.0)
   }
+
+  test("q101 k-anonymity: cell populations conserve, flags match the threshold") {
+    val rows = Privacy.q101KAnonymity(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == 150) // every customer in one cell
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(2) < Privacy.KAnonThreshold))
+    }
+    // the fixture exercises both outcomes
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
+  }
 }
