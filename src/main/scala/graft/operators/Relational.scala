@@ -487,7 +487,58 @@ object Relational {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** q103 — the complete ranking-window family in one plan: row_number,
+    * rank, dense_rank, ntile, percent_rank, cume_dist over the same
+    * per-priority price ordering (row_number alone appears in q15; the
+    * rest of the family gets its coverage here). The ordering carries a
+    * unique tie-break (orderkey), so every function is deterministic;
+    * percent_rank/cume_dist are single integer-derived divisions,
+    * identical in both engines. One window shuffle; the top-3 filter
+    * keeps the gate output group-bounded. */
+  def q103WindowFamily(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("long").as("rn"), col("rnk"), col("drnk"),
+        col("quartile"), col("pct_rank"), col("cume"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** q104 — set-operation completeness (INTERSECT / EXCEPT next to q10's
+    * UNION): customers holding an URGENT order vs customers with a
+    * positive balance, tagged by which side(s) they fall on. Both set
+    * ops plan as aggregates/anti-joins over co-partitioned keys — no new
+    * physical machinery, which is the point of expressing them
+    * declaratively. */
+  def q104SetOps(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey")).distinct()
+    urgent.intersect(rich).withColumn("op", lit("both"))
+      .unionByName(urgent.except(rich).withColumn("op", lit("urgent_only")))
+      .unionByName(rich.except(urgent).withColumn("op", lit("rich_only")))
+      .select(col("op"), col("custkey"))
+      .orderBy("op", "custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_window_family"    -> (q103WindowFamily _),
+    "q104_set_ops"          -> (q104SetOps _),
     "q91_grouping_sets"     -> (q91GroupingSets _),
     "q74_json_extract"      -> (q74JsonExtract _),
     "q75_rollup"            -> (q75Rollup _),
@@ -530,6 +581,39 @@ object Relational {
         |FROM e WHERE k_decile IS NOT NULL
         |GROUP BY event_type, k_decile
         |ORDER BY event_type, k_decile""".stripMargin,
+    "q103_window_family" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rn AS BIGINT) AS rn, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(drnk AS BIGINT) AS drnk, CAST(quartile AS BIGINT) AS quartile,
+        |  pct_rank, cume
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    ntile(4) OVER w AS quartile,
+        |    round(percent_rank() OVER w, 6) AS pct_rank,
+        |    round(cume_dist() OVER w, 6) AS cume
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q104_set_ops" ->
+      """WITH urgent AS (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |rich AS (
+        |  SELECT DISTINCT c_custkey AS custkey FROM customer
+        |  WHERE c_acctbal > 5000)
+        |SELECT 'both' AS op, custkey FROM (
+        |  SELECT custkey FROM urgent INTERSECT SELECT custkey FROM rich)
+        |UNION ALL
+        |SELECT 'urgent_only', custkey FROM (
+        |  SELECT custkey FROM urgent EXCEPT SELECT custkey FROM rich)
+        |UNION ALL
+        |SELECT 'rich_only', custkey FROM (
+        |  SELECT custkey FROM rich EXCEPT SELECT custkey FROM urgent)
+        |ORDER BY op, custkey""".stripMargin,
     "q91_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

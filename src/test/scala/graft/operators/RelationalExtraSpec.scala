@@ -64,4 +64,39 @@ class RelationalExtraSpec extends SparkSpec {
     // (·,b) cut) nor cube (which would add the grand total)
     assert(!gids.contains(3L))
   }
+
+  test("q103 window family: functions agree with first-principles ranks") {
+    val rows = Relational.q103WindowFamily(spark, sf).collect()
+    assert(rows.length == 15) // 3 per priority
+    rows.groupBy(_.getString(0)).foreach { case (_, group) =>
+      val sorted = group.sortBy(_.getLong(3))
+      // unique tie-break ⇒ rn == rnk == drnk on the top-3 slice
+      sorted.foreach { r =>
+        assert(r.getLong(3) == r.getLong(4) && r.getLong(4) == r.getLong(5))
+        assert(r.getLong(6) == 1L, "top-3 rows sit in the first quartile")
+        assert(r.getDouble(8) > r.getDouble(7),
+          "cume_dist > percent_rank on a unique ordering")
+      }
+      // prices non-increasing down the ranks
+      assert(sorted.map(_.getDouble(2)).toSeq ==
+        sorted.map(_.getDouble(2)).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
+  test("q104 set ops: the three tags partition urgent ∪ rich exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q104SetOps(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val byOp = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val urgent = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val rich = graft.core.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 5000)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(byOp("both") == (urgent intersect rich))
+    assert(byOp("urgent_only") == (urgent diff rich))
+    assert(byOp("rich_only") == (rich diff urgent))
+    assert(rows.length == rows.toSet.size, "tags are disjoint")
+  }
 }
