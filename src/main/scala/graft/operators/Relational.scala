@@ -536,7 +536,48 @@ object Relational {
       .orderBy("op", "custkey")
   }
 
+  /** q105 — the approx-percentile VERDICT GATE (the q42 HLL pattern
+    * applied to quantile sketches): per group, the exact percentiles
+    * plus in-plan booleans asserting `percentile_approx`'s estimates sit
+    * within 1% RANK error of their targets — verified by recounting the
+    * estimate's true rank against the group size, so the sketch is
+    * judged by the guarantee it actually makes (rank error ≤ n/accuracy,
+    * far inside the 1% gate). The estimates themselves stay engine-side
+    * (sketch merges are partition-shaped); the oracle replays the exact
+    * side and asserts the verdicts literally. Two fact scans: the
+    * aggregate and the rank recount — the honest cost of auditing a
+    * sketch against its own data. */
+  def q105ApproxPercentileGate(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val agg = o.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n_orders"),
+      expr("percentile(o_totalprice, 0.5)").as("x50"),
+      expr("percentile(o_totalprice, 0.9)").as("x90"),
+      expr("percentile_approx(o_totalprice, 0.5, 10000)").as("e50"),
+      expr("percentile_approx(o_totalprice, 0.9, 10000)").as("e90"))
+    val ranks = o
+      .join(broadcast(agg.select(col("o_orderpriority"), col("e50"), col("e90"))),
+        Seq("o_orderpriority"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_totalprice") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("o_totalprice") <= col("e90"), 1L).otherwise(0L)).as("r90"))
+    agg.join(ranks, Seq("o_orderpriority"))
+      .select(
+        col("o_orderpriority"), col("n_orders"),
+        round(col("x50"), 4).as("median_price"),
+        round(col("x90"), 4).as("p90_price"),
+        (abs(col("r50").cast("double") / col("n_orders") - 0.5) <= 0.01)
+          .as("p50_within_1pct"),
+        (abs(col("r90").cast("double") / col("n_orders") - 0.9) <= 0.01)
+          .as("p90_within_1pct"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_approx_percentile" -> (q105ApproxPercentileGate _),
     "q103_window_family"    -> (q103WindowFamily _),
     "q104_set_ops"          -> (q104SetOps _),
     "q91_grouping_sets"     -> (q91GroupingSets _),
@@ -581,6 +622,16 @@ object Relational {
         |FROM e WHERE k_decile IS NOT NULL
         |GROUP BY event_type, k_decile
         |ORDER BY event_type, k_decile""".stripMargin,
+    // q105: exact percentiles + literal-TRUE rank verdicts — the
+    // estimates are engine-side; the oracle replays the exact side
+    "q105_approx_percentile" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        |  TRUE AS p50_within_1pct,
+        |  TRUE AS p90_within_1pct
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q103_window_family" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  CAST(rn AS BIGINT) AS rn, CAST(rnk AS BIGINT) AS rnk,

@@ -99,4 +99,20 @@ class RelationalExtraSpec extends SparkSpec {
     assert(byOp("rich_only") == (rich diff urgent))
     assert(rows.length == rows.toSet.size, "tags are disjoint")
   }
+
+  test("q105 sketch gate: approx percentiles sit within the rank bound") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q105ApproxPercentileGate(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5),
+        s"${r.getString(0)}: sketch outside its rank bound")
+      // the exact columns really are the order statistics: recount ranks
+      val prices = graft.core.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === r.getString(0))
+        .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+      val below = prices.count(_ <= r.getDouble(2)).toDouble / prices.length
+      assert(below >= 0.49 && below <= 0.52, s"median rank off: $below")
+    }
+  }
 }
