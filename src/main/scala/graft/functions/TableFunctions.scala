@@ -30,6 +30,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM pii_redact()
   *   SELECT * FROM scd2('documents_v1', 'documents')
   *   SELECT * FROM quantize_error()
+  *   SELECT * FROM novelty('reference_docs')
+  *   SELECT * FROM heavy_hitters()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -60,7 +62,7 @@ object TableFunctions {
     "bm25", "source_cap", "sem_dedup", "decontaminate", "corpus_diff",
     "near_dup_pairs", "dedup_apply", "temperature_mix", "corpus_drift",
     "chunk", "pii_redact", "lm_score", "span_dedup", "scd2",
-    "quantize_error")
+    "quantize_error", "novelty", "heavy_hitters")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -229,6 +231,42 @@ object TableFunctions {
               spark.table("embeddings"), col("embedding"))
           }
         case _ => throw new IllegalArgumentException("quantize_error expects no arguments")
+      }
+    },
+    "novelty" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(ref) =>
+          plan { spark =>
+            import graft.operators.{Corpus, Dedup, TextOps}
+            Corpus.novelty(
+              Dedup.shingles(spark.table("documents"), TextOps.BoilerK),
+              Dedup.shingles(spark.table(string(ref, "novelty(reference_table)")),
+                TextOps.BoilerK))
+          }
+        case _ => throw new IllegalArgumentException(
+          "novelty expects (reference_table name)")
+      }
+    },
+    // like sem_dedup's quantizer fit, the bounded sketch pass runs at
+    // resolution time (state <= SketchK entries; the recount is the plan)
+    "heavy_hitters" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan { spark =>
+            import org.apache.spark.sql.functions._
+            import graft.operators.{Dedup, HeavyHitters, TextOps}
+            val sh = Dedup.shingles(spark.table("documents"), TextOps.BoilerK)
+            val (cands, total) = HeavyHitters.candidates(sh, "s")
+            val floor = total / HeavyHitters.SketchK
+            import spark.implicits._
+            sh.join(broadcast(cands.toDF("s")), Seq("s"))
+              .groupBy("s")
+              .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+              .filter(col("n_docs") > floor)
+              .select(col("s").as("shingle"), col("n_docs"), col("first_doc"),
+                lit(floor).as("floor_docs"))
+          }
+        case _ => throw new IllegalArgumentException("heavy_hitters expects no arguments")
       }
     },
     "span_dedup" -> { exprs: Seq[Expression] =>

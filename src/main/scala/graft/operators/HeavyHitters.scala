@@ -30,7 +30,7 @@ object HeavyHitters {
   val SketchK = 8192
 
   /** Candidate items (bounded, sorted) + the row count of `items`. */
-  private[operators] def candidates(
+  private[graft] def candidates(
       items: DataFrame, itemCol: String): (Seq[String], Long) = {
     val row = items.agg(
       MisraGriesAgg.mg_candidates(col(itemCol), SketchK).as("cands"),

@@ -174,4 +174,25 @@ class TableFunctionsSpec extends SparkSpec {
     assert(rows(qe) == rows(graft.operators.Quantize.int8Error(
       Tables.embeddings(spark, sf), col("embedding"))))
   }
+
+  test("novelty / heavy_hitters TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 10 =!= 0).createOrReplaceTempView("ref_docs")
+    val nov = spark.sql("SELECT * FROM novelty('ref_docs')")
+    assert(rows(nov) == rows(graft.operators.Corpus.novelty(
+      graft.operators.Dedup.shingles(docs, graft.operators.TextOps.BoilerK),
+      graft.operators.Dedup.shingles(spark.table("ref_docs"),
+        graft.operators.TextOps.BoilerK))))
+    // docs present in the reference score zero novelty through SQL too
+    val zero = spark.sql(
+      "SELECT count(*) AS n FROM novelty('ref_docs') WHERE novelty = 0.0")
+      .collect().head.getLong(0)
+    assert(zero >= docs.filter(col("doc_id") % 10 =!= 0).count())
+    val hh = spark.sql("SELECT * FROM heavy_hitters()").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val scala_ = graft.operators.HeavyHitters.q90HeavyHitters(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(hh == scala_)
+  }
 }
