@@ -229,7 +229,39 @@ object Sampling {
     temperatureMix(Tables.documents(spark, dir), MixAlpha)
   }
 
+  /** Weighted-sample size for [[q106WeightedSample]]. */
+  val WeightedSampleK = 200
+
+  /** q106 — deterministic WEIGHTED sampling without replacement
+    * (Efraimidis & Spirakis 2006): each doc draws a content-hash uniform
+    * u ∈ (0,1] and competes on key = ln(u)/w — the top-K by key is a
+    * weighted sample without replacement, exactly (their Theorem 1, with
+    * the k-th root as a monotone ln transform). Here w = doc length, the
+    * "sample long documents proportionally more" curation knob; any
+    * positive weight column works.
+    *
+    * Everything q58/q60/q64 promise holds: the draw is a pure function
+    * of content (reproducible across runs, partitionings and engines —
+    * the oracle replays the nibble arithmetic), and the plan is a
+    * TakeOrderedAndProject top-K, never a global sort. Key gaps at the
+    * selection boundary are ~1/n² of the key range — ten orders above
+    * double ulp — so the ln's last-ulp engine variance cannot flip the
+    * selected set (the emitted key is rounded to 8 dp regardless). */
+  def q106WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val u = (conv(substring(md5(trim(col("text"))), 9, 6), 16, 10).cast("long") + 1) /
+      16777216.0
+    val key = log(u) / greatest(col("n_chars"), lit(1L)).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), key.as("k"))
+      .orderBy(desc("k"), col("doc_id"))
+      .limit(WeightedSampleK)
+      .select(col("doc_id"), col("n_chars"), round(col("k"), 8).as("es_key"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_weighted_sample" -> (q106WeightedSample _),
     "q58_split_assign"  -> (q58SplitAssign _),
     "q59_source_cap"    -> (q59SourceCap _),
     "q60_quality_sample" -> (q60QualitySample _),
@@ -252,6 +284,15 @@ object Sampling {
     }.mkString("(", " +\n ", ")")
 
   val oracles: Map[String, String] = Map(
+    "q106_weighted_sample" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, n_chars,
+         |    ln((${hex6Sql("md5(trim(text))", 9)} + 1) / 16777216.0)
+         |      / CAST(greatest(n_chars, 1) AS DOUBLE) AS k
+         |  FROM documents),
+         |top AS (SELECT * FROM s ORDER BY k DESC, doc_id LIMIT $WeightedSampleK)
+         |SELECT doc_id, n_chars, round(k, 8) AS es_key
+         |FROM top ORDER BY doc_id""".stripMargin,
     "q63_sequence_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, md5(trim(text)) AS ch,

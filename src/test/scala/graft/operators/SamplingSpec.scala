@@ -161,4 +161,32 @@ class SamplingSpec extends SparkSpec {
     val actual = Sampling.sourceCap(docs, cap).collect().toSeq
     assert(actual == reference)
   }
+
+  test("q106 weighted sample: long docs over-represented, top-k plan, ES property") {
+    import org.apache.spark.sql.functions._
+    val df = Sampling.q106WeightedSample(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == Sampling.WeightedSampleK)
+    // weighting by length must pull the sample mean above the corpus mean
+    val sampleMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    val corpusMean = graft.core.Tables.documents(spark, sf)
+      .agg(avg("n_chars")).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean vs corpus $corpusMean")
+    // selection is by the ES key: every selected key >= every rejected key
+    val all = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (log((conv(substring(md5(trim(col("text"))), 9, 6), 16, 10)
+            .cast("long") + 1) / 16777216.0)
+          / greatest(col("n_chars"), lit(1L)).cast("double")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val chosen = rows.map(_.getLong(0)).toSet
+    val minChosen = chosen.map(all).min
+    val maxRejected = (all.keySet -- chosen).map(all).max
+    assert(minChosen >= maxRejected)
+    // top-k, not a global sort
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("TakeOrderedAndProject"), s"q106 must plan top-k\n$plan")
+  }
 }
