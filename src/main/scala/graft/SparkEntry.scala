@@ -39,6 +39,7 @@ object SparkEntry {
       operators.Quantize.queries ++
       operators.HeavyHitters.queries ++
       layout.BucketedLayout.queries ++
+      sources.JsonlIngest.queries ++
       streaming.EventStream.queries ++
       streaming.FunnelStream.queries
 
@@ -62,6 +63,7 @@ object SparkEntry {
       operators.Quantize.oracles ++
       operators.HeavyHitters.oracles ++
       layout.BucketedLayout.oracles ++
+      sources.JsonlIngest.oracles ++
       streaming.EventStream.oracles ++
       streaming.FunnelStream.oracles
 }
