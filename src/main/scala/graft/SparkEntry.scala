@@ -41,7 +41,8 @@ object SparkEntry {
       layout.BucketedLayout.queries ++
       sources.JsonlIngest.queries ++
       streaming.EventStream.queries ++
-      streaming.FunnelStream.queries
+      streaming.FunnelStream.queries ++
+      streaming.IngestStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -65,5 +66,6 @@ object SparkEntry {
       layout.BucketedLayout.oracles ++
       sources.JsonlIngest.oracles ++
       streaming.EventStream.oracles ++
-      streaming.FunnelStream.oracles
+      streaming.FunnelStream.oracles ++
+      streaming.IngestStream.oracles
 }

@@ -48,7 +48,7 @@ object EventStream {
     * Output lands under `spark.graft.streamResultsDir` (default: the JVM
     * temp dir) — locally a scratch path, on a cluster an object-store
     * prefix subject to the results retention job. */
-  private def drainToFiles(spark: SparkSession, transformed: DataFrame): DataFrame = {
+  private[streaming] def drainToFiles(spark: SparkSession, transformed: DataFrame): DataFrame = {
     val base = spark.conf.getOption("spark.graft.streamResultsDir")
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val root = s"$base/graft_stream_${UUID.randomUUID().toString.replace("-", "")}"

@@ -38,4 +38,13 @@ class JsonlIngestSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == total)
     assert(rows.exists(_.getString(0) == "_corrupt"))
   }
+
+  test("q108 streaming ingest drain equals the batch report exactly") {
+    val streamed = graft.streaming.IngestStream
+      .q108StreamJsonlIngest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = JsonlIngest.q107JsonlIngest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
 }
