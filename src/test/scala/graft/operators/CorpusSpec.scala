@@ -214,4 +214,22 @@ class CorpusSpec extends SparkSpec {
     carried.foreach(id => assert(inc(id) == prev(id)))
     assert(changed.nonEmpty && carried.nonEmpty)
   }
+
+  test("q94 plan: reference reduces before the join; shuffles stay bounded") {
+    val df = Corpus.q94Novelty(spark, sf)
+    df.collect()
+    val shuffles = graft.layout.BucketedLayout
+      .collectExchanges(df.queryExecution.executedPlan)
+      .count(_.toLowerCase.contains("shuffle"))
+    // ref distinct + shingle join + per-doc reduce + output sort
+    assert(shuffles <= 4, s"q94 runs $shuffles shuffles")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the distinct (ref-set reduction) must sit BELOW the join: joining
+    // the raw reference explode would shuffle duplicate shingle rows
+    val joinPos = plan.indexOf("SortMergeJoin")
+    val hashJoinPos = plan.indexOf("BroadcastHashJoin")
+    val anyJoin = if (joinPos >= 0) joinPos else hashJoinPos
+    assert(anyJoin >= 0, s"no join in q94 plan\n$plan")
+  }
 }

@@ -37,4 +37,18 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == exact)
     assert(got.nonEmpty, "fixture should contain shingles above the floor")
   }
+
+  test("q90 plan: candidate recount broadcasts, shuffles stay bounded") {
+    val df = HeavyHitters.q90HeavyHitters(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate filter must broadcast, never shuffle the shingle stream\n$plan")
+    val shuffles = graft.layout.BucketedLayout
+      .collectExchanges(df.queryExecution.executedPlan)
+      .count(_.toLowerCase.contains("shuffle"))
+    assert(shuffles <= 2,
+      s"q90 runs $shuffles shuffles (expected ≤ 2: candidate recount + sort)")
+  }
 }
