@@ -537,7 +537,47 @@ object TextOps {
       .limit(30)
   }
 
+  /** Fractional support floor for [[q109Cooccurrence]] — scale-free, the
+    * standard frequent-itemset formulation. */
+  val CoocSupport = 0.1
+
+  /** q109 — frequent token CO-OCCURRENCE (document-level pair mining,
+    * the Apriori complement of q92's adjacency PMI): token pairs
+    * appearing together in ≥ [[CoocSupport]] of documents. The Apriori
+    * property does the scaling work: only FREQUENT singles (one
+    * vocab-grain aggregate + broadcast) participate in pair generation,
+    * so the per-doc pair explosion is bounded by the per-doc
+    * frequent-token count² — never vocabulary², never corpus² (the
+    * pruning that makes frequent-itemset mining feasible at all; a
+    * support floor any lower than memory allows is answered by raising
+    * the floor, the classic trade). One driver scalar (the doc count,
+    * for the support floor) is the only collect. */
+  def q109Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("t"))
+    val nDocs = docs.count()
+    val minCount = math.ceil(CoocSupport * nDocs).toLong
+    val u = docs.select(col("doc_id"), explode(col("t")).as("w"))
+    val frequent = u.groupBy("w").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minCount).select("w")
+    val fw = u.join(broadcast(frequent), Seq("w"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("w"))).as("fw"))
+    val pairArr = flatten(transform(col("fw"), (x, i) =>
+      transform(slice(col("fw"), i + lit(2), size(col("fw"))),
+        y => struct(x.as("w1"), y.as("w2")))))
+    fw.select(explode(pairArr).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minCount)
+      .select(col("w1"), col("w2"), col("n_docs"),
+        round(col("n_docs").cast("double") / nDocs, 4).as("support"))
+      .orderBy(desc("n_docs"), col("w1"), col("w2"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_cooccurrence" -> (q109Cooccurrence _),
     "q92_pmi_collocations" -> (q92PmiCollocations _),
     "q78_unigram_logprob" -> (q78UnigramLogprob _),
     "q73_boilerplate"   -> (q73Boilerplate _),
@@ -554,6 +594,25 @@ object TextOps {
     "q54_tfidf"         -> (q54TfIdf _))
 
   val oracles: Map[String, String] = Map(
+    "q109_cooccurrence" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+         |  FROM documents),
+         |n AS (SELECT count(*) AS nd FROM d),
+         |u AS (SELECT doc_id, unnest(t) AS w FROM d),
+         |f AS (
+         |  SELECT w FROM u GROUP BY w
+         |  HAVING count(*) >= ceil($CoocSupport * (SELECT nd FROM n))),
+         |uf AS (SELECT doc_id, w FROM u JOIN f USING (w)),
+         |p AS (
+         |  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM uf a JOIN uf b ON a.doc_id = b.doc_id AND a.w < b.w
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= ceil($CoocSupport * (SELECT nd FROM n)))
+         |SELECT w1, w2, n_docs,
+         |  round(CAST(n_docs AS DOUBLE) / (SELECT nd FROM n), 4) AS support
+         |FROM p ORDER BY n_docs DESC, w1, w2 LIMIT 30""".stripMargin,
     "q92_pmi_collocations" ->
       s"""WITH d AS (
          |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.{col, explode, size, sum}
+import org.apache.spark.sql.functions.{array_distinct, col, explode, size, sum}
 import graft.SparkSpec
 
 class TextOpsSpec extends SparkSpec {
@@ -226,5 +226,30 @@ class TextOpsSpec extends SparkSpec {
       s"q92 corpus-scan budget is 2\n$plan")
     assert(finalSection.contains("ReusedExchange"),
       s"q92 word/totals branches must reuse the aggregated exchanges\n$plan")
+  }
+
+  test("q109 co-occurrence: Apriori-sound, supports verified by direct recount") {
+    val rows = TextOps.q109Cooccurrence(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(array_distinct(TextOps.tokens(col("text"))).as("t"))
+      .collect().map(_.getSeq[String](0).toSet)
+    val floor = math.ceil(TextOps.CoocSupport * docs.length)
+    rows.foreach { r =>
+      val (w1, w2, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(w1 < w2, "pairs are canonically ordered")
+      assert(n >= floor, s"($w1,$w2) below the support floor")
+      // direct recount over the raw corpus
+      val direct = docs.count(d => d.contains(w1) && d.contains(w2))
+      assert(n == direct, s"($w1,$w2): $n vs direct $direct")
+      assert(math.abs(r.getDouble(3) - n.toDouble / docs.length) < 1e-4)
+    }
+    // Apriori pruning is in the plan: the singles filter joins by broadcast
+    val df = TextOps.q109Cooccurrence(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frequent-singles prune must broadcast\n$plan")
   }
 }
