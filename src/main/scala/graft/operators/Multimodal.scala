@@ -1,31 +1,247 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 
 /** Multimodal-column plumbing (SURVEY §2.9): media payloads as opaque
-  * `binary` columns with a typed metadata struct, plus a partition-wise
-  * decode/feature-extract stage.
+  * `binary` columns with a typed metadata struct, plus partition-wise
+  * decode / resize / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked deterministic STUB ([[FakeDecoder]]); everything
-  * Spark-side — schema, batch shape, partition-wise execution, feature
-  * column type — is real and tested. Swapping the stub for a JNI/codec
-  * call changes no plan shape.
+  * The decode path is REAL: fixtures are deterministic pixel grids
+  * (`pixel(d,x,y) = (31·d + 7·x + 13·y) mod 256`, [[ImageFixture]])
+  * encoded to actual PNG / BMP bytes with the JDK's `javax.imageio`
+  * writer, and every downstream stage decodes those bytes back to pixels
+  * with `ImageIO.read` before computing anything. Both formats are
+  * lossless for the 24-bit grayscale-as-RGB grids used here, so the
+  * DuckDB oracle can verify the whole encode→decode→aggregate chain by
+  * replaying the pixel formula — any codec corruption, channel swap, or
+  * row-order bug changes the hashes.
+  *
+  * [[FakeDecoder]] remains only as the documented fallback for payload
+  * formats the JDK cannot decode (webp, video codecs): it computes byte
+  * statistics without decoding, preserving pipeline shape. A spec proves
+  * the real and formula paths agree pixel-for-pixel on every fixture.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no base64 round
-  * trips), decode runs inside `mapPartitions` so per-partition
-  * initialization (a real decoder's native context) amortizes across the
-  * batch, and the feature output is a fixed-width float array — the
-  * layout a vectorized writer packs efficiently.
+  * trips); encode and decode run inside `mapPartitions` so per-partition
+  * initialization (a real native codec context) amortizes across the
+  * batch; outputs are fixed-width numeric columns. The pixel grids are
+  * deliberately small (≤ 15×13) so the oracle replay stays cheap — the
+  * plan shape is size-independent.
   */
 object Multimodal {
 
-  /** A media asset row: payload + typed metadata (the reference keeps
-    * all metadata as flat typed columns after flattening,
+  // ---------------------------------------------------------------------
+  // Image fixtures: deterministic pixels, real codecs
+  // ---------------------------------------------------------------------
+
+  /** An encoded media asset: real PNG/BMP bytes + typed metadata (the
+    * reference keeps all metadata as flat typed columns after flattening,
     * `data_extractor.py:40-57` — same convention here). */
+  case class ImageAsset(
+      doc_id: Long,
+      payload: Array[Byte],
+      format: String,
+      width: Int,
+      height: Int)
+
+  /** A decoded image: row-major 8-bit gray values. */
+  case class PixelImage(width: Int, height: Int, gray: Array[Int])
+
+  /** Deterministic image fixtures. `pixel` is the single source of truth
+    * for the grid content; the DuckDB oracle replays the same formula, so
+    * the decoded output of the real codec round-trip is fully verifiable. */
+  object ImageFixture {
+    /** Gray value at (x, y) for document `d` — pure integer, ≥ 0. */
+    def pixel(d: Long, x: Int, y: Int): Int =
+      ((31L * d + 7L * x + 13L * y) % 256L).toInt
+
+    /** Fixture dimensions derived from document metadata (small on
+      * purpose: the oracle replays every pixel). */
+    def dims(nChars: Long): (Int, Int) =
+      (8 + (nChars % 8).toInt, 8 + (nChars % 6).toInt)
+
+    /** Alternate PNG and BMP — both JDK-writable and lossless here. */
+    def format(docId: Long): String = if (docId % 2 == 0) "png" else "bmp"
+
+    def grid(d: Long, w: Int, h: Int): PixelImage = {
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = pixel(d, x, y); x += 1 }
+        y += 1
+      }
+      PixelImage(w, h, px)
+    }
+
+    /** Real encode: gray stored as 24-bit RGB (r=g=b) so both PNG and BMP
+      * round-trip the exact values. */
+    def encode(img: PixelImage, fmt: String): Array[Byte] = {
+      val bi = new BufferedImage(img.width, img.height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val g = img.gray(y * img.width + x)
+          bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      if (!ImageIO.write(bi, fmt, bos))
+        throw new IllegalArgumentException(s"no JDK writer for format: $fmt")
+      bos.toByteArray
+    }
+  }
+
+  /** Real decode via `javax.imageio`. Returns None when no registered
+    * reader handles the payload (e.g. webp) — callers fall back to
+    * [[FakeDecoder]] byte statistics for those. */
+  object ImageIoDecoder {
+    def decode(payload: Array[Byte]): Option[PixelImage] = {
+      val bi = ImageIO.read(new ByteArrayInputStream(payload))
+      if (bi == null) None
+      else {
+        val w = bi.getWidth
+        val h = bi.getHeight
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = bi.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        Some(PixelImage(w, h, px))
+      }
+    }
+  }
+
+  /** Build the image-asset table: one deterministic PNG/BMP per document,
+    * encoded with the real JDK codec inside `mapPartitions`. */
+  def imageAssets(spark: SparkSession, dir: String): Dataset[ImageAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        // one codec context per partition; ImageIO registry lookup and
+        // stream allocation amortize across the batch
+        it.map { case (docId, nChars) =>
+          val (w, h) = ImageFixture.dims(nChars)
+          val fmt = ImageFixture.format(docId)
+          val bytes = ImageFixture.encode(ImageFixture.grid(docId, w, h), fmt)
+          ImageAsset(docId, bytes, fmt, w, h)
+        }
+      }
+  }
+
+  case class DecodedImage(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      sum_gray: Long)
+
+  /** Partition-wise REAL decode: `ImageIO.read` on the payload bytes,
+    * stats from the decoded raster. Fails loudly if a generated payload
+    * doesn't decode — silent fallback would mask codec breakage. */
+  def decodeImages(assets: Dataset[ImageAsset]): Dataset[DecodedImage] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val img = ImageIoDecoder.decode(a.payload).getOrElse(
+          throw new IllegalStateException(s"payload for doc ${a.doc_id} (${a.format}) did not decode"))
+        DecodedImage(a.doc_id, a.format, img.width, img.height,
+          img.gray.length.toLong, img.gray.foldLeft(0L)(_ + _))
+      }
+    }
+  }
+
+  case class ResizedImage(
+      doc_id: Long,
+      format: String,
+      out_w: Int,
+      out_h: Int,
+      n_pixels: Long,
+      out_pixels: Long,
+      sum_sampled: Long)
+
+  /** Decode + nearest-neighbor resize into a `box`×`box` target with one
+    * integer scale denominator: out(x, y) = in(x·den, y·den) on the REAL
+    * decoded raster. Integer geometry → oracle-exact. */
+  def resizeImages(assets: Dataset[ImageAsset], box: Int = 8): Dataset[ResizedImage] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val img = ImageIoDecoder.decode(a.payload).getOrElse(
+          throw new IllegalStateException(s"payload for doc ${a.doc_id} (${a.format}) did not decode"))
+        val den = math.max(1, (math.max(img.width, img.height) + box - 1) / box)
+        val outW = math.max(1, img.width / den)
+        val outH = math.max(1, img.height / den)
+        var sum = 0L
+        var y = 0
+        while (y < outH) {
+          var x = 0
+          while (x < outW) { sum += img.gray(y * den * img.width + x * den); x += 1 }
+          y += 1
+        }
+        ResizedImage(a.doc_id, a.format, outW, outH,
+          img.gray.length.toLong, outW.toLong * outH, sum)
+      }
+    }
+  }
+
+  case class FrameSample(
+      doc_id: Long,
+      n_frames: Long,
+      n_sampled: Long,
+      sampled_px: Long,
+      sample_fp: Long)
+
+  /** Decode + frame sampling: rows of the decoded raster are the frames
+    * (the video analogue over a still fixture); keep every `stride`-th
+    * row and fingerprint the kept pixels with the rolling
+    * (acc·31 + v) mod 1e9+7 fold — content-exact, any off-by-one in row
+    * boundaries or sample positions changes the value. */
+  def sampleFrames(assets: Dataset[ImageAsset], stride: Int = 4): Dataset[FrameSample] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val img = ImageIoDecoder.decode(a.payload).getOrElse(
+          throw new IllegalStateException(s"payload for doc ${a.doc_id} (${a.format}) did not decode"))
+        var fp = 0L
+        var sampledPx = 0L
+        var nSampled = 0L
+        var y = 0
+        while (y < img.height) {
+          nSampled += 1
+          var x = 0
+          while (x < img.width) {
+            fp = (fp * 31 + img.gray(y * img.width + x)) % 1000000007L
+            sampledPx += 1
+            x += 1
+          }
+          y += stride
+        }
+        FrameSample(a.doc_id, img.height.toLong, nSampled, sampledPx, fp)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Fallback for non-JDK formats (webp, video): byte stats, no decode
+  // ---------------------------------------------------------------------
+
+  /** A media asset whose payload the JDK cannot decode. */
   case class MediaAsset(
       doc_id: Long,
       payload: Array[Byte],
@@ -37,14 +253,14 @@ object Multimodal {
       doc_id: Long,
       format: String,
       n_bytes: Long,
-      // STUB output: a real decoder would emit image features here.
       mean_byte: Double,
       feature: Array[Float])
 
-  /** Deterministic fake decode: byte statistics + a fixed-width
-    * "embedding". STUB — stands in for image/audio decoding (libs absent
-    * in this container); replace `decode` only, the pipeline around it
-    * is production-shaped. */
+  /** FALLBACK decoder for formats `javax.imageio` has no reader for:
+    * deterministic byte statistics + a fixed-width pseudo-embedding,
+    * preserving the pipeline shape (schema, batch, feature width) without
+    * decoding. The real path is [[ImageIoDecoder]]; this engages only
+    * when it returns None. */
   object FakeDecoder {
     val FeatureDim = 8
     def decode(a: MediaAsset): MediaFeatures = {
@@ -60,10 +276,10 @@ object Multimodal {
     }
   }
 
-  /** Build the media-asset table from `documents`: payload = UTF-8 bytes
-    * of the text (deterministic stand-in for real image bytes), format
-    * and dimensions derived deterministically so the oracle can recompute
-    * them. */
+  /** Opaque-payload asset table for the metadata face (q32): payload =
+    * UTF-8 bytes of the text (format tag includes webp — the case the JDK
+    * cannot decode), metadata derived deterministically so the oracle can
+    * recompute it. */
   def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -77,99 +293,19 @@ object Multimodal {
       .as[MediaAsset]
   }
 
-  /** Partition-wise decode: the real-world shape for codec work — one
-    * decoder context per partition, streamed batch through it. */
+  /** Partition-wise fallback decode over non-JDK formats. */
   def decodeAll(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions { it =>
-      // A real decoder would initialize its native context here, once
-      // per partition, then stream the batch through it.
-      it.map(FakeDecoder.decode)
-    }
+    assets.mapPartitions(_.map(FakeDecoder.decode))
   }
 
-  case class ResizedAsset(
-      doc_id: Long,
-      format: String,
-      out_w: Long,
-      out_h: Long,
-      n_bytes: Long,
-      out_bytes: Long,
-      mean_sampled: Double)
-
-  case class FrameSample(
-      doc_id: Long,
-      n_frames: Long,
-      n_sampled: Long,
-      sampled_bytes: Long,
-      sample_fp: Long)
-
-  /** Deterministic stand-ins for codec-side resize and frame sampling.
-    * STUB like [[FakeDecoder]]: a real implementation swaps the byte
-    * arithmetic for libvips/ffmpeg calls; the integer geometry, the
-    * subsampling positions, and the pipeline shape stay identical —
-    * which is exactly what the oracle verifies. */
-  object FakeCodec {
-    /** Fit (width, height) into a `box`×`box` target with one integer
-      * scale denominator; the payload stub keeps every den-th byte
-      * (area shrink analogue). All-integer math → oracle-exact. */
-    def resize(a: MediaAsset, box: Long = 256L): ResizedAsset = {
-      val den = math.max(1L, (math.max(a.width, a.height) + box - 1) / box)
-      val outW = math.max(1L, a.width / den)
-      val outH = math.max(1L, a.height / den)
-      val d = den.toInt
-      var sum = 0L
-      var cnt = 0L
-      var i = 0
-      while (i < a.payload.length) {
-        sum += (a.payload(i) & 0xff); cnt += 1; i += d
-      }
-      val mean = if (cnt == 0) 0.0 else sum.toDouble / cnt
-      ResizedAsset(a.doc_id, a.format, outW, outH, a.payload.length.toLong, cnt, mean)
-    }
-
-    /** Split the payload into fixed `frame`-byte frames, keep every
-      * `stride`-th frame, and fingerprint the sampled bytes with the
-      * rolling (acc·31 + b) mod 1e9+7 fold — the video-frame-sampling
-      * shape over an opaque payload. */
-    def sampleFrames(a: MediaAsset, frame: Int = 64, stride: Int = 4): FrameSample = {
-      val n = a.payload.length
-      val nFrames = (n + frame - 1) / frame
-      var fp = 0L
-      var sampledBytes = 0L
-      var nSampled = 0L
-      var f = 0
-      while (f < nFrames) {
-        nSampled += 1
-        var i = f * frame
-        val end = math.min((f + 1) * frame, n)
-        while (i < end) {
-          fp = (fp * 31 + (a.payload(i) & 0xff)) % 1000000007L
-          sampledBytes += 1
-          i += 1
-        }
-        f += stride
-      }
-      FrameSample(a.doc_id, nFrames.toLong, nSampled, sampledBytes, fp)
-    }
-  }
-
-  /** Partition-wise resize stage — same execution shape as [[decodeAll]]. */
-  def resizeAll(assets: Dataset[MediaAsset], box: Long = 256L): Dataset[ResizedAsset] = {
-    import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(FakeCodec.resize(_, box)))
-  }
-
-  /** Partition-wise frame-sampling stage. */
-  def sampleFramesAll(assets: Dataset[MediaAsset],
-      frame: Int = 64, stride: Int = 4): Dataset[FrameSample] = {
-    import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(FakeCodec.sampleFrames(_, frame, stride)))
-  }
+  // ---------------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------------
 
   /** q32 — multimodal metadata projection: the oracle-checkable face of
-    * the asset table (payload size + derived metadata). Exercises the
-    * binary column end-to-end without depending on the stubbed decode. */
+    * the opaque-payload table (payload size + derived metadata).
+    * Exercises the binary column end-to-end independent of any codec. */
   def q32MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     assets(spark, dir).toDF()
@@ -180,45 +316,40 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** q33 — decoded-feature roll-up: runs the partition-wise decode stage
-    * and aggregates its deterministic outputs per format. The mean-byte
-    * stat is integer-derived (sum of bytes / count) so the oracle can
-    * recompute it exactly from the text. */
+  /** q33 — decoded-pixel roll-up per format: encodes real PNG/BMP, decodes
+    * with `ImageIO.read`, aggregates the decoded rasters. All-integer
+    * except the final mean, an exact int64/int64 division both engines
+    * compute identically in binary64. */
   def q33DecodeStats(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    decodeAll(assets(spark, dir)).toDF()
+    decodeImages(imageAssets(spark, dir)).toDF()
       .groupBy("format")
       .agg(
         count(lit(1)).as("n_assets"),
-        sum(col("n_bytes")).as("total_bytes"),
-        // per-asset means quantized to exact integer micros before the
-        // order-sensitive fp sum — same tie-proofing as q40/q23
-        sum(round(col("mean_byte") * 1000000).cast("long")).as("sum_micros"))
-      .select(col("format"), col("n_assets"), col("total_bytes"),
-        (floor((col("sum_micros") * 2 + col("n_assets") * 100) /
-          (col("n_assets") * 200)) / 10000.0).as("avg_mean_byte"))
+        sum(col("n_pixels")).as("total_pixels"),
+        sum(col("sum_gray")).as("sum_gray"))
+      .select(col("format"), col("n_assets"), col("total_pixels"), col("sum_gray"),
+        (col("sum_gray").cast("double") / col("total_pixels")).as("avg_gray"))
       .orderBy("format")
   }
 
-  /** q50 — resize stage output: per-asset scaled dimensions + subsampled
-    * payload stats. The oracle recomputes the integer geometry and the
-    * every-den-th-byte sample from the text bytes (hex-pair recovery),
-    * so the whole stage — not just its metadata — is verified. */
+  /** q50 — real decode + nearest-neighbor resize: per-asset output
+    * geometry and sampled-pixel stats from the decoded raster. */
   def q50Resize(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    resizeAll(assets(spark, dir)).toDF()
-      .select(col("doc_id"), col("format"), col("out_w"), col("out_h"),
-        col("n_bytes"), col("out_bytes"), round(col("mean_sampled"), 4).as("mean_sampled"))
+    resizeImages(imageAssets(spark, dir)).toDF()
+      .select(col("doc_id"), col("format"),
+        col("out_w").cast("long").as("out_w"), col("out_h").cast("long").as("out_h"),
+        col("n_pixels"), col("out_pixels"), col("sum_sampled"),
+        (col("sum_sampled").cast("double") / col("out_pixels")).as("mean_sampled"))
       .orderBy("doc_id")
   }
 
-  /** q51 — frame-sampling stage output: frame counts + rolling
-    * fingerprint of the sampled bytes (64-byte frames, every 4th kept).
-    * The fingerprint makes the check content-exact: any off-by-one in
-    * frame boundaries or sample positions changes it. */
+  /** q51 — real decode + frame sampling (rows as frames, every 4th kept):
+    * counts + rolling fingerprint of the sampled pixels. */
   def q51FrameSample(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    sampleFramesAll(assets(spark, dir)).toDF()
+    sampleFrames(imageAssets(spark, dir)).toDF()
       .orderBy("doc_id")
   }
 
@@ -228,6 +359,10 @@ object Multimodal {
     "q50_resize"          -> (q50Resize _),
     "q51_frame_sample"    -> (q51FrameSample _))
 
+  // The q33/q50/q51 oracles replay ImageFixture.pixel over the derived
+  // dimensions — verifying the real encode→decode round trip end-to-end:
+  // the engine's numbers come from ImageIO-decoded rasters, the oracle's
+  // from the generating formula; they agree only if the codecs are exact.
   val oracles: Map[String, String] = Map(
     "q32_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -235,71 +370,55 @@ object Multimodal {
         |  CAST(64 + (n_chars % 64) * 16 AS BIGINT) AS width,
         |  CAST(64 + (n_chars % 48) * 16 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // mean_byte is computed over the UTF-8 BYTES of the payload (exactly
-    // what FakeDecoder sees), not characters: the blob is hex-encoded and
-    // each byte recovered from its hex pair, so non-ASCII text and the
-    // empty-payload guard (0.0, matching the Spark side) both hold.
     "q33_decode_stats" ->
-      """WITH hx AS (
+      """WITH a AS (
         |  SELECT doc_id,
-        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-        |    octet_length(encode(text)) AS n_bytes,
-        |    hex(encode(text)) AS h
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |    8 + (n_chars % 8) AS w, 8 + (n_chars % 6) AS h
         |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, format, n_bytes,
-        |    CASE WHEN n_bytes = 0 THEN 0.0 ELSE
-        |      CAST(list_sum(list_transform(range(1, n_bytes + 1),
-        |        i -> (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INTEGER), 1)) - 1) * 16
-        |           + (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INTEGER), 1)) - 1))) AS DOUBLE)
-        |        / n_bytes END AS mean_byte
-        |  FROM hx)
+        |s AS (
+        |  SELECT doc_id, format, w * h AS n_px,
+        |    list_sum(flatten(list_transform(range(0, h), y ->
+        |      list_transform(range(0, w), x -> (31 * doc_id + 7 * x + 13 * y) % 256)))) AS sum_gray
+        |  FROM a)
         |SELECT format, count(*) AS n_assets,
-        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-        |  floor((2 * sum(CAST(round(mean_byte * 1000000) AS BIGINT)) + 100 * count(*))
-        |        / (200.0 * count(*))) / 10000.0 AS avg_mean_byte
-        |FROM b GROUP BY format ORDER BY format""".stripMargin,
-    // resize verified end-to-end: integer geometry + the every-den-th
-    // byte sample recovered from hex pairs — the stage's actual output,
-    // not just its metadata
+        |  CAST(sum(n_px) AS BIGINT) AS total_pixels,
+        |  CAST(sum(sum_gray) AS BIGINT) AS sum_gray,
+        |  CAST(sum(sum_gray) AS DOUBLE) / sum(n_px) AS avg_gray
+        |FROM s GROUP BY format ORDER BY format""".stripMargin,
     "q50_resize" ->
       """WITH a AS (
         |  SELECT doc_id,
-        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-        |    64 + (n_chars % 64) * 16 AS width,
-        |    64 + (n_chars % 48) * 16 AS height,
-        |    octet_length(encode(text)) AS n,
-        |    hex(encode(text)) AS hx
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |    8 + (n_chars % 8) AS w, 8 + (n_chars % 6) AS h
         |  FROM documents),
-        |d AS (SELECT *, greatest(1, (greatest(width, height) + 255) // 256) AS den FROM a),
-        |s AS (
-        |  SELECT doc_id, format,
-        |    greatest(1, width // den) AS out_w,
-        |    greatest(1, height // den) AS out_h,
-        |    n,
-        |    list_transform(range(0, CAST(n AS BIGINT), den), i ->
-        |      CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
-        |         + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1) AS BIGINT)) AS sampled
-        |  FROM d)
+        |d AS (SELECT *, greatest(1, (greatest(w, h) + 7) // 8) AS den FROM a),
+        |s AS (SELECT doc_id, format, w, h, den,
+        |    greatest(1, w // den) AS out_w, greatest(1, h // den) AS out_h FROM d),
+        |t AS (
+        |  SELECT doc_id, format, out_w, out_h, w * h AS n_pixels, out_w * out_h AS out_pixels,
+        |    list_sum(flatten(list_transform(range(0, out_h), y ->
+        |      list_transform(range(0, out_w), x ->
+        |        (31 * doc_id + 7 * (x * den) + 13 * (y * den)) % 256)))) AS sum_sampled
+        |  FROM s)
         |SELECT doc_id, format, CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
-        |  CAST(n AS BIGINT) AS n_bytes, CAST(len(sampled) AS BIGINT) AS out_bytes,
-        |  round(CASE WHEN len(sampled) = 0 THEN 0.0 ELSE CAST(list_sum(sampled) AS DOUBLE) / len(sampled) END, 4) AS mean_sampled
-        |FROM s ORDER BY doc_id""".stripMargin,
-    // frame sampling content-verified by the rolling fingerprint of the
-    // sampled bytes — any frame-boundary off-by-one changes the value
+        |  CAST(n_pixels AS BIGINT) AS n_pixels, CAST(out_pixels AS BIGINT) AS out_pixels,
+        |  CAST(sum_sampled AS BIGINT) AS sum_sampled,
+        |  CAST(sum_sampled AS DOUBLE) / out_pixels AS mean_sampled
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q51_frame_sample" ->
-      """WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx FROM documents),
-        |f AS (SELECT doc_id, n, hx, (n + 63) // 64 AS n_frames FROM a),
+      """WITH a AS (
+        |  SELECT doc_id, 8 + (n_chars % 8) AS w, 8 + (n_chars % 6) AS h
+        |  FROM documents),
         |s AS (
-        |  SELECT doc_id, n_frames,
-        |    flatten(list_transform(range(0, CAST(n_frames AS BIGINT), 4), fr ->
-        |      list_transform(range(fr*64, least((fr+1)*64, CAST(n AS BIGINT))), i ->
-        |        CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
-        |           + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1) AS BIGINT)))) AS sampled,
-        |    len(range(0, CAST(n_frames AS BIGINT), 4)) AS n_sampled
-        |  FROM f)
+        |  SELECT doc_id, h AS n_frames, len(range(0, h, 4)) AS n_sampled,
+        |    flatten(list_transform(range(0, h, 4), y ->
+        |      list_transform(range(0, w), x ->
+        |        CAST((31 * doc_id + 7 * x + 13 * y) % 256 AS BIGINT)))) AS sampled
+        |  FROM a)
         |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames, CAST(n_sampled AS BIGINT) AS n_sampled,
-        |  CAST(len(sampled) AS BIGINT) AS sampled_bytes,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT), sampled), (acc, b) -> (acc * 31 + b) % 1000000007) AS sample_fp
+        |  CAST(len(sampled) AS BIGINT) AS sampled_px,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), sampled),
+        |    (acc, b) -> (acc * 31 + b) % 1000000007) AS sample_fp
         |FROM s ORDER BY doc_id""".stripMargin)
 }

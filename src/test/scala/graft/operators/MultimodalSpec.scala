@@ -4,49 +4,72 @@ import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
-  test("asset payload is the exact byte content; metadata is typed") {
-    val a = Multimodal.assets(spark, sf).filter(_.doc_id == 0L).head()
-    val doc = graft.core.Tables.documents(spark, sf)
-      .filter(org.apache.spark.sql.functions.col("doc_id") === 0L).head()
-    assert(new String(a.payload, "UTF-8") == doc.getAs[String]("text"))
-    assert(Set("png", "jpeg", "webp").contains(a.format))
-    assert(a.width >= 64 && a.height >= 64)
-  }
-
-  test("partition-wise decode is deterministic with fixed feature width") {
-    val f1 = Multimodal.decodeAll(Multimodal.assets(spark, sf)).collect()
-      .sortBy(_.doc_id)
-    val f2 = Multimodal.decodeAll(Multimodal.assets(spark, sf)).collect()
-      .sortBy(_.doc_id)
-    assert(f1.length == f2.length && f1.nonEmpty)
-    f1.zip(f2).foreach { case (a, b) =>
-      assert(a.doc_id == b.doc_id && a.mean_byte == b.mean_byte)
-      assert(a.feature.toSeq == b.feature.toSeq)
-      assert(a.feature.length == Multimodal.FakeDecoder.FeatureDim)
+  test("real ImageIO round-trip agrees with the generating formula pixel-for-pixel (png + bmp)") {
+    for (fmt <- Seq("png", "bmp"); (d, w, h) <- Seq((0L, 8, 8), (7L, 15, 13), (123L, 12, 9))) {
+      val grid = Multimodal.ImageFixture.grid(d, w, h)
+      val bytes = Multimodal.ImageFixture.encode(grid, fmt)
+      val back = Multimodal.ImageIoDecoder.decode(bytes)
+        .getOrElse(fail(s"$fmt payload did not decode"))
+      assert(back.width == w && back.height == h, s"$fmt dims")
+      assert(back.gray.toSeq == grid.gray.toSeq, s"$fmt pixels for doc $d")
     }
   }
 
-  test("decode stats aggregate equals per-row recomputation") {
-    val feats = Multimodal.decodeAll(Multimodal.assets(spark, sf)).collect()
-    val byFormat = feats.groupBy(_.format).view.mapValues(_.length).toMap
-    val agg = Multimodal.q33DecodeStats(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(agg == byFormat)
+  test("every generated asset decodes and its stats match the formula (stub/real agreement)") {
+    val decoded = Multimodal.decodeImages(Multimodal.imageAssets(spark, sf)).collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      // the "stub" path: compute the same stats straight from the formula,
+      // no codec — must agree with the ImageIO-decoded numbers exactly
+      val grid = Multimodal.ImageFixture.grid(r.doc_id, r.width, r.height)
+      assert(r.n_pixels == grid.gray.length.toLong, s"doc ${r.doc_id} n_pixels")
+      assert(r.sum_gray == grid.gray.foldLeft(0L)(_ + _), s"doc ${r.doc_id} sum_gray")
+    }
   }
 
-  test("resize fits the target box and subsamples the payload") {
-    val out = Multimodal.resizeAll(Multimodal.assets(spark, sf)).collect()
+  test("undecodable format falls back to FakeDecoder byte stats, real path returns None") {
+    // bytes that no JDK ImageIO reader claims (webp magic)
+    val webp = "RIFF....WEBPVP8 ".getBytes("US-ASCII")
+    assert(Multimodal.ImageIoDecoder.decode(webp).isEmpty)
+    val fb = Multimodal.FakeDecoder.decode(
+      Multimodal.MediaAsset(1L, webp, "webp", 64L, 64L))
+    assert(fb.n_bytes == webp.length.toLong)
+    assert(fb.feature.length == Multimodal.FakeDecoder.FeatureDim)
+  }
+
+  test("resize fits the target box; sampled sum replays the formula at stride den") {
+    val dims = Multimodal.imageAssets(spark, sf).collect()
+      .map(a => a.doc_id -> ((a.width, a.height))).toMap
+    val out = Multimodal.resizeImages(Multimodal.imageAssets(spark, sf)).collect()
     assert(out.nonEmpty)
-    assert(out.forall(r => r.out_w >= 1 && r.out_w <= 256 && r.out_h >= 1 && r.out_h <= 256))
-    assert(out.forall(r => r.out_bytes <= r.n_bytes && r.out_bytes > 0))
+    out.foreach { r =>
+      val (w, h) = dims(r.doc_id)
+      val den = math.max(1, (math.max(w, h) + 7) / 8)
+      assert(r.out_w == math.max(1, w / den) && r.out_h == math.max(1, h / den))
+      assert(r.out_pixels == r.out_w.toLong * r.out_h && r.out_pixels <= r.n_pixels)
+      val expect = (for (y <- 0 until r.out_h; x <- 0 until r.out_w)
+        yield Multimodal.ImageFixture.pixel(r.doc_id, x * den, y * den).toLong).sum
+      assert(r.sum_sampled == expect, s"doc ${r.doc_id} sampled sum")
+    }
   }
 
-  test("frame sampling keeps every 4th 64-byte frame") {
-    val out = Multimodal.sampleFramesAll(Multimodal.assets(spark, sf)).collect()
+  test("frame sampling keeps every 4th row of the decoded raster") {
+    val out = Multimodal.sampleFrames(Multimodal.imageAssets(spark, sf)).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       assert(r.n_sampled == (r.n_frames + 3) / 4)
-      assert(r.sampled_bytes <= r.n_sampled * 64 && r.sampled_bytes > 0)
+      assert(r.sampled_px > 0 && r.sample_fp >= 0)
     }
+  }
+
+  test("q33 aggregates the real decoded rasters per format") {
+    val decoded = Multimodal.decodeImages(Multimodal.imageAssets(spark, sf)).collect()
+    val expect = decoded.groupBy(_.format).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_.n_pixels).sum, rs.map(_.sum_gray).sum)
+    }.toMap
+    val agg = Multimodal.q33DecodeStats(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(agg == expect)
+    assert(agg.keySet == Set("png", "bmp"))
   }
 }
