@@ -53,18 +53,25 @@ object Retrieval {
   /** BM25 top-k docs per query over any (doc_id, text) frame.
     * `queries` is (query_id, term) — one row per query term. */
   def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)], k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val terms = queries.map(_._2).distinct
     val toks = TextOps.tokens(col("text"))
-    val d = docs.select(col("doc_id"), toks.as("toks"), size(toks).as("dl"))
+    val d = docs.select(col("doc_id"), toks.as("toks"), size(toks).cast("long").as("dl"))
     // corpus scalars: one tiny row, broadcast by the cross join
     val stats = d.agg(
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
       count(lit(1)).as("n"))
+    bm25Core(d.select(col("doc_id"), col("dl"), explode(col("toks")).as("token")),
+      stats, queries, k)
+  }
+
+  /** Scoring core over a pre-tokenized occurrence stream
+    * `(doc_id, dl, token)` + a 1-row `(avgdl, n)` stats frame. */
+  private def bm25Core(tok: DataFrame, stats: DataFrame,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val spark = tok.sparkSession
+    import spark.implicits._
+    val terms = queries.map(_._2).distinct
     // query-vocabulary filter BEFORE the aggregation shuffle
-    val tf = d
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+    val tf = tok
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
@@ -98,10 +105,22 @@ object Retrieval {
       .orderBy("query_id", "rnk")
   }
 
-  /** q70 — [[bm25TopK]] over the documents table for [[QuerySet]]. */
+  /** q70 — BM25 over [[QuerySet]], sourced from the shared
+    * [[TextOps.tokenStage]]: the occurrence stream, document lengths AND
+    * the corpus scalars (N, avgdl) all derive from the one cached
+    * tokenize pass (the stage's token-less-doc marker rows keep N and
+    * avgdl exact over the full corpus). [[bm25TopK]] stays as the
+    * generic any-frame entry point for the `bm25` TVF. */
   def q70Bm25(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    bm25TopK(Tables.documents(spark, dir), QuerySet, TopK)
+    val stage = TextOps.tokenStage(spark, dir)
+    val perDoc = stage.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+    val stats = perDoc.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n"))
+    bm25Core(
+      stage.filter(col("token").isNotNull).select(col("doc_id"), col("dl"), col("token")),
+      stats, QuerySet, TopK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

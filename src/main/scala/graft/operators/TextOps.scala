@@ -26,6 +26,40 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** SHARED tokenized-corpus stage: the one corpus pass the whole text
+    * family reuses (q53/q54/q70/q78/q92/q109 — previously each
+    * re-tokenized `documents` from scratch; at 100 TB tokenization is the
+    * dominant repeated cost, exactly the problem [[SignatureStage]]
+    * already solved for the shingle family).
+    *
+    * One row per token occurrence `(doc_id, dl, pos, token)` with
+    * `dl` = the document's token count; token-less documents keep one
+    * `(doc_id, 0, null, null)` row (`posexplode_outer`) so DOC-GRAIN
+    * corpus stats (N, avgdl, support floors) also derive from the stage —
+    * no consumer ever re-reads `text`. Built once per corpus version,
+    * cached + materialized; with signature persistence on it lands as a
+    * parquet table BUCKETED BY token, so vocabulary-keyed aggregations
+    * and joins over the persisted stage plan without an Exchange on the
+    * stage side. */
+  def tokenStage(spark: SparkSession, dir: String): DataFrame =
+    SignatureStage.stage(spark, dir, "tokens",
+        Some(SignatureStage.BucketSpec(Seq("token"), 32))) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          posexplode_outer(col("toks")).as(Seq("pos", "token")))
+    }
+
+  /** Token-occurrence stream from the stage (drops the token-less-doc
+    * marker rows). */
+  private[operators] def tokenStream(spark: SparkSession, dir: String): DataFrame =
+    tokenStage(spark, dir).filter(col("token").isNotNull)
+
+  /** Corpus size as a 1-row frame derived from the stage (counts the
+    * marker rows too, so it equals `count(*)` over `documents`). */
+  private[operators] def corpusSize(spark: SparkSession, dir: String): DataFrame =
+    tokenStage(spark, dir).agg(countDistinct(col("doc_id")).as("n_docs"))
+
   /** Deterministic document fingerprint: md5 over the trimmed text
     * (SURVEY §2.9 "document fingerprinting"; the rolling-hash variant for
     * streaming chunks lives in [[Dedup.shingles]]). */
@@ -209,8 +243,7 @@ object TextOps {
     * is sublinear in corpus size). */
   def q53VocabTop(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    tokenStream(spark, dir)
       .groupBy("token")
       .agg(
         count(lit(1)).as("occurrences"),
@@ -228,12 +261,11 @@ object TextOps {
   def q54TfIdf(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-    // corpus size as a broadcast 1-row aggregate inside the one plan —
-    // a driver-side count() would be a second corpus action/scan
-    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    // corpus size as a broadcast 1-row aggregate over the shared token
+    // stage — a driver-side count() would be an eager second action, a
+    // documents count a second corpus scan
+    val nDocs = corpusSize(spark, dir).select(col("n_docs").cast("double").as("n_docs"))
+    val tf = tokenStream(spark, dir)
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
     // document frequency via a window over the aggregated tf frame: a
@@ -444,7 +476,6 @@ object TextOps {
     * half-up integer division — so float addition order can never flip
     * a score in either engine. */
   def unigramLogprob(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = tokens(col("text"))
     val docTok = docs
       .select(col("doc_id"), explode(toks).as("token"))
@@ -452,6 +483,11 @@ object TextOps {
     // corpus total: one tiny row, broadcast by the cross join; the scan
     // reads only `text` and never explodes
     val total = docs.agg(sum(size(toks)).cast("long").as("n_total"))
+    unigramCore(docTok, total)
+  }
+
+  private def unigramCore(docTok: DataFrame, total: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     docTok
       .withColumn("cnt", sum(col("tf")).over(Window.partitionBy("token")))
       .crossJoin(broadcast(total))
@@ -469,7 +505,13 @@ object TextOps {
 
   def q78UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    unigramLogprob(Tables.documents(spark, dir))
+    // both inputs from the shared token stage: per-doc term frequencies
+    // and the corpus token total (= the stage's occurrence-row count) —
+    // no corpus re-tokenize ([[unigramLogprob]] stays as the generic
+    // any-frame entry point for the `lm_score` TVF)
+    unigramCore(
+      tokenStream(spark, dir).groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
+      tokenStage(spark, dir).agg(count(col("token")).as("n_total")))
   }
 
   /** Collocation-mining support floor: a bigram must occur this often
@@ -495,23 +537,33 @@ object TextOps {
     * ordering and the gate are ulp-proof. */
   def q92PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val docs = Tables.documents(spark, dir)
-      .select(tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-    val tagged = docs.select(explode(concat(
-      transform(col("t"), x => struct(lit("u").as("kind"), x.as("key"))),
-      transform(sequence(lit(1), size(col("t")) - 1),
-        i => struct(lit("b").as("kind"),
-          concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))
-            .as("key"))))).as("e"))
-      .select(col("e.kind").as("kind"), col("e.key").as("key"))
-    // group on KEY alone (unigram and bigram keys are disjoint — bigrams
-    // contain a space): `kind` rides along as an aggregate, so the branch
-    // filters below cannot push past the aggregation — all three branches
-    // share ONE exchange (ReusedQueryStage) instead of re-scanning the
-    // corpus per branch, which is the whole point of the tagged union
-    val counts = tagged.groupBy("key")
-      .agg(count(lit(1)).as("cnt"), max(col("kind")).as("kind"))
+    // unigram + bigram counts as their own corpus-keyed stage — the
+    // n-gram count table a collocation pipeline materializes once and
+    // queries many times. Built from the shared token stage (adjacency =
+    // lead(token) over (doc, pos), replacing the per-doc array walk), so
+    // the whole query re-tokenizes nothing; and because the THREE
+    // consumers below (bigram rows, word lookups, totals) read this
+    // vocab-sized cached frame directly, none of them re-runs the
+    // corpus-sized window+aggregation — explicit reuse, not
+    // ReusedExchange-dependent (AQE does not reuse canonically-equal
+    // stages above a cached-relation leaf, measured on this plan).
+    val counts = SignatureStage.stage(spark, dir, "ngram_counts") {
+      import org.apache.spark.sql.expressions.Window
+      val st = tokenStream(spark, dir).filter(col("dl") >= 2)
+      val withNext = st.withColumn("nxt",
+        lead(col("token"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      val tagged = withNext.select(explode(concat(
+        array(struct(lit("u").as("kind"), col("token").as("key"))),
+        when(col("nxt").isNotNull,
+          array(struct(lit("b").as("kind"),
+            concat_ws(" ", col("token"), col("nxt")).as("key"))))
+          .otherwise(array().cast("array<struct<kind:string,key:string>>")))).as("e"))
+        .select(col("e.kind").as("kind"), col("e.key").as("key"))
+      // group on KEY alone (unigram and bigram keys are disjoint —
+      // bigrams contain a space): `kind` rides along as an aggregate
+      tagged.groupBy("key")
+        .agg(count(lit(1)).as("cnt"), max(col("kind")).as("kind"))
+    }
     val uni = counts.filter(col("kind") === "u")
       .select(col("key").as("w"), col("cnt").as("c"))
     val big = counts.filter(col("kind") === "b")
@@ -550,17 +602,22 @@ object TextOps {
     * frequent-token count² — never vocabulary², never corpus² (the
     * pruning that makes frequent-itemset mining feasible at all; a
     * support floor any lower than memory allows is answered by raising
-    * the floor, the classic trade). One driver scalar (the doc count,
-    * for the support floor) is the only collect. */
+    * the floor, the classic trade). The doc count for the support floor
+    * is a 1-row broadcast aggregate INSIDE the plan (the q54 pattern) —
+    * no eager driver action, no second corpus scan; the token stream
+    * comes from the shared [[tokenStage]]. */
   def q109Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("t"))
-    val nDocs = docs.count()
-    val minCount = math.ceil(CoocSupport * nDocs).toLong
-    val u = docs.select(col("doc_id"), explode(col("t")).as("w"))
-    val frequent = u.groupBy("w").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minCount).select("w")
+    val nd = corpusSize(spark, dir).select(col("n_docs").as("nd"))
+    val floor = ceil(lit(CoocSupport) * col("nd")).cast("long")
+    val u = tokenStream(spark, dir).select(col("doc_id"), col("token").as("w"))
+    // the stage is occurrence-grain, so document frequency dedups in the
+    // aggregate (countDistinct) instead of a per-doc array_distinct map
+    val frequent = u.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") >= floor).select("w")
+    // collect_set dedups repeated occurrences, so the raw stream joins
+    // straight against the frequent vocabulary
     val fw = u.join(broadcast(frequent), Seq("w"))
       .groupBy("doc_id").agg(sort_array(collect_set(col("w"))).as("fw"))
     val pairArr = flatten(transform(col("fw"), (x, i) =>
@@ -569,9 +626,10 @@ object TextOps {
     fw.select(explode(pairArr).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minCount)
+      .crossJoin(broadcast(nd))
+      .filter(col("n_docs") >= floor)
       .select(col("w1"), col("w2"), col("n_docs"),
-        round(col("n_docs").cast("double") / nDocs, 4).as("support"))
+        round(col("n_docs").cast("double") / col("nd"), 4).as("support"))
       .orderBy(desc("n_docs"), col("w1"), col("w2"))
       .limit(30)
   }

@@ -213,19 +213,37 @@ class TextOpsSpec extends SparkSpec {
     val c2 = toks.select(explode(col("t")).as("w")).filter(col("w") === w2).count()
     val expected = math.log((top.getLong(1) * nU * nU) / (nB * c1 * c2)) / math.log(2.0)
     assert(math.abs(top.getLong(4) / 1e6 - expected) < 1e-4)
-    // scan budget: four logical consumers (bigram counts, two word
-    // lookups, totals) must cost exactly TWO physical corpus scans, the
-    // other branches riding ReusedExchange (the q70 BM25 standard)
+    // scan budget: all three consumers (bigram rows, word lookups,
+    // totals) read the cached vocab-sized ngram_counts stage — ZERO
+    // parquet scans in the query's own plan, and the corpus-sized
+    // window+aggregation ran once in the stage build, so the query plan
+    // itself must contain NO Window node
     df.collect()
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    // judge the FINAL (post-reuse) plan; the initial-plan section that
-    // FormattedMode appends still shows the pre-reuse scans
+    // count scan NODES in the executed plan — the formatted string also
+    // prints each InMemoryTableScan's cached-relation DEFINITION, whose
+    // "Scan parquet" lines are not executed reads
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def nodes(p: SparkPlan)(pf: PartialFunction[SparkPlan, Int]): Int = {
+      val self = pf.applyOrElse(p, (_: SparkPlan) => 0)
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      self + kids.map(nodes(_)(pf)).sum
+    }
+    val executed = df.queryExecution.executedPlan
+    assert(nodes(executed) { case _: FileSourceScanExec => 1 } == 0,
+      s"q92 must read the ngram_counts stage, not re-scan the corpus\n$plan")
+    assert(nodes(executed) { case _: WindowExec => 1 } == 0,
+      s"q92's corpus-sized window+agg must run in the stage build, not per branch\n$plan")
     val finalSection = plan.split("== Initial Plan ==")(0)
-    assert("Scan parquet".r.findAllIn(finalSection).length == 2,
-      s"q92 corpus-scan budget is 2\n$plan")
-    assert(finalSection.contains("ReusedExchange"),
-      s"q92 word/totals branches must reuse the aggregated exchanges\n$plan")
+    assert(finalSection.contains("InMemoryTableScan"),
+      s"q92 must read the cached ngram_counts stage\n$plan")
   }
 
   test("q109 co-occurrence: Apriori-sound, supports verified by direct recount") {
