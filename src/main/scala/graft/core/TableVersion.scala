@@ -29,4 +29,15 @@ object TableVersion {
     }
     s"$maxM-$n"
   }
+
+  /** Full md5 hex digest for keying per-(corpus, version) artifact
+    * directories and catalog identifiers. The earlier 31-bit
+    * `hashCode`-based keys could collide across corpora/versions and
+    * silently reuse or overwrite another corpus's materialization; a
+    * 128-bit digest makes the key collision-free in practice (and stays
+    * identifier-safe: lowercase hex). */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
 }

@@ -140,7 +140,17 @@ case class MisraGriesAgg(
 
 object MisraGriesAgg {
   /** Heavy-hitter CANDIDATE list (array<string>, sorted): superset of all
-    * items with count > N/k. */
+    * items with count > N/k.
+    *
+    * WARNING — candidate sets are PARTITION-ORDER DEPENDENT: which
+    * sub-threshold items survive the sketch depends on merge order, so
+    * the raw output is NOT run-to-run deterministic. Callers MUST
+    * re-filter the candidates with an exact recount against the N/k
+    * floor before surfacing them through any determinism- or
+    * oracle-gated path (the [[graft.operators.HeavyHitters]] pattern:
+    * candidate-sized recount join, then floor filter). Only the
+    * SUPERSET property (every true heavy hitter is present) is
+    * guaranteed, never the exact membership. */
   def mg_candidates(item: Column, k: Int): Column =
     GraftBridge.column(
       MisraGriesAgg(GraftBridge.expression(item), k).toAggregateExpression())

@@ -100,10 +100,10 @@ object BucketedLayout {
     prepared.get(key) match {
       case Some((v, db)) if v == version => db
       case _ =>
-        // identifier-safe, distinct per (dir, version); mask (not abs) —
-        // math.abs(Int.MinValue) is still negative and would put a '-'
-        // in the identifier
-        val db = s"graft_b_${((sfDir + "#" + version).hashCode & 0x7FFFFFFF).toString}"
+        // identifier-safe, collision-free per (dir, version): full md5
+        // digest (a 31-bit hashCode could collide across corpora and
+        // point two layouts at one database)
+        val db = s"graft_b_${graft.core.TableVersion.md5Hex(sfDir + "#" + version)}"
         val base = spark.conf.getOption("spark.graft.bucketDir")
           .getOrElse(System.getProperty("java.io.tmpdir"))
         bucketize(spark, sfDir, db, s"$base/graft_buckets/$db")
@@ -139,7 +139,7 @@ object BucketedLayout {
     preparedEvents.get(key) match {
       case Some((v, db)) if v == version => db
       case _ =>
-        val db = s"graft_be_${((sfDir + "#" + version).hashCode & 0x7FFFFFFF).toString}"
+        val db = s"graft_be_${graft.core.TableVersion.md5Hex(sfDir + "#" + version)}"
         val base = spark.conf.getOption("spark.graft.bucketDir")
           .getOrElse(System.getProperty("java.io.tmpdir"))
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

@@ -540,9 +540,11 @@ object Relational {
     * applied to quantile sketches): per group, the exact percentiles
     * plus in-plan booleans asserting `percentile_approx`'s estimates sit
     * within 1% RANK error of their targets — verified by recounting the
-    * estimate's true rank against the group size, so the sketch is
-    * judged by the guarantee it actually makes (rank error ≤ n/accuracy,
-    * far inside the 1% gate). The estimates themselves stay engine-side
+    * estimate's true rank INTERVAL [count(< e), count(<= e)] against the
+    * group size (a value with duplicate mass at the quantile occupies
+    * the whole interval; the gate passes iff the target rank falls
+    * inside it ± 1%), so the sketch is judged by the guarantee it
+    * actually makes (rank error ≤ n/accuracy, far inside the 1% gate). The estimates themselves stay engine-side
     * (sketch merges are partition-shaped); the oracle replays the exact
     * side and asserts the verdicts literally. Two fact scans: the
     * aggregate and the rank recount — the honest cost of auditing a
@@ -557,22 +559,30 @@ object Relational {
       expr("percentile(o_totalprice, 0.9)").as("x90"),
       expr("percentile_approx(o_totalprice, 0.5, 10000)").as("e50"),
       expr("percentile_approx(o_totalprice, 0.9, 10000)").as("e90"))
+    // both strict and inclusive rank counts: a returned value with
+    // duplicate mass occupies the whole rank interval
+    // [count(< e), count(<= e)] — judging only count(<=) would read the
+    // value's MAXIMUM rank and could fail a sketch that meets its own
+    // rank-error contract on a distribution with ties at the quantile
     val ranks = o
       .join(broadcast(agg.select(col("o_orderpriority"), col("e50"), col("e90"))),
         Seq("o_orderpriority"))
       .groupBy("o_orderpriority")
       .agg(
-        sum(when(col("o_totalprice") <= col("e50"), 1L).otherwise(0L)).as("r50"),
-        sum(when(col("o_totalprice") <= col("e90"), 1L).otherwise(0L)).as("r90"))
+        sum(when(col("o_totalprice") < col("e50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("o_totalprice") <= col("e50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("o_totalprice") < col("e90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("o_totalprice") <= col("e90"), 1L).otherwise(0L)).as("le90"))
+    def withinGate(q: Double, lt: String, le: String) =
+      (lit(q) >= col(lt).cast("double") / col("n_orders") - 0.01) &&
+        (lit(q) <= col(le).cast("double") / col("n_orders") + 0.01)
     agg.join(ranks, Seq("o_orderpriority"))
       .select(
         col("o_orderpriority"), col("n_orders"),
         round(col("x50"), 4).as("median_price"),
         round(col("x90"), 4).as("p90_price"),
-        (abs(col("r50").cast("double") / col("n_orders") - 0.5) <= 0.01)
-          .as("p50_within_1pct"),
-        (abs(col("r90").cast("double") / col("n_orders") - 0.9) <= 0.01)
-          .as("p90_within_1pct"))
+        withinGate(0.5, "lt50", "le50").as("p50_within_1pct"),
+        withinGate(0.9, "lt90", "le90").as("p90_within_1pct"))
       .orderBy("o_orderpriority")
   }
 

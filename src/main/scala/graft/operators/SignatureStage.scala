@@ -101,7 +101,7 @@ object SignatureStage {
       // so a SHARED root must be subdivided per corpus before eviction
       // is safe — the default root lives inside the corpus dir and is
       // already exclusive
-      .map(r => new HPath(r, s"corpus_${(dir.hashCode & 0x7FFFFFFF).toString}"))
+      .map(r => new HPath(r, s"corpus_${TableVersion.md5Hex(dir)}"))
       .getOrElse(new HPath(dir, "_graft/signatures"))
 
   /** Catalog identifier for a bucketed persisted stage. Bucket METADATA
@@ -110,7 +110,7 @@ object SignatureStage {
     * with CREATE TABLE … CLUSTERED BY … LOCATION — the files are already
     * bucket-id-named by the original write, re-registration is pure DDL. */
   private def tableIdent(dir: String, version: String, name: String): String = {
-    val mask = ((dir + "#" + version).hashCode & 0x7FFFFFFF).toString
+    val mask = TableVersion.md5Hex(dir + "#" + version)
     s"graft_sigs.${name}_$mask"
   }
 

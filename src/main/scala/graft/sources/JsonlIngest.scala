@@ -44,10 +44,22 @@ object JsonlIngest {
       spark.conf.getOption("spark.graft.snapshotDir")
         .getOrElse(System.getProperty("java.io.tmpdir")),
       "graft_jsonl")
-    val target = new HPath(root, ((dir + "#" + version).hashCode & 0x7FFFFFFF).toString)
+    // full digest key: a 31-bit hashCode could collide across
+    // corpora/versions and silently reuse another corpus's files
+    val target = new HPath(root, TableVersion.md5Hex(dir + "#" + version))
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new HPath(target, "_graft_source")
-    if (!fs.exists(marker)) {
+    if (fs.exists(marker)) {
+      // verify provenance BEFORE reuse, not only before eviction: a
+      // foreign marker under our key means a collision or tampering —
+      // reusing (or clobbering) the other corpus's materialization would
+      // be silent corruption either way
+      val in = fs.open(marker)
+      val owner = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      if (owner != dir)
+        throw new IllegalStateException(
+          s"jsonl fixture at $target belongs to corpus '$owner', not '$dir'")
+    } else {
       val line = to_json(struct(
         col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
       Tables.documents(spark, dir)

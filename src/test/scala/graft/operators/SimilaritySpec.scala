@@ -206,6 +206,36 @@ class SimilaritySpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq)
   }
 
+  test("SemDeDup on a duplicate-free corpus keeps everything; empty pair graph short-circuits CC") {
+    import spark.implicits._
+    // pairwise-orthogonal (or opposite) unit vectors: no pair reaches any
+    // positive cosine threshold, so the within-cluster pair graph is empty
+    val emb = (0L until 8L).map { i =>
+      (i, Array.tabulate(4)(d =>
+        if (d == (i % 4).toInt) (if (i < 4) 1.0f else -1.0f) else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val centers = Array(Array(1.0, 0.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0, 0.0))
+    val out = Similarity.semDedup(emb, centers, Similarity.NearDupThreshold).collect()
+    assert(out.length == 8)
+    assert(out.forall(_.getString(2) == "keep"),
+      "no near-dup pairs => every vector keeps")
+    // the q38/q69-shared CC machinery must SHORT-CIRCUIT on the empty
+    // graph: its only jobs are the bounded edge count and the result
+    // read — the iterative min-label loop (>= 4 jobs: init + per-round
+    // convergence aggregates) must never start
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    spark.sparkContext.setJobGroup("cc-empty-gate", "empty pair graph fast path")
+    val groups = try Dedup.minLabelComponents(spark, empty).collect()
+    finally spark.sparkContext.clearJobGroup()
+    assert(groups.isEmpty)
+    // the status store is fed asynchronously off the listener bus — give
+    // straggling job-start events a moment to land before counting
+    Thread.sleep(500)
+    val ids = spark.sparkContext.statusTracker.getJobIdsForGroup("cc-empty-gate")
+    assert(ids.length <= 3,
+      s"empty pair graph ran ${ids.length} jobs — the CC loop must not start")
+  }
+
   test("SemDeDup keeper election is group-consistent on star graphs") {
     import spark.implicits._
     // pair graph 1~3, 2~3 (NOT 1~2): unit vectors at 0°, 50°, 25° with
