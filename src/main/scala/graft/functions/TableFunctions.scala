@@ -32,6 +32,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM quantize_error()
   *   SELECT * FROM novelty('reference_docs')
   *   SELECT * FROM heavy_hitters()
+  *   SELECT * FROM weighted_sample(200)
+  *   SELECT * FROM cooccurrence(0.1)
+  *   SELECT * FROM k_anonymity(5) WHERE at_risk
+  *   SELECT * FROM winsorize(0.05)
+  *   SELECT * FROM cohort_retention()
+  *   SELECT * FROM funnel()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -54,15 +60,20 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   */
 object TableFunctions {
 
-  /** Default cluster count for the `sem_dedup` TVF quantizer — mirrors
-    * [[graft.operators.Similarity.SemClusters]]. */
-  private def semClusters = graft.operators.Similarity.SemClusters
+  /** Cluster count for the `sem_dedup` TVF quantizer — corpus-sized via
+    * [[graft.operators.Similarity.semClustersFor]] (a resolution-time
+    * count over the named table, metadata-cheap on parquet; the same
+    * bounded index-build work as the quantizer fit itself). */
+  private def semClusters(emb: org.apache.spark.sql.DataFrame): Int =
+    graft.operators.Similarity.semClustersFor(emb.count())
 
   private val names = Seq(
     "bm25", "source_cap", "sem_dedup", "decontaminate", "corpus_diff",
     "near_dup_pairs", "dedup_apply", "temperature_mix", "corpus_drift",
     "chunk", "pii_redact", "lm_score", "span_dedup", "scd2",
-    "quantize_error", "novelty", "heavy_hitters")
+    "quantize_error", "novelty", "heavy_hitters", "weighted_sample",
+    "cooccurrence", "k_anonymity", "winsorize", "cohort_retention",
+    "funnel")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -105,7 +116,7 @@ object TableFunctions {
             val emb = spark.table("embeddings")
             graft.operators.Similarity.semDedup(
               emb,
-              graft.operators.IvfIndex.centroidsOf(emb, semClusters),
+              graft.operators.IvfIndex.centroidsOf(emb, semClusters(emb)),
               dbl(thr, "sem_dedup(threshold)"))
           }
         case _ => throw new IllegalArgumentException("sem_dedup expects (threshold)")
@@ -278,6 +289,57 @@ object TableFunctions {
           plan(spark => graft.operators.Dedup.spanDedup(
             spark.table("documents"), int(w, "span_dedup(window_tokens)")))
         case _ => throw new IllegalArgumentException("span_dedup expects () or (window_tokens)")
+      }
+    },
+    "weighted_sample" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(k) =>
+          plan(spark => graft.operators.Sampling.weightedSample(
+            spark.table("documents"), int(k, "weighted_sample(k)")))
+        case _ => throw new IllegalArgumentException("weighted_sample expects (k)")
+      }
+    },
+    "cooccurrence" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(sup) =>
+          plan(spark => graft.operators.TextOps.cooccurrence(
+            spark.table("documents"), dbl(sup, "cooccurrence(support)")))
+        case _ => throw new IllegalArgumentException("cooccurrence expects (support)")
+      }
+    },
+    "k_anonymity" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(k) =>
+          plan { spark =>
+            import org.apache.spark.sql.functions.col
+            graft.operators.Privacy.kAnonymity(
+              spark.table("customer").join(spark.table("nation"),
+                col("c_nationkey") === col("n_nationkey")),
+              Seq("c_mktsegment", "n_name"), int(k, "k_anonymity(k)").toLong)
+          }
+        case _ => throw new IllegalArgumentException("k_anonymity expects (k)")
+      }
+    },
+    "winsorize" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(p) =>
+          plan(spark => graft.operators.Analytics.winsorizedStats(
+            spark.table("orders"), dbl(p, "winsorize(p)")))
+        case _ => throw new IllegalArgumentException("winsorize expects (p)")
+      }
+    },
+    "cohort_retention" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Analytics.cohortRetention(spark.table("events")))
+        case _ => throw new IllegalArgumentException("cohort_retention expects no arguments")
+      }
+    },
+    "funnel" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Analytics.funnelOver(spark.table("events")))
+        case _ => throw new IllegalArgumentException("funnel expects no arguments")
       }
     })
 

@@ -134,17 +134,26 @@ object Analytics {
     * order statistics (q41's interpolated percentiles pay it too). */
   def q89Winsorized(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
+    winsorizedStats(Tables.orders(spark, dir), 0.05)
+  }
+
+  /** Winsorized order-value statistics at clamp fraction `p` (bounds =
+    * nearest-rank p and 1-p percentiles per priority) — the generic
+    * entry the `winsorize(p)` TVF resolves; [[q89Winsorized]] fixes
+    * p = 0.05. */
+  def winsorizedStats(orders: DataFrame, p: Double): DataFrame = {
+    require(p > 0.0 && p < 0.5, s"winsorize fraction must be in (0, 0.5), got $p")
     val wOrd = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
     val wAll = Window.partitionBy("o_orderpriority")
-    val ranked = Tables.orders(spark, dir)
+    val ranked = orders
       .select(col("o_orderpriority"), col("o_totalprice"))
       .withColumn("r", row_number().over(wOrd))
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("lo", min(when(
-        col("r") === greatest(ceil(col("n") * 0.05), lit(1L)),
+        col("r") === greatest(ceil(col("n") * p), lit(1L)),
         col("o_totalprice"))).over(wAll))
       .withColumn("hi", min(when(
-        col("r") === ceil(col("n") * 0.95),
+        col("r") === ceil(col("n") * (1.0 - p)),
         col("o_totalprice"))).over(wAll))
     val cents = (c: org.apache.spark.sql.Column) => round(c * 100).cast("long")
     val meanCents = (sumC: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =>

@@ -74,7 +74,7 @@ object IvfIndex {
     * eviction runs. */
   private def ivfRoot(spark: SparkSession, dir: String): HPath =
     spark.conf.getOption("spark.graft.signatures.dir")
-      .map(r => new HPath(r, s"corpus_${(dir.hashCode & 0x7FFFFFFF).toString}/ivf"))
+      .map(r => new HPath(r, s"corpus_${graft.core.TableVersion.md5Hex(dir)}/ivf"))
       .getOrElse(new HPath(dir, "_graft/ivf"))
 
   /** Centroid file format: one line per centroid, comma-separated

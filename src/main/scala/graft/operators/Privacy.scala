@@ -92,16 +92,25 @@ object Privacy {
     * map over the cell frame (cells = segments × nations, tiny at any
     * scale). A 100 TB fact table audits the same way: the cell frame,
     * not the row count, bounds everything after the first aggregate. */
+  /** k-anonymity audit over ANY frame and quasi-identifier column set —
+    * the generic entry the `k_anonymity(k)` TVF resolves;
+    * [[q101KAnonymity]] runs it on the customer⋈nation QI. */
+  def kAnonymity(rows: DataFrame, qi: Seq[String], k: Long): DataFrame = {
+    require(qi.nonEmpty, "k-anonymity needs at least one quasi-identifier column")
+    rows
+      .groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("k"))
+      .select(qi.map(col) ++ Seq(col("k"), (col("k") < k).as("at_risk")): _*)
+      .orderBy(qi.map(col): _*)
+  }
+
   def q101KAnonymity(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    Tables.customer(spark, dir)
-      .join(Tables.nation(spark, dir),
-        col("c_nationkey") === col("n_nationkey"))
-      .groupBy("c_mktsegment", "n_name")
-      .agg(count(lit(1)).as("k"))
-      .select(col("c_mktsegment"), col("n_name"), col("k"),
-        (col("k") < KAnonThreshold).as("at_risk"))
-      .orderBy("c_mktsegment", "n_name")
+    kAnonymity(
+      Tables.customer(spark, dir)
+        .join(Tables.nation(spark, dir),
+          col("c_nationkey") === col("n_nationkey")),
+      Seq("c_mktsegment", "n_name"), KAnonThreshold)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -247,17 +247,24 @@ object Sampling {
     * selection boundary are ~1/n² of the key range — ten orders above
     * double ulp — so the ln's last-ulp engine variance cannot flip the
     * selected set (the emitted key is rounded to 8 dp regardless). */
-  def q106WeightedSample(spark: SparkSession, dir: String): DataFrame = {
-    Sessions.prepare(spark)
+  /** Efraimidis–Spirakis weighted sample over ANY (doc_id, text,
+    * n_chars) frame — the generic entry the `weighted_sample(k)` TVF
+    * resolves; [[q106WeightedSample]] runs it on the corpus table. */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
     val u = (conv(substring(md5(trim(col("text"))), 9, 6), 16, 10).cast("long") + 1) /
       16777216.0
     val key = log(u) / greatest(col("n_chars"), lit(1L)).cast("double")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("n_chars"), key.as("k"))
       .orderBy(desc("k"), col("doc_id"))
-      .limit(WeightedSampleK)
+      .limit(k)
       .select(col("doc_id"), col("n_chars"), round(col("k"), 8).as("es_key"))
       .orderBy("doc_id")
+  }
+
+  def q106WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    weightedSample(Tables.documents(spark, dir), WeightedSampleK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

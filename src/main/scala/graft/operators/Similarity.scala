@@ -386,6 +386,19 @@ object Similarity {
     * [[semDedup]]. */
   val SemClusters = 16
 
+  /** Target mean cluster population for SemDeDup. The cluster count must
+    * SCALE with the corpus — k = max(SemClusters, n / this) keeps the
+    * within-cluster pair cost Σ|c|² ≈ n·target LINEAR in n, where a
+    * fixed k makes it n²/k (measured 36× on a 10× scale-up before this).
+    * Floored at [[SemClusters]] so the fixture SFs (n ≤ 2000 →
+    * k = SemClusters) are unchanged; capped at half the quantizer's
+    * training-sample size so Lloyd stays meaningful. */
+  val SemTargetClusterSize = 250L
+
+  def semClustersFor(n: Long): Int =
+    math.min(IvfIndex.SampleSize / 2,
+      math.max(SemClusters.toLong, n / SemTargetClusterSize)).toInt
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the IVF coarse
     * quantizer, then look for duplicate pairs ONLY within a cluster —
@@ -410,20 +423,39 @@ object Similarity {
     * cluster boundary is missed — that is the documented SemDeDup
     * trade (recall, never precision), spec-measured against the exact
     * all-pairs twin. */
-  def semDedup(
-      emb: DataFrame,
-      centers: Array[Array[Double]],
-      threshold: Double): DataFrame = {
-    val assigned = emb.select(
+  private def assignClusters(emb: DataFrame, centers: Array[Array[Double]]): DataFrame =
+    emb.select(
       col("vec_id"),
       col("embedding"),
       element_at(graft.functions.VectorFunctions.nearest_centroids(
         col("embedding"), centers, 1), 1).as("cluster"))
+
+  /** IVF-bucketed exact near-dup pairs: within-cluster cosine ≥ τ — the
+    * LINEAR-scale path for embedding near-dup (Σ|c|² ≈ n·target with
+    * [[semClustersFor]]-sized k, measured ~5× at a 10× scale-up, where
+    * the sign-LSH candidates of [[nearDupLshCandidates]] are ≈ 0.25·n²
+    * at the fixtures' wide-angle regime, measured 68×). Recall trade:
+    * pairs straddling a cluster boundary are missed — the SemDeDup
+    * trade, spec-measured against the exact twin. */
+  def ivfNearDupPairs(
+      emb: DataFrame,
+      centers: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    val assigned = assignClusters(emb, centers)
     val l = assigned.select(col("cluster"), col("vec_id").as("v1"), col("embedding").as("e1"))
     val r = assigned.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2"))
-    val pairs = l.join(r, Seq("cluster"))
+    l.join(r, Seq("cluster"))
       .filter(col("v1") < col("v2"))
       .filter(cosine(col("e1"), col("e2")) >= threshold)
+      .select(col("v1"), col("v2"))
+  }
+
+  def semDedup(
+      emb: DataFrame,
+      centers: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    val assigned = assignClusters(emb, centers)
+    val pairs = ivfNearDupPairs(emb, centers, threshold)
       .select(col("v1").as("d1"), col("v2").as("d2"))
     val groups = Dedup.minLabelComponents(emb.sparkSession, pairs)
       .select(col("doc_id").as("vec_id"), col("keeper"))
@@ -444,7 +476,10 @@ object Similarity {
   def semDedupStatuses(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     val emb = Tables.embeddings(spark, dir)
-    semDedup(emb, IvfIndex.centroids(spark, dir, SemClusters), NearDupThreshold)
+    // size the quantizer to the corpus (index-build-time metadata read,
+    // same lifecycle as the centroid training itself)
+    val k = semClustersFor(emb.count())
+    semDedup(emb, IvfIndex.centroids(spark, dir, k), NearDupThreshold)
       .orderBy("vec_id")
   }
 

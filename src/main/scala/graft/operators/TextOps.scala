@@ -608,9 +608,28 @@ object TextOps {
     * comes from the shared [[tokenStage]]. */
   def q109Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val nd = corpusSize(spark, dir).select(col("n_docs").as("nd"))
-    val floor = ceil(lit(CoocSupport) * col("nd")).cast("long")
-    val u = tokenStream(spark, dir).select(col("doc_id"), col("token").as("w"))
+    cooccurrenceCore(
+      tokenStream(spark, dir).select(col("doc_id"), col("token").as("w")),
+      corpusSize(spark, dir).select(col("n_docs").as("nd")),
+      CoocSupport)
+  }
+
+  /** [[q109Cooccurrence]] over ANY (doc_id, text) frame — the generic
+    * entry the `cooccurrence(support)` TVF resolves (array-based
+    * tokenize; the q109 route reuses the shared token stage instead). */
+  def cooccurrence(docs: DataFrame, support: Double): DataFrame = {
+    val tokenized = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    cooccurrenceCore(
+      tokenized.select(col("doc_id"), explode(col("t")).as("w")),
+      tokenized.agg(count(lit(1)).as("nd")),
+      support)
+  }
+
+  /** Core over an occurrence stream `u` (doc_id, w) + a 1-row doc count
+    * `nd`: Apriori frequent-singles prune, then per-doc pair explosion. */
+  private def cooccurrenceCore(u: DataFrame, nd: DataFrame,
+      support: Double): DataFrame = {
+    val floor = ceil(lit(support) * col("nd")).cast("long")
     // the stage is occurrence-grain, so document frequency dedups in the
     // aggregate (countDistinct) instead of a per-doc array_distinct map
     val frequent = u.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))

@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Once-per-round heavy-operator scale sweep: times the ~12 most
+  * expensive operators at sf0.1 AND at the 10× [[ScaleDataGen]] tree,
+  * and reports the scaling ratio per query — the empirical check that
+  * plan-shape arguments ("bucketed, never all-pairs") actually hold when
+  * the data grows: an operator whose documented complexity is ~linear
+  * must not scale super-linearly beyond shuffle/log factors.
+  *
+  * Emits one JSON line and writes it to `BENCH_SF1.json`. Run after
+  * `ScaleDataGen`:
+  * {{{
+  *   sbt "runMain graft.tools.ScaleDataGen"
+  *   sbt "runMain graft.tools.ScaleBench"
+  * }}}
+  */
+object ScaleBench {
+
+  /** The heavy set: dedup family (exact Jaccard, MinHash-LSH, apply,
+    * span dedup, prefix join), text aggregations (vocab, PMI,
+    * co-occurrence), the embedding near-dup/SemDeDup PRODUCTION paths,
+    * and two streaming drains.
+    *
+    * q49/q69 are swept via their production entries, NOT their verdict
+    * gates: the gates audit against the exact all-pairs twin IN-PLAN
+    * (deliberately O(n²) — at deployment scale that audit runs on a
+    * sample), so sweeping the gates measures the audit, not the
+    * operator. */
+  val Heavy: Seq[String] = Seq(
+    "q26_ngram_jaccard", "q27_minhash_lsh", "q38_dedup_apply",
+    "q49_prod_lsh_pairs", "q49_ivf_pairs", "q53_vocab_top",
+    "q69_prod_sem_dedup", "q80_span_dedup", "q92_pmi_collocations",
+    "q99_prefix_join", "q109_cooccurrence", "q44_stream_sessions",
+    "q77_stream_join")
+
+  /** Production-path entries for operators whose `queries` entry is a
+    * deliberately-quadratic audit gate. */
+  val ProdPaths: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q49_prod_lsh_pairs" -> ((s: SparkSession, d: String) =>
+      graft.operators.Similarity.nearDupLshPairs(
+        graft.core.Tables.embeddings(s, d),
+        graft.operators.Similarity.NearDupThreshold,
+        graft.operators.Similarity.NumTables,
+        graft.operators.Similarity.PlanesPerTable)),
+    "q69_prod_sem_dedup" -> ((s: SparkSession, d: String) =>
+      graft.operators.Similarity.semDedupStatuses(s, d)),
+    // the same near-dup task as q49_prod_lsh_pairs on the IVF-bucketed
+    // linear path — side-by-side evidence that wide-angle sign-LSH is
+    // the quadratic regime and cluster-bucketing is the scale answer
+    "q49_ivf_pairs" -> ((s: SparkSession, d: String) => {
+      val emb = graft.core.Tables.embeddings(s, d)
+      graft.operators.Similarity.ivfNearDupPairs(
+        emb,
+        graft.operators.IvfIndex.centroids(s, d,
+          graft.operators.Similarity.semClustersFor(emb.count())),
+        graft.operators.Similarity.NearDupThreshold)
+    }))
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sf1 = if (args.length > 1) args(1) else "/tmp/graft-sf1"
+    if (!new java.io.File(sf1).isDirectory) {
+      System.err.println(s"[scalebench] $sf1 missing — run ScaleDataGen first")
+      sys.exit(2)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scale-bench")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String, dir: String): Double = {
+      val fn = ProdPaths.getOrElse(name, SparkEntry.queries(name))
+      val t0 = System.nanoTime()
+      try fn(spark, dir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[scalebench] $name@$dir failed: ${e.getMessage}"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // two runs per (query, dir), keep the SECOND: the first run at a dir
+    // pays the one-time per-corpus stage builds (token stage, shingle
+    // sigs, IVF fit) that the sf0.1 numbers in BENCH never carry either
+    // (their stages warm during the sweep's earlier queries) — comparing
+    // cold sf1 against warm sf0.1 overstated scaling by the build cost
+    def warm(name: String, dir: String): Double = { time(name, dir); time(name, dir) }
+
+    // warm both trees' file indexes + codegen outside the timed region
+    Heavy.foreach { n => time(n, sf01) }
+    val rows = Heavy.map { n =>
+      val a = warm(n, sf01)
+      val b = warm(n, sf1)
+      val ratio = if (a > 0 && b > 0) b / a else -1.0
+      (n, a, b, ratio)
+    }
+    val qs = rows.map { case (n, a, b, r) =>
+      f"""\"$n\":{\"sf01\":$a%.3f,\"sf1\":$b%.3f,\"ratio\":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"sf1_sweep","scale_factor":10,"queries":$qs,""" +
+      s""""sf01_dir":"$sf01","sf1_dir":"$sf1"}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SF1.json"), line + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

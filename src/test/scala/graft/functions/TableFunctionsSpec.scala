@@ -195,4 +195,45 @@ class TableFunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(hh == scala_)
   }
+
+  test("weighted_sample / cooccurrence TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val ws = spark.sql("SELECT * FROM weighted_sample(50)")
+    assert(rows(ws) == rows(graft.operators.Sampling.weightedSample(docs, 50)))
+    assert(ws.count() == 50)
+    val co = spark.sql("SELECT * FROM cooccurrence(0.2)")
+    assert(rows(co) == rows(graft.operators.TextOps.cooccurrence(docs, 0.2)))
+    // and the generic path agrees with the stage-backed q109 at its floor
+    val q109 = graft.operators.TextOps.q109Cooccurrence(spark, sf)
+    val generic = graft.operators.TextOps.cooccurrence(
+      docs, graft.operators.TextOps.CoocSupport)
+    assert(rows(q109) == rows(generic))
+  }
+
+  test("k_anonymity / winsorize TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    val ka = spark.sql(
+      s"SELECT * FROM k_anonymity(${graft.operators.Privacy.KAnonThreshold})")
+    assert(rows(ka) == rows(graft.operators.Privacy.q101KAnonymity(spark, sf)))
+    // a different threshold flips flags, not populations
+    val strict = spark.sql("SELECT * FROM k_anonymity(1000000)").collect()
+    assert(strict.forall(_.getBoolean(3)), "an impossible k flags every cell")
+    val wz = spark.sql("SELECT * FROM winsorize(0.05)")
+    assert(rows(wz) == rows(graft.operators.Analytics.q89Winsorized(spark, sf)))
+    // composes with ordinary SQL
+    val n = spark.sql("SELECT count(*) AS n FROM winsorize(0.1) WHERE n_clamped > 0")
+      .collect().head.getLong(0)
+    assert(n >= 0L)
+  }
+
+  test("cohort_retention / funnel TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    val cr = spark.sql("SELECT * FROM cohort_retention()")
+    assert(rows(cr) == rows(graft.operators.Analytics.q102CohortRetention(spark, sf)))
+    val fu = spark.sql("SELECT * FROM funnel()")
+    assert(rows(fu) == rows(graft.operators.Analytics.q84Funnel(spark, sf)))
+    assert(fu.columns.toSeq == Seq("n_users", "view_users", "click_users",
+      "purchase_users", "view_to_click", "click_to_purchase"))
+  }
 }
