@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
+      operators.Audio.queries ++
       operators.Temporal.queries ++
       operators.Skew.queries ++
       operators.Sampling.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
+      operators.Audio.oracles ++
       operators.Temporal.oracles ++
       operators.Skew.oracles ++
       operators.Sampling.oracles ++

@@ -82,19 +82,18 @@ object Multimodal {
     }
 
     /** Real encode: gray stored as 24-bit RGB (r=g=b) so both PNG and BMP
-      * round-trip the exact values. */
+      * round-trip the exact values. Bulk setRGB — the per-pixel call
+      * pays a color-model conversion per invocation. */
     def encode(img: PixelImage, fmt: String): Array[Byte] = {
       val bi = new BufferedImage(img.width, img.height, BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < img.height) {
-        var x = 0
-        while (x < img.width) {
-          val g = img.gray(y * img.width + x)
-          bi.setRGB(x, y, (g << 16) | (g << 8) | g)
-          x += 1
-        }
-        y += 1
+      val rgb = new Array[Int](img.gray.length)
+      var i = 0
+      while (i < rgb.length) {
+        val g = img.gray(i)
+        rgb(i) = (g << 16) | (g << 8) | g
+        i += 1
       }
+      bi.setRGB(0, 0, img.width, img.height, rgb, 0, img.width)
       val bos = new ByteArrayOutputStream()
       if (!ImageIO.write(bi, fmt, bos))
         throw new IllegalArgumentException(s"no JDK writer for format: $fmt")
@@ -112,35 +111,39 @@ object Multimodal {
       else {
         val w = bi.getWidth
         val h = bi.getHeight
-        val px = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { px(y * w + x) = bi.getRGB(x, y) & 0xff; x += 1 }
-          y += 1
-        }
+        // bulk getRGB — one raster read instead of w·h color-model calls
+        val px = bi.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < px.length) { px(i) = px(i) & 0xff; i += 1 }
         Some(PixelImage(w, h, px))
       }
     }
   }
 
   /** Build the image-asset table: one deterministic PNG/BMP per document,
-    * encoded with the real JDK codec inside `mapPartitions`. */
+    * encoded with the real JDK codec inside `mapPartitions`. The encoded
+    * table is a corpus artifact, not a per-query temporary — q33/q50/q51
+    * all start from it, so it is built once per (corpus dir, content
+    * version) via [[SignatureStage]] and shared, exactly like the dedup
+    * family's shingle tables. At 100 TB the encode pass is the dominant
+    * cost of the family; staging turns three passes into one. */
   def imageAssets(spark: SparkSession, dir: String): Dataset[ImageAsset] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"))
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        // one codec context per partition; ImageIO registry lookup and
-        // stream allocation amortize across the batch
-        it.map { case (docId, nChars) =>
-          val (w, h) = ImageFixture.dims(nChars)
-          val fmt = ImageFixture.format(docId)
-          val bytes = ImageFixture.encode(ImageFixture.grid(docId, w, h), fmt)
-          ImageAsset(docId, bytes, fmt, w, h)
-        }
-      }
+    SignatureStage.stage(spark, dir, "image_assets") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          // one codec context per partition; ImageIO registry lookup and
+          // stream allocation amortize across the batch
+          it.map { case (docId, nChars) =>
+            val (w, h) = ImageFixture.dims(nChars)
+            val fmt = ImageFixture.format(docId)
+            val bytes = ImageFixture.encode(ImageFixture.grid(docId, w, h), fmt)
+            ImageAsset(docId, bytes, fmt, w, h)
+          }
+        }.toDF()
+    }.as[ImageAsset]
   }
 
   case class DecodedImage(

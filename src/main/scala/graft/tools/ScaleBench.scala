@@ -23,7 +23,9 @@ object ScaleBench {
   /** The heavy set: dedup family (exact Jaccard, MinHash-LSH, apply,
     * span dedup, prefix join), text aggregations (vocab, PMI,
     * co-occurrence), the embedding near-dup/SemDeDup PRODUCTION paths,
-    * and two streaming drains.
+    * the two real-codec families (image decode, audio decode — the
+    * heaviest per-row CPU stages in the engine), and two streaming
+    * drains.
     *
     * q49/q69 are swept via their production entries, NOT their verdict
     * gates: the gates audit against the exact all-pairs twin IN-PLAN
@@ -34,8 +36,8 @@ object ScaleBench {
     "q26_ngram_jaccard", "q27_minhash_lsh", "q38_dedup_apply",
     "q49_prod_lsh_pairs", "q49_ivf_pairs", "q53_vocab_top",
     "q69_prod_sem_dedup", "q80_span_dedup", "q92_pmi_collocations",
-    "q99_prefix_join", "q109_cooccurrence", "q44_stream_sessions",
-    "q77_stream_join")
+    "q99_prefix_join", "q109_cooccurrence", "q33_decode_stats",
+    "q110_audio_stats", "q44_stream_sessions", "q77_stream_join")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */
