@@ -23,10 +23,17 @@ import graft.core.{Sessions, Tables}
   * replaying the pixel formula — any codec corruption, channel swap, or
   * row-order bug changes the hashes.
   *
+  * Video is real too: [[VideoFixture]] writes one animated GIF per
+  * document (full frames, 8-bit gray — lossless in GIF's 256-entry
+  * palette) and [[GifFrameDecoder]] walks the container frame-by-frame
+  * with the JDK GIF `ImageReader`, so temporal frame sampling (q112)
+  * operates on a genuinely multi-frame decoded container.
+  *
   * [[FakeDecoder]] remains only as the documented fallback for payload
-  * formats the JDK cannot decode (webp, video codecs): it computes byte
-  * statistics without decoding, preserving pipeline shape. A spec proves
-  * the real and formula paths agree pixel-for-pixel on every fixture.
+  * formats the JDK cannot decode (webp, modern video codecs): it computes
+  * byte statistics without decoding, preserving pipeline shape. A spec
+  * proves the real and formula paths agree pixel-for-pixel on every
+  * fixture.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no base64 round
   * trips); encode and decode run inside `mapPartitions` so per-partition
@@ -241,6 +248,145 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // Video: real multi-frame container (animated GIF) via javax.imageio
+  // ---------------------------------------------------------------------
+
+  /** An encoded multi-frame asset: real animated-GIF bytes + metadata. */
+  case class VideoAsset(
+      doc_id: Long,
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** Deterministic multi-frame fixtures: frame `f` of document `d` is the
+    * image-family grid shifted by 41·f, so every frame differs and any
+    * frame-index mix-up changes the fingerprint. The JDK's GIF writer is
+    * lossless for 8-bit gray (256-entry palette), so the real container
+    * round-trips the exact values — spec-proved frame-for-frame. */
+  object VideoFixture {
+    def pixel(d: Long, f: Int, x: Int, y: Int): Int =
+      ((31L * d + 7L * x + 13L * y + 41L * f) % 256L).toInt
+
+    /** Frame count derived from document metadata (small on purpose: the
+      * oracle replays every pixel of every frame). */
+    def nFrames(nChars: Long): Int = 4 + (nChars % 5).toInt
+
+    /** Real encode: one animated GIF per document, frames written with
+      * `writeToSequence`. The writer is passed in so one instance (and
+      * its palette machinery) amortizes across a partition. */
+    def encode(wr: javax.imageio.ImageWriter, d: Long, w: Int, h: Int,
+        nf: Int): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          val raster = bi.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, pixel(d, f, x, y)); x += 1 }
+            y += 1
+          }
+          wr.writeToSequence(new javax.imageio.IIOImage(bi, null, null), null)
+          f += 1
+        }
+        wr.endWriteSequence()
+      } finally ios.close()
+      bos.toByteArray
+    }
+  }
+
+  /** Real multi-frame decode: the GIF `ImageReader` walks the container
+    * frame by frame (`getNumImages` / `read(i)`); each frame comes back
+    * as a full raster because the fixtures write full frames. */
+  object GifFrameDecoder {
+    def decode(rd: javax.imageio.ImageReader, payload: Array[Byte]): Array[PixelImage] = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        rd.setInput(iis)
+        val n = rd.getNumImages(true)
+        Array.tabulate(n) { f =>
+          val bi = rd.read(f)
+          val w = bi.getWidth
+          val h = bi.getHeight
+          val px = bi.getRGB(0, 0, w, h, null, 0, w)
+          var i = 0
+          while (i < px.length) { px(i) = px(i) & 0xff; i += 1 }
+          PixelImage(w, h, px)
+        }
+      } finally { rd.setInput(null); iis.close() }
+    }
+  }
+
+  /** Build the video-asset table: one deterministic animated GIF per
+    * document; SignatureStage-shared like [[imageAssets]] so the encode
+    * pass runs once per (corpus dir, content version). */
+  def videoAssets(spark: SparkSession, dir: String): Dataset[VideoAsset] = {
+    import spark.implicits._
+    SignatureStage.stage(spark, dir, "video_assets") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          // one GIF writer per partition: registry lookup + palette
+          // machinery amortize across the batch
+          val wr = ImageIO.getImageWritersByFormatName("gif").next()
+          it.map { case (docId, nChars) =>
+            val (w, h) = ImageFixture.dims(nChars)
+            val nf = VideoFixture.nFrames(nChars)
+            VideoAsset(docId, VideoFixture.encode(wr, docId, w, h, nf), w, h, nf)
+          }
+        }.toDF()
+    }.as[VideoAsset]
+  }
+
+  case class VideoSample(
+      doc_id: Long,
+      n_frames: Long,
+      n_sampled: Long,
+      total_gray: Long,
+      sample_fp: Long)
+
+  /** Decode + temporal frame sampling over the REAL container: every
+    * `stride`-th decoded frame is kept; per-frame pixel sums feed a
+    * rolling (acc·31 + s) mod 1e9+7 fingerprint — any dropped frame,
+    * index shift, or palette loss changes the value. */
+  def sampleVideo(assets: Dataset[VideoAsset], stride: Int = 2): Dataset[VideoSample] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // one GIF reader per partition (mirrors the writer amortization)
+      val rd = ImageIO.getImageReadersByFormatName("gif").next()
+      it.map { a =>
+        val frames = GifFrameDecoder.decode(rd, a.payload)
+        require(frames.length == a.n_frames,
+          s"doc ${a.doc_id}: container has ${frames.length} frames, expected ${a.n_frames}")
+        var total = 0L
+        var fp = 0L
+        var nSampled = 0L
+        var f = 0
+        while (f < frames.length) {
+          var s = 0L
+          val px = frames(f).gray
+          var i = 0
+          while (i < px.length) { s += px(i); i += 1 }
+          total += s
+          if (f % stride == 0) {
+            fp = (fp * 31 + s) % 1000000007L
+            nSampled += 1
+          }
+          f += 1
+        }
+        VideoSample(a.doc_id, frames.length.toLong, nSampled, total, fp)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // Fallback for non-JDK formats (webp, video): byte stats, no decode
   // ---------------------------------------------------------------------
 
@@ -356,11 +502,23 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** q112 — REAL multi-frame container decode + temporal sampling: one
+    * animated GIF per document, decoded frame-by-frame with the JDK GIF
+    * reader; every 2nd frame sampled, per-frame pixel sums fingerprinted.
+    * The oracle replays `(31d + 7x + 13y + 41f) mod 256` over every frame
+    * — hash-verifying the whole multi-frame encode→decode chain. */
+  def q112VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    sampleVideo(videoAssets(spark, dir)).toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_multimodal_meta" -> (q32MultimodalMeta _),
     "q33_decode_stats"    -> (q33DecodeStats _),
     "q50_resize"          -> (q50Resize _),
-    "q51_frame_sample"    -> (q51FrameSample _))
+    "q51_frame_sample"    -> (q51FrameSample _),
+    "q112_video_frames"   -> (q112VideoFrames _))
 
   // The q33/q50/q51 oracles replay ImageFixture.pixel over the derived
   // dimensions — verifying the real encode→decode round trip end-to-end:
@@ -408,6 +566,28 @@ object Multimodal {
         |  CAST(n_pixels AS BIGINT) AS n_pixels, CAST(out_pixels AS BIGINT) AS out_pixels,
         |  CAST(sum_sampled AS BIGINT) AS sum_sampled,
         |  CAST(sum_sampled AS DOUBLE) / out_pixels AS mean_sampled
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q112_video_frames" ->
+      """WITH a AS (
+        |  SELECT doc_id, 8 + (n_chars % 8) AS w, 8 + (n_chars % 6) AS h,
+        |         4 + (n_chars % 5) AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, w, h, nf,
+        |    list_transform(range(0, nf), f ->
+        |      list_sum(flatten(list_transform(range(0, h), y ->
+        |        list_transform(range(0, w), x ->
+        |          (31 * doc_id + 7 * x + 13 * y + 41 * f) % 256))))) AS frame_sums
+        |  FROM a),
+        |t AS (
+        |  SELECT doc_id, nf, frame_sums,
+        |    list_transform(range(0, nf, 2), f -> frame_sums[f + 1]) AS sampled
+        |  FROM s)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(len(sampled) AS BIGINT) AS n_sampled,
+        |  CAST(list_sum(frame_sums) AS BIGINT) AS total_gray,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), sampled),
+        |    (acc, b) -> (acc * 31 + b) % 1000000007) AS BIGINT) AS sample_fp
         |FROM t ORDER BY doc_id""".stripMargin,
     "q51_frame_sample" ->
       """WITH a AS (

@@ -62,6 +62,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("animated-GIF round-trip is lossless frame-for-frame") {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    for ((d, w, h, nf) <- Seq((0L, 8, 8, 4), (7L, 15, 13, 8), (123L, 12, 9, 5))) {
+      val bytes = Multimodal.VideoFixture.encode(wr, d, w, h, nf)
+      val frames = Multimodal.GifFrameDecoder.decode(rd, bytes)
+      assert(frames.length == nf, s"doc $d frame count")
+      for (f <- 0 until nf) {
+        assert(frames(f).width == w && frames(f).height == h, s"doc $d frame $f dims")
+        val expect = for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.VideoFixture.pixel(d, f, x, y)
+        assert(frames(f).gray.toSeq == expect, s"doc $d frame $f pixels")
+      }
+    }
+  }
+
+  test("video sampling keeps every 2nd frame of the real container") {
+    val meta = Multimodal.videoAssets(spark, sf).collect()
+      .map(a => a.doc_id -> ((a.width, a.height))).toMap
+    val out = Multimodal.sampleVideo(Multimodal.videoAssets(spark, sf)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.n_sampled == (r.n_frames + 1) / 2, s"doc ${r.doc_id} sampled count")
+      // replay the formula: total over ALL frames, fp over sampled frames
+      val (w, h) = meta(r.doc_id)
+      val sums = (0 until r.n_frames.toInt).map { f =>
+        (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.VideoFixture.pixel(r.doc_id, f, x, y).toLong).sum
+      }
+      assert(r.total_gray == sums.sum, s"doc ${r.doc_id} total gray")
+      val fp = sums.zipWithIndex.collect { case (s, f) if f % 2 == 0 => s }
+        .foldLeft(0L)((acc, s) => (acc * 31 + s) % 1000000007L)
+      assert(r.sample_fp == fp, s"doc ${r.doc_id} sample fp")
+    }
+  }
+
   test("q33 aggregates the real decoded rasters per format") {
     val decoded = Multimodal.decodeImages(Multimodal.imageAssets(spark, sf)).collect()
     val expect = decoded.groupBy(_.format).view.mapValues { rs =>
