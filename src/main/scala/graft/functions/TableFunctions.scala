@@ -38,6 +38,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM winsorize(0.05)
   *   SELECT * FROM cohort_retention()
   *   SELECT * FROM funnel()
+  *   SELECT * FROM hybrid_rrf('spark join', 1, 10)
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -73,7 +74,7 @@ object TableFunctions {
     "chunk", "pii_redact", "lm_score", "span_dedup", "scd2",
     "quantize_error", "novelty", "heavy_hitters", "weighted_sample",
     "cooccurrence", "k_anonymity", "winsorize", "cohort_retention",
-    "funnel")
+    "funnel", "hybrid_rrf")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -99,6 +100,18 @@ object TableFunctions {
             spark.table("documents"), terms.map(0L -> _), int(k, "bm25(query, k)")))
         case _ => throw new IllegalArgumentException(
           "bm25 expects (query string, k)")
+      }
+    },
+    "hybrid_rrf" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(q, probe, k) =>
+          plan(spark => graft.operators.Retrieval.hybridRrf(
+            spark.table("documents"), spark.table("embeddings"),
+            string(q, "hybrid_rrf(query, probe_id, k)"),
+            long(probe, "hybrid_rrf(query, probe_id, k)"),
+            int(k, "hybrid_rrf(query, probe_id, k)")))
+        case _ => throw new IllegalArgumentException(
+          "hybrid_rrf expects (query string, probe_id, k)")
       }
     },
     "source_cap" -> { exprs: Seq[Expression] =>
@@ -361,6 +374,12 @@ object TableFunctions {
 
   private def int(e: Expression, sig: String): Int = value(e, sig) match {
     case n: java.lang.Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$sig: expected an integer, got $other")
+  }
+
+  private def long(e: Expression, sig: String): Long = value(e, sig) match {
+    case n: java.lang.Number => n.longValue()
     case other => throw new IllegalArgumentException(
       s"$sig: expected an integer, got $other")
   }

@@ -123,11 +123,104 @@ object Retrieval {
       stats, QuerySet, TopK)
   }
 
+  /** Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009:
+    * k = 60): contribution of rank r is 1/(k + r); fused in integer
+    * MICROS (`1000000 div (k + r)`) so the sum is order-free and
+    * engine-exact. */
+  val RrfK = 60
+  val RrfTopK = 10
+
+  /** q113 — HYBRID retrieval: BM25 (sparse) and embedding-cosine (dense)
+    * rankings fused with reciprocal-rank fusion, the standard two-tower
+    * retrieval shape (lexical index + ANN index, merged by rank). For
+    * each [[QuerySet]] query, the dense probe is the embedding with
+    * `vec_id = query_id` (documents and embeddings share the id space).
+    *
+    * Scale shape: the sparse side is the q70 BM25 core (query-vocabulary
+    * filter before the shuffle, candidate-frame windows); the dense side
+    * is probe-set × corpus with the probes broadcast — probe-count-sized
+    * work per corpus row, the q29 shape (an IVF-bucketed dense side drops
+    * in via [[Similarity.ivfNearDupPairs]]' machinery when the probe set
+    * grows). The fusion join is candidate-sized, never corpus².
+    *
+    * Determinism: both rank lists use integer or bit-exact scores with
+    * doc_id tie-breaks (BM25 micros; cosine as the fixed left-fold both
+    * engines compute identically — q29/q70-proven), and RRF micros are
+    * integer division — the oracle replays the whole pipeline. */
+  def q113HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    // sparse side from the shared token stage, same scoring core as q70
+    val stage = TextOps.tokenStage(spark, dir)
+    val perDoc = stage.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+    val stats = perDoc.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n"))
+    hybridCore(
+      stage.filter(col("token").isNotNull).select(col("doc_id"), col("dl"), col("token")),
+      stats, Tables.embeddings(spark, dir), QuerySet, RrfTopK)
+  }
+
+  /** [[q113HybridRrf]] over ANY (doc_id, text) docs frame + (vec_id,
+    * embedding) frame — the generic entry the `hybrid_rrf(query,
+    * probe_id, k)` TVF resolves (array-based tokenize; the q113 route
+    * reuses the shared token stage instead). The dense probe is the
+    * embedding at `vec_id = probeId`; the sparse query is the
+    * whitespace-split term set. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, query: String, probeId: Long,
+      k: Int): DataFrame = {
+    val terms = query.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "hybrid_rrf: query must contain at least one term")
+    val toks = TextOps.tokens(col("text"))
+    val d = docs.select(col("doc_id"), toks.as("toks"), size(toks).cast("long").as("dl"))
+    val stats = d.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n"))
+    hybridCore(d.select(col("doc_id"), col("dl"), explode(col("toks")).as("token")),
+      stats, emb, terms.map(probeId -> _), k)
+  }
+
+  /** Fusion core: full BM25 candidate ranking (sparse), full cosine
+    * ranking per broadcast probe (dense), RRF-merged in integer micros. */
+  private def hybridCore(tok: DataFrame, stats: DataFrame, emb: DataFrame,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val sparse = bm25Core(tok, stats, queries, Int.MaxValue)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("bm25_rnk"))
+    // dense: probe vectors broadcast, exact cosine over the corpus,
+    // full ranking per probe (q29 shape)
+    val queryIds = queries.map(_._1).distinct
+    val probes = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("probe_vec"))
+    val denseW = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("doc_id"))
+    val dense = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        Similarity.cosine(col("probe_vec"), col("embedding")).as("cos_raw"))
+      .withColumn("cos_rnk", row_number().over(denseW))
+      .select(col("query_id"), col("doc_id"), col("cos_rnk"))
+    // fuse: candidate-sized full-outer join; absent list → no contribution
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        col("bm25_rnk").cast("long").as("bm25_rnk"),
+        col("cos_rnk").cast("long").as("cos_rnk"),
+        (coalesce(expr(s"1000000 div ($RrfK + bm25_rnk)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + cos_rnk)"), lit(0L))).as("rrf_micro"))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+        col("rrf_micro"), col("bm25_rnk"), col("cos_rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q70_bm25" -> (q70Bm25 _))
+    "q70_bm25" -> (q70Bm25 _),
+    "q113_hybrid_rrf" -> (q113HybridRrf _))
 
   private val valuesSql =
     QuerySet.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+
+  private val queryIdsSql = QuerySet.map(_._1).distinct.mkString(", ")
 
   val oracles: Map[String, String] = Map(
     "q70_bm25" ->
@@ -162,5 +255,60 @@ object Retrieval {
          |  FROM agg)
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
          |  doc_id, round(micro / 1000000.0, 4) AS score
-         |FROM r WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin)
+         |FROM r WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+    "q113_hybrid_rrf" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+         |stats AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n
+         |  FROM dd),
+         |q(query_id, term) AS (VALUES $valuesSql),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dd) u
+         |  WHERE token IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |contrib AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    CAST(round(
+         |      ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |        (tf.tf * $K1Plus1Lit) /
+         |        (tf.tf + $K1Lit * ($OneMinusBLit + $BLit * tf.dl / stats.avgdl)) *
+         |      1000000) AS BIGINT) AS contrib
+         |  FROM q JOIN tf ON q.term = tf.token JOIN df ON df.token = tf.token, stats),
+         |sparse AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sum(contrib) DESC, doc_id) AS bm25_rnk
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |probes AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS pv
+         |  FROM embeddings WHERE vec_id IN ($queryIdsSql)),
+         |dense AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, doc_id) AS cos_rnk
+         |  FROM (
+         |    SELECT p.query_id, e.vec_id AS doc_id,
+         |      list_dot_product(p.pv, CAST(e.embedding AS DOUBLE[])) /
+         |        sqrt(list_dot_product(p.pv, p.pv) *
+         |             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS cos_raw
+         |    FROM embeddings e, probes p WHERE e.vec_id <> p.query_id) s),
+         |fused AS (
+         |  SELECT coalesce(s.query_id, de.query_id) AS query_id,
+         |    coalesce(s.doc_id, de.doc_id) AS doc_id,
+         |    s.bm25_rnk, de.cos_rnk,
+         |    coalesce(1000000 // ($RrfK + s.bm25_rnk), 0) +
+         |    coalesce(1000000 // ($RrfK + de.cos_rnk), 0) AS rrf_micro
+         |  FROM sparse s FULL OUTER JOIN dense de
+         |    ON s.query_id = de.query_id AND s.doc_id = de.doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id, rrf_micro, bm25_rnk, cos_rnk,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rnk
+         |  FROM fused)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
+         |  CAST(rrf_micro AS BIGINT) AS rrf_micro,
+         |  CAST(bm25_rnk AS BIGINT) AS bm25_rnk, CAST(cos_rnk AS BIGINT) AS cos_rnk
+         |FROM r WHERE rnk <= $RrfTopK ORDER BY query_id, rnk""".stripMargin)
 }

@@ -30,6 +30,17 @@ class TableFunctionsSpec extends SparkSpec {
     assert(viaSql.count() == 5)
   }
 
+  test("hybrid_rrf TVF = Scala hybridRrf on the same corpus") {
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql("SELECT * FROM hybrid_rrf('spark join', 1, 10)")
+    val viaScala = graft.operators.Retrieval.hybridRrf(
+      Tables.documents(spark, sf), Tables.embeddings(spark, sf), "spark join", 1L, 10)
+    assert(rows(viaSql) == rows(viaScala))
+    assert(viaSql.columns.toSeq ==
+      Seq("query_id", "rnk", "doc_id", "rrf_micro", "bm25_rnk", "cos_rnk"))
+    assert(viaSql.count() == 10)
+  }
+
   test("source_cap TVF = Scala sourceCap, and composes with WHERE") {
     Tables.registerAll(spark, sf)
     val viaSql = spark.sql("SELECT * FROM source_cap(10)")

@@ -52,4 +52,25 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(out.collect().toSeq == rows.toSeq, "rerun is bit-identical")
   }
+
+  test("q113 fuses sparse and dense ranks with exact RRF micros") {
+    val rows = Retrieval.q113HybridRrf(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(1L, 2L, 3L))
+    byQuery.values.foreach { rs =>
+      assert(rs.length == Retrieval.RrfTopK)
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to Retrieval.RrfTopK.toLong).toSeq)
+      rs.foreach { r =>
+        // rrf_micro is exactly the sum of the two integer contributions
+        val bm = if (r.isNullAt(4)) 0L else 1000000L / (Retrieval.RrfK + r.getLong(4))
+        val co = if (r.isNullAt(5)) 0L else 1000000L / (Retrieval.RrfK + r.getLong(5))
+        assert(r.getLong(3) == bm + co, s"query ${r.getLong(0)} doc ${r.getLong(2)} micros")
+        assert(!r.isNullAt(4) || !r.isNullAt(5), "a fused doc is ranked in at least one list")
+      }
+      val micros = rs.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      assert(micros == micros.sorted.reverse, "fused micros descend with rank")
+    }
+    assert(Retrieval.q113HybridRrf(spark, sf).collect().toSeq == rows.toSeq,
+      "rerun is bit-identical")
+  }
 }
