@@ -116,7 +116,8 @@ object Bench {
     // under default config).
     val streamingNames = Seq("q34_stream_windows", "q44_stream_sessions",
       "q48_stream_dedup", "q56_stream_dedup_bounded", "q77_stream_join",
-      "q79_stream_enrich", "q98_stream_funnel", "q108_stream_jsonl_ingest")
+      "q79_stream_enrich", "q98_stream_funnel", "q108_stream_jsonl_ingest",
+      "q114_stream_lsh_screen")
     spark.conf.set("spark.graft.streaming.stateStoreProvider", "rocksdb")
     val rocksRows =
       try streamingNames.filter(SparkEntry.queries.contains).map { name =>

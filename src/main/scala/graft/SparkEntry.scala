@@ -43,7 +43,8 @@ object SparkEntry {
       sources.JsonlIngest.queries ++
       streaming.EventStream.queries ++
       streaming.FunnelStream.queries ++
-      streaming.IngestStream.queries
+      streaming.IngestStream.queries ++
+      streaming.DedupStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -69,5 +70,6 @@ object SparkEntry {
       sources.JsonlIngest.oracles ++
       streaming.EventStream.oracles ++
       streaming.FunnelStream.oracles ++
-      streaming.IngestStream.oracles
+      streaming.IngestStream.oracles ++
+      streaming.DedupStream.oracles
 }

@@ -207,20 +207,30 @@ object Dedup {
       col("doc_id") +: (0 until NumPerm).map(i => col("sig").getItem(i).as(s"h$i")): _*)
   }
 
+  /** Banded MinHash bucket ids over a [[sigsOf]]-shaped frame:
+    * (doc_id, band, bucket), one row per document per band. Stateless
+    * per-row work (signatures + band hashes are row-local, the explode is
+    * band-count-sized), so the SAME definition serves the batch pipeline
+    * and the streaming screen ([[graft.streaming.DedupStream]]) — twin
+    * equality is by construction, not by parallel reimplementation. */
+  private[graft] def bandBucketsOf(sigs: DataFrame): DataFrame = {
+    val withSig = minhashSignatures(sigs)
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
+    }
+    withSig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   /** Distinct LSH candidate pairs for the corpus at `dir` — banded
     * MinHash buckets, self-joined per (band, bucket) with the degenerate-
     * bucket guard. Cached per corpus version ([[SignatureStage]]): q27
     * verifies these pairs, q38 clusters their verified subset. */
   private[operators] def candidatePairs(spark: SparkSession, dir: String): DataFrame =
     SignatureStage.stage(spark, dir, "minhash_candidates") {
-      val sigs = minhashSignatures(shingleSigs(spark, dir))
-      val bandCols = (0 until Bands).map { b =>
-        val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-        struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
-      }
-      val buckets = sigs
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val buckets = bandBucketsOf(shingleSigs(spark, dir))
       // drop degenerate buckets before the self-join (fan-out guard)
       val sized = buckets
         .groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
