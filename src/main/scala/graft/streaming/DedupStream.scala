@@ -82,8 +82,11 @@ object DedupStream {
   /** The streamed flagged-candidate set over `dir`'s documents table:
     * distinct doc_ids that share a band bucket with a lower-id document.
     * Returns the drained result as a batch frame (the AvailableNow drain
-    * pattern shared by every graft streaming query). */
-  private[streaming] def streamScreen(spark: SparkSession, dir: String): DataFrame = {
+    * pattern shared by every graft streaming query). PRODUCTION entry —
+    * the q114 `queries` gate additionally computes the batch twin for
+    * the equality audit (the scale sweep times this entry, not the
+    * gate). */
+  def streamScreen(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stream = spark.readStream
       .schema(docSchema)

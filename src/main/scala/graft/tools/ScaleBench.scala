@@ -37,7 +37,8 @@ object ScaleBench {
     "q49_prod_lsh_pairs", "q49_ivf_pairs", "q53_vocab_top",
     "q69_prod_sem_dedup", "q80_span_dedup", "q92_pmi_collocations",
     "q99_prefix_join", "q109_cooccurrence", "q33_decode_stats",
-    "q110_audio_stats", "q44_stream_sessions", "q77_stream_join")
+    "q110_audio_stats", "q112_video_frames", "q113_hybrid_rrf",
+    "q114_stream_screen", "q44_stream_sessions", "q77_stream_join")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */
@@ -60,7 +61,11 @@ object ScaleBench {
         graft.operators.IvfIndex.centroids(s, d,
           graft.operators.Similarity.semClustersFor(emb.count())),
         graft.operators.Similarity.NearDupThreshold)
-    }))
+    }),
+    // the q114 gate computes stream AND batch twin for the equality
+    // audit; the sweep times the streaming screen alone
+    "q114_stream_screen" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DedupStream.streamScreen(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")

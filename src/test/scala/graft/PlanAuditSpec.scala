@@ -158,6 +158,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 0, s"q70 runs $n parquet scans (expected 0: all inputs from the token stage)")
   }
 
+  test("media families read their staged asset tables, never re-encoding the corpus") {
+    // the q33/q50/q51 (image), q110/q111 (audio) and q112 (video)
+    // queries all start from a SignatureStage-cached encoded-asset
+    // table: once the stage is warm, each query's own executed plan
+    // contains no parquet scan at all — the encode pass runs once per
+    // corpus version, not once per query (the token-stage contract,
+    // applied to the codec families)
+    Seq("q33_decode_stats", "q50_resize", "q51_frame_sample",
+        "q110_audio_stats", "q111_audio_frames", "q112_video_frames").foreach { q =>
+      val (df, _) = executed(q)
+      val n = parquetScans(df.queryExecution.executedPlan)
+      assert(n == 0, s"$q runs $n parquet scans (expected 0: staged-asset reuse)")
+    }
+  }
+
+  test("hybrid RRF never re-tokenizes the corpus; embeddings scan at most twice (q113)") {
+    // sparse side rides the token stage (zero documents scans); the dense
+    // side reads embeddings for the broadcast probe set and the corpus —
+    // two scans of the (narrow) embeddings table, never more
+    val (df, _) = executed("q113_hybrid_rrf")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansByPath(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => scansByPath(a.executedPlan)
+      case q: QueryStageExec => scansByPath(q.plan)
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString) ++ s.children.flatMap(scansByPath)
+      case o => o.children.flatMap(scansByPath)
+    }
+    val paths = scansByPath(df.queryExecution.executedPlan)
+    assert(!paths.exists(_.contains("documents")),
+      s"q113 scans documents.parquet (expected token-stage reuse): $paths")
+    assert(paths.count(_.contains("embeddings")) <= 2,
+      s"q113 scans embeddings more than twice: $paths")
+  }
+
   test("text family reads the shared token stage, never re-tokenizing the corpus") {
     // the judge-prescribed one-corpus-pass contract: after the stage is
     // warm, every text-family consumer's own plan contains no parquet
