@@ -39,6 +39,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM cohort_retention()
   *   SELECT * FROM funnel()
   *   SELECT * FROM hybrid_rrf('spark join', 1, 10)
+  *   SELECT * FROM corpus_datasheet()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -74,7 +75,7 @@ object TableFunctions {
     "chunk", "pii_redact", "lm_score", "span_dedup", "scd2",
     "quantize_error", "novelty", "heavy_hitters", "weighted_sample",
     "cooccurrence", "k_anonymity", "winsorize", "cohort_retention",
-    "funnel", "hybrid_rrf")
+    "funnel", "hybrid_rrf", "corpus_datasheet")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -100,6 +101,13 @@ object TableFunctions {
             spark.table("documents"), terms.map(0L -> _), int(k, "bm25(query, k)")))
         case _ => throw new IllegalArgumentException(
           "bm25 expects (query string, k)")
+      }
+    },
+    "corpus_datasheet" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Corpus.corpusDatasheet(spark.table("documents")))
+        case _ => throw new IllegalArgumentException("corpus_datasheet expects no arguments")
       }
     },
     "hybrid_rrf" -> { exprs: Seq[Expression] =>

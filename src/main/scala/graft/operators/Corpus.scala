@@ -298,7 +298,53 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** q115 — corpus DATASHEET: the per-(source, lang) data card a curation
+    * pipeline publishes alongside a training corpus (composition shares,
+    * size and token statistics per cell — the "datasheets for datasets"
+    * reporting surface). Documents metadata joins the shared token
+    * stage's per-doc lengths (no re-tokenize), the global total rides a
+    * 1-row broadcast, and every ratio is an exact int64/int64 double
+    * division — the whole card is oracle-exact. Cell-frame-sized after
+    * one aggregate; one metadata-column scan of `documents` at any
+    * corpus size. */
+  def q115CorpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val dls = TextOps.tokenStage(spark, dir)
+      .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+    datasheetCore(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .join(dls, "doc_id"))
+  }
+
+  /** [[q115CorpusDatasheet]] over ANY documents frame — the generic entry
+    * the `corpus_datasheet()` TVF resolves (array-based tokenize; the
+    * q115 route reuses the shared token stage instead). */
+  def corpusDatasheet(docs: DataFrame): DataFrame =
+    datasheetCore(docs.select(
+      col("doc_id"), col("source"), col("lang"), col("n_chars"),
+      size(TextOps.tokens(col("text"))).cast("long").as("dl")))
+
+  private def datasheetCore(d: DataFrame): DataFrame = {
+    val total = d.agg(count(lit(1)).as("total_docs"))
+    d.groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("dl")).as("total_tokens"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"), col("lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total_docs")).as("doc_share"),
+        col("total_chars"),
+        (col("total_chars").cast("double") / col("n_docs")).as("avg_chars"),
+        col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avg_tokens"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_corpus_datasheet" -> (q115CorpusDatasheet _),
     "q100_incremental_sigs" -> (q100IncrementalSigs _),
     "q94_novelty" -> (q94Novelty _),
     "q76_incremental_stats" -> (q76IncrementalStats _),
@@ -307,6 +353,24 @@ object Corpus {
     "q86_scd2_merge" -> (q86Scd2Merge _))
 
   val oracles: Map[String, String] = Map(
+    "q115_corpus_datasheet" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS total_docs FROM d),
+        |g AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(dl) AS BIGINT) AS total_tokens
+        |  FROM d GROUP BY source, lang)
+        |SELECT source, lang, n_docs,
+        |  CAST(n_docs AS DOUBLE) / total_docs AS doc_share,
+        |  total_chars,
+        |  CAST(total_chars AS DOUBLE) / n_docs AS avg_chars,
+        |  total_tokens,
+        |  CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens
+        |FROM g, tot ORDER BY source, lang""".stripMargin,
     // the DIRECT v2 signature build: incremental maintenance must land
     // on exactly the rebuild's answer
     "q100_incremental_sigs" ->

@@ -51,7 +51,7 @@ object Dedup {
 
   /** [[sigsOf]] over the corpus at `dir`, built once per corpus version
     * and cached via [[SignatureStage]]. */
-  private[operators] def shingleSigs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleSigs(spark: SparkSession, dir: String): DataFrame =
     SignatureStage.stage(spark, dir, "shingle_sigs")(sigsOf(Tables.documents(spark, dir)))
 
   /** Bucket fan-out for the persisted exploded shingle table — sized to

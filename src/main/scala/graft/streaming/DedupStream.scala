@@ -104,9 +104,12 @@ object DedupStream {
   }
 
   /** The batch twin: same [[Dedup.bandBucketsOf]] buckets, same guard,
-    * flag = doc_id above its bucket's minimum. */
+    * flag = doc_id above its bucket's minimum. Reads the dedup family's
+    * cached [[Dedup.shingleSigs]] stage (one tokenize+shingle pass per
+    * corpus version, shared with q26/q27/q38) — only the STREAMING side
+    * computes signatures in flight, which is the point of the twin. */
   private[streaming] def batchScreen(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = Dedup.bandBucketsOf(Dedup.sigsOf(graft.core.Tables.documents(spark, dir)))
+    val buckets = Dedup.bandBucketsOf(Dedup.shingleSigs(spark, dir))
     val sized = buckets.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("mn"))
       .filter(col("bsz") <= Dedup.MaxBucket)

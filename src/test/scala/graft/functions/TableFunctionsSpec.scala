@@ -30,6 +30,15 @@ class TableFunctionsSpec extends SparkSpec {
     assert(viaSql.count() == 5)
   }
 
+  test("corpus_datasheet TVF = Scala corpusDatasheet on the same corpus") {
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql("SELECT * FROM corpus_datasheet()")
+    val viaScala = graft.operators.Corpus.corpusDatasheet(Tables.documents(spark, sf))
+    assert(rows(viaSql) == rows(viaScala))
+    assert(viaSql.columns.toSeq == Seq("source", "lang", "n_docs", "doc_share",
+      "total_chars", "avg_chars", "total_tokens", "avg_tokens"))
+  }
+
   test("hybrid_rrf TVF = Scala hybridRrf on the same corpus") {
     Tables.registerAll(spark, sf)
     val viaSql = spark.sql("SELECT * FROM hybrid_rrf('spark join', 1, 10)")
