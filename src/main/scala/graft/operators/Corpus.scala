@@ -298,6 +298,46 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Incremental token-stage maintenance: on a corpus recrawl, carry the
+    * previous version's token rows for unchanged docs VERBATIM and
+    * re-tokenize only the diff (added + changed docs; removed docs drop
+    * out). Tokenization is the dominant repeated cost of the text family
+    * at 100 TB — this is its change-sized primitive, the exact analogue
+    * of [[incrementalSigs]] for the signature family. The tokenize pass
+    * is [[TextOps.tokenized]], the SAME definition the full stage build
+    * uses, so carry-or-rebuild can never drift from a from-scratch
+    * build. */
+  def incrementalTokens(prevTokens: DataFrame, v1: DataFrame, v2: DataFrame): DataFrame = {
+    val d = broadcast(diff(v1, v2))
+    val kept = prevTokens
+      .join(d.filter(col("status").isin("removed", "changed")),
+        Seq("doc_id"), "left_anti")
+    val fresh = TextOps.tokenized(
+      v2.join(d.filter(col("status").isin("added", "changed")), Seq("doc_id"))
+        .select(v2.columns.map(col): _*))
+    kept.unionByName(fresh)
+  }
+
+  /** q116 — incremental tokens vs the direct rebuild: maintains the
+    * v1-growth → v2 transition (the growth rule CHANGES token counts, so
+    * carrying a changed doc's v1 tokens would be wrong — the oracle
+    * catches it) and emits per-doc token count + a position-weighted
+    * length fingerprint; the oracle recomputes both from the v2 rule
+    * directly. Order- and content-sensitive: a dropped marker row, a
+    * stale carried doc, or a shifted position changes the hash. */
+  def q116IncrementalTokens(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val v1 = SnapshotFixture.table(spark, dir, "documents_v1_growth")
+    val v2 = SnapshotFixture.table(spark, dir, "documents_v2")
+    incrementalTokens(TextOps.tokenized(v1), v1, v2)
+      .groupBy("doc_id")
+      .agg(
+        max(col("dl")).as("n_tokens"),
+        coalesce(sum((col("pos") + 1) * length(col("token"))), lit(0))
+          .cast("long").as("pos_len_fp"))
+      .orderBy("doc_id")
+  }
+
   /** q115 — corpus DATASHEET: the per-(source, lang) data card a curation
     * pipeline publishes alongside a training corpus (composition shares,
     * size and token statistics per cell — the "datasheets for datasets"
@@ -345,6 +385,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_corpus_datasheet" -> (q115CorpusDatasheet _),
+    "q116_incremental_tokens" -> (q116IncrementalTokens _),
     "q100_incremental_sigs" -> (q100IncrementalSigs _),
     "q94_novelty" -> (q94Novelty _),
     "q76_incremental_stats" -> (q76IncrementalStats _),
@@ -371,6 +412,15 @@ object Corpus {
         |  total_tokens,
         |  CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens
         |FROM g, tot ORDER BY source, lang""".stripMargin,
+    // the DIRECT v2 tokenize: incremental maintenance must land on
+    // exactly the rebuild's answer, position for position
+    "q116_incremental_tokens" ->
+      s"""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(list_sum(list_transform(range(1, len(w) + 1),
+         |    i -> i * length(w[CAST(i AS INTEGER)]))), 0) AS BIGINT) AS pos_len_fp
+         |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |      FROM documents WHERE doc_id % $DroppedFromV1Mod <> $DroppedFromV1Rem)
+         |ORDER BY doc_id""".stripMargin,
     // the DIRECT v2 signature build: incremental maintenance must land
     // on exactly the rebuild's answer
     "q100_incremental_sigs" ->

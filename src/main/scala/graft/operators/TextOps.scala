@@ -44,11 +44,20 @@ object TextOps {
   def tokenStage(spark: SparkSession, dir: String): DataFrame =
     SignatureStage.stage(spark, dir, "tokens",
         Some(SignatureStage.BucketSpec(Seq("token"), 32))) {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-          posexplode_outer(col("toks")).as(Seq("pos", "token")))
+      tokenized(Tables.documents(spark, dir))
     }
+
+  /** The stage's tokenize pass over ANY (doc_id, text) frame —
+    * (doc_id, dl, pos, token) occurrence grain, with a marker row
+    * (null pos/token) for token-less docs so corpus-grain stats derive
+    * from the stage too. Shared by [[tokenStage]] and the incremental
+    * maintenance path ([[Corpus.incrementalTokens]]), so "carry or
+    * rebuild" can never drift from the full build's definition. */
+  private[operators] def tokenized(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        posexplode_outer(col("toks")).as(Seq("pos", "token")))
 
   /** Token-occurrence stream from the stage (drops the token-less-doc
     * marker rows). */

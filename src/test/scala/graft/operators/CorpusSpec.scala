@@ -232,4 +232,20 @@ class CorpusSpec extends SparkSpec {
     val anyJoin = if (joinPos >= 0) joinPos else hashJoinPos
     assert(anyJoin >= 0, s"no join in q94 plan\n$plan")
   }
+
+  test("incremental tokens equal the direct v2 rebuild, position for position") {
+    val v1 = SnapshotFixture.table(spark, sf, "documents_v1_growth")
+    val v2 = SnapshotFixture.table(spark, sf, "documents_v2")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "dl", "pos", "token").collect().map(_.toString).sorted.toSeq
+    val maintained = rows(Corpus.incrementalTokens(TextOps.tokenized(v1), v1, v2))
+    val direct = rows(TextOps.tokenized(v2))
+    assert(maintained == direct,
+      "carry-unchanged + rebuild-diff must equal the from-scratch tokenize")
+    // the growth rule really changes token counts for edited docs — the
+    // carry path alone would be wrong, so the equality above is load-bearing
+    val changedWrong = rows(TextOps.tokenized(v1)
+      .join(v2.select("doc_id"), "doc_id")) // v1 tokens restricted to v2 docs
+    assert(changedWrong != direct, "fixture sanity: v1 tokens differ from v2's")
+  }
 }
