@@ -75,7 +75,8 @@ object TableFunctions {
     "chunk", "pii_redact", "lm_score", "span_dedup", "scd2",
     "quantize_error", "novelty", "heavy_hitters", "weighted_sample",
     "cooccurrence", "k_anonymity", "winsorize", "cohort_retention",
-    "funnel", "hybrid_rrf", "corpus_datasheet")
+    "funnel", "hybrid_rrf", "corpus_datasheet", "inverted_index",
+    "bpe_merges", "vocab_coverage", "source_overlap")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -108,6 +109,51 @@ object TableFunctions {
         case Seq() =>
           plan(spark => graft.operators.Corpus.corpusDatasheet(spark.table("documents")))
         case _ => throw new IllegalArgumentException("corpus_datasheet expects no arguments")
+      }
+    },
+    "inverted_index" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(k) =>
+          plan(spark => graft.operators.Retrieval.invertedIndexAudit(
+            graft.operators.TextOps.tokenized(spark.table("documents"))
+              .filter(org.apache.spark.sql.functions.col("token").isNotNull),
+            int(k, "inverted_index(k)")))
+        case _ => throw new IllegalArgumentException("inverted_index expects (k)")
+      }
+    },
+    "bpe_merges" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(k) =>
+          plan(spark => graft.operators.TextOps.bpeMergeCounts(
+            graft.operators.TextOps.tokenized(spark.table("documents"))
+              .filter(org.apache.spark.sql.functions.col("token").isNotNull),
+            int(k, "bpe_merges(k)")))
+        case _ => throw new IllegalArgumentException("bpe_merges expects (k)")
+      }
+    },
+    "vocab_coverage" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(v) =>
+          plan { spark =>
+            val docs = spark.table("documents")
+            graft.operators.TextOps.vocabCoverage(
+              graft.operators.TextOps.tokenized(docs)
+                .filter(org.apache.spark.sql.functions.col("token").isNotNull),
+              docs.select("doc_id", "source", "lang"),
+              int(v, "vocab_coverage(v)"))
+          }
+        case _ => throw new IllegalArgumentException("vocab_coverage expects (v)")
+      }
+    },
+    "source_overlap" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan { spark =>
+            val docs = spark.table("documents")
+            graft.operators.Dedup.sourceOverlap(
+              graft.operators.Dedup.sigsOf(docs), docs.select("doc_id", "source"))
+          }
+        case _ => throw new IllegalArgumentException("source_overlap expects no arguments")
       }
     },
     "hybrid_rrf" -> { exprs: Seq[Expression] =>

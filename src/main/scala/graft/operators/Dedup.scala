@@ -661,7 +661,54 @@ object Dedup {
       shingleSigs(spark, dir).filter(isEval))
   }
 
+  /** q120 — CROSS-SOURCE overlap matrix: pairwise shingle-set Jaccard
+    * between sources — the corpus-mixing audit that tells a curation
+    * pipeline which source pairs share content (mirror sites, syndicated
+    * feeds, common boilerplate) before their weights are set, and the
+    * corpus-level face of decontamination (q62 asks "does eval leak into
+    * train"; this asks "which sources leak into each other").
+    *
+    * Scale shape: one doc-grain metadata join attaches `source` to the
+    * cached signature stage, then everything runs at DISTINCT
+    * (source, shingle-hash) grain — corpus text is never re-read or
+    * re-shingled. The pair join keys on the 64-bit shingle hash (the
+    * family's standard grain: collisions ~|shingles|²/2⁶⁵, accepted at
+    * q26), and its output is source-pair-sized; zero-overlap pairs drop
+    * out (inner join, same on the oracle side). Set sizes broadcast back
+    * in (source-count-sized), and the Jaccard is an exact int64/int64
+    * double division. */
+  def q120SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    sourceOverlap(shingleSigs(spark, dir),
+      Tables.documents(spark, dir).select("doc_id", "source"))
+  }
+
+  /** The overlap matrix over ANY (doc_id, hs) signature frame + (doc_id,
+    * source) metadata frame. */
+  def sourceOverlap(sigs: DataFrame, meta: DataFrame): DataFrame = {
+    val srcSh = sigs
+      .join(meta, Seq("doc_id"))
+      .select(col("source"), explode(col("hs")).as("h"))
+      .distinct()
+    val n = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val inter = srcSh.select(col("source").as("src_a"), col("h"))
+      .join(srcSh.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(n.select(col("source").as("src_a"), col("n_sh").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(n.select(col("source").as("src_b"), col("n_sh").as("n_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union_sh"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_source_overlap" -> (q120SourceOverlap _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q24_dedup_exact"   -> (q24DedupExact _),
     "q25_dedup_counts"  -> (q25DedupCounts _),
@@ -699,6 +746,27 @@ object Dedup {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // string-shingle recomputation of the engine's hash-grain source
+    // sets (same collision caveat as q26/q62)
+    "q120_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+        |      i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ')))) AS s
+        |  FROM toks),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY source),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, na.n_sh AS n_a, nb.n_sh AS n_b, p.inter,
+        |  na.n_sh + nb.n_sh - p.inter AS union_sh,
+        |  CAST(p.inter AS DOUBLE) / (na.n_sh + nb.n_sh - p.inter) AS jaccard
+        |FROM p JOIN n na ON na.source = p.src_a JOIN n nb ON nb.source = p.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // string-shingle recomputation of the hash-shingle overlap (counts
     // agree unless xxhash64 collides across the corpus' distinct
     // shingles — ~|shingles|²/2⁶⁵, see sigsOf)

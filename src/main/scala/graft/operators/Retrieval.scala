@@ -123,6 +123,43 @@ object Retrieval {
       stats, QuerySet, TopK)
   }
 
+  /** Posting-audit fan-in: the catalog keeps the `IndexTopK` heaviest
+    * terms (by collection frequency) — vocabulary-grain, never
+    * postings-grain. */
+  val IndexTopK = 100
+
+  /** q117 — inverted-index POSTING-LIST AUDIT: the per-term catalog a
+    * search deployment publishes after an index build — document
+    * frequency, collection frequency, the first posting, and an
+    * order-free postings fingerprint (Σ (doc_id+1)·(pos+1) over every
+    * occurrence) that pins the full posting list content, position for
+    * position, without materializing postings-grain output.
+    *
+    * Scale shape: one vocabulary-keyed aggregate over the shared
+    * [[TextOps.tokenStage]] — the stage persists BUCKETED BY token, so
+    * the groupBy plans without an Exchange on the stage side; output is
+    * top-`IndexTopK`-terms-sized (TakeOrderedAndProject), never
+    * vocabulary- or postings-grain at the driver. The fingerprint is an
+    * integer sum — order-free, so engine aggregation order can never
+    * shift it, and the oracle replays it exactly. */
+  def q117InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    invertedIndexAudit(TextOps.tokenStage(spark, dir).filter(col("token").isNotNull))
+  }
+
+  /** The audit over ANY (doc_id, pos, token) occurrence frame (pos
+    * 0-based, as the token stage emits it). */
+  def invertedIndexAudit(occ: DataFrame, topK: Int = IndexTopK): DataFrame =
+    occ
+      .groupBy("token")
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("cf"),
+        min(col("doc_id")).as("first_doc"),
+        sum((col("doc_id") + 1) * (col("pos") + 1)).cast("long").as("postings_fp"))
+      .orderBy(desc("cf"), col("token"))
+      .limit(topK)
+
   /** Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009:
     * k = 60): contribution of rank r is 1/(k + r); fused in integer
     * MICROS (`1000000 div (k + r)`) so the sum is order-free and
@@ -215,7 +252,8 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_bm25" -> (q70Bm25 _),
-    "q113_hybrid_rrf" -> (q113HybridRrf _))
+    "q113_hybrid_rrf" -> (q113HybridRrf _),
+    "q117_inverted_index" -> (q117InvertedIndex _))
 
   private val valuesSql =
     QuerySet.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
@@ -223,6 +261,23 @@ object Retrieval {
   private val queryIdsSql = QuerySet.map(_._1).distinct.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // the postings fingerprint is replayed occurrence for occurrence:
+    // a dropped posting, a shifted position or a merged document changes
+    // the integer sum
+    "q117_inverted_index" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |occ AS (
+         |  SELECT doc_id, unnest(w) AS token,
+         |         unnest(range(1, len(w) + 1)) AS pos1 FROM tok)
+         |SELECT token,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         |  CAST(COUNT(*) AS BIGINT) AS cf,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(SUM((doc_id + 1) * pos1) AS BIGINT) AS postings_fp
+         |FROM occ GROUP BY token
+         |ORDER BY cf DESC, token LIMIT $IndexTopK""".stripMargin,
     "q70_bm25" ->
       s"""WITH d AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

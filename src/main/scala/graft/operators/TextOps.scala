@@ -53,7 +53,7 @@ object TextOps {
     * from the stage too. Shared by [[tokenStage]] and the incremental
     * maintenance path ([[Corpus.incrementalTokens]]), so "carry or
     * rebuild" can never drift from the full build's definition. */
-  private[operators] def tokenized(docs: DataFrame): DataFrame =
+  private[graft] def tokenized(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
@@ -662,7 +662,89 @@ object TextOps {
       .limit(30)
   }
 
+  /** Merge-table size for the BPE induction step. */
+  val BpeTopK = 20
+
+  /** q118 — BPE MERGE-STEP MINING (Sennrich et al. 2016): the adjacent
+    * symbol-pair counts that drive one byte-pair-encoding induction step,
+    * over every token occurrence in the corpus — the top pair is the
+    * next merge; a tokenizer-training loop applies it and re-runs.
+    *
+    * Scale shape: the pair counting runs at VOCABULARY grain, not
+    * occurrence grain — the stage aggregates to (token, n_occ) first
+    * (token-bucketed, Exchange-free), so the character explode touches
+    * each distinct token once and weights its pairs by `n_occ` (the
+    * standard word-type/frequency BPE formulation: corpus-sized input,
+    * vocab-sized explode). Counts are integer sums — order-free,
+    * oracle-exact; the oracle counts the same pairs per occurrence,
+    * which is identical by distributivity. */
+  def q118BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    bpeMergeCounts(tokenStream(spark, dir))
+  }
+
+  /** The merge-step counts over ANY occurrence frame with a `token`
+    * column. */
+  def bpeMergeCounts(occ: DataFrame, topK: Int = BpeTopK): DataFrame =
+    occ
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+      .filter(length(col("token")) >= 2)
+      .select(col("token"), col("n_occ"),
+        explode(sequence(lit(1), length(col("token")) - 1)).as("i"))
+      .select(expr("substring(token, i, 1)").as("left_sym"),
+        expr("substring(token, i + 1, 1)").as("right_sym"), col("n_occ"))
+      .groupBy("left_sym", "right_sym")
+      .agg(sum(col("n_occ")).as("pair_count"))
+      .orderBy(desc("pair_count"), col("left_sym"), col("right_sym"))
+      .limit(topK)
+
+  /** Reference-vocabulary size for the coverage audit. */
+  val VocabTopV = 10
+
+  /** q119 — tokenizer VOCABULARY-COVERAGE / OOV audit per (source, lang):
+    * the per-cell out-of-vocabulary occurrence rate against a fixed
+    * reference vocabulary (here the corpus' own top-`VocabTopV` tokens by
+    * collection frequency, ties broken by token — the deployed shape
+    * swaps in the tokenizer's real vocab table). The cell with the worst
+    * coverage is the cell the tokenizer serves worst — the audit a
+    * mixture rebalance reads before training.
+    *
+    * Scale shape: the vocabulary is tiny by construction → broadcast
+    * membership join against the shared token stage; OOV flags aggregate
+    * to DOC grain first (the shuffle carries (doc_id, 2 longs), never
+    * the occurrence stream), then a doc-grain metadata join and a
+    * cell-grain roll-up. The rate is an exact int64/int64 double
+    * division. */
+  def q119VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    vocabCoverage(tokenStream(spark, dir),
+      Tables.documents(spark, dir).select("doc_id", "source", "lang"))
+  }
+
+  /** The audit over ANY (doc_id, token) occurrence frame + (doc_id,
+    * source, lang) metadata frame. */
+  def vocabCoverage(occ: DataFrame, meta: DataFrame,
+      topV: Int = VocabTopV): DataFrame = {
+    val vocab = occ.groupBy("token").agg(count(lit(1)).as("cf"))
+      .orderBy(desc("cf"), col("token")).limit(topV)
+      .select(col("token"), lit(1).as("in_vocab"))
+    val perDoc = occ.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_occ"))
+    meta
+      .join(perDoc, Seq("doc_id"))
+      .groupBy("source", "lang")
+      .agg(sum(col("n_occ")).cast("long").as("n_occ"),
+        sum(col("oov_occ")).cast("long").as("oov_occ"))
+      .select(col("source"), col("lang"), col("n_occ"), col("oov_occ"),
+        (col("oov_occ").cast("double") / col("n_occ")).as("oov_rate"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_bpe_merges" -> (q118BpeMerges _),
+    "q119_vocab_coverage" -> (q119VocabCoverage _),
     "q109_cooccurrence" -> (q109Cooccurrence _),
     "q92_pmi_collocations" -> (q92PmiCollocations _),
     "q78_unigram_logprob" -> (q78UnigramLogprob _),
@@ -680,6 +762,34 @@ object TextOps {
     "q54_tfidf"         -> (q54TfIdf _))
 
   val oracles: Map[String, String] = Map(
+    // per-occurrence pair counting — equals the engine's weighted
+    // vocabulary-grain formulation by distributivity
+    "q118_bpe_merges" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |occ AS (SELECT unnest(w) AS token FROM tok),
+         |pairs AS (
+         |  SELECT token[i:i] AS left_sym, token[i+1:i+1] AS right_sym
+         |  FROM occ, UNNEST(range(1, length(token))) AS t(i))
+         |SELECT left_sym, right_sym, CAST(COUNT(*) AS BIGINT) AS pair_count
+         |FROM pairs GROUP BY 1, 2
+         |ORDER BY pair_count DESC, left_sym, right_sym LIMIT $BpeTopK""".stripMargin,
+    "q119_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, lang,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |occ AS (SELECT doc_id, source, lang, unnest(w) AS token FROM tok),
+         |vocab AS (
+         |  SELECT token FROM occ GROUP BY token
+         |  ORDER BY COUNT(*) DESC, token LIMIT $VocabTopV)
+         |SELECT source, lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_occ,
+         |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+         |FROM occ o LEFT JOIN vocab v USING (token)
+         |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "q109_cooccurrence" ->
       s"""WITH d AS (
          |  SELECT doc_id,

@@ -38,7 +38,8 @@ object ScaleBench {
     "q69_prod_sem_dedup", "q80_span_dedup", "q92_pmi_collocations",
     "q99_prefix_join", "q109_cooccurrence", "q33_decode_stats",
     "q110_audio_stats", "q112_video_frames", "q113_hybrid_rrf",
-    "q114_stream_screen", "q44_stream_sessions", "q77_stream_join")
+    "q114_stream_screen", "q44_stream_sessions", "q77_stream_join",
+    "q117_inverted_index", "q118_bpe_merges", "q120_source_overlap")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

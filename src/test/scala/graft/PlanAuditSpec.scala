@@ -201,10 +201,35 @@ class PlanAuditSpec extends SparkSpec {
     // inside TextOps.tokenStage (q73 has the same contract via the k=3
     // shingle stage, gated above)
     Seq("q53_vocab_top", "q54_tfidf", "q78_unigram_logprob",
-        "q92_pmi_collocations", "q109_cooccurrence").foreach { q =>
+        "q92_pmi_collocations", "q109_cooccurrence",
+        "q117_inverted_index", "q118_bpe_merges").foreach { q =>
       val (df, _) = executed(q)
       val n = parquetScans(df.queryExecution.executedPlan)
       assert(n == 0, s"$q runs $n parquet scans (expected 0: token-stage reuse)")
+    }
+  }
+
+  test("coverage and overlap audits read documents once, for metadata only") {
+    // q119 joins (doc_id, source, lang) to stage-derived doc-grain
+    // counts; q120 joins (doc_id, source) to the cached signature stage —
+    // each reads `documents` exactly once, never re-tokenizing or
+    // re-shingling text (those come from the shared stages)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansByPath(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => scansByPath(a.executedPlan)
+      case q: QueryStageExec => scansByPath(q.plan)
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString) ++ s.children.flatMap(scansByPath)
+      case o => o.children.flatMap(scansByPath)
+    }
+    Seq("q119_vocab_coverage", "q120_source_overlap").foreach { q =>
+      val (df, _) = executed(q)
+      val paths = scansByPath(df.queryExecution.executedPlan)
+      assert(paths.count(_.contains("documents")) <= 1,
+        s"$q scans documents more than once: $paths")
+      assert(paths.count(!_.contains("documents")) == 0,
+        s"$q scans beyond documents metadata (expected stage reuse): $paths")
     }
   }
 }

@@ -256,4 +256,21 @@ class TableFunctionsSpec extends SparkSpec {
     assert(fu.columns.toSeq == Seq("n_users", "view_users", "click_users",
       "purchase_users", "view_to_click", "click_to_purchase"))
   }
+
+  test("index/tokenizer/overlap audit TVFs = their Scala query entries") {
+    Tables.registerAll(spark, sf)
+    val ii = spark.sql(s"SELECT * FROM inverted_index(${graft.operators.Retrieval.IndexTopK})")
+    assert(rows(ii) == rows(graft.operators.Retrieval.q117InvertedIndex(spark, sf)))
+    assert(ii.columns.toSeq == Seq("token", "df", "cf", "first_doc", "postings_fp"))
+    val bp = spark.sql(s"SELECT * FROM bpe_merges(${graft.operators.TextOps.BpeTopK})")
+    assert(rows(bp) == rows(graft.operators.TextOps.q118BpeMerges(spark, sf)))
+    assert(bp.columns.toSeq == Seq("left_sym", "right_sym", "pair_count"))
+    val vc = spark.sql(s"SELECT * FROM vocab_coverage(${graft.operators.TextOps.VocabTopV})")
+    assert(rows(vc) == rows(graft.operators.TextOps.q119VocabCoverage(spark, sf)))
+    assert(vc.columns.toSeq == Seq("source", "lang", "n_occ", "oov_occ", "oov_rate"))
+    val so = spark.sql("SELECT * FROM source_overlap()")
+    assert(rows(so) == rows(graft.operators.Dedup.q120SourceOverlap(spark, sf)))
+    assert(so.columns.toSeq ==
+      Seq("src_a", "src_b", "n_a", "n_b", "inter", "union_sh", "jaccard"))
+  }
 }

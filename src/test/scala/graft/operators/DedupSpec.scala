@@ -405,4 +405,21 @@ class DedupSpec extends SparkSpec {
       s"prefix must prune: $prefixPairs vs $allPairs")
     assert(prefixPairs >= got.size, "candidates must cover every result pair")
   }
+
+  test("source overlap matrix: exact Jaccard between per-source shingle sets") {
+    import spark.implicits._
+    // sub-5-token docs collapse to one whole-text shingle each, so the
+    // per-source sets are exactly {"p q","r s"} and {"p q","t u"}
+    val docs = Seq(
+      (0L, "p q"), (1L, "r s"),
+      (2L, "p q"), (3L, "t u")).toDF("doc_id", "text")
+    val meta = Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"))
+      .toDF("doc_id", "source")
+    val out = Dedup.sourceOverlap(Dedup.sigsOf(docs), meta).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ("A", "B", 2L, 2L, 1L, 3L))
+    assert(r.getDouble(6) == 1.0 / 3)
+  }
 }

@@ -73,4 +73,16 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.q113HybridRrf(spark, sf).collect().toSeq == rows.toSeq,
       "rerun is bit-identical")
   }
+
+  test("inverted-index audit: df, cf, first posting and fingerprint on a crafted corpus") {
+    val docs = Seq((0L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    val out = Retrieval.invertedIndexAudit(
+      TextOps.tokenized(docs).filter(col("token").isNotNull)).collect()
+    // a: (doc0,pos0)+(doc0,pos2)+(doc2,pos1) → df 2, cf 3,
+    //    fp = 1·1 + 1·3 + 3·2 = 10
+    // b: (doc0,pos1)+(doc2,pos0) → df 2, cf 2, fp = 1·2 + 3·1 = 5
+    val got = out.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("a", 2L, 3L, 0L, 10L), ("b", 2L, 2L, 0L, 5L)))
+  }
 }

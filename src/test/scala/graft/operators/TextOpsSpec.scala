@@ -270,4 +270,26 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"frequent-singles prune must broadcast\n$plan")
   }
+
+  test("BPE merge counts weight symbol pairs by occurrence frequency") {
+    import spark.implicits._
+    val occ = Seq("ab", "ab", "ab", "abc", "x").toDF("token")
+    val out = TextOps.bpeMergeCounts(occ).collect()
+    // (a,b): 3 from 'ab' + 1 from 'abc' = 4; (b,c): 1; 'x' has no pairs
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("a", "b", 4L), ("b", "c", 1L)))
+  }
+
+  test("vocab coverage flags occurrences outside the top-V reference vocabulary") {
+    import spark.implicits._
+    val occ = Seq((0L, "x"), (0L, "x"), (0L, "y"), (1L, "x"), (1L, "z"))
+      .toDF("doc_id", "token")
+    val meta = Seq((0L, "s1", "en"), (1L, "s2", "en"))
+      .toDF("doc_id", "source", "lang")
+    val out = TextOps.vocabCoverage(occ, meta, topV = 1).collect()
+    // vocab = {x} (cf 3); s1: 3 occ / 1 oov (y); s2: 2 occ / 1 oov (z)
+    val got = out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("s1", "en", 3L, 1L, 1.0 / 3), ("s2", "en", 2L, 1L, 0.5)))
+  }
 }
