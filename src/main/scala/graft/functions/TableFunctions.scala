@@ -76,7 +76,8 @@ object TableFunctions {
     "quantize_error", "novelty", "heavy_hitters", "weighted_sample",
     "cooccurrence", "k_anonymity", "winsorize", "cohort_retention",
     "funnel", "hybrid_rrf", "corpus_datasheet", "inverted_index",
-    "bpe_merges", "vocab_coverage", "source_overlap")
+    "bpe_merges", "vocab_coverage", "source_overlap", "token_budget",
+    "zipf_slope")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -154,6 +155,30 @@ object TableFunctions {
               graft.operators.Dedup.sigsOf(docs), docs.select("doc_id", "source"))
           }
         case _ => throw new IllegalArgumentException("source_overlap expects no arguments")
+      }
+    },
+    "token_budget" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(b) =>
+          plan { spark =>
+            import org.apache.spark.sql.functions.{col, size}
+            val docs = spark.table("documents")
+            graft.operators.Sampling.tokenBudgetFill(
+              docs.select(col("doc_id"), col("source"),
+                size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n_tok")),
+              long(b, "token_budget(budget)"))
+          }
+        case _ => throw new IllegalArgumentException("token_budget expects (budget)")
+      }
+    },
+    "zipf_slope" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(k) =>
+          plan(spark => graft.operators.TextOps.zipfSlope(
+            graft.operators.TextOps.tokenized(spark.table("documents"))
+              .filter(org.apache.spark.sql.functions.col("token").isNotNull),
+            int(k, "zipf_slope(k)")))
+        case _ => throw new IllegalArgumentException("zipf_slope expects (k)")
       }
     },
     "hybrid_rrf" -> { exprs: Seq[Expression] =>

@@ -267,7 +267,47 @@ object Sampling {
     weightedSample(Tables.documents(spark, dir), WeightedSampleK)
   }
 
+  /** Fixture budget for [[q121TokenBudget]] — a deployment passes the
+    * real per-source token budget. */
+  val TokenBudgetPerSource = 150L
+
+  /** q121 — deterministic TOKEN-BUDGET FILL per source: admit documents
+    * in doc_id order until each source's running token total reaches the
+    * budget — the curation step that cuts a fixed-size training mix
+    * ("10 B tokens per source") reproducibly, the token-grain complement
+    * of the row-grain [[q59SourceCap]]. Document token counts come from
+    * the shared token stage (no re-tokenize); admission is a per-source
+    * running sum (window, rows-unbounded-preceding) + a filter, all
+    * integers — oracle-exact.
+    *
+    * Scale shape: the window shuffles once on `source` and the running
+    * sum is inherently sequential WITHIN a source (the admission rule is
+    * a prefix property); sources parallelize against each other, and a
+    * deployment whose single source outweighs an executor shards the
+    * budget across sub-sources first (the q52 salting lever applied to
+    * budget quotas). Everything downstream is doc-grain. */
+  def q121TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val dls = TextOps.tokenStage(spark, dir)
+      .groupBy("doc_id").agg(max(col("dl")).as("n_tok"))
+    tokenBudgetFill(
+      Tables.documents(spark, dir).select("doc_id", "source").join(dls, Seq("doc_id")),
+      TokenBudgetPerSource)
+  }
+
+  /** The fill over ANY (doc_id, source, n_tok) frame. */
+  def tokenBudgetFill(docs: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_token_budget" -> (q121TokenBudget _),
     "q106_weighted_sample" -> (q106WeightedSample _),
     "q58_split_assign"  -> (q58SplitAssign _),
     "q59_source_cap"    -> (q59SourceCap _),
@@ -291,6 +331,18 @@ object Sampling {
     }.mkString("(", " +\n ", ")")
 
   val oracles: Map[String, String] = Map(
+    "q121_token_budget" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM tok)
+         |SELECT doc_id, source, n_tok, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum <= $TokenBudgetPerSource ORDER BY doc_id""".stripMargin,
     "q106_weighted_sample" ->
       s"""WITH s AS (
          |  SELECT doc_id, n_chars,

@@ -742,7 +742,51 @@ object TextOps {
       .orderBy("source", "lang")
   }
 
+  /** Head-of-vocabulary size for the Zipf fit. */
+  val ZipfTopK = 30
+
+  /** q122 — ZIPF-SLOPE corpus-health audit: OLS fit of ln(frequency)
+    * against ln(rank) over the top-[[ZipfTopK]] vocabulary — natural
+    * corpora sit near slope −1 (Zipf's law); a flat slope flags
+    * synthetic/templated text, a steep one a degenerate vocabulary. The
+    * fit is the q93 OLS shape applied to the vocabulary: each ln is
+    * fixed to integer MICROS before any sum (the q70 recipe), the OLS
+    * normal equations run in exact int64 arithmetic, and the slope and
+    * intercept are single int64-derived double divisions, rounded — so
+    * the whole fit is oracle-exact despite the transcendentals.
+    *
+    * Scale shape: one vocabulary-keyed aggregate over the token stage
+    * (Exchange-free on the stage side), a top-K take, then all math on a
+    * K-row frame. */
+  def q122ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    zipfSlope(tokenStream(spark, dir))
+  }
+
+  /** The fit over ANY occurrence frame with a `token` column. */
+  def zipfSlope(occ: DataFrame, topK: Int = ZipfTopK): DataFrame = {
+    val rk = occ
+      .groupBy("token").agg(count(lit(1)).as("cf"))
+      .orderBy(desc("cf"), col("token")).limit(topK)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("cf"), col("token"))))
+    val m = rk.select(
+      round(log(col("rnk")) * 1000000).cast("long").as("x"),
+      round(log(col("cf")) * 1000000).cast("long").as("y"))
+    val s = m.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(
+      col("n").as("n_terms"),
+      round(slope, 6).as("zipf_slope"),
+      round((col("sy").cast("double") - slope * col("sx")) / col("n") / 1000000, 6)
+        .as("intercept_ln"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_zipf_slope" -> (q122ZipfSlope _),
     "q118_bpe_merges" -> (q118BpeMerges _),
     "q119_vocab_coverage" -> (q119VocabCoverage _),
     "q109_cooccurrence" -> (q109Cooccurrence _),
@@ -762,6 +806,30 @@ object TextOps {
     "q54_tfidf"         -> (q54TfIdf _))
 
   val oracles: Map[String, String] = Map(
+    // micro-fixed lns + exact int64 normal equations: the one double
+    // division lands bit-identically on both engines
+    "q122_zipf_slope" ->
+      s"""WITH occ AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents),
+         |v AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS cf FROM occ GROUP BY token
+         |  ORDER BY cf DESC, token LIMIT $ZipfTopK),
+         |rk AS (
+         |  SELECT token, cf, row_number() OVER (ORDER BY cf DESC, token) AS rnk FROM v),
+         |m AS (
+         |  SELECT CAST(round(ln(rnk) * 1000000) AS BIGINT) AS x,
+         |         CAST(round(ln(cf) * 1000000) AS BIGINT) AS y
+         |  FROM rk),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |         SUM(x*y) AS sxy, SUM(x*x) AS sxx
+         |  FROM m)
+         |SELECT n AS n_terms,
+         |  round(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx), 6) AS zipf_slope,
+         |  round((CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx)) * sx)
+         |    / n / 1000000, 6) AS intercept_ln
+         |FROM s""".stripMargin,
     // per-occurrence pair counting — equals the engine's weighted
     // vocabulary-grain formulation by distributivity
     "q118_bpe_merges" ->

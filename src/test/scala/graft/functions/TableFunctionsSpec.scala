@@ -272,5 +272,12 @@ class TableFunctionsSpec extends SparkSpec {
     assert(rows(so) == rows(graft.operators.Dedup.q120SourceOverlap(spark, sf)))
     assert(so.columns.toSeq ==
       Seq("src_a", "src_b", "n_a", "n_b", "inter", "union_sh", "jaccard"))
+    val tb = spark.sql(
+      s"SELECT * FROM token_budget(${graft.operators.Sampling.TokenBudgetPerSource})")
+    assert(rows(tb) == rows(graft.operators.Sampling.q121TokenBudget(spark, sf)))
+    assert(tb.columns.toSeq == Seq("doc_id", "source", "n_tok", "cum_tokens"))
+    val zs = spark.sql(s"SELECT * FROM zipf_slope(${graft.operators.TextOps.ZipfTopK})")
+    assert(rows(zs) == rows(graft.operators.TextOps.q122ZipfSlope(spark, sf)))
+    assert(zs.columns.toSeq == Seq("n_terms", "zipf_slope", "intercept_ln"))
   }
 }

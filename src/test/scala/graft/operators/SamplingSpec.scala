@@ -189,4 +189,15 @@ class SamplingSpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("TakeOrderedAndProject"), s"q106 must plan top-k\n$plan")
   }
+
+  test("token-budget fill admits the doc_id-order prefix per source, exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "A", 50L), (1L, "A", 60L), (2L, "A", 70L), (3L, "B", 100L))
+      .toDF("doc_id", "source", "n_tok")
+    val out = Sampling.tokenBudgetFill(docs, budget = 120L).collect()
+    // A: 50, 110 admitted, 180 over; B: 100 admitted
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq ==
+      Seq((0L, "A", 50L), (1L, "A", 110L), (3L, "B", 100L)))
+  }
 }

@@ -280,6 +280,19 @@ class TextOpsSpec extends SparkSpec {
       Seq(("a", "b", 4L), ("b", "c", 1L)))
   }
 
+  test("zipf slope recovers -1 on an exactly-Zipfian vocabulary") {
+    import spark.implicits._
+    // cf = 12/rank exactly (12, 6, 4, 3) → ln(cf) = ln 12 − ln(rank):
+    // a perfect fit with slope −1 and intercept ln 12
+    val occ = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(3)("d")).toDF("token")
+    val r = TextOps.zipfSlope(occ, topK = 4).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-4, s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log(12)) < 1e-4,
+      s"intercept ${r.getDouble(2)}")
+  }
+
   test("vocab coverage flags occurrences outside the top-V reference vocabulary") {
     import spark.implicits._
     val occ = Seq((0L, "x"), (0L, "x"), (0L, "y"), (1L, "x"), (1L, "z"))
