@@ -108,7 +108,7 @@ object Bench {
       retried = true
       sw = sweep()
     }
-    // state-store twin rows (round-5 verdict item 6, widened to ALL eight
+    // state-store twin rows (round-5 verdict item 6, widened to ALL
     // streaming drains in round 7): each re-timed on the RocksDB
     // provider, emitted as "<name>_rocksdb" alongside the
     // default-provider rows so the backend delta is a recorded fact, not
@@ -117,7 +117,7 @@ object Bench {
     val streamingNames = Seq("q34_stream_windows", "q44_stream_sessions",
       "q48_stream_dedup", "q56_stream_dedup_bounded", "q77_stream_join",
       "q79_stream_enrich", "q98_stream_funnel", "q108_stream_jsonl_ingest",
-      "q114_stream_lsh_screen")
+      "q114_stream_lsh_screen", "q124_stream_token_budget")
     spark.conf.set("spark.graft.streaming.stateStoreProvider", "rocksdb")
     val rocksRows =
       try streamingNames.filter(SparkEntry.queries.contains).map { name =>

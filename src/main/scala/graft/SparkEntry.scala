@@ -44,7 +44,8 @@ object SparkEntry {
       streaming.EventStream.queries ++
       streaming.FunnelStream.queries ++
       streaming.IngestStream.queries ++
-      streaming.DedupStream.queries
+      streaming.DedupStream.queries ++
+      streaming.BudgetStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +72,6 @@ object SparkEntry {
       streaming.EventStream.oracles ++
       streaming.FunnelStream.oracles ++
       streaming.IngestStream.oracles ++
-      streaming.DedupStream.oracles
+      streaming.DedupStream.oracles ++
+      streaming.BudgetStream.oracles
 }

@@ -77,7 +77,7 @@ object TableFunctions {
     "cooccurrence", "k_anonymity", "winsorize", "cohort_retention",
     "funnel", "hybrid_rrf", "corpus_datasheet", "inverted_index",
     "bpe_merges", "vocab_coverage", "source_overlap", "token_budget",
-    "zipf_slope")
+    "zipf_slope", "split_leakage")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -155,6 +155,19 @@ object TableFunctions {
               graft.operators.Dedup.sigsOf(docs), docs.select("doc_id", "source"))
           }
         case _ => throw new IllegalArgumentException("source_overlap expects no arguments")
+      }
+    },
+    "split_leakage" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan { spark =>
+            val docs = spark.table("documents")
+            graft.operators.Dedup.splitLeakage(
+              graft.operators.Dedup.prefixJaccardPairs(
+                graft.operators.Dedup.sigsOf(docs), 0.6),
+              graft.operators.Sampling.splitAssign(docs))
+          }
+        case _ => throw new IllegalArgumentException("split_leakage expects no arguments")
       }
     },
     "token_budget" -> { exprs: Seq[Expression] =>

@@ -177,6 +177,33 @@ object Dedup {
     prefixJaccardPairs(shingleSigs(spark, dir), 0.6)
   }
 
+  /** q123 — cross-split LEAKAGE audit: near-duplicate pairs that
+    * straddle the train/val/test boundary. Exact duplicates can never
+    * leak here (the q58 split is a pure function of content, so
+    * identical text lands in one split by construction); what this
+    * catches is the dangerous residue — NEAR-duplicates of training
+    * documents sitting in val/test, which inflate held-out metrics. The
+    * pair set is the q99 prefix-filter join (exact, provably complete,
+    * never all-pairs); the split attach is two equi-joins where the
+    * pair side is near-dup-pair-sized — sparse by definition, so AQE
+    * broadcasts it and the doc-grain split frame never shuffles. */
+  def q123SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    splitLeakage(
+      prefixJaccardPairs(shingleSigs(spark, dir), 0.6),
+      Sampling.q58SplitAssign(spark, dir))
+  }
+
+  /** The audit over ANY (d1, d2, jaccard) pair frame and (doc_id, split)
+    * assignment. */
+  private[graft] def splitLeakage(pairs: DataFrame, splits: DataFrame): DataFrame =
+    pairs
+      .join(splits.select(col("doc_id").as("d1"), col("split").as("split_1")), Seq("d1"))
+      .join(splits.select(col("doc_id").as("d2"), col("split").as("split_2")), Seq("d2"))
+      .filter(col("split_1") =!= col("split_2"))
+      .select("d1", "d2", "jaccard", "split_1", "split_2")
+      .orderBy("d1", "d2")
+
   /** MinHash parameters: 24 permutations = 8 bands × 3 rows. For true
     * Jaccard j, P(candidate) = 1 − (1−j³)⁸ — at j=0.9 that is
     * 1 − 3.4e-5; at j=0.3 only 2%. The planted near-dups sit at j≥0.97
@@ -714,6 +741,7 @@ object Dedup {
     "q25_dedup_counts"  -> (q25DedupCounts _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
     "q99_prefix_join"   -> (q99PrefixJoin _),
+    "q123_split_leakage" -> (q123SplitLeakage _),
     "q27_minhash_lsh"   -> (q27MinhashLsh _),
     "q28_simhash"       -> (q28Simhash _),
     "q38_dedup_apply"   -> (q38DedupApply _),
@@ -793,6 +821,20 @@ object Dedup {
     "q26_ngram_jaccard" -> jaccardOracle,
     // prefix filtering must not change the exact answer
     "q99_prefix_join"   -> jaccardOracle,
+    // the q26 pair CTEs + the q58 split oracle as a subquery — the
+    // oracle composes the same two pieces the engine does
+    "q123_split_leakage" ->
+      s"""$jaccardCtes,
+         |j AS (
+         |  SELECT d1, d2,
+         |    round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) AS jaccard
+         |  FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) >= 0.6),
+         |sp AS (${Sampling.oracles("q58_split_assign")})
+         |SELECT j.d1, j.d2, j.jaccard, s1.split AS split_1, s2.split AS split_2
+         |FROM j JOIN sp s1 ON j.d1 = s1.doc_id JOIN sp s2 ON j.d2 = s2.doc_id
+         |WHERE s1.split <> s2.split
+         |ORDER BY d1, d2""".stripMargin,
     "q27_minhash_lsh"   -> jaccardOracle,
     // q80: the span fingerprint is md5 on both engines, so the election
     // and the reassembled text agree verbatim; list_slice bounds are

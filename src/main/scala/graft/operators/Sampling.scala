@@ -34,14 +34,18 @@ object Sampling {
     * md5 bucket. A document's split is a pure function of its content. */
   def q58SplitAssign(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    Tables.documents(spark, dir)
+    splitAssign(Tables.documents(spark, dir))
+  }
+
+  /** The assignment over ANY (doc_id, text) frame — map-only. */
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), hashBucket(col("text")).as("b"))
       .select(col("doc_id"),
         when(col("b") < TrainPct, "train")
           .when(col("b") < TrainPct + ValPct, "val")
           .otherwise("test").as("split"))
       .orderBy("doc_id")
-  }
 
   /** Per-source document cap for domain balancing. */
   val SourceCap = 50

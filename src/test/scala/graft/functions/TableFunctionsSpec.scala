@@ -279,5 +279,8 @@ class TableFunctionsSpec extends SparkSpec {
     val zs = spark.sql(s"SELECT * FROM zipf_slope(${graft.operators.TextOps.ZipfTopK})")
     assert(rows(zs) == rows(graft.operators.TextOps.q122ZipfSlope(spark, sf)))
     assert(zs.columns.toSeq == Seq("n_terms", "zipf_slope", "intercept_ln"))
+    val sl = spark.sql("SELECT * FROM split_leakage()")
+    assert(rows(sl) == rows(graft.operators.Dedup.q123SplitLeakage(spark, sf)))
+    assert(sl.columns.toSeq == Seq("d1", "d2", "jaccard", "split_1", "split_2"))
   }
 }

@@ -422,4 +422,27 @@ class DedupSpec extends SparkSpec {
       r.getLong(4), r.getLong(5)) == ("A", "B", 2L, 2L, 1L, 3L))
     assert(r.getDouble(6) == 1.0 / 3)
   }
+
+  test("split leakage keeps only pairs whose splits differ, order-normalized input") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, 0.97), // train-val → leaks
+      (3L, 4L, 0.85), // train-train → clean
+      (5L, 6L, 0.99)) // val-test → leaks
+      .toDF("d1", "d2", "jaccard")
+    val splits = Seq(
+      (1L, "train"), (2L, "val"), (3L, "train"), (4L, "train"),
+      (5L, "val"), (6L, "test")).toDF("doc_id", "split")
+    val out = Dedup.splitLeakage(pairs, splits).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4)))
+      .toSeq == Seq((1L, 2L, "train", "val"), (5L, 6L, "val", "test")))
+  }
+
+  test("split leakage on the corpus: exact dups never leak (content-hash splits)") {
+    val sf = "/root/testdata/sf0.001"
+    val leaks = Dedup.q123SplitLeakage(spark, sf).collect()
+    // identical text → identical md5 bucket → same split, by construction
+    assert(leaks.forall(_.getDouble(2) < 1.0),
+      "a jaccard-1.0 pair crossed splits — content-hash invariant broken")
+  }
 }
