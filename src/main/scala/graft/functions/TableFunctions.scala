@@ -77,7 +77,7 @@ object TableFunctions {
     "cooccurrence", "k_anonymity", "winsorize", "cohort_retention",
     "funnel", "hybrid_rrf", "corpus_datasheet", "inverted_index",
     "bpe_merges", "vocab_coverage", "source_overlap", "token_budget",
-    "zipf_slope", "split_leakage")
+    "zipf_slope", "split_leakage", "mix_manifest")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -155,6 +155,21 @@ object TableFunctions {
               graft.operators.Dedup.sigsOf(docs), docs.select("doc_id", "source"))
           }
         case _ => throw new IllegalArgumentException("source_overlap expects no arguments")
+      }
+    },
+    "mix_manifest" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(b) =>
+          plan { spark =>
+            import org.apache.spark.sql.functions.{col, size}
+            val docs = spark.table("documents")
+            graft.operators.Sampling.mixManifest(
+              docs.select(col("doc_id"), col("source"),
+                size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n_tok")),
+              graft.operators.Sampling.MixAlpha,
+              long(b, "mix_manifest(budget)"))
+          }
+        case _ => throw new IllegalArgumentException("mix_manifest expects (budget)")
       }
     },
     "split_leakage" -> { exprs: Seq[Expression] =>

@@ -310,8 +310,51 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Fixture total token budget for [[q125MixManifest]]. */
+  val MixBudget = 2000L
+
+  /** q125 — TRAINING-MIX MANIFEST: the source-grain data recipe a run
+    * publishes before training — each source's available token mass, its
+    * temperature-scaled share of the total budget (α = [[MixAlpha]],
+    * over TOKEN mass where q64 temperature-scales document counts), and
+    * the implied epoch factor (share × budget / available: > 1 means the
+    * source repeats, < 1 means it is subsampled — the Chinchilla-style
+    * repetition decision made explicit). Shares and epochs are emitted
+    * as integer MICROS — one rounding of an irrational pow-derived
+    * double on bit-identical inputs, so the manifest hash-matches.
+    *
+    * Scale shape: one source-keyed aggregate over the token stage; the
+    * α/normalization math runs on the sources-sized frame (a few-row
+    * single-partition window, same as q64's rates frame). */
+  def q125MixManifest(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val dls = TextOps.tokenStage(spark, dir)
+      .groupBy("doc_id").agg(max(col("dl")).as("n_tok"))
+    mixManifest(
+      Tables.documents(spark, dir).select("doc_id", "source").join(dls, Seq("doc_id")),
+      MixAlpha, MixBudget)
+  }
+
+  /** The manifest over ANY (doc_id, source, n_tok) frame. */
+  def mixManifest(docTokens: DataFrame, alpha: Double, budget: Long): DataFrame = {
+    val tot = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docTokens
+      .groupBy("source").agg(sum(col("n_tok")).as("avail_tokens"))
+      .select(col("source"), col("avail_tokens"),
+        pow(col("avail_tokens").cast("double"), lit(alpha)).as("w"))
+      .select(col("source"), col("avail_tokens"),
+        round(col("w") * 1000000 / sum(col("w")).over(tot))
+          .cast("long").as("share_micros"),
+        round(lit(budget) * col("w") * 1000000 /
+            (sum(col("w")).over(tot) * col("avail_tokens")))
+          .cast("long").as("epochs_micros"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_token_budget" -> (q121TokenBudget _),
+    "q125_mix_manifest" -> (q125MixManifest _),
     "q106_weighted_sample" -> (q106WeightedSample _),
     "q58_split_assign"  -> (q58SplitAssign _),
     "q59_source_cap"    -> (q59SourceCap _),
@@ -335,6 +378,20 @@ object Sampling {
     }.mkString("(", " +\n ", ")")
 
   val oracles: Map[String, String] = Map(
+    // one rounding of a pow-derived double per column, emitted as
+    // integer micros — same multiplication order as the plan
+    "q125_mix_manifest" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |s AS (SELECT source, SUM(n_tok) AS avail FROM tok GROUP BY source),
+         |w AS (SELECT source, avail, pow(CAST(avail AS DOUBLE), $MixAlpha) AS w FROM s),
+         |t AS (SELECT SUM(w) AS wt FROM w)
+         |SELECT source, avail AS avail_tokens,
+         |  CAST(round(w * 1000000 / wt) AS BIGINT) AS share_micros,
+         |  CAST(round($MixBudget * w * 1000000 / (wt * avail)) AS BIGINT) AS epochs_micros
+         |FROM w, t ORDER BY source""".stripMargin,
     "q121_token_budget" ->
       s"""WITH tok AS (
          |  SELECT doc_id, source,

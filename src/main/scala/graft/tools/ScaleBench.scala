@@ -39,7 +39,8 @@ object ScaleBench {
     "q99_prefix_join", "q109_cooccurrence", "q33_decode_stats",
     "q110_audio_stats", "q112_video_frames", "q113_hybrid_rrf",
     "q114_stream_screen", "q44_stream_sessions", "q77_stream_join",
-    "q117_inverted_index", "q118_bpe_merges", "q120_source_overlap")
+    "q117_inverted_index", "q118_bpe_merges", "q120_source_overlap",
+    "q124_stream_token_budget")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

@@ -282,5 +282,9 @@ class TableFunctionsSpec extends SparkSpec {
     val sl = spark.sql("SELECT * FROM split_leakage()")
     assert(rows(sl) == rows(graft.operators.Dedup.q123SplitLeakage(spark, sf)))
     assert(sl.columns.toSeq == Seq("d1", "d2", "jaccard", "split_1", "split_2"))
+    val mm = spark.sql(s"SELECT * FROM mix_manifest(${graft.operators.Sampling.MixBudget})")
+    assert(rows(mm) == rows(graft.operators.Sampling.q125MixManifest(spark, sf)))
+    assert(mm.columns.toSeq ==
+      Seq("source", "avail_tokens", "share_micros", "epochs_micros"))
   }
 }

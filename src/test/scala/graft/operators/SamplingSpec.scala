@@ -190,6 +190,22 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"q106 must plan top-k\n$plan")
   }
 
+  test("mix manifest: temperature shares and epoch factors in integer micros") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "A", 300L), (1L, "A", 100L), (2L, "B", 100L))
+      .toDF("doc_id", "source", "n_tok")
+    val out = Sampling.mixManifest(docs, alpha = 0.7, budget = 100L).collect()
+    val (wa, wb) = (math.pow(400, 0.7), math.pow(100, 0.7))
+    val wt = wa + wb
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq(
+        ("A", 400L, math.round(wa * 1000000 / wt), math.round(100 * wa * 1000000 / (wt * 400))),
+        ("B", 100L, math.round(wb * 1000000 / wt), math.round(100 * wb * 1000000 / (wt * 100)))))
+    // α < 1 flattens: the 4x-bigger source gets a sub-proportional share
+    assert(out(0).getLong(2) < 800000L && out(0).getLong(2) > 500000L)
+  }
+
   test("token-budget fill admits the doc_id-order prefix per source, exactly") {
     import spark.implicits._
     val docs = Seq(
