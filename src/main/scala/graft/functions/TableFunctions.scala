@@ -77,7 +77,7 @@ object TableFunctions {
     "cooccurrence", "k_anonymity", "winsorize", "cohort_retention",
     "funnel", "hybrid_rrf", "corpus_datasheet", "inverted_index",
     "bpe_merges", "vocab_coverage", "source_overlap", "token_budget",
-    "zipf_slope", "split_leakage", "mix_manifest")
+    "zipf_slope", "split_leakage", "mix_manifest", "dup_clusters")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -155,6 +155,19 @@ object TableFunctions {
               graft.operators.Dedup.sigsOf(docs), docs.select("doc_id", "source"))
           }
         case _ => throw new IllegalArgumentException("source_overlap expects no arguments")
+      }
+    },
+    "dup_clusters" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(thr) =>
+          plan { spark =>
+            val pairs = graft.operators.Dedup.jaccardPairs(
+              graft.operators.Dedup.sigsOf(spark.table("documents")),
+              dbl(thr, "dup_clusters(threshold)")).select("d1", "d2")
+            graft.operators.Dedup.clusterHistogram(
+              graft.operators.Dedup.minLabelComponents(spark, pairs))
+          }
+        case _ => throw new IllegalArgumentException("dup_clusters expects (threshold)")
       }
     },
     "mix_manifest" -> { exprs: Seq[Expression] =>

@@ -518,6 +518,29 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q126 — DUPLICATE-CLUSTER SIZE HISTOGRAM: the corpus-health view of
+    * the duplicate-group structure — how many groups of size 2, 3, … the
+    * near-dup closure produces, and how many documents they absorb. A
+    * heavy tail here (few giant clusters) is the signature of template
+    * spam / mirror farms and decides whether cluster-capped dedup is
+    * needed; the histogram is what a curation report publishes. Groups
+    * come from the SAME [[minLabelComponents]] closure as q38/q69 (one
+    * definition of "duplicate group" engine-wide); both aggregates after
+    * it are group-grain then size-grain — tiny. */
+  def q126ClusterHistogram(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    clusterHistogram(minLabelComponents(spark, verifiedPairs(spark, dir).select("d1", "d2")))
+  }
+
+  /** The histogram over ANY (doc_id, keeper) label frame. */
+  private[graft] def clusterHistogram(labels: DataFrame): DataFrame =
+    labels
+      .groupBy("keeper").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (col("cluster_size") * count(lit(1))).as("n_docs"))
+      .orderBy("cluster_size")
+
   /** Connected components with min-id labels over a (d1, d2) pair frame —
     * the duplicate-GROUP primitive shared by q38 (dedup apply) and q69
     * (SemDeDup keeper election), so every graft operator agrees on what
@@ -742,6 +765,7 @@ object Dedup {
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
     "q99_prefix_join"   -> (q99PrefixJoin _),
     "q123_split_leakage" -> (q123SplitLeakage _),
+    "q126_cluster_histogram" -> (q126ClusterHistogram _),
     "q27_minhash_lsh"   -> (q27MinhashLsh _),
     "q28_simhash"       -> (q28Simhash _),
     "q38_dedup_apply"   -> (q38DedupApply _),
@@ -875,28 +899,43 @@ object Dedup {
     // connected components over the same exact-Jaccard pair graph,
     // as a recursive CTE (reachability → min reachable id per node)
     "q38_dedup_apply" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
-         |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ')))) AS s
-         |  FROM toks),
-         |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |p AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT d1, d2 FROM p
-         |  JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
-         |  WHERE round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) >= 0.6),
-         |edges AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT s, s FROM edges
-         |  UNION
-         |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id)
+      s"""$reachCtes
          |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS keeper,
          |  id = min(r) AS is_keeper
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // duplicate groups = the same transitive closure; histogram at
+    // group-size grain
+    "q126_cluster_histogram" ->
+      s"""$reachCtes,
+         |lab AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+         |cs AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY keeper)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)
+
+  /** The q38 reachability CTEs (exact near-dup pairs → symmetric edges →
+    * transitive closure), shared by the dedup-apply and cluster-histogram
+    * oracles. */
+  private lazy val reachCtes =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+      |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ')))) AS s
+      |  FROM toks),
+      |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM p
+      |  JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+      |  WHERE round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) >= 0.6),
+      |edges AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id)""".stripMargin
 }

@@ -286,5 +286,8 @@ class TableFunctionsSpec extends SparkSpec {
     assert(rows(mm) == rows(graft.operators.Sampling.q125MixManifest(spark, sf)))
     assert(mm.columns.toSeq ==
       Seq("source", "avail_tokens", "share_micros", "epochs_micros"))
+    val dc = spark.sql("SELECT * FROM dup_clusters(0.6)")
+    assert(rows(dc) == rows(graft.operators.Dedup.q126ClusterHistogram(spark, sf)))
+    assert(dc.columns.toSeq == Seq("cluster_size", "n_clusters", "n_docs"))
   }
 }

@@ -423,6 +423,17 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(6) == 1.0 / 3)
   }
 
+  test("cluster histogram buckets duplicate groups by size") {
+    import spark.implicits._
+    // groups: {1,2,3} keeper 1, {5,6} keeper 5, {8,9} keeper 8
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (8L, 8L), (9L, 8L))
+      .toDF("doc_id", "keeper")
+    val out = Dedup.clusterHistogram(labels).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 2L, 4L), (3L, 1L, 3L)))
+  }
+
   test("split leakage keeps only pairs whose splits differ, order-normalized input") {
     import spark.implicits._
     val pairs = Seq(
