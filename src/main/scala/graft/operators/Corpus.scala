@@ -383,7 +383,102 @@ object Corpus {
       .orderBy("source", "lang")
   }
 
+  /** [[q127AttritionReport]] stage order: each stage filters the
+    * previous stage's survivors. */
+  private[graft] val AttritionStages: Seq[(Int, String)] = Seq(
+    0 -> "raw", 1 -> "lang_en", 2 -> "quality",
+    3 -> "exact_dedup", 4 -> "near_dedup")
+
+  /** Language admitted by the fixture recipe's stage 1. */
+  private[graft] val AttritionLang = "en"
+
+  /** Minimum q23 quality score admitted by stage 2. */
+  private[graft] val AttritionMinQuality = 0.4
+
+  /** q127 — CURATION ATTRITION REPORT: the per-stage funnel a training
+    * run publishes for its cleaning recipe — raw → language filter →
+    * quality floor (the q23 score) → exact dedup (first doc_id per
+    * content fingerprint among survivors) → near-dedup (the q26/q38
+    * duplicate-group closure restricted to survivors, keeper = group
+    * min). One row per stage with surviving doc and token mass — the
+    * "where did my corpus go" accounting that decides which stage to
+    * re-tune. Semantics deliberately reuse the engine-wide definitions:
+    * quality = q23's score, exact keeper = q24's fingerprint grouping,
+    * near-dup groups = the SAME [[Dedup.minLabelComponents]] closure as
+    * q38/q69/q126 — so the funnel cannot disagree with the standalone
+    * operators it summarizes.
+    *
+    * Scale shape: stage flags are map-only over one `documents` scan;
+    * token mass rides the shared token stage; exact dedup is ONE shuffle
+    * on the content fingerprint; the near-dup pair set comes from the
+    * cached SignatureStage LSH pipeline (corpus pass already paid),
+    * restricted to survivors by two pair-sized joins; the CC step is
+    * pair-graph-sized; the report is one conditional aggregate to a
+    * single row, unpivoted to stage grain. No corpus-sized collect, no
+    * all-pairs anything. */
+  def q127AttritionReport(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val dls = TextOps.tokenStage(spark, dir)
+      .groupBy("doc_id").agg(max(col("dl")).as("n_tok"))
+    attritionReport(spark, Tables.documents(spark, dir), dls,
+      Dedup.verifiedPairs(spark, dir).select("d1", "d2"))
+  }
+
+  /** The funnel over ANY documents frame, per-doc token lengths and
+    * near-dup pair set (callers choose the pair detector; q127 uses the
+    * exact-verified LSH pairs). */
+  private[graft] def attritionReport(spark: SparkSession, docs: DataFrame,
+      tokenLens: DataFrame, nearDupPairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(col("text"))
+    val scored = docs
+      .select(col("doc_id"), col("lang"), md5(trim(col("text"))).as("fp"),
+        size(toks).cast("double").as("nt"),
+        size(array_distinct(toks)).cast("double").as("nd"))
+      .withColumn("q", round(least(col("nt") / 100.0, lit(1.0)) * 0.5 +
+        (col("nd") / col("nt")) * 0.5, 4))
+      .withColumn("s1", col("lang") === lit(AttritionLang))
+      .withColumn("s2", col("s1") && col("q") >= AttritionMinQuality)
+    // exact-dedup keepers among stage-2 survivors: filter FIRST so the
+    // fingerprint window ranks only surviving rows
+    val s3 = scored.filter(col("s2"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), lit(true).as("s3"))
+    // near-dup groups among stage-3 survivors only: restrict the pair
+    // set to survivor×survivor, then the shared min-label closure
+    val survPairs = nearDupPairs
+      .join(s3.select(col("doc_id").as("d1")), Seq("d1"))
+      .join(s3.select(col("doc_id").as("d2")), Seq("d2"))
+    val droppedNear = Dedup.minLabelComponents(spark, survPairs.select("d1", "d2"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), lit(true).as("nd_drop"))
+    val perDoc = scored
+      .join(s3, Seq("doc_id"), "left")
+      .join(droppedNear, Seq("doc_id"), "left")
+      .join(tokenLens, Seq("doc_id"))
+      .select(col("n_tok"),
+        when(not(col("s1")), 0)
+          .when(not(col("s2")), 1)
+          .when(col("s3").isNull, 2)
+          .when(col("nd_drop").isNotNull, 3)
+          .otherwise(4).as("reached"))
+    val aggs = AttritionStages.flatMap { case (i, _) => Seq(
+      coalesce(sum(when(col("reached") >= i, 1L).otherwise(0L)), lit(0L))
+        .as(s"d$i"),
+      coalesce(sum(when(col("reached") >= i, col("n_tok")).otherwise(0L)),
+        lit(0L)).as(s"t$i")) }
+    val stackArgs = AttritionStages
+      .map { case (i, nm) => s"$i, '$nm', d$i, t$i" }.mkString(", ")
+    perDoc.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${AttritionStages.size}, $stackArgs) " +
+        "AS (stage_idx, stage, docs_out, tokens_out)"))
+      .orderBy("stage_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_attrition" -> (q127AttritionReport _),
     "q115_corpus_datasheet" -> (q115CorpusDatasheet _),
     "q116_incremental_tokens" -> (q116IncrementalTokens _),
     "q100_incremental_sigs" -> (q100IncrementalSigs _),
@@ -394,6 +489,66 @@ object Corpus {
     "q86_scd2_merge" -> (q86Scd2Merge _))
 
   val oracles: Map[String, String] = Map(
+    // the full funnel replayed: q23 quality arithmetic, fingerprint
+    // keeper election among quality survivors, q26 shingle-Jaccard
+    // pairs restricted to survivors, recursive-CTE closure (the q38
+    // oracle's shape), then the 5-stage rollup
+    "q127_attrition" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, lang, text,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, w,
+         |    (lang = '$AttritionLang') AS s1,
+         |    (lang = '$AttritionLang' AND
+         |     round(least(len(w) / 100.0, 1.0) * 0.5 +
+         |           len(list_distinct(w)) * 1.0 / len(w) * 0.5, 4)
+         |       >= $AttritionMinQuality) AS s2,
+         |    md5(trim(text)) AS fp
+         |  FROM d),
+         |x AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) = doc_id AS first_fp
+         |  FROM f WHERE s2),
+         |s3 AS (SELECT doc_id FROM x WHERE first_fp),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(w) - 4, 1) + 1),
+         |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER),
+         |      CAST(i AS INTEGER) + 4), ' ')))) AS s
+         |  FROM f JOIN s3 USING (doc_id)),
+         |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM p
+         |  JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) >= 0.6),
+         |edges AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id),
+         |lab AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+         |perdoc AS (
+         |  SELECT f.n_tok,
+         |    CASE WHEN NOT f.s1 THEN 0 WHEN NOT f.s2 THEN 1
+         |         WHEN s3.doc_id IS NULL THEN 2
+         |         WHEN lab.keeper IS NOT NULL AND lab.keeper <> f.doc_id THEN 3
+         |         ELSE 4 END AS reached
+         |  FROM f LEFT JOIN s3 ON f.doc_id = s3.doc_id
+         |         LEFT JOIN lab ON f.doc_id = lab.id),
+         |st(stage_idx, stage) AS (VALUES
+         |  (0, 'raw'), (1, 'lang_en'), (2, 'quality'),
+         |  (3, 'exact_dedup'), (4, 'near_dedup'))
+         |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+         |  CAST(coalesce(count(*) FILTER (reached >= stage_idx), 0) AS BIGINT)
+         |    AS docs_out,
+         |  CAST(coalesce(sum(n_tok) FILTER (reached >= stage_idx), 0) AS BIGINT)
+         |    AS tokens_out
+         |FROM st LEFT JOIN perdoc ON TRUE GROUP BY 1, 2 ORDER BY stage_idx""".stripMargin,
     "q115_corpus_datasheet" ->
       """WITH d AS (
         |  SELECT source, lang, n_chars,

@@ -352,7 +352,64 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Shard fan-out for [[q128ShardManifest]] — a deployment sizes this
+    * to its target file count (corpus bytes / desired shard bytes). */
+  val ExportShards = 8L
+
+  /** q128 — TRAINING-SHARD EXPORT MANIFEST: the per-shard accounting a
+    * run publishes when it materializes a training mix — deterministic
+    * content-hash shard assignment (a doc's shard survives corpus
+    * rewrites, same rationale as q58's splits), then per-shard doc /
+    * token / byte mass and an ORDER-FREE content checksum (sum of a
+    * 24-bit content-hash chunk per doc — commutative, so the checksum is
+    * independent of write order and partitioning; a flipped, dropped or
+    * duplicated doc changes it). Downstream consumers verify a delivered
+    * shard against this row before training. The shard draw uses hex
+    * positions 15-18 of the content md5 — disjoint from the split (1-4),
+    * packing (5-8) and mixing (9-14) draws, so shard and split stay
+    * uncorrelated.
+    *
+    * Scale shape: map-only assignment + ONE shard-keyed aggregate;
+    * output is shard-count-sized. The companion [[exportShards]] does
+    * the actual partitioned write. */
+  def q128ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val dls = TextOps.tokenStage(spark, dir)
+      .groupBy("doc_id").agg(max(col("dl")).as("n_tok"))
+    shardManifest(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("n_chars"))
+        .join(dls, Seq("doc_id")), ExportShards)
+  }
+
+  /** The manifest over ANY (doc_id, text, n_chars, n_tok) frame. */
+  private[graft] def shardManifest(docs: DataFrame, nShards: Long): DataFrame =
+    docs
+      .withColumn("shard", hexBucket(col("text"), 15) % nShards)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"),
+        sum(conv(substring(md5(trim(col("text"))), 19, 6), 16, 10)
+          .cast("long")).as("content_fp"))
+      .orderBy("shard")
+
+  /** Materialize the sharded export: one directory per shard
+    * (`shard=K/`), then the manifest RECOMPUTED from the files actually
+    * written — so a consumer holding only the export can re-derive and
+    * verify the manifest (the spec proves written == planned). */
+  def exportShards(spark: SparkSession, docs: DataFrame, nShards: Long,
+      outDir: String): DataFrame = {
+    docs
+      .withColumn("shard", hexBucket(col("text"), 15) % nShards)
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    shardManifest(
+      spark.read.parquet(outDir).select("doc_id", "text", "n_chars", "n_tok"),
+      nShards)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_shard_manifest" -> (q128ShardManifest _),
     "q121_token_budget" -> (q121TokenBudget _),
     "q125_mix_manifest" -> (q125MixManifest _),
     "q106_weighted_sample" -> (q106WeightedSample _),
@@ -378,6 +435,22 @@ object Sampling {
     }.mkString("(", " +\n ", ")")
 
   val oracles: Map[String, String] = Map(
+    // shard draw + checksum replayed nibble-for-nibble
+    "q128_shard_manifest" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars, md5(trim(text)) AS ch,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n_chars, n_tok,
+         |    CAST(${hex4Sql("ch", 15)} % $ExportShards AS BIGINT) AS shard,
+         |    CAST(${hex6Sql("ch", 19)} AS BIGINT) AS fp
+         |  FROM t)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+         |  CAST(sum(fp) AS BIGINT) AS content_fp
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     // one rounding of a pow-derived double per column, emitted as
     // integer micros — same multiplication order as the plan
     "q125_mix_manifest" ->

@@ -40,8 +40,11 @@ object SnapshotFixture {
     new HPath(root, "graft_snapshots")
   }
 
+  // full digest key: a 31-bit hashCode could collide across
+  // corpora/versions and silently reuse another corpus's snapshots
+  // (same contract as JsonlIngest.ensure and BucketedLayout)
   private def mask(dir: String, version: String): String =
-    ((dir + "#" + version).hashCode & 0x7FFFFFFF).toString
+    TableVersion.md5Hex(dir + "#" + version)
 
   /** The derived snapshot frames, in dependency on the live corpus. */
   private def derivations(docs: DataFrame): Seq[(String, DataFrame)] = {
@@ -73,6 +76,17 @@ object SnapshotFixture {
     val target = new HPath(root, mask(dir, version))
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new HPath(target, "_graft_source")
+    if (fs.exists(marker)) {
+      // verify provenance BEFORE reuse, not only before eviction (the
+      // JsonlIngest.ensure contract): a foreign marker under our key
+      // means a collision or tampering — reusing the other corpus's
+      // snapshots would be silent corruption
+      val in = fs.open(marker)
+      val owner = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      if (owner != dir)
+        throw new IllegalStateException(
+          s"snapshot fixture at $target belongs to corpus '$owner', not '$dir'")
+    }
     if (!fs.exists(marker)) {
       val docs = Tables.documents(spark, dir)
       derivations(docs).foreach { case (name, df) =>

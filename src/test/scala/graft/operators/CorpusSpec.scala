@@ -248,4 +248,47 @@ class CorpusSpec extends SparkSpec {
       .join(v2.select("doc_id"), "doc_id")) // v1 tokens restricted to v2 docs
     assert(changedWrong != direct, "fixture sanity: v1 tokens differ from v2's")
   }
+
+  test("q127 attrition funnel: monotone survivors, raw row = corpus totals") {
+    val rows = Corpus.q127AttritionReport(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).toSeq ==
+      Seq("raw", "lang_en", "quality", "exact_dedup", "near_dedup"))
+    val docs = graft.core.Tables.documents(spark, sf)
+    assert(rows(0)._3 == docs.count(), "raw stage counts every document")
+    // each stage filters the previous stage's survivors
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"stage ${b._2} grew vs ${a._2}")
+    }
+    // lang stage = exact en count
+    assert(rows(1)._3 ==
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count())
+  }
+
+  test("attrition: exact-dup copies drop at stage 3; pairs of non-survivors drop nobody") {
+    import spark.implicits._
+    // all-distinct tokens → quality = 0.1 + 0.5 = 0.6 ≥ the 0.4 floor
+    val text = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val other = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", text),          // keeper of the exact group {1, 2}
+      (2L, "en", text),          // exact copy → dropped at exact_dedup
+      (3L, "en", other),         // near-dup keeper of {3, 4}
+      (4L, "en", other + " x"),  // near-dup of 3 → dropped at near_dedup
+      (5L, "de", text)           // non-en → dropped at lang stage
+    ).toDF("doc_id", "lang", "text")
+    val lens = docs.select($"doc_id",
+      org.apache.spark.sql.functions.size(TextOps.tokens($"text"))
+        .cast("long").as("n_tok"))
+    // pair (2,5): both already gone before near-dedup — must not affect
+    // anyone; pair (3,4): both survive to stage 3, 4 drops
+    val pairs = Seq((3L, 4L), (2L, 5L)).toDF("d1", "d2")
+    val got = Corpus.attritionReport(spark, docs, lens, pairs).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got("raw") == 5)
+    assert(got("lang_en") == 4)       // doc 5 out
+    assert(got("quality") == 4)       // all long/diverse enough
+    assert(got("exact_dedup") == 3)   // doc 2 out (doc 1 kept: min id)
+    assert(got("near_dedup") == 2)    // doc 4 out; pair (2,5) inert
+  }
 }

@@ -216,4 +216,35 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq ==
       Seq((0L, "A", 50L), (1L, "A", 110L), (3L, "B", 100L)))
   }
+
+  test("shard manifest: conserves corpus mass, shards in range, deterministic") {
+    import org.apache.spark.sql.functions._
+    val rows = Sampling.q128ShardManifest(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < Sampling.ExportShards))
+    val docs = graft.core.Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == docs.count(),
+      "every doc lands in exactly one shard")
+    assert(rows.map(_.getLong(3)).sum ==
+      docs.agg(sum("n_chars")).head().getLong(0), "byte mass conserved")
+    // content-keyed: a re-run (fresh plan) lands on the identical manifest
+    val again = Sampling.q128ShardManifest(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("exportShards: the manifest re-derived from written files equals the plan") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      (i, (1 to 12).map(j => s"tok${i}_$j").mkString(" "), 60L + i, 12L)
+    }.toDF("doc_id", "text", "n_chars", "n_tok")
+    val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val written = Sampling.exportShards(spark, docs, nShards = 4L, out).collect()
+    val planned = Sampling.shardManifest(docs, nShards = 4L).collect()
+    assert(written.map(_.toString).toSeq == planned.map(_.toString).toSeq,
+      "a consumer holding only the export re-derives the published manifest")
+    // the write really fanned out by shard directory
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(shardDirs.nonEmpty && shardDirs.subsetOf(
+      (0 until 4).map(i => s"shard=$i").toSet))
+  }
 }
