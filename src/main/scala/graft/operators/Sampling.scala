@@ -408,7 +408,96 @@ object Sampling {
       nShards)
   }
 
+  /** Hashed-feature space size for [[q129DsirSelect]]. Fixed and small
+    * by design — the whole point of hashed n-gram features (Xie et al.
+    * 2023 §2.2) is a model whose size is independent of vocabulary, so
+    * the class models broadcast at any corpus scale. */
+  val DsirBuckets = 64L
+
+  /** The target-domain sources the importance weights steer toward. */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1", "src2")
+
+  /** Selection size for the published top-k. */
+  val DsirTopK = 30
+
+  /** q129 — DSIR data selection (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169): score every
+    * raw-pool document by how target-domain-like it looks under two
+    * bag-of-hashed-ngrams unigram models, and keep the top-k. Features
+    * are unigrams + adjacent bigrams hashed into [[DsirBuckets]]
+    * buckets; each class model is add-1-smoothed bucket frequencies
+    * p_c(b) = (n_c(b)+1)/(N_c+B); a document's importance weight is
+    * Σ_b c(b)·(log₂ p_t(b) − log₂ p_r(b)) — positive means "looks like
+    * the target domain". The paper resamples with Gumbel noise; the
+    * deterministic engine variant ranks by the weight itself (ties by
+    * doc_id) — a caller wanting the stochastic draw composes this score
+    * with the q106 Efraimidis-Spirakis machinery.
+    *
+    * Parity contract (the q78 pattern): each log₂ is rounded to integer
+    * micro-bits BEFORE the subtraction and the weighted sum, so both
+    * engines sum exact integers and float addition order cannot flip a
+    * rank. Bucket assignment is md5-nibble arithmetic, replayed exactly
+    * by the oracle.
+    *
+    * Scale shape: features ride the shared token stage (bigrams =
+    * lead(token) over (doc, pos) — the q92 adjacency move, no
+    * re-tokenize); per-doc bucket counts are the only corpus-sized
+    * shuffle; both class models and their totals are B-sized (B fixed at
+    * 64) and attach as broadcasts; the result is a bounded top-k
+    * (TakeOrderedAndProject, never a global sort). */
+  def q129DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val st = TextOps.tokenStream(spark, dir)
+    val bigrams = st.withColumn("nxt",
+      lead(col("token"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("token"), col("nxt")).as("feat"))
+    val feats = st.select(col("doc_id"), col("token").as("feat"))
+      .unionAll(bigrams)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("feat")), 1, 4), 16, 10).cast("long")
+          % DsirBuckets).as("bucket"))
+    dsirSelect(feats,
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      DsirTargetSources, DsirBuckets, DsirTopK)
+  }
+
+  /** The selection over ANY (doc_id, bucket) feature-occurrence frame +
+    * (doc_id, source) domain labels. */
+  private[graft] def dsirSelect(feats: DataFrame, docSource: DataFrame,
+      targets: Seq[String], nBuckets: Long, topK: Int): DataFrame = {
+    val isTarget = col("source").isInCollection(targets)
+    val perDoc = feats.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      .join(docSource.select(col("doc_id"), isTarget.as("tgt"), col("source")),
+        Seq("doc_id"))
+    // class models: one B-sized aggregate over the per-doc counts (B is
+    // fixed, so this frame broadcasts at any corpus scale)
+    val model = perDoc.groupBy("bucket").agg(
+      coalesce(sum(when(col("tgt"), col("c"))), lit(0L)).as("ct"),
+      coalesce(sum(when(not(col("tgt")), col("c"))), lit(0L)).as("cr"))
+    val totals = model.groupBy().agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    // per-bucket log-ratio in integer micro-bits: each log2 rounded
+    // SEPARATELY (the q78 contract) so both engines subtract exact ints
+    val scored = model.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (round(log2((col("ct") + 1).cast("double") /
+            (col("nt") + lit(nBuckets))) * 1000000).cast("long") -
+          round(log2((col("cr") + 1).cast("double") /
+            (col("nr") + lit(nBuckets))) * 1000000).cast("long"))
+          .as("delta_micro"))
+    perDoc.filter(not(col("tgt")))
+      .join(broadcast(scored), Seq("bucket"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("delta_micro")).as("dsir_micro"))
+      .orderBy(desc("dsir_micro"), col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("source"), col("n_feats"), col("dsir_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_dsir_select" -> (q129DsirSelect _),
     "q128_shard_manifest" -> (q128ShardManifest _),
     "q121_token_budget" -> (q121TokenBudget _),
     "q125_mix_manifest" -> (q125MixManifest _),
@@ -435,6 +524,49 @@ object Sampling {
     }.mkString("(", " +\n ", ")")
 
   val oracles: Map[String, String] = Map(
+    // hashed features, add-1 class models and per-bucket micro-bit
+    // log-ratios replayed exactly; the only doubles are the two log2
+    // calls, each rounded to micros at the same point as the plan
+    "q129_dsir_select" -> {
+      val tgtList = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, unnest(w) AS feat FROM d
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i + 1])) AS feat FROM d),
+         |b AS (
+         |  SELECT doc_id, md5(feat) AS h FROM f),
+         |pd AS (
+         |  SELECT doc_id, CAST(${hex4Sql("h", 1)} % $DsirBuckets AS BIGINT) AS bucket,
+         |    count(*) AS c
+         |  FROM b GROUP BY 1, 2),
+         |pds AS (
+         |  SELECT pd.doc_id, pd.bucket, pd.c, ds.source,
+         |    ds.source IN ($tgtList) AS tgt
+         |  FROM pd JOIN (SELECT doc_id, source FROM documents) ds USING (doc_id)),
+         |m AS (
+         |  SELECT bucket,
+         |    coalesce(sum(c) FILTER (tgt), 0) AS ct,
+         |    coalesce(sum(c) FILTER (NOT tgt), 0) AS cr
+         |  FROM pds GROUP BY bucket),
+         |t AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM m),
+         |s AS (
+         |  SELECT bucket,
+         |    CAST(round(log2((ct + 1) * 1.0 / (nt + $DsirBuckets)) * 1000000) AS BIGINT)
+         |  - CAST(round(log2((cr + 1) * 1.0 / (nr + $DsirBuckets)) * 1000000) AS BIGINT)
+         |      AS delta_micro
+         |  FROM m, t)
+         |SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_feats,
+         |  CAST(sum(c * delta_micro) AS BIGINT) AS dsir_micro
+         |FROM pds JOIN s USING (bucket)
+         |WHERE NOT tgt
+         |GROUP BY doc_id, source
+         |ORDER BY dsir_micro DESC, doc_id LIMIT $DsirTopK""".stripMargin
+    },
     // shard draw + checksum replayed nibble-for-nibble
     "q128_shard_manifest" ->
       s"""WITH t AS (

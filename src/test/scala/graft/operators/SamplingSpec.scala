@@ -231,6 +231,42 @@ class SamplingSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("DSIR: target-like raw docs outrank target-unlike; target docs never selected") {
+    import spark.implicits._
+    // bucket space crafted directly (the generic entry takes feature
+    // occurrences): target domain lives in buckets {1,2}; raw doc 10
+    // shares them, raw doc 11 uses disjoint {3,4}, raw doc 12 mixes
+    val feats = Seq(
+      (1L, 1L), (1L, 1L), (1L, 2L),   // target doc 1
+      (2L, 1L), (2L, 2L), (2L, 2L),   // target doc 2
+      (10L, 1L), (10L, 2L), (10L, 1L), // raw, target-like
+      (11L, 3L), (11L, 4L), (11L, 3L), // raw, target-unlike
+      (12L, 1L), (12L, 3L)             // raw, mixed
+    ).toDF("doc_id", "bucket")
+    val srcs = Seq((1L, "tgt"), (2L, "tgt"), (10L, "raw"), (11L, "raw"),
+      (12L, "raw")).toDF("doc_id", "source")
+    val out = Sampling.dsirSelect(feats, srcs, Seq("tgt"), nBuckets = 8L,
+      topK = 10).collect()
+    val byDoc = out.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byDoc.keySet == Set(10L, 11L, 12L), "only raw-pool docs selectable")
+    assert(byDoc(10L) > byDoc(12L) && byDoc(12L) > byDoc(11L),
+      "ranking follows target-likeness")
+    assert(byDoc(10L) > 0 && byDoc(11L) < 0,
+      "target-like weight positive, target-unlike negative")
+    // ranked output: descending weight
+    val weights = out.map(_.getLong(3)).toSeq
+    assert(weights == weights.sorted.reverse)
+  }
+
+  test("q129 on the fixture corpus: 30 rows, no target-source docs, deterministic") {
+    val rows = Sampling.q129DsirSelect(spark, sf).collect()
+    assert(rows.length == Sampling.DsirTopK)
+    assert(rows.forall(r => !Sampling.DsirTargetSources.contains(r.getString(1))),
+      "selection draws from the raw pool only")
+    val again = Sampling.q129DsirSelect(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("exportShards: the manifest re-derived from written files equals the plan") {
     import spark.implicits._
     val docs = (0L until 40L).map { i =>
