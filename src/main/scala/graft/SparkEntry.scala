@@ -38,6 +38,7 @@ object SparkEntry {
       operators.Analytics.queries ++
       operators.BloomPrune.queries ++
       operators.Quantize.queries ++
+      operators.KMeans.queries ++
       operators.HeavyHitters.queries ++
       layout.BucketedLayout.queries ++
       sources.JsonlIngest.queries ++
@@ -66,6 +67,7 @@ object SparkEntry {
       operators.Analytics.oracles ++
       operators.BloomPrune.oracles ++
       operators.Quantize.oracles ++
+      operators.KMeans.oracles ++
       operators.HeavyHitters.oracles ++
       layout.BucketedLayout.oracles ++
       sources.JsonlIngest.oracles ++

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sessions, Tables}
+
+/** Distributed Lloyd k-means over the FULL embedding corpus — the scale
+  * path past [[IvfIndex]]'s capped-sample training: when the sample cap
+  * biases the coarse quantizer (skewed cluster mass, rare modes missing
+  * from the sample), refinement must iterate over every vector, which
+  * means each Lloyd round has to be a distributed aggregate, not a
+  * driver loop over points.
+  *
+  * Everything is INTEGER-EXACT so the oracle replays the whole
+  * trajectory hash-for-hash: embeddings quantize to micro units
+  * (round(x·1e6), the q88 contract) on entry; distances are int64 sums
+  * of squared micro diffs (≤ 64·(2·10⁶)² ≈ 2.6e14, no overflow);
+  * assignment tie-breaks to the lowest cluster id; centroid update is
+  * floor(sum/count) per dimension (exact: both sides divide exactly
+  * representable int64s in binary64); per-row inertia contributions are
+  * rounded to micro true-units BEFORE the sum so the corpus-sized sum
+  * stays in range at any scale. Float addition order can influence
+  * nothing — there are no float additions.
+  *
+  * Scale shape per round: one map-only assignment pass (centroids are a
+  * k×dim broadcast literal — k and dim fixed), one (cluster, dim)-grain
+  * aggregate for the update (k·dim rows shuffle, corpus-sized input
+  * map-side combined), one (cluster)-grain aggregate for the report.
+  * The only collects are the k×dim centroid frames between rounds —
+  * bounded by construction, the exact shape a parameter server would
+  * hold. The quantized input is cached once and reused by all rounds.
+  *
+  * Cites: Lloyd 1982 (the algorithm); the reference has no clustering
+  * operator — this is part of the similarity-search scale family
+  * (SURVEY §2.9) alongside [[IvfIndex]].
+  */
+object KMeans {
+
+  /** Cluster count — [[IvfIndex]]-small so the per-round broadcast is a
+    * few KB; a deployment sizes this to its quantizer. */
+  val K = 8
+
+  /** Fixed refinement rounds (each is one distributed pass; the
+    * trajectory report makes convergence visible per round). */
+  val Iters = 3
+
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("em"))
+
+  /** Squared L2 distance between the quantized vector column and a
+    * centroid literal — int64-exact. */
+  private def dist2(em: Column, c: Array[Long]): Column =
+    aggregate(
+      zip_with(em, array(c.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Assignment columns: cluster = argmin distance (ties → lowest id),
+    * d = the winning distance. array_min over (d, j) structs compares
+    * field-by-field, which is exactly that tie-break. */
+  private def assigned(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val pairs = cents.map { case (j, c) =>
+      struct(dist2(col("em"), c).as("d"), lit(j).as("j"))
+    }
+    df.withColumn("m", array_min(array(pairs: _*)))
+      .select(col("vec_id"), col("em"),
+        col("m.j").as("cluster"), col("m.d").as("d"))
+  }
+
+  /** q130 — DISTRIBUTED K-MEANS REFINEMENT TRAJECTORY: [[Iters]] Lloyd
+    * rounds over the full corpus from a deterministic seed (the [[K]]
+    * lowest-vec_id vectors), reporting per (round, cluster): member
+    * count and inertia (Σ micro-rounded squared distance to the
+    * centroid the round assigned against). The report is what a
+    * quantizer-training job publishes to decide whether the sample-
+    * trained index needs full-data refinement. */
+  def q130KmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    refine(quantized(spark, dir), K, Iters)
+  }
+
+  /** The refinement over ANY (vec_id, em: array<long>) quantized frame —
+    * the generic entry the spec drives with crafted blobs. */
+  private[graft] def refine(input: DataFrame, k: Int, iters: Int): DataFrame = {
+    val q = input.persist()
+    try {
+      // seed: the k lowest vec_ids, cluster id = rank in that order —
+      // a bounded k-row collect, deterministic and oracle-replayable
+      var cents: Seq[(Int, Array[Long])] = q.orderBy("vec_id").limit(k)
+        .collect().zipWithIndex
+        .map { case (r, j) => (j, r.getSeq[Long](1).toArray) }
+      val reports = (1 to iters).map { it =>
+        val a = assigned(q, cents)
+        val rep = a.groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            sum(round(col("d") / 1e6).cast("long")).as("inertia_micro"))
+          .select(lit(it).as("iter"), col("cluster").cast("long").as("cluster"),
+            col("n_members"), col("inertia_micro"))
+        // update: (cluster, dim)-grain sums, then floor(s/n) — the k×dim
+        // collect between rounds is the parameter-server state
+        val upd = a
+          .select(col("cluster"), posexplode(col("em")).as(Seq("i", "v")))
+          .groupBy("cluster", "i")
+          .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("c"))
+          .collect()
+        cents = upd.groupBy(_.getInt(0)).toSeq.map { case (j, rows) =>
+          val dims = rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+          (j, dims.map(_._2).toArray)
+        }.sortBy(_._1)
+        rep
+      }
+      reports.reduce(_ unionAll _).orderBy("iter", "cluster")
+        // materialize before unpersist: the caller gets a plain local
+        // result-backed plan, not one that recomputes the freed cache
+        .localCheckpoint(true)
+    } finally { q.unpersist(); () }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_kmeans_refine" -> (q130KmeansRefine _))
+
+  /** The full trajectory unrolled round-by-round in SQL — generated by
+    * the same [[Iters]]/[[K]] constants the plan uses, so the two
+    * engines can never disagree about hyperparameters. */
+  val oracles: Map[String, String] = Map("q130_kmeans_refine" -> oracleSql)
+
+  private def oracleSql: String = {
+    val dim = 64
+    def assign(prev: String, n: Int) =
+      s"""d$n AS (
+         |  SELECT e.vec_id, e.em, c.j,
+         |    list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> (e.em[i] - c.c[i]) * (e.em[i] - c.c[i]))) AS d
+         |  FROM e, $prev c),
+         |a$n AS (
+         |  SELECT vec_id, em, j AS cluster, d
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+         |        FROM d$n) WHERE rk = 1),
+         |r$n AS (
+         |  SELECT $n AS iter, cluster, count(*) AS n_members,
+         |    sum(CAST(round(d / 1000000.0) AS BIGINT)) AS inertia_micro
+         |  FROM a$n GROUP BY cluster),
+         |u$n AS (
+         |  SELECT cluster, i, sum(v) AS s, count(*) AS n
+         |  FROM (SELECT cluster, unnest(em) AS v,
+         |          unnest(range(1, ${dim + 1})) AS i FROM a$n)
+         |  GROUP BY 1, 2),
+         |c$n AS (
+         |  SELECT cluster AS j, list(CAST(floor(s * 1.0 / n) AS BIGINT) ORDER BY i) AS c
+         |  FROM u$n GROUP BY 1)""".stripMargin
+    val rounds = (1 to Iters).map(n => assign(if (n == 1) "c0" else s"c${n - 1}", n))
+    val unions = (1 to Iters).map(n => s"SELECT * FROM r$n").mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS em
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, em AS c
+       |  FROM e ORDER BY vec_id LIMIT $K),
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(iter AS INTEGER) AS iter, CAST(cluster AS BIGINT) AS cluster,
+       |  n_members, inertia_micro
+       |FROM ($unions) ORDER BY iter, cluster""".stripMargin
+  }
+}
