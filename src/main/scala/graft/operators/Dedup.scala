@@ -532,6 +532,51 @@ object Dedup {
     clusterHistogram(minLabelComponents(spark, verifiedPairs(spark, dir).select("d1", "d2")))
   }
 
+  /** q131 — QUALITY-AWARE KEEPER ELECTION: duplicate groups from the
+    * same [[minLabelComponents]] closure as q38/q69/q126, but each group
+    * keeps its HIGHEST-QUALITY member (the q23 score, ties → lowest
+    * doc_id) instead of the lowest id — the production election rule
+    * when dedup should discard the short/repetitive near-copies, not
+    * whichever mirror happened to be crawled first. Output keeps both
+    * labels (group id AND elected keeper) so downstream audits can see
+    * where the two rules disagree.
+    *
+    * Parity: the quality score lands as ONE rounding to integer
+    * ten-thousandths (round(score·1e4)) on both engines before the
+    * election sort, so a float ulp can never flip an election. Scale
+    * shape: labels and election are pair-graph-sized; quality computes
+    * only for pair-graph nodes after the join prunes the corpus scan to
+    * the two needed columns; the election is one window over groups. */
+  def q131QualityKeeper(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    import org.apache.spark.sql.expressions.Window
+    val labels = minLabelComponents(spark, verifiedPairs(spark, dir).select("d1", "d2"))
+      .select(col("doc_id"), col("keeper").as("grp"))
+    val toks = TextOps.tokens(col("text"))
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round((least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.5 +
+          size(array_distinct(toks)).cast("double") / size(toks) * 0.5) * 10000)
+          .cast("long").as("q_micro"))
+    electKeepers(labels, quality)
+  }
+
+  /** The election over ANY (doc_id, grp) label frame + (doc_id, q_micro)
+    * scores: rank 1 of the (q_micro DESC, doc_id) window keeps. */
+  private[graft] def electKeepers(labels: DataFrame, quality: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = labels.join(quality, Seq("doc_id"))
+    val elect = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("grp").orderBy(desc("q_micro"), col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("grp"), col("doc_id").as("keeper"))
+    scored.join(elect, Seq("grp"))
+      .select(col("doc_id"), col("grp"), col("keeper"),
+        (col("doc_id") === col("keeper")).as("is_keeper"), col("q_micro"))
+      .orderBy("doc_id")
+  }
+
   /** The histogram over ANY (doc_id, keeper) label frame. */
   private[graft] def clusterHistogram(labels: DataFrame): DataFrame =
     labels
@@ -766,6 +811,7 @@ object Dedup {
     "q99_prefix_join"   -> (q99PrefixJoin _),
     "q123_split_leakage" -> (q123SplitLeakage _),
     "q126_cluster_histogram" -> (q126ClusterHistogram _),
+    "q131_quality_keeper" -> (q131QualityKeeper _),
     "q27_minhash_lsh"   -> (q27MinhashLsh _),
     "q28_simhash"       -> (q28Simhash _),
     "q38_dedup_apply"   -> (q38DedupApply _),
@@ -903,6 +949,27 @@ object Dedup {
          |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS keeper,
          |  id = min(r) AS is_keeper
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // same closure; election replayed with the single-rounded quality
+    // score and the (q_micro DESC, doc_id) window
+    "q131_quality_keeper" ->
+      s"""$reachCtes,
+         |lab AS (SELECT id, min(r) AS grp FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(round((least(len(w) / 100.0, 1.0) * 0.5 +
+         |      len(list_distinct(w)) * 1.0 / len(w) * 0.5) * 10000) AS BIGINT)
+         |      AS q_micro
+         |  FROM toks WHERE len(w) > 0),
+         |j AS (SELECT lab.id AS doc_id, lab.grp, q.q_micro
+         |      FROM lab JOIN q ON lab.id = q.doc_id),
+         |e AS (
+         |  SELECT grp, doc_id AS keeper FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY grp ORDER BY q_micro DESC, doc_id) AS rk
+         |    FROM j) WHERE rk = 1)
+         |SELECT j.doc_id, CAST(j.grp AS BIGINT) AS grp,
+         |  CAST(e.keeper AS BIGINT) AS keeper,
+         |  j.doc_id = e.keeper AS is_keeper, j.q_micro
+         |FROM j JOIN e USING (grp) ORDER BY j.doc_id""".stripMargin,
     // duplicate groups = the same transitive closure; histogram at
     // group-size grain
     "q126_cluster_histogram" ->

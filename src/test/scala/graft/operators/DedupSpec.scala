@@ -456,4 +456,37 @@ class DedupSpec extends SparkSpec {
     assert(leaks.forall(_.getDouble(2) < 1.0),
       "a jaccard-1.0 pair crossed splits — content-hash invariant broken")
   }
+
+  test("quality keeper election: best-quality member wins, ties fall to lowest id") {
+    import spark.implicits._
+    // group A = {1,2,3} with doc 3 the best; group B = {7,8} tied → 7
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "grp")
+    val quality = Seq((1L, 4000L), (2L, 5500L), (3L, 9000L),
+      (7L, 6000L), (8L, 6000L)).toDF("doc_id", "q_micro")
+    val out = Dedup.electKeepers(labels, quality).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (3L, false) && out(2L) == (3L, false) && out(3L) == (3L, true),
+      "group A keeps its highest-quality member, not min-id")
+    assert(out(7L) == (7L, true) && out(8L) == (7L, false),
+      "quality tie breaks to the lowest doc_id")
+  }
+
+  test("q131 on the corpus: group-consistent, one keeper per group, same groups as q38") {
+    val rows = Dedup.q131QualityKeeper(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byGrp = rows.groupBy(_._2)
+    byGrp.foreach { case (g, members) =>
+      assert(members.map(_._3).distinct.length == 1, s"group $g split its keeper")
+      assert(members.count(_._4) == 1, s"group $g keeper count != 1")
+      assert(members.exists(m => m._1 == m._3), s"group $g keeper outside group")
+    }
+    // identical group structure to the min-id election (only the keeper
+    // RULE differs)
+    val q38 = Dedup.q38DedupApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, grp, _, _) =>
+      assert(q38(id) == grp, s"doc $id group drifted between q38 and q131")
+    }
+  }
 }
