@@ -46,7 +46,8 @@ object SparkEntry {
       streaming.FunnelStream.queries ++
       streaming.IngestStream.queries ++
       streaming.DedupStream.queries ++
-      streaming.BudgetStream.queries
+      streaming.BudgetStream.queries ++
+      streaming.DsirStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -75,5 +76,6 @@ object SparkEntry {
       streaming.FunnelStream.oracles ++
       streaming.IngestStream.oracles ++
       streaming.DedupStream.oracles ++
-      streaming.BudgetStream.oracles
+      streaming.BudgetStream.oracles ++
+      streaming.DsirStream.oracles
 }

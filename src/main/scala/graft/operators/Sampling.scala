@@ -447,20 +447,36 @@ object Sampling {
     * (TakeOrderedAndProject, never a global sort). */
   def q129DsirSelect(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
+    dsirSelect(dsirFeatures(spark, dir),
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      DsirTargetSources, DsirBuckets, DsirTopK)
+  }
+
+  /** Hashed feature occurrences (doc_id, bucket) for the corpus at
+    * `dir` — unigrams + adjacent bigrams off the shared token stage. */
+  private[graft] def dsirFeatures(spark: SparkSession, dir: String): DataFrame = {
     val st = TextOps.tokenStream(spark, dir)
     val bigrams = st.withColumn("nxt",
       lead(col("token"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
       .filter(col("nxt").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("token"), col("nxt")).as("feat"))
-    val feats = st.select(col("doc_id"), col("token").as("feat"))
+    st.select(col("doc_id"), col("token").as("feat"))
       .unionAll(bigrams)
-      .select(col("doc_id"),
-        (conv(substring(md5(col("feat")), 1, 4), 16, 10).cast("long")
-          % DsirBuckets).as("bucket"))
-    dsirSelect(feats,
-      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
-      DsirTargetSources, DsirBuckets, DsirTopK)
+      .select(col("doc_id"), dsirBucket(col("feat")).as("bucket"))
   }
+
+  /** Bucket assignment shared by the batch selection and the streaming
+    * scorer — md5 nibbles, engine-portable. */
+  private[graft] def dsirBucket(feat: Column): Column =
+    conv(substring(md5(feat), 1, 4), 16, 10).cast("long") % DsirBuckets
+
+  /** The trained model: per-bucket micro-bit log-ratio
+    * (bucket, delta_micro) — B-sized by construction, so collecting it
+    * to ship into a streaming scorer is bounded at any corpus scale. */
+  private[graft] def dsirModel(spark: SparkSession, dir: String): DataFrame =
+    dsirModelOf(dsirFeatures(spark, dir),
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      DsirTargetSources, DsirBuckets)
 
   /** The selection over ANY (doc_id, bucket) feature-occurrence frame +
     * (doc_id, source) domain labels. */
@@ -470,30 +486,43 @@ object Sampling {
     val perDoc = feats.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
       .join(docSource.select(col("doc_id"), isTarget.as("tgt"), col("source")),
         Seq("doc_id"))
-    // class models: one B-sized aggregate over the per-doc counts (B is
-    // fixed, so this frame broadcasts at any corpus scale)
-    val model = perDoc.groupBy("bucket").agg(
-      coalesce(sum(when(col("tgt"), col("c"))), lit(0L)).as("ct"),
-      coalesce(sum(when(not(col("tgt")), col("c"))), lit(0L)).as("cr"))
-    val totals = model.groupBy().agg(
-      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-    // per-bucket log-ratio in integer micro-bits: each log2 rounded
-    // SEPARATELY (the q78 contract) so both engines subtract exact ints
-    val scored = model.crossJoin(broadcast(totals))
-      .select(col("bucket"),
-        (round(log2((col("ct") + 1).cast("double") /
-            (col("nt") + lit(nBuckets))) * 1000000).cast("long") -
-          round(log2((col("cr") + 1).cast("double") /
-            (col("nr") + lit(nBuckets))) * 1000000).cast("long"))
-          .as("delta_micro"))
     perDoc.filter(not(col("tgt")))
-      .join(broadcast(scored), Seq("bucket"))
+      .join(broadcast(dsirDeltas(perDoc, nBuckets)), Seq("bucket"))
       .groupBy("doc_id", "source")
       .agg(sum(col("c")).as("n_feats"),
         sum(col("c") * col("delta_micro")).as("dsir_micro"))
       .orderBy(desc("dsir_micro"), col("doc_id"))
       .limit(topK)
       .select(col("doc_id"), col("source"), col("n_feats"), col("dsir_micro"))
+  }
+
+  /** [[dsirModel]] over ANY feature/label frames. */
+  private[graft] def dsirModelOf(feats: DataFrame, docSource: DataFrame,
+      targets: Seq[String], nBuckets: Long): DataFrame = {
+    val isTarget = col("source").isInCollection(targets)
+    val perDoc = feats.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      .join(docSource.select(col("doc_id"), isTarget.as("tgt")), Seq("doc_id"))
+    dsirDeltas(perDoc, nBuckets)
+  }
+
+  /** Per-bucket micro-bit log-ratios from a (doc_id, bucket, c, tgt)
+    * frame. Class models are one B-sized aggregate over the per-doc
+    * counts (B is fixed, so this frame broadcasts at any corpus scale);
+    * each log2 is rounded SEPARATELY to integer micro-bits (the q78
+    * contract) so both engines subtract exact ints. */
+  private def dsirDeltas(perDoc: DataFrame, nBuckets: Long): DataFrame = {
+    val model = perDoc.groupBy("bucket").agg(
+      coalesce(sum(when(col("tgt"), col("c"))), lit(0L)).as("ct"),
+      coalesce(sum(when(not(col("tgt")), col("c"))), lit(0L)).as("cr"))
+    val totals = model.groupBy().agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    model.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (round(log2((col("ct") + 1).cast("double") /
+            (col("nt") + lit(nBuckets))) * 1000000).cast("long") -
+          round(log2((col("cr") + 1).cast("double") /
+            (col("nr") + lit(nBuckets))) * 1000000).cast("long"))
+          .as("delta_micro"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -510,7 +539,7 @@ object Sampling {
 
   /** DuckDB nibble arithmetic reproducing `conv(substr(hx, pos, 4), 16,
     * 10)` — md5 hex is lowercase in both engines. */
-  private def hex4Sql(hx: String, pos: Int): String =
+  private[graft] def hex4Sql(hx: String, pos: Int): String =
     s"""((strpos('0123456789abcdef', substr($hx, $pos, 1)) - 1) * 4096 +
        | (strpos('0123456789abcdef', substr($hx, ${pos + 1}, 1)) - 1) * 256 +
        | (strpos('0123456789abcdef', substr($hx, ${pos + 2}, 1)) - 1) * 16 +
