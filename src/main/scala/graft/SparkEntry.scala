@@ -39,6 +39,7 @@ object SparkEntry {
       operators.BloomPrune.queries ++
       operators.Quantize.queries ++
       operators.KMeans.queries ++
+      operators.Pca.queries ++
       operators.HeavyHitters.queries ++
       layout.BucketedLayout.queries ++
       sources.JsonlIngest.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       operators.BloomPrune.oracles ++
       operators.Quantize.oracles ++
       operators.KMeans.oracles ++
+      operators.Pca.oracles ++
       operators.HeavyHitters.oracles ++
       layout.BucketedLayout.oracles ++
       sources.JsonlIngest.oracles ++

@@ -45,7 +45,9 @@ object KMeans {
     * trajectory report makes convergence visible per round). */
   val Iters = 3
 
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  /** Micro-quantized embeddings (vec_id, em: array<long>) — the
+    * integer-exact entry shared with [[Pca]]. */
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"),
