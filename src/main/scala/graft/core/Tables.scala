@@ -28,15 +28,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as
-    * raw longs and truncate to microsecond TimestampType — integer `div`,
-    * so exactly the truncation DuckDB applies when casting TIMESTAMP_NS
-    * down to TIMESTAMP. */
+  /** `events.parquet`'s `ts` physical type is whatever the driver's
+    * generator emitted for the round — TIMESTAMP(NANOS) through round 7
+    * (which Spark's vectorized reader rejects outright,
+    * PARQUET_TYPE_ILLEGAL — read as raw longs and truncate: integer
+    * `div`, exactly DuckDB's TIMESTAMP_NS→TIMESTAMP cast), plain
+    * TIMESTAMP(MICROS)/NTZ from round 8. Detect from the actual file
+    * schema and normalize to micro-precision TimestampType either way,
+    * so every consumer is layout-agnostic. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -27,11 +27,46 @@ object BucketedLayout {
 
   val FactKey = "o_orderkey"
 
+  /** Re-register `db.table` over bucket files a PRIOR run already wrote
+    * (pure DDL — bucket metadata lives in the session catalog, not the
+    * parquet files, same trick as `SignatureStage.registerBucketed`).
+    * The db name is content-addressed — md5(dir#content-version) — so
+    * existing files under it are exactly the current corpus's layout;
+    * returns false (caller rewrites) when the files are absent. Without
+    * this, every fresh session (each bench run) paid the full layout
+    * write again — the write is meant to be ONE-TIME per corpus version,
+    * which is the layout's entire argument. */
+  private def reRegister(spark: SparkSession, db: String, table: String,
+      path: String, keyCols: Seq[String], sortCols: Seq[String], buckets: Int): Boolean =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) false
+      else {
+        val schemaDdl = spark.read.parquet(path).schema.toDDL
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        spark.sql(
+          s"""CREATE TABLE IF NOT EXISTS $db.$table ($schemaDdl) USING parquet
+             |CLUSTERED BY (${keyCols.mkString(", ")})
+             |SORTED BY (${sortCols.mkString(", ")}) INTO $buckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+        true
+      }
+    }.getOrElse(false)
+
   /** Write lineitem + orders as bucketed, sorted tables into `db`,
-    * stored under `path`. One-time layout cost (the write shuffles on
-    * the bucket key); every later key-join is shuffle-free. */
+    * stored under `path` — or, when a prior run's files are already
+    * there, re-register them with pure DDL. One-time layout cost (the
+    * write shuffles on the bucket key); every later key-join is
+    * shuffle-free. */
   def bucketize(spark: SparkSession, sfDir: String, db: String,
       path: String, buckets: Int = 8): Unit = {
+    val reused =
+      reRegister(spark, db, "lineitem_b", s"$path/lineitem_b",
+        Seq("l_orderkey"), Seq("l_orderkey"), buckets) &&
+      reRegister(spark, db, "orders_b", s"$path/orders_b",
+        Seq("o_orderkey"), Seq("o_orderkey"), buckets)
+    if (reused) return
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     Tables.lineitem(spark, sfDir)
       .write.mode(SaveMode.Overwrite)
@@ -142,13 +177,17 @@ object BucketedLayout {
         val db = s"graft_be_${graft.core.TableVersion.md5Hex(sfDir + "#" + version)}"
         val base = spark.conf.getOption("spark.graft.bucketDir")
           .getOrElse(System.getProperty("java.io.tmpdir"))
-        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-        Tables.events(spark, sfDir)
-          .write.mode(SaveMode.Overwrite)
-          .option("path", s"$base/graft_buckets/$db/events_b")
-          .bucketBy(buckets, "user_id").sortBy("user_id", "ts")
-          .format("parquet")
-          .saveAsTable(s"$db.events_b")
+        val path = s"$base/graft_buckets/$db/events_b"
+        if (!reRegister(spark, db, "events_b", path,
+            Seq("user_id"), Seq("user_id", "ts"), buckets)) {
+          spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+          Tables.events(spark, sfDir)
+            .write.mode(SaveMode.Overwrite)
+            .option("path", path)
+            .bucketBy(buckets, "user_id").sortBy("user_id", "ts")
+            .format("parquet")
+            .saveAsTable(s"$db.events_b")
+        }
         preparedEvents(key) = (version, db)
         db
     }

@@ -554,6 +554,12 @@ object Dedup {
       .select(col("doc_id"), col("keeper").as("grp"))
     val toks = TextOps.tokens(col("text"))
     val quality = Tables.documents(spark, dir)
+      // zero-token docs are excluded EXPLICITLY to mirror the oracle's
+      // `len(w) > 0` (without this, Spark would keep the row with a
+      // null 0/0 q_micro — nulls-last in the desc window — while the
+      // oracle's inner join drops it: a hash divergence waiting for the
+      // first empty-text doc to enter the pair graph)
+      .filter(size(toks) > 0)
       .select(col("doc_id"),
         round((least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.5 +
           size(array_distinct(toks)).cast("double") / size(toks) * 0.5) * 10000)

@@ -13,15 +13,18 @@ import graft.core.{Sessions, Tables}
   * driver loop over points.
   *
   * Everything is INTEGER-EXACT so the oracle replays the whole
-  * trajectory hash-for-hash: embeddings quantize to micro units
-  * (round(x·1e6), the q88 contract) on entry; distances are int64 sums
-  * of squared micro diffs (≤ 64·(2·10⁶)² ≈ 2.6e14, no overflow);
+  * trajectory hash-for-hash: embeddings quantize to micro units via
+  * sign-split floor(|x·1e6|+0.5) — the q88 half-away contract; NOT
+  * `round()`, whose half/shortest-decimal semantics differ between
+  * Spark and DuckDB (the round-7 hash failure); distances are int64
+  * sums of squared micro diffs (≤ 64·(2·10⁶)² ≈ 2.6e14, no overflow);
   * assignment tie-breaks to the lowest cluster id; centroid update is
-  * floor(sum/count) per dimension (exact: both sides divide exactly
-  * representable int64s in binary64); per-row inertia contributions are
-  * rounded to micro true-units BEFORE the sum so the corpus-sized sum
-  * stays in range at any scale. Float addition order can influence
-  * nothing — there are no float additions.
+  * pure-int64 floor-division s div n with explicit sign handling;
+  * per-row inertia contributions are fixed to micro true-units by
+  * integer (d+5e5) div 1e6 BEFORE the sum so the corpus-sized sum
+  * stays in range at any scale. After entry quantization no double is
+  * ever materialized — there is nothing left for the engines to
+  * disagree about.
   *
   * Scale shape per round: one map-only assignment pass (centroids are a
   * k×dim broadcast literal — k and dim fixed), one (cluster, dim)-grain
@@ -46,12 +49,30 @@ object KMeans {
   val Iters = 3
 
   /** Micro-quantized embeddings (vec_id, em: array<long>) — the
-    * integer-exact entry shared with [[Pca]]. */
+    * integer-exact entry shared with [[Pca]]. Quantization is the q88
+    * HALF-AWAY form, sign-split floor(|y|+0.5): `round()` is banned
+    * here because Spark HALF_UPs the shortest-decimal rendering while
+    * DuckDB rounds the binary value — they disagree on representation
+    * ties, which is exactly what sank this query's hash in round 7.
+    * floor/abs/negate/+0.5 are all single correctly-rounded (or exact)
+    * IEEE-754 ops, so both engines land on the same integer. */
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1e6).cast("long")).as("em"))
+        transform(col("embedding"), x => halfAway(x.cast("double") * 1e6)).as("em"))
+
+  /** Sign-split half-away-from-zero rounding of a double column to
+    * long: floor(y+0.5) for y ≥ 0, -floor(-y+0.5) otherwise. The one
+    * rounding convention every cross-engine quantization in this file
+    * (and [[Pca]]) uses, mirrored literally in the generated oracles. */
+  private[graft] def halfAway(y: Column): Column =
+    when(y >= 0, floor(y + lit(0.5))).otherwise(-floor(-y + lit(0.5))).cast("long")
+
+  /** The same convention as a SQL fragment over expression `y` (DuckDB
+    * side of the generated oracles). */
+  private[graft] def halfAwaySql(y: String): String =
+    s"CASE WHEN ($y) >= 0 THEN CAST(floor(($y) + 0.5) AS BIGINT) " +
+      s"ELSE -CAST(floor(-($y) + 0.5) AS BIGINT) END"
 
   /** Squared L2 distance between the quantized vector column and a
     * centroid literal — int64-exact. */
@@ -96,17 +117,26 @@ object KMeans {
         .map { case (r, j) => (j, r.getSeq[Long](1).toArray) }
       val reports = (1 to iters).map { it =>
         val a = assigned(q, cents)
+        // inertia: HALF-AWAY integer division of the non-negative int64
+        // distance — (d + 5e5) div 1e6 never touches a double, so there
+        // is nothing for the engines to disagree about
         val rep = a.groupBy("cluster")
           .agg(count(lit(1)).as("n_members"),
-            sum(round(col("d") / 1e6).cast("long")).as("inertia_micro"))
+            sum(expr("(d + 500000) div 1000000")).as("inertia_micro"))
           .select(lit(it).as("iter"), col("cluster").cast("long").as("cluster"),
             col("n_members"), col("inertia_micro"))
-        // update: (cluster, dim)-grain sums, then floor(s/n) — the k×dim
-        // collect between rounds is the parameter-server state
+        // update: (cluster, dim)-grain sums, then int64 FLOOR-division
+        // s/n with explicit sign handling (s can be negative; `div`
+        // truncates toward zero, so the negative branch is the
+        // ceiling-of-negated identity) — pure integer, no double ever;
+        // the k×dim collect between rounds is the parameter-server state
         val upd = a
           .select(col("cluster"), posexplode(col("em")).as(Seq("i", "v")))
           .groupBy("cluster", "i")
-          .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("c"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .select(col("cluster"), col("i"),
+            expr("CASE WHEN s >= 0 THEN s div n ELSE -((-s + n - 1) div n) END")
+              .cast("long").as("c"))
           .collect()
         cents = upd.groupBy(_.getInt(0)).toSeq.map { case (j, rows) =>
           val dims = rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
@@ -137,27 +167,29 @@ object KMeans {
          |    list_sum(list_transform(range(1, ${dim + 1}),
          |      i -> (e.em[i] - c.c[i]) * (e.em[i] - c.c[i]))) AS d
          |  FROM e, $prev c),
-         |a$n AS (
+         |a$n AS MATERIALIZED (
          |  SELECT vec_id, em, j AS cluster, d
          |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
          |        FROM d$n) WHERE rk = 1),
          |r$n AS (
          |  SELECT $n AS iter, cluster, count(*) AS n_members,
-         |    sum(CAST(round(d / 1000000.0) AS BIGINT)) AS inertia_micro
+         |    CAST(sum((CAST(d AS BIGINT) + 500000) // 1000000) AS BIGINT) AS inertia_micro
          |  FROM a$n GROUP BY cluster),
          |u$n AS (
-         |  SELECT cluster, i, sum(v) AS s, count(*) AS n
+         |  SELECT cluster, i, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
          |  FROM (SELECT cluster, unnest(em) AS v,
          |          unnest(range(1, ${dim + 1})) AS i FROM a$n)
          |  GROUP BY 1, 2),
-         |c$n AS (
-         |  SELECT cluster AS j, list(CAST(floor(s * 1.0 / n) AS BIGINT) ORDER BY i) AS c
+         |c$n AS MATERIALIZED (
+         |  SELECT cluster AS j,
+         |    list(CAST(CASE WHEN s >= 0 THEN s // n
+         |              ELSE -((-s + n - 1) // n) END AS BIGINT) ORDER BY i) AS c
          |  FROM u$n GROUP BY 1)""".stripMargin
     val rounds = (1 to Iters).map(n => assign(if (n == 1) "c0" else s"c${n - 1}", n))
     val unions = (1 to Iters).map(n => s"SELECT * FROM r$n").mkString(" UNION ALL ")
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS em
+       |    x -> ${halfAwaySql("CAST(x AS DOUBLE) * 1000000")}) AS em
        |  FROM embeddings),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, em AS c

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Sessions
@@ -17,11 +17,14 @@ import graft.core.Sessions
   * embeddings share a huge common direction" — Mu & Viswanath 2018,
   * all-but-the-top), or 1-D projection indexes.
   *
-  * INTEGER-EXACT end to end (the q130 contract): micro-quantized
-  * vectors, integer means (floor), per-row micro-rounded centered
-  * products, covariance normalized by floor(sum/n) so matrix entries
-  * are n-independent-bounded (no overflow at any corpus scale), and
-  * power-iteration rescaling to ±1e6 by max-|component| each round.
+  * INTEGER-EXACT end to end (the q130 contract, half-away q88
+  * quantization — never `round()`): micro-quantized vectors, pure-int64
+  * floor-div means, per-row centered products fixed to micro units by
+  * half-away integer division, covariance normalized by int64
+  * floor-div s/n so matrix entries are n-independent-bounded (no
+  * overflow at any corpus scale), and power-iteration rescaling to
+  * ±1e6 by max-|component| each round via the same sign-split
+  * floor(+0.5) in driver loop and oracle.
   * The oracle replays the whole pipeline — both passes and all
   * [[PowerIters]] matrix-vector rounds — in unrolled SQL from the same
   * constants, so the result hash-matches, not approximately-matches.
@@ -49,34 +52,51 @@ object Pca {
       // pass 1: per-dim integer means — dim-sized aggregate, bounded
       // dim-row collect (the parameter-server state)
       val meanRows = q.select(posexplode(col("em")).as(Seq("i", "v")))
-        .groupBy("i").agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("mu"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        .groupBy("i").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), Math.floorDiv(r.getLong(1), r.getLong(2))))
+        .sortBy(_._1)
       val mu: Array[Long] = meanRows.map(_._2)
       val muLit = array(mu.map(lit(_)): _*)
       // pass 2: upper-triangle centered second moments, micro-rounded
       // per row so the sum stays in int64 at any corpus size; the
       // explode is dim²/2 structs per row, map-side combined down to
       // dim²/2 rows per partition before the one shuffle
+      // per-row product fixed to micro units by HALF-AWAY division of
+      // the int64 product: (|p|+5e5) div 1e6 with the sign re-applied.
+      // Implemented as floor over a double quotient of non-negative
+      // int64s — EXACT here, not merely deterministic: |p| ≤ 1.6e13 is
+      // well under 2^53, the quotient's distance from any integer it
+      // doesn't hit exactly is ≥ 1e-6 while its ulp is ~4e-9, so
+      // floor(correctly-rounded q) == the true integer division on
+      // every input; the oracle computes the same value with pure
+      // integer `//`.
+      def halfAwayDivMicro(p: Column): Column =
+        when(p >= 0, floor((p + lit(500000L)).cast("double") / 1e6))
+          .otherwise(-floor((-p + lit(500000L)).cast("double") / 1e6))
+          .cast("long")
       val pairs = flatten(transform(sequence(lit(1), lit(Dim)), i =>
         transform(sequence(i, lit(Dim)), j =>
           struct(i.as("i"), j.as("j"),
-            round((element_at(col("em"), i) - element_at(muLit, i)) *
-              (element_at(col("em"), j) - element_at(muLit, j)) / 1e6)
-              .cast("long").as("p")))))
+            halfAwayDivMicro(
+              (element_at(col("em"), i) - element_at(muLit, i)) *
+              (element_at(col("em"), j) - element_at(muLit, j))).as("p")))))
       val cov = q.select(explode(pairs).as("e"))
         .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
         .groupBy("i", "j").agg(sum(col("p")).as("s"), count(lit(1)).as("n"))
-        .select(col("i"), col("j"), floor(col("s") / col("n")).cast("long").as("c"))
+        .select(col("i"), col("j"),
+          expr("CASE WHEN s >= 0 THEN s div n ELSE -((-s + n - 1) div n) END")
+            .cast("long").as("c"))
         .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
       // dense symmetric matrix from the triangle
       val m = Array.tabulate(Dim, Dim) { (a, b) =>
         val (i, j) = (math.min(a, b) + 1, math.max(a, b) + 1)
         cov.getOrElse((i, j), 0L)
       }
-      // power iteration, integer arithmetic identical to the SQL replay:
-      // w = M·v; v' = round(1e6 · w / max|w|)
-      // round-half-away-from-zero, matching the SQL round() on both
-      // engines (math.round is half-UP — it disagrees at negative .5)
+      // power iteration, arithmetic identical to the SQL replay:
+      // w = M·v (exact int64); v' = halfAway(1e6 · w / max|w|) — the
+      // same two correctly-rounded IEEE ops then the sign-split
+      // floor(+0.5) the oracle's CASE performs (never math.round /
+      // SQL round(), which disagree at negative halves / binary ties)
       def rnd(y: Double): Long =
         (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
       var v = Array.tabulate(Dim)(i => if (i == 0) 1000000L else 0L)
@@ -100,37 +120,63 @@ object Pca {
   /** Means, micro-covariance and all [[PowerIters]] matrix-vector
     * rounds unrolled in SQL off the same constants as the plan. */
   private def oracleSql: String = {
+    // every quantization below is the q88 half-away convention, pure
+    // integer where the input is integer — `round()` never appears
+    // (Spark/DuckDB round() disagree on representation ties); the one
+    // double step per power round (1e6·w/mx) is the same two
+    // correctly-rounded IEEE ops the driver loop performs, then the
+    // sign-split floor(+0.5).
+    //
+    // EVERY per-round CTE is MATERIALIZED: w$n is referenced twice
+    // (x$n and v$n), so with default inlining each round's subtree is
+    // planned ~twice per reference — 2^24 plan blowup across the
+    // unrolled rounds, and every inlined copy of `e` re-opened the
+    // parquet file (the round-7 driver crash: "Too many open files").
+    // Materialization makes the replay linear: each round computes once.
     def round(n: Int) =
-      s"""w$n AS (
-         |  SELECT m.i, sum(m.c * v.l) AS w
+      s"""w$n AS MATERIALIZED (
+         |  SELECT m.i, CAST(sum(m.c * v.l) AS BIGINT) AS w
          |  FROM m JOIN v${n - 1} v ON m.j = v.i GROUP BY m.i),
-         |x$n AS (SELECT max(abs(w)) AS mx FROM w$n),
-         |v$n AS (
-         |  SELECT i, CAST(round(1000000.0 * w / mx) AS BIGINT) AS l
+         |x$n AS MATERIALIZED (SELECT CAST(max(abs(w)) AS BIGINT) AS mx FROM w$n),
+         |v$n AS MATERIALIZED (
+         |  SELECT i, CASE WHEN w >= 0
+         |    THEN CAST(floor(1000000.0 * w / mx + 0.5) AS BIGINT)
+         |    ELSE -CAST(floor(1000000.0 * (-w) / mx + 0.5) AS BIGINT) END AS l
          |  FROM w$n, x$n)""".stripMargin
-    s"""WITH e AS (
+    val prodSql = "cm[i] * cm[j]"
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS em
+       |    x -> ${KMeans.halfAwaySql("CAST(x AS DOUBLE) * 1000000")}) AS em
        |  FROM embeddings),
        |u AS (
        |  SELECT i, v FROM (
        |    SELECT unnest(em) AS v, unnest(range(1, ${Dim + 1})) AS i FROM e)),
-       |mu AS (
-       |  SELECT i, CAST(floor(sum(v) * 1.0 / count(*)) AS BIGINT) AS mu
-       |  FROM u GROUP BY i),
+       |mus AS (
+       |  SELECT i, CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM u GROUP BY i),
+       |mu AS MATERIALIZED (
+       |  SELECT i, CAST(CASE WHEN s >= 0 THEN s // n
+       |                 ELSE -((-s + n - 1) // n) END AS BIGINT) AS mu
+       |  FROM mus),
+       |mul AS MATERIALIZED (SELECT list(mu ORDER BY i) AS ml FROM mu),
+       |ec AS (
+       |  SELECT list_transform(range(1, ${Dim + 1}), i -> em[i] - ml[i]) AS cm
+       |  FROM e, mul),
+       |pr AS (
+       |  SELECT unnest(flatten(list_transform(range(1, ${Dim + 1}), i ->
+       |    list_transform(range(i, ${Dim + 1}), j ->
+       |      {'i': i, 'j': j,
+       |       'p': CASE WHEN $prodSql >= 0
+       |              THEN ($prodSql + 500000) // 1000000
+       |              ELSE -((-($prodSql) + 500000) // 1000000) END})))) AS t
+       |  FROM ec),
        |tri AS (
-       |  SELECT t1.i AS i, t2.j AS j,
-       |    sum(CAST(round((e.em[t1.i] - m1.mu) * (e.em[t2.j] - m2.mu) / 1000000.0)
-       |      AS BIGINT)) AS s,
-       |    count(*) AS n
-       |  FROM e,
-       |    range(1, ${Dim + 1}) t1(i),
-       |    range(1, ${Dim + 1}) t2(j),
-       |    mu m1, mu m2
-       |  WHERE m1.i = t1.i AND m2.i = t2.j AND t2.j >= t1.i
-       |  GROUP BY 1, 2),
-       |half AS (SELECT i, j, CAST(floor(s * 1.0 / n) AS BIGINT) AS c FROM tri),
-       |m AS (
+       |  SELECT t.i AS i, t.j AS j, CAST(sum(t.p) AS BIGINT) AS s, count(*) AS n
+       |  FROM pr GROUP BY 1, 2),
+       |half AS MATERIALIZED (
+       |  SELECT i, j, CAST(CASE WHEN s >= 0 THEN s // n
+       |                    ELSE -((-s + n - 1) // n) END AS BIGINT) AS c
+       |  FROM tri),
+       |m AS MATERIALIZED (
        |  SELECT i, j, c FROM half
        |  UNION ALL
        |  SELECT j, i, c FROM half WHERE i <> j),

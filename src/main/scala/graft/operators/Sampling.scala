@@ -320,8 +320,10 @@ object Sampling {
     * the implied epoch factor (share × budget / available: > 1 means the
     * source repeats, < 1 means it is subsampled — the Chinchilla-style
     * repetition decision made explicit). Shares and epochs are emitted
-    * as integer MICROS — one rounding of an irrational pow-derived
-    * double on bit-identical inputs, so the manifest hash-matches.
+    * as integer MICROS under the q122 contract: the pow-derived weight
+    * is itself fixed to integer micros before any sum (round 7 proved
+    * the compound-double version — pow, then an order-dependent double
+    * window sum, rounded once at the end — does NOT hash-match).
     *
     * Scale shape: one source-keyed aggregate over the token stage; the
     * α/normalization math runs on the sources-sized frame (a few-row
@@ -335,19 +337,32 @@ object Sampling {
       MixAlpha, MixBudget)
   }
 
-  /** The manifest over ANY (doc_id, source, n_tok) frame. */
+  /** The manifest over ANY (doc_id, source, n_tok) frame.
+    *
+    * Numeric contract (the q122 recipe, rebuilt after the round-7 hash
+    * failure): each pow-derived weight is fixed to int64 micros
+    * IMMEDIATELY — floor(pow·1e6 + 0.5), the one transcendental
+    * rounding, absorbing the JVM-vs-libm last-ulp pow divergence with
+    * ~1e-12 residual risk — the total is an order-free INTEGER window
+    * sum (a double window sum is order-dependent and can never
+    * hash-match, the q85 lesson), and each output column is exactly one
+    * int64-derived double expression whose op sequence the oracle
+    * mirrors literally, then the same floor(+0.5). All quantities are
+    * non-negative so no sign split is needed. */
   def mixManifest(docTokens: DataFrame, alpha: Double, budget: Long): DataFrame = {
     val tot = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     docTokens
       .groupBy("source").agg(sum(col("n_tok")).as("avail_tokens"))
       .select(col("source"), col("avail_tokens"),
-        pow(col("avail_tokens").cast("double"), lit(alpha)).as("w"))
+        floor(pow(col("avail_tokens").cast("double"), lit(alpha)) * lit(1e6) + lit(0.5))
+          .cast("long").as("w_micros"))
+      .withColumn("tot_w", sum(col("w_micros")).over(tot))
       .select(col("source"), col("avail_tokens"),
-        round(col("w") * 1000000 / sum(col("w")).over(tot))
+        floor(col("w_micros").cast("double") * lit(1e6) / col("tot_w") + lit(0.5))
           .cast("long").as("share_micros"),
-        round(lit(budget) * col("w") * 1000000 /
-            (sum(col("w")).over(tot) * col("avail_tokens")))
+        floor(col("w_micros").cast("double") * lit(budget.toDouble) * lit(1e6) /
+            col("tot_w") / col("avail_tokens") + lit(0.5))
           .cast("long").as("epochs_micros"))
       .orderBy("source")
   }
@@ -612,19 +627,24 @@ object Sampling {
          |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
          |  CAST(sum(fp) AS BIGINT) AS content_fp
          |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
-    // one rounding of a pow-derived double per column, emitted as
-    // integer micros — same multiplication order as the plan
+    // each pow-derived weight fixed to int64 micros immediately
+    // (floor(+0.5) — the one transcendental rounding), INTEGER total,
+    // then one int64-derived double expression per output column with
+    // the plan's exact op order, floor(+0.5) again — the q122 recipe
     "q125_mix_manifest" ->
       s"""WITH tok AS (
          |  SELECT doc_id, source,
          |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
          |  FROM documents),
-         |s AS (SELECT source, SUM(n_tok) AS avail FROM tok GROUP BY source),
-         |w AS (SELECT source, avail, pow(CAST(avail AS DOUBLE), $MixAlpha) AS w FROM s),
-         |t AS (SELECT SUM(w) AS wt FROM w)
+         |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS avail FROM tok GROUP BY source),
+         |w AS (SELECT source, avail,
+         |        CAST(floor(pow(CAST(avail AS DOUBLE), $MixAlpha) * 1000000.0 + 0.5)
+         |          AS BIGINT) AS wm FROM s),
+         |t AS (SELECT CAST(SUM(wm) AS BIGINT) AS wt FROM w)
          |SELECT source, avail AS avail_tokens,
-         |  CAST(round(w * 1000000 / wt) AS BIGINT) AS share_micros,
-         |  CAST(round($MixBudget * w * 1000000 / (wt * avail)) AS BIGINT) AS epochs_micros
+         |  CAST(floor(CAST(wm AS DOUBLE) * 1000000.0 / wt + 0.5) AS BIGINT) AS share_micros,
+         |  CAST(floor(CAST(wm AS DOUBLE) * $MixBudget.0 * 1000000.0 / wt / avail + 0.5)
+         |    AS BIGINT) AS epochs_micros
          |FROM w, t ORDER BY source""".stripMargin,
     "q121_token_budget" ->
       s"""WITH tok AS (

@@ -23,16 +23,34 @@ import graft.core.Sessions
   */
 object EventStream {
 
-  /** events.parquet carries TIMESTAMP(NANOS): the stream source reads it
-    * as raw nanos (LongType) and truncates to µs, same as
-    * [[graft.core.Tables.events]]. */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Normalize an events frame's `ts` to micro-precision TimestampType,
+    * whatever the physical layout was: raw int64 nanos (the driver's
+    * TIMESTAMP(NANOS) fixtures through round 7, read under
+    * `nanosAsLong`) truncate with integer `div` — exactly DuckDB's
+    * TIMESTAMP_NS→TIMESTAMP cast; TIMESTAMP(MICROS)/NTZ (round 8 on)
+    * is an instant-preserving cast under the UTC session. Shared by
+    * every streaming reader and mirrored by [[graft.core.Tables.events]]
+    * on the batch side, so the two can never disagree about event time. */
+  private[streaming] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
+  /** The events stream for `dir`, `ts` already normalized: the source
+    * schema comes from the actual parquet footer (a streaming source
+    * needs a declared schema; deriving it from the file keeps the
+    * declaration layout-agnostic instead of hardcoding one round's
+    * fixture types). */
+  private[streaming] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    normalizeTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
 
   val WindowDuration = "15 minutes"
   val WatermarkDelay = "1 minute"
@@ -54,14 +72,31 @@ object EventStream {
     val root = s"$base/graft_stream_${UUID.randomUUID().toString.replace("-", "")}"
     val schema = transformed.schema
     withStreamStatePartitions(spark) {
-      val q = transformed.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", s"$root/data")
-        .option("checkpointLocation", s"$root/checkpoint")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      try {
+        val q = transformed.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$root/data")
+          .option("checkpointLocation", s"$root/checkpoint")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        // eagerly unload this drain's state-store providers. Every drain
+        // uses a fresh one-shot checkpoint, so once the query terminates
+        // its loaded providers can never be reused — but the StateStore
+        // singleton keeps them (for the heap-backed default provider,
+        // the FULL state map) on the JVM heap until the ~60 s
+        // maintenance cycle notices. Across a 140-row bench sweep those
+        // corpses stack on top of the legitimately-cached stages and
+        // turn the biggest-state stream (q114, ~0.5M band-bucket keys
+        // at sf0.1) into the GC victim — the round-7 bench recorded the
+        // q114 gate at 166 s under memory+CPU pressure where an idle
+        // JVM runs it in ~3.5 s. stop() clears loadedProviders and
+        // halts the maintenance thread; the next stateful drain
+        // restarts both lazily.
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      }
     }
     // explicit schema: a drain that emits zero rows leaves no data files,
     // and the read must still return an empty, correctly-typed frame
@@ -119,8 +154,7 @@ object EventStream {
   /** Windowed counts/sums per event type with a watermark; append mode —
     * emits exactly the windows the watermark has closed. */
   def windowedAgg(stream: DataFrame): DataFrame =
-    stream
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(stream)
       .withWatermark("ts", WatermarkDelay)
       // group on the window struct itself — append mode requires the
       // event-time window column as a grouping key for watermark eviction
@@ -137,11 +171,7 @@ object EventStream {
     * DataFrame. */
   def q34StreamWindows(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(spark, dir)
     drainToFiles(spark, windowedAgg(stream)).orderBy("window_start", "event_type")
   }
 
@@ -154,13 +184,7 @@ object EventStream {
     * gap+delay before the stream's max timestamp. */
   def q44StreamSessions(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val sessions = stream
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val sessions = eventsStream(spark, dir)
       .withWatermark("ts", WatermarkDelay)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
@@ -220,13 +244,7 @@ object EventStream {
     * operator. */
   def q56StreamDedupBounded(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val deduped = stream
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val deduped = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .select(col("ts"), md5(concat_ws("#", col("user_id"), col("event_type"))).as("fp"))
       .dropDuplicatesWithinWatermark("fp")
@@ -251,13 +269,8 @@ object EventStream {
     * query can be ORACLE-checked, not just spec-compared. */
   def q77StreamJoin(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(eventType: String, prefix: String): DataFrame =
-      spark.readStream
-        .schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      eventsStream(spark, dir)
         .filter(col("event_type") === eventType)
         .select(
           col("user_id").as(s"${prefix}_user"),
@@ -291,11 +304,7 @@ object EventStream {
     * like q77. */
   def q79StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(spark, dir)
     val cust = graft.core.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))
     val nation = graft.core.Tables.nation(spark, dir)

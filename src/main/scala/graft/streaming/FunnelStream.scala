@@ -29,6 +29,7 @@ import graft.core.Sessions
   */
 object FunnelStream {
 
+  /** `ts` is event time in MICROS ([[EventStream.normalizeTs]] grain). */
   case class EventRow(ts: Long, user_id: Long, event_type: String)
 
   /** Stage timestamps in micros; -1 = not reached. */
@@ -45,7 +46,7 @@ object FunnelStream {
     // fold time-sorted: "first X after Y" needs ascending order; ties
     // cannot flip any stage (every transition is strictly-greater)
     events.toArray.sortBy(_.ts).foreach { e =>
-      val t = e.ts / 1000 // raw nanos → micros, the batch grain
+      val t = e.ts // already micros, the batch grain
       e.event_type match {
         case "view" if s.t1 < 0 => s = s.copy(t1 = t)
         case "click" if s.t1 >= 0 && t > s.t1 && s.t2 < 0 => s = s.copy(t2 = t)
@@ -57,30 +58,18 @@ object FunnelStream {
     UserFunnel(userId, s.t1 >= 0, s.t2 >= 0, s.t3 >= 0)
   }
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** q98 — drain the stateful funnel over `dir`'s events, then roll the
     * final per-user stage flags up to the q84 report shape. The drain is
     * `foreachBatch` parquet-append (driver O(1)); the read-back keeps
     * each user's furthest emission (stage flags only ever advance). */
   def q98StreamFunnel(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
     val base = spark.conf.getOption("spark.graft.streamResultsDir")
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val root = s"$base/graft_funnel_${UUID.randomUUID().toString.replace("-", "")}"
-    val events = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select("ts", "user_id", "event_type")
+    val events = EventStream.eventsStream(spark, dir)
+      .select(unix_micros(col("ts")).as("ts"), col("user_id"), col("event_type"))
       .as[EventRow]
     val funnel = events
       .groupByKey(_.user_id)

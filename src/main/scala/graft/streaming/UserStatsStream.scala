@@ -21,6 +21,9 @@ import graft.core.Sessions
   */
 object UserStatsStream {
 
+  /** `ts` is event time in MICROS (the engine's normalized event-time
+    * grain — [[EventStream.normalizeTs]] handles whatever the file
+    * carried). */
   case class EventRow(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
 
@@ -35,19 +38,11 @@ object UserStatsStream {
       state: GroupState[UserState]): UserStats = {
     var s = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
     events.foreach { e =>
-      s = UserState(s.nEvents + 1, s.totalValue + e.value, math.max(s.lastTsUs, e.ts / 1000))
+      s = UserState(s.nEvents + 1, s.totalValue + e.value, math.max(s.lastTsUs, e.ts))
     }
     state.update(s)
     UserStats(userId, s.nEvents, s.totalValue, s.lastTsUs)
   }
-
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
 
   /** Run the stateful stream over `dir`'s events to completion and return
     * the final per-user stats. Update output mode can't use the file sink
@@ -57,16 +52,13 @@ object UserStatsStream {
     * the driver), and the read-back keeps the latest emission per key. */
   def run(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
     val base = spark.conf.getOption("spark.graft.streamResultsDir")
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val root = s"$base/graft_ustats_${UUID.randomUUID().toString.replace("-", "")}"
-    val events = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
+    val events = EventStream.eventsStream(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
       .as[EventRow]
     val stats = events
       .groupByKey(_.user_id)

@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 import graft.SparkEntry
 
-/** Once-per-round heavy-operator scale sweep: times the ~12 most
-  * expensive operators at sf0.1 AND at the 10× [[ScaleDataGen]] tree,
+/** Once-per-round heavy-operator scale sweep: times the most expensive
+  * operators (~29 entries) at sf0.1 AND at the 10× [[ScaleDataGen]] tree,
   * and reports the scaling ratio per query — the empirical check that
   * plan-shape arguments ("bucketed, never all-pairs") actually hold when
   * the data grows: an operator whose documented complexity is ~linear
@@ -40,7 +40,15 @@ object ScaleBench {
     "q110_audio_stats", "q112_video_frames", "q113_hybrid_rrf",
     "q114_stream_screen", "q44_stream_sessions", "q77_stream_join",
     "q117_inverted_index", "q118_bpe_merges", "q120_source_overlap",
-    "q124_stream_token_budget")
+    "q124_stream_token_budget",
+    // round-7 heavy additions (round-7 verdict gap 4): the iterative /
+    // explode-heavy k-means/PCA/DSIR family plus the manifest pair —
+    // exactly the shapes whose scale claims (map-only assignment,
+    // dim²-bounded aggregates, model-broadcast scoring) the sweep exists
+    // to check empirically
+    "q125_mix_manifest", "q126_cluster_histogram", "q127_attrition",
+    "q129_dsir_select", "q130_kmeans_refine", "q132_stream_dsir",
+    "q133_pca_power")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

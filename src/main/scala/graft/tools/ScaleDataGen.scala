@@ -104,16 +104,23 @@ object ScaleDataGen {
       Map("l_orderkey" -> ordSpan, "l_suppkey" -> suppSpan,
         "l_partkey" -> partSpan)), "lineitem")
 
-    // events: read nanos as raw longs (the TIMESTAMP(NANOS) column the
-    // vectorized reader rejects as a timestamp) and keep them as longs
+    // events: layout-agnostic ts handling (TIMESTAMP(NANOS) fixtures
+    // read as raw longs and shifted in nanos; TIMESTAMP(MICROS)/NTZ
+    // fixtures shifted with an interval) — each copy lands +c minutes
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
     val evSpan = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
     val userSpan = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
+    val tsShift: org.apache.spark.sql.Column =
+      ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("ts") + col("c") * lit(60000000000L) // +c minutes, nanos
+        case _ => col("ts") + col("c") * expr("INTERVAL 1 MINUTE")
+      }
     write(ev.select(col("*"), copies)
       .withColumn("event_id", col("event_id") + col("c") * evSpan)
       .withColumn("user_id", col("user_id") + col("c") * userSpan)
-      .withColumn("ts", col("ts") + col("c") * lit(60000000000L)) // +c minutes, nanos
+      .withColumn("ts", tsShift)
       .drop("c"), "events")
 
     val docs = read("documents")

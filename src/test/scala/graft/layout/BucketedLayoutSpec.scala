@@ -57,6 +57,40 @@ class BucketedLayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucketize over existing files re-registers without rewriting") {
+    val path = Files.createTempDirectory("graft_bucketed_reuse").toString
+    try {
+      BucketedLayout.bucketize(spark, sf, "graft_layout_r", path, buckets = 4)
+      def mtimes: Map[String, Long] = {
+        val d = new java.io.File(s"$path/lineitem_b")
+        d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      }
+      val before = mtimes
+      // simulate a fresh session's empty in-memory catalog: drop the DDL,
+      // keep the files — the next bucketize must re-register (pure DDL),
+      // not pay the layout write again
+      spark.sql("DROP TABLE graft_layout_r.lineitem_b")
+      spark.sql("DROP TABLE graft_layout_r.orders_b")
+      spark.sql("DROP DATABASE graft_layout_r")
+      BucketedLayout.bucketize(spark, sf, "graft_layout_r", path, buckets = 4)
+      assert(mtimes == before, "re-registration must not rewrite the bucket files")
+      // and the re-registered tables still join shuffle-free
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = BucketedLayout.colocatedOrderRevenue(spark, "graft_layout_r")
+        joined.collect()
+        val exchanges = BucketedLayout.collectExchanges(joined.queryExecution.executedPlan)
+        assert(exchanges.isEmpty,
+          s"expected shuffle-free join over re-registered layout, found: $exchanges")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_layout_r.lineitem_b")
+      spark.sql("DROP TABLE IF EXISTS graft_layout_r.orders_b")
+      spark.sql("DROP DATABASE IF EXISTS graft_layout_r")
+    }
+  }
+
   test("q55 runs shuffle-free over the ensured layout and reuses it") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -19,7 +19,7 @@ class FunnelStreamSpec extends SparkSpec {
         hasTimedOut = false)
       FunnelStream.updateState(1L, events.iterator, state)
     }
-    def e(t: Long, tpe: String) = FunnelStream.EventRow(t * 1000, 1L, tpe)
+    def e(t: Long, tpe: String) = FunnelStream.EventRow(t, 1L, tpe)
     // shuffled arrival of a clean v->c->p path still converts
     val full = run(Seq(e(30, "purchase"), e(10, "view"), e(20, "click")))
     assert(full == FunnelStream.UserFunnel(1L, true, true, true))
