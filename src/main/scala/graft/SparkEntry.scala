@@ -48,7 +48,8 @@ object SparkEntry {
       streaming.IngestStream.queries ++
       streaming.DedupStream.queries ++
       streaming.BudgetStream.queries ++
-      streaming.DsirStream.queries
+      streaming.DsirStream.queries ++
+      streaming.AssignStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -79,5 +80,6 @@ object SparkEntry {
       streaming.IngestStream.oracles ++
       streaming.DedupStream.oracles ++
       streaming.BudgetStream.oracles ++
-      streaming.DsirStream.oracles
+      streaming.DsirStream.oracles ++
+      streaming.AssignStream.oracles
 }

@@ -990,23 +990,23 @@ object Dedup {
     * transitive closure), shared by the dedup-apply and cluster-histogram
     * oracles. */
   private lazy val reachCtes =
-    """WITH RECURSIVE toks AS (
+    """WITH RECURSIVE toks AS MATERIALIZED (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
       |  FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
       |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ')))) AS s
       |  FROM toks),
-      |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |p AS (
+      |n AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |p AS MATERIALIZED (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT d1, d2 FROM p
       |  JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
       |  WHERE round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) >= 0.6),
-      |edges AS (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |edges AS MATERIALIZED (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
       |reach(id, r) AS (
       |  SELECT DISTINCT s, s FROM edges
       |  UNION

@@ -58,8 +58,7 @@ object KMeans {
     * IEEE-754 ops, so both engines land on the same integer. */
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => halfAway(x.cast("double") * 1e6)).as("em"))
+      .select(col("vec_id"), transform(col("embedding"), quantizeCol _).as("em"))
 
   /** Sign-split half-away-from-zero rounding of a double column to
     * long: floor(y+0.5) for y ≥ 0, -floor(-y+0.5) otherwise. The one
@@ -81,10 +80,18 @@ object KMeans {
       zip_with(em, array(c.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
+  /** The entry quantization as a column transform (float/double →
+    * int64 micros) — shared with the STREAMING assignment path
+    * ([[graft.streaming.AssignStream]]), so ingest-time and batch
+    * quantization can never drift. */
+  private[graft] def quantizeCol(x: Column): Column =
+    halfAway(x.cast("double") * 1e6)
+
   /** Assignment columns: cluster = argmin distance (ties → lowest id),
     * d = the winning distance. array_min over (d, j) structs compares
-    * field-by-field, which is exactly that tie-break. */
-  private def assigned(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
+    * field-by-field, which is exactly that tie-break. Row-local
+    * (centroids are literals) — safe on a stream. */
+  private[graft] def assigned(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
     val pairs = cents.map { case (j, c) =>
       struct(dist2(col("em"), c).as("d"), lit(j).as("j"))
     }
@@ -105,16 +112,37 @@ object KMeans {
     refine(quantized(spark, dir), K, Iters)
   }
 
+  /** Seed: the k lowest vec_ids, cluster id = rank in that order — a
+    * bounded k-row collect, deterministic and oracle-replayable. */
+  private def seedCentroids(q: DataFrame, k: Int): Seq[(Int, Array[Long])] =
+    q.orderBy("vec_id").limit(k).collect().zipWithIndex
+      .map { case (r, j) => (j, r.getSeq[Long](1).toArray) }
+
+  /** One Lloyd update: (cluster, dim)-grain sums, then int64
+    * FLOOR-division s/n with explicit sign handling (s can be negative;
+    * `div` truncates toward zero, so the negative branch is the
+    * ceiling-of-negated identity) — pure integer, no double ever; the
+    * k×dim collect between rounds is the parameter-server state. */
+  private def updateCentroids(a: DataFrame): Seq[(Int, Array[Long])] = {
+    val upd = a
+      .select(col("cluster"), posexplode(col("em")).as(Seq("i", "v")))
+      .groupBy("cluster", "i")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("i"),
+        expr("CASE WHEN s >= 0 THEN s div n ELSE -((-s + n - 1) div n) END")
+          .cast("long").as("c"))
+      .collect()
+    upd.groupBy(_.getInt(0)).toSeq.map { case (j, rows) =>
+      (j, rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).map(_._2).toArray)
+    }.sortBy(_._1)
+  }
+
   /** The refinement over ANY (vec_id, em: array<long>) quantized frame —
     * the generic entry the spec drives with crafted blobs. */
   private[graft] def refine(input: DataFrame, k: Int, iters: Int): DataFrame = {
     val q = input.persist()
     try {
-      // seed: the k lowest vec_ids, cluster id = rank in that order —
-      // a bounded k-row collect, deterministic and oracle-replayable
-      var cents: Seq[(Int, Array[Long])] = q.orderBy("vec_id").limit(k)
-        .collect().zipWithIndex
-        .map { case (r, j) => (j, r.getSeq[Long](1).toArray) }
+      var cents = seedCentroids(q, k)
       val reports = (1 to iters).map { it =>
         val a = assigned(q, cents)
         // inertia: HALF-AWAY integer division of the non-negative int64
@@ -125,23 +153,7 @@ object KMeans {
             sum(expr("(d + 500000) div 1000000")).as("inertia_micro"))
           .select(lit(it).as("iter"), col("cluster").cast("long").as("cluster"),
             col("n_members"), col("inertia_micro"))
-        // update: (cluster, dim)-grain sums, then int64 FLOOR-division
-        // s/n with explicit sign handling (s can be negative; `div`
-        // truncates toward zero, so the negative branch is the
-        // ceiling-of-negated identity) — pure integer, no double ever;
-        // the k×dim collect between rounds is the parameter-server state
-        val upd = a
-          .select(col("cluster"), posexplode(col("em")).as(Seq("i", "v")))
-          .groupBy("cluster", "i")
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-          .select(col("cluster"), col("i"),
-            expr("CASE WHEN s >= 0 THEN s div n ELSE -((-s + n - 1) div n) END")
-              .cast("long").as("c"))
-          .collect()
-        cents = upd.groupBy(_.getInt(0)).toSeq.map { case (j, rows) =>
-          val dims = rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
-          (j, dims.map(_._2).toArray)
-        }.sortBy(_._1)
+        cents = updateCentroids(a)
         rep
       }
       reports.reduce(_ unionAll _).orderBy("iter", "cluster")
@@ -151,6 +163,29 @@ object KMeans {
     } finally { q.unpersist(); () }
   }
 
+  /** Final centroids after [[Iters]] Lloyd rounds over `dir`'s corpus —
+    * the trained coarse quantizer the STREAMING assignment
+    * ([[graft.streaming.AssignStream]], q135) broadcasts to the ingest
+    * path; cached per (application, corpus dir, content version), the
+    * [[IvfIndex]]/[[Pca.model]] convention. Identical arithmetic to the
+    * q130 trajectory, so the streamed assignments are exactly round
+    * [[Iters]]+1's assignment against the q130-final centroids. */
+  private val centCache = scala.collection.mutable.Map
+    .empty[(String, String, String), Seq[(Int, Array[Long])]]
+
+  private[graft] def trainedCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] =
+    synchronized {
+      val version = graft.core.TableVersion.signature(spark, dir, "embeddings.parquet")
+      centCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, version), {
+        val q = quantized(spark, dir).persist()
+        try {
+          var cents = seedCentroids(q, K)
+          (1 to Iters).foreach { _ => cents = updateCentroids(assigned(q, cents)) }
+          cents
+        } finally { q.unpersist(); () }
+      })
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_kmeans_refine" -> (q130KmeansRefine _))
 
@@ -159,7 +194,11 @@ object KMeans {
     * engines can never disagree about hyperparameters. */
   val oracles: Map[String, String] = Map("q130_kmeans_refine" -> oracleSql)
 
-  private def oracleSql: String = {
+  /** Entry + seed + all [[Iters]] Lloyd rounds as SQL CTE text — shared
+    * verbatim by the q130 oracle and q135's
+    * ([[graft.streaming.AssignStream]]), so the two oracles can never
+    * disagree about the trained quantizer. */
+  private[graft] def commonCtes: String = {
     val dim = 64
     def assign(prev: String, n: Int) =
       s"""d$n AS (
@@ -186,17 +225,38 @@ object KMeans {
          |              ELSE -((-s + n - 1) // n) END AS BIGINT) ORDER BY i) AS c
          |  FROM u$n GROUP BY 1)""".stripMargin
     val rounds = (1 to Iters).map(n => assign(if (n == 1) "c0" else s"c${n - 1}", n))
-    val unions = (1 to Iters).map(n => s"SELECT * FROM r$n").mkString(" UNION ALL ")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> ${halfAwaySql("CAST(x AS DOUBLE) * 1000000")}) AS em
        |  FROM embeddings),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, em AS c
        |  FROM e ORDER BY vec_id LIMIT $K),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def oracleSql: String = {
+    val unions = (1 to Iters).map(n => s"SELECT * FROM r$n").mkString(" UNION ALL ")
+    s"""WITH $commonCtes
        |SELECT CAST(iter AS INTEGER) AS iter, CAST(cluster AS BIGINT) AS cluster,
        |  n_members, inertia_micro
        |FROM ($unions) ORDER BY iter, cluster""".stripMargin
+  }
+
+  /** The q135 replay ([[graft.streaming.AssignStream]]): the shared
+    * trajectory CTEs, then one more assignment pass against the final
+    * centroids — exactly what the stream computes per arriving vector. */
+  private[graft] def assignOracleSql: String = {
+    val dim = 64
+    s"""WITH $commonCtes,
+       |df AS (
+       |  SELECT e.vec_id, c.j,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> (e.em[i] - c.c[i]) * (e.em[i] - c.c[i]))) AS d
+       |  FROM e, c$Iters c)
+       |SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(d AS BIGINT) AS d
+       |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+       |      FROM df) WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
   }
 }

@@ -42,11 +42,33 @@ object Pca {
     * matrix-vector product — driver-trivial, oracle-unrollable. */
   val PowerIters = 24
 
+  /** Driver-side model cache, keyed per (application, corpus dir,
+    * content version) — the [[IvfIndex]] convention: the two corpus
+    * passes run once per corpus version and q133/q134 (and any later
+    * consumer of the component) share the dim-bounded result. */
+  private val modelCache = scala.collection.mutable.Map
+    .empty[(String, String, String), (Array[Long], Array[Long])]
+
+  /** (micro means, dominant component) for `dir`'s embeddings. */
+  private[graft] def model(spark: SparkSession, dir: String): (Array[Long], Array[Long]) =
+    synchronized {
+      val version = graft.core.TableVersion.signature(spark, dir, "embeddings.parquet")
+      modelCache.getOrElseUpdate(
+        (spark.sparkContext.applicationId, dir, version), computeModel(spark, dir))
+    }
+
   /** q133 — DOMINANT PRINCIPAL COMPONENT: (i, loading_micro) per
     * dimension, the unit-ish (∞-norm = 1e6) dominant eigenvector of the
     * micro-covariance matrix. */
   def q133PcaPower(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
+    val (_, v) = model(spark, dir)
+    import spark.implicits._
+    v.zipWithIndex.map { case (l, i) => (i + 1, l) }.toSeq
+      .toDF("i", "loading_micro").orderBy("i")
+  }
+
+  private def computeModel(spark: SparkSession, dir: String): (Array[Long], Array[Long]) = {
     val q = KMeans.quantized(spark, dir).persist()
     try {
       // pass 1: per-dim integer means — dim-sized aggregate, bounded
@@ -106,20 +128,80 @@ object Pca {
         val norm = w.map(math.abs).max.toDouble
         v = w.map(x => rnd(1e6 * x / norm))
       }
-      import spark.implicits._
-      v.zipWithIndex.map { case (l, i) => (i + 1, l) }.toSeq
-        .toDF("i", "loading_micro").orderBy("i")
+      (mu, v)
     } finally { q.unpersist(); () }
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q133_pca_power" -> (q133PcaPower _))
+  /** q134 — ALL-BUT-THE-TOP anisotropy correction audit (Mu &
+    * Viswanath 2018: embedding spaces share one huge common direction;
+    * removing the mean and the dominant component materially improves
+    * cosine retrieval). Per vector: the projection coefficient onto the
+    * [[q133PcaPower]] component (integer micros) and the squared norm
+    * of the centered vector BEFORE and AFTER removing that projection —
+    * the audit a curation pipeline publishes to decide whether its
+    * embedding space needs the correction (a large norm drop = the
+    * common direction dominates = cosine scores are inflated).
+    *
+    * INTEGER-EXACT (the q130/q133 contract): centered vectors and the
+    * model are int64 micros; `dot` and `vv` are exact int64 sums; the
+    * projection is ONE int64-derived double expression (1e6·dot/vv,
+    * both operands < 2^53) fixed by sign-split floor(+0.5); the removed
+    * component re-quantizes per dimension by pure-integer half-away
+    * division, and both norms are exact int64 sums of squares. The
+    * oracle replays the q133 pipeline (shared CTE text) plus this exact
+    * arithmetic.
+    *
+    * Scale shape: the model is a dim-bounded broadcast literal; the
+    * audit pass is MAP-ONLY over the corpus (no shuffle at all beyond
+    * the final order) — the q132-style "model at scoring time" posture
+    * applied to embedding post-processing. */
+  def q134AllButTop(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val (mu, v) = model(spark, dir)
+    val muLit = array(mu.map(lit(_)): _*)
+    val vLit = array(v.map(lit(_)): _*)
+    val vv = v.map(x => x * x).sum // ≤ 64·1e12 — exact int64, < 2^53
+    // pure-integer half-away division by 1e6 (numerator |p| ≤ ~2.6e14)
+    def haDivMicro(p: Column): Column =
+      when(p >= 0, floor((p + lit(500000L)).cast("double") / 1e6))
+        .otherwise(-floor((-p + lit(500000L)).cast("double") / 1e6))
+        .cast("long")
+    val centered = zip_with(col("em"), muLit, (a, b) => a - b)
+    val base = KMeans.quantized(spark, dir)
+      .select(col("vec_id"), centered.as("c"))
+      .select(col("vec_id"), col("c"),
+        aggregate(zip_with(col("c"), vLit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot"),
+        aggregate(transform(col("c"), x => x * x),
+          lit(0L), (acc, x) => acc + x).as("norm2_before"))
+      // ONE int64-derived double op pair (multiply then divide,
+      // correctly-rounded IEEE, mirrored literally in the oracle),
+      // then the halfAway floor
+      .withColumn("proj_micro",
+        KMeans.halfAway(lit(1e6) * col("dot").cast("double") / lit(vv.toDouble)))
+    base
+      .select(col("vec_id"), col("proj_micro"), col("norm2_before"),
+        aggregate(
+          transform(zip_with(col("c"), vLit,
+              (c, vi) => c - haDivMicro(col("proj_micro") * vi)),
+            x => x * x),
+          lit(0L), (acc, x) => acc + x).as("norm2_after"))
+      .orderBy("vec_id")
+  }
 
-  val oracles: Map[String, String] = Map("q133_pca_power" -> oracleSql)
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_pca_power" -> (q133PcaPower _),
+    "q134_all_but_top" -> (q134AllButTop _))
+
+  val oracles: Map[String, String] = Map(
+    "q133_pca_power" -> oracleSql,
+    "q134_all_but_top" -> q134OracleSql)
 
   /** Means, micro-covariance and all [[PowerIters]] matrix-vector
-    * rounds unrolled in SQL off the same constants as the plan. */
-  private def oracleSql: String = {
+    * rounds unrolled in SQL off the same constants as the plan —
+    * shared verbatim by the q133 and q134 oracles, so the two can never
+    * disagree about the model. */
+  private def commonCtes: String = {
     // every quantization below is the q88 half-away convention, pure
     // integer where the input is integer — `round()` never appears
     // (Spark/DuckDB round() disagree on representation ties); the one
@@ -144,7 +226,7 @@ object Pca {
          |    ELSE -CAST(floor(1000000.0 * (-w) / mx + 0.5) AS BIGINT) END AS l
          |  FROM w$n, x$n)""".stripMargin
     val prodSql = "cm[i] * cm[j]"
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> ${KMeans.halfAwaySql("CAST(x AS DOUBLE) * 1000000")}) AS em
        |  FROM embeddings),
@@ -183,8 +265,45 @@ object Pca {
        |v0 AS (
        |  SELECT i, CASE WHEN i = 1 THEN 1000000 ELSE 0 END AS l
        |  FROM range(1, ${Dim + 1}) t(i)),
-       |${(1 to PowerIters).map(round).mkString(",\n")}
+       |${(1 to PowerIters).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private def oracleSql: String =
+    s"""WITH $commonCtes
        |SELECT CAST(i AS INTEGER) AS i, l AS loading_micro
        |FROM v$PowerIters ORDER BY i""".stripMargin
+
+  /** The q134 replay: the shared model CTEs, then the exact correction
+    * arithmetic — integer dot/vv, one double expression with the plan's
+    * op order for the projection, pure-integer half-away removal, int64
+    * norms. */
+  private def q134OracleSql: String = {
+    val haProj = KMeans.halfAwaySql("1000000.0 * dot / vv")
+    val rm = "proj_micro * vl[i]"
+    s"""WITH $commonCtes,
+       |vm AS MATERIALIZED (SELECT list(l ORDER BY i) AS vl FROM v$PowerIters),
+       |vvs AS (
+       |  SELECT CAST(list_sum(list_transform(vl, x -> x * x)) AS BIGINT) AS vv FROM vm),
+       |cvec AS (
+       |  SELECT vec_id, list_transform(range(1, ${Dim + 1}), i -> em[i] - ml[i]) AS c
+       |  FROM e, mul),
+       |d1 AS (
+       |  SELECT vec_id, c, vl, vv,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> c[i] * vl[i]))
+       |      AS BIGINT) AS dot,
+       |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS norm2_before
+       |  FROM cvec, vm, vvs),
+       |d2 AS (
+       |  SELECT vec_id, c, vl, norm2_before, $haProj AS proj_micro FROM d1),
+       |d3 AS (
+       |  SELECT vec_id, proj_micro, norm2_before,
+       |    list_transform(range(1, ${Dim + 1}), i ->
+       |      c[i] - CASE WHEN $rm >= 0
+       |               THEN ($rm + 500000) // 1000000
+       |               ELSE -((-($rm) + 500000) // 1000000) END) AS cprime
+       |  FROM d2)
+       |SELECT vec_id, proj_micro, norm2_before,
+       |  CAST(list_sum(list_transform(cprime, x -> x * x)) AS BIGINT) AS norm2_after
+       |FROM d3 ORDER BY vec_id""".stripMargin
   }
 }
