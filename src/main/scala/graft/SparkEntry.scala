@@ -39,6 +39,7 @@ object SparkEntry {
       operators.BloomPrune.queries ++
       operators.Quantize.queries ++
       operators.KMeans.queries ++
+      operators.Pq.queries ++
       operators.Pca.queries ++
       operators.HeavyHitters.queries ++
       layout.BucketedLayout.queries ++
@@ -49,7 +50,8 @@ object SparkEntry {
       streaming.DedupStream.queries ++
       streaming.BudgetStream.queries ++
       streaming.DsirStream.queries ++
-      streaming.AssignStream.queries
+      streaming.AssignStream.queries ++
+      streaming.PqEncodeStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,6 +73,7 @@ object SparkEntry {
       operators.BloomPrune.oracles ++
       operators.Quantize.oracles ++
       operators.KMeans.oracles ++
+      operators.Pq.oracles ++
       operators.Pca.oracles ++
       operators.HeavyHitters.oracles ++
       layout.BucketedLayout.oracles ++
@@ -81,5 +84,6 @@ object SparkEntry {
       streaming.DedupStream.oracles ++
       streaming.BudgetStream.oracles ++
       streaming.DsirStream.oracles ++
-      streaming.AssignStream.oracles
+      streaming.AssignStream.oracles ++
+      streaming.PqEncodeStream.oracles
 }

@@ -210,6 +210,47 @@ object Multimodal {
     }
   }
 
+  /** A perceptually-hashed image: dHash gradient bits over the decoded
+    * raster, split into two 32-bit halves (rows 0-3 → `h_lo`, rows 4-7 →
+    * `h_hi`) so neither engine's int64 sign bit is ever touched. */
+  case class DHashedImage(doc_id: Long, h_hi: Long, h_lo: Long)
+
+  /** Difference-hash (dHash, the classic perceptual image fingerprint —
+    * same family as pHash/PDQ) over the REAL decoded raster:
+    * nearest-neighbor sample onto a 9×8 grid with integer floor
+    * geometry (sx = x·w div 9, sy = y·h div 8 — size-invariant, so
+    * re-encodes and integer rescales of the same content collide), then
+    * one bit per horizontal gradient: bit(x,y) = [p(x+1,y) > p(x,y)].
+    * Map-only, per-partition codec amortization, 16 bytes of
+    * fingerprint per image regardless of resolution — the shape that
+    * fingerprints a 100 TB image corpus in one pass. */
+  def dHashImages(assets: Dataset[ImageAsset]): Dataset[DHashedImage] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val img = ImageIoDecoder.decode(a.payload).getOrElse(
+          throw new IllegalStateException(s"payload for doc ${a.doc_id} (${a.format}) did not decode"))
+        def p(x: Int, y: Int): Int =
+          img.gray((y * img.height / 8) * img.width + (x * img.width / 9))
+        var lo = 0L
+        var hi = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (p(x + 1, y) > p(x, y)) {
+              if (y < 4) lo |= 1L << (y * 8 + x)
+              else hi |= 1L << ((y - 4) * 8 + x)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        DHashedImage(a.doc_id, hi, lo)
+      }
+    }
+  }
+
   case class FrameSample(
       doc_id: Long,
       n_frames: Long,
@@ -513,7 +554,29 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** q139 — PERCEPTUAL IMAGE DEDUP: [[dHashImages]] fingerprints from
+    * the real codec chain, then exact-hash duplicate clusters
+    * (hash-groupBy — the q24 move on the perceptual fingerprint, and
+    * the missing modality next to the text (q24-q28) and embedding
+    * (q31/q49) dedup families). Output: each cluster of ≥2 perceptually
+    * identical images with its size and keeper (min doc_id, the q38
+    * election rule). Near-dup at Hamming ≤ t rides the SAME fingerprint
+    * through q28's 16-bit banding — the fingerprint, not the pairing
+    * policy, is the expensive part at 100 TB. Oracle: the generating
+    * formula replayed through the identical sample/gradient/bit-pack
+    * arithmetic — any codec, geometry, or bit-order drift breaks the
+    * hash. */
+  def q139ImageDhash(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    dHashImages(imageAssets(spark, dir)).toDF()
+      .groupBy("h_hi", "h_lo")
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_images") >= 2)
+      .orderBy("h_hi", "h_lo")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_image_dhash"    -> (q139ImageDhash _),
     "q32_multimodal_meta" -> (q32MultimodalMeta _),
     "q33_decode_stats"    -> (q33DecodeStats _),
     "q50_resize"          -> (q50Resize _),
@@ -525,6 +588,30 @@ object Multimodal {
   // the engine's numbers come from ImageIO-decoded rasters, the oracle's
   // from the generating formula; they agree only if the codecs are exact.
   val oracles: Map[String, String] = Map(
+    // q139: the dHash bits replayed from the pixel formula through the
+    // identical 9×8 floor-sample + gradient + 32-bit-half bit packing.
+    "q139_image_dhash" ->
+      """WITH a AS (
+        |  SELECT doc_id, 8 + (n_chars % 8) AS w, 8 + (n_chars % 6) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(flatten(list_transform(range(4, 8), y ->
+        |      list_transform(range(0, 8), x ->
+        |        CASE WHEN (31 * doc_id + 7 * (((x + 1) * w) // 9) + 13 * ((y * h) // 8)) % 256
+        |                >  (31 * doc_id + 7 * ((x * w) // 9)       + 13 * ((y * h) // 8)) % 256
+        |             THEN CAST(1 AS BIGINT) << CAST((y - 4) * 8 + x AS INTEGER)
+        |             ELSE CAST(0 AS BIGINT) END)))) AS BIGINT) AS h_hi,
+        |    CAST(list_sum(flatten(list_transform(range(0, 4), y ->
+        |      list_transform(range(0, 8), x ->
+        |        CASE WHEN (31 * doc_id + 7 * (((x + 1) * w) // 9) + 13 * ((y * h) // 8)) % 256
+        |                >  (31 * doc_id + 7 * ((x * w) // 9)       + 13 * ((y * h) // 8)) % 256
+        |             THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER)
+        |             ELSE CAST(0 AS BIGINT) END)))) AS BIGINT) AS h_lo
+        |  FROM a)
+        |SELECT h_hi, h_lo, count(*) AS n_images, min(doc_id) AS keeper_doc
+        |FROM b GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY h_hi, h_lo""".stripMargin,
     "q32_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,

@@ -1,0 +1,390 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sessions, Tables}
+
+/** Product-quantization codebook training + distortion audit — the PQ
+  * half of IVF-PQ, the storage-side ANN standard (Jégou, Douze &
+  * Schmid 2011, "Product Quantization for Nearest Neighbor Search"):
+  * split each vector into [[M]] subspaces, learn a tiny per-subspace
+  * codebook, and store each vector as [[M]] byte-sized codes — a
+  * 64-dim float32 vector compresses to 8 bytes (32×), which is what
+  * makes exhaustive re-ranking over a 100 TB embedding store feasible.
+  * Complements [[IvfIndex]]/[[KMeans]] (the coarse quantizer — WHICH
+  * list a vector lives in) with the fine quantizer (WHAT the residual
+  * looks like inside the list) and [[Quantize]]'s q88 scalar-int8 audit
+  * (4×) with the vector-codebook alternative.
+  *
+  * Training follows the [[KMeans]] INTEGER-EXACT contract so the oracle
+  * replays the whole trajectory hash-for-hash: micro-quantized input
+  * (shared [[KMeans.quantized]] entry — sign-split floor(|y|+0.5), the
+  * q88 half-away rule), int64 squared distances, argmin tie-broken to
+  * the lowest code, pure-int64 floor-division centroid update with
+  * explicit sign handling, per-row distortion fixed to micro true-units
+  * by integer (d+5e5) div 1e6 BEFORE the corpus-sized sum. After entry
+  * quantization no double is ever materialized.
+  *
+  * Scale shape: sub-vector explode is map-only ([[M]] rows per vector,
+  * no shuffle); each of the three passes (seed-assign, update,
+  * refined-assign) is one distributed aggregate; the codebook between
+  * passes is an [[M]]×[[K]]×[[Dsub]] collect — 1024 longs, the
+  * parameter-server shape, independent of corpus size. Encoding
+  * (vector → [[M]] codes) is a broadcast-literal argmin — the same
+  * map-only posture as [[KMeans.assigned]], streaming-safe.
+  */
+object Pq {
+
+  /** Subspaces (64-dim fixture vectors → 8 dims per subspace). */
+  val M = 8
+
+  /** Dims per subspace. */
+  val Dsub = 8
+
+  /** Codes per subspace codebook (a real deployment uses 256 = one
+    * byte; 16 keeps the fixture clusters non-degenerate at sf0.001). */
+  val K = 16
+
+  /** Sub-vector frame: (vec_id, sub, sv: array<long> of [[Dsub]]) —
+    * map-only explode of the micro-quantized corpus. */
+  private def subVectors(spark: SparkSession, dir: String): DataFrame =
+    KMeans.quantized(spark, dir)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("sub"), col("em"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("em"), col("sub") * Dsub + 1, lit(Dsub)).as("sv"))
+
+  /** Int64 squared L2 distance between the sub-vector column and a
+    * centroid literal. */
+  private def dist2(sv: Column, c: Array[Long]): Column =
+    aggregate(
+      zip_with(sv, array(c.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Assignment columns (code = argmin distance, ties → lowest code;
+    * d = winning distance) for an exploded sub-vector frame, against a
+    * per-subspace codebook literal: a when-chain on `sub` selects the
+    * subspace's argmin struct — row-local, broadcast-literal, the
+    * [[KMeans.assigned]] posture. */
+  private def assigned(df: DataFrame, book: Seq[(Int, Seq[(Int, Array[Long])])]): DataFrame = {
+    val bySub = book.map { case (s, cs) =>
+      val pairs = cs.map { case (j, c) =>
+        struct(dist2(col("sv"), c).as("d"), lit(j).as("j"))
+      }
+      (s, array_min(array(pairs: _*)))
+    }
+    val m = bySub.tail.foldLeft(when(col("sub") === bySub.head._1, bySub.head._2)) {
+      case (acc, (s, e)) => acc.when(col("sub") === s, e)
+    }
+    df.withColumn("m", m)
+      .select(col("vec_id"), col("sub"), col("sv"),
+        col("m.j").as("code"), col("m.d").as("d"))
+  }
+
+  /** Seed codebook: the [[K]] lowest vec_ids' sub-vectors, code = rank
+    * in that order — one bounded K-row collect, sliced per subspace
+    * driver-side (K×[[M]]×[[Dsub]] longs). */
+  private def seedBook(q: DataFrame): Seq[(Int, Seq[(Int, Array[Long])])] = {
+    val rows = q.orderBy("vec_id").limit(K).collect()
+    (0 until M).map { s =>
+      (s, rows.toSeq.zipWithIndex.map { case (r, j) =>
+        (j, r.getSeq[Long](1).slice(s * Dsub, (s + 1) * Dsub).toArray)
+      })
+    }
+  }
+
+  /** One Lloyd update over an assigned sub-vector frame: (sub, code,
+    * dim)-grain integer sums (corpus-sized input map-side combined into
+    * ≤ [[M]]·[[K]]·[[Dsub]] cells), int64 floor-division with explicit
+    * sign handling — the [[KMeans.updateCentroids]] arithmetic. Empty
+    * codes disappear (their codebook row is never re-created), exactly
+    * as k-means drops empty clusters. */
+  private def updateBook(a: DataFrame): Seq[(Int, Seq[(Int, Array[Long])])] = {
+    val upd = a
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "v")))
+      .groupBy("sub", "code", "i")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("sub"), col("code"), col("i"),
+        expr("CASE WHEN s >= 0 THEN s div n ELSE -((-s + n - 1) div n) END")
+          .cast("long").as("c"))
+      .collect()
+    upd.groupBy(_.getInt(0)).toSeq.map { case (s, rows) =>
+      (s, rows.groupBy(_.getInt(1)).toSeq.map { case (j, cells) =>
+        (j, cells.map(r => (r.getInt(2), r.getLong(3))).sortBy(_._1).map(_._2).toArray)
+      }.sortBy(_._1))
+    }.sortBy(_._1)
+  }
+
+  /** q136 — PQ CODEBOOK TRAINING + DISTORTION REPORT: seed from the
+    * [[K]] lowest vec_ids, one full-corpus Lloyd refinement per
+    * subspace, then the refined encoding's per-(subspace, code) cell
+    * report: member count + total quantization distortion in micro
+    * true-units. The table a pipeline publishes to decide whether the
+    * codebook is balanced (no dead codes, no mega-cells) before
+    * flipping the vector store to PQ codes. */
+  def q136PqCodebook(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val q = subVectors(spark, dir).persist()
+    try {
+      val refined = updateBook(assigned(q, seedBook(KMeans.quantized(spark, dir))))
+      assigned(q, refined)
+        .groupBy("sub", "code")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(expr("(d + 500000) div 1000000")).as("distortion_micro"))
+        .select(col("sub"), col("code").cast("long").as("code"),
+          col("n_vecs"), col("distortion_micro"))
+        .orderBy("sub", "code")
+        .localCheckpoint(true)
+    } finally { q.unpersist(); () }
+  }
+
+  /** The trained (seed + one Lloyd round) codebook, cached per
+    * (application, corpus dir, content version) — the
+    * [[KMeans.trainedCentroids]] convention, shared by the q140 ADC
+    * search so training happens once per corpus however many searches
+    * run. */
+  private val bookCache = scala.collection.mutable.Map
+    .empty[(String, String, String), Seq[(Int, Seq[(Int, Array[Long])])]]
+
+  private[graft] def trainedBook(spark: SparkSession, dir: String): Seq[(Int, Seq[(Int, Array[Long])])] =
+    synchronized {
+      val version = graft.core.TableVersion.signature(spark, dir, "embeddings.parquet")
+      bookCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, version), {
+        val q = subVectors(spark, dir).persist()
+        try updateBook(assigned(q, seedBook(KMeans.quantized(spark, dir))))
+        finally { q.unpersist(); () }
+      })
+    }
+
+  /** Probe count / result size for the q140 ADC search (the q29/q43
+    * conventions). */
+  val NumProbes = 8
+  val TopK = 5
+
+  /** Corpus-level recall floor for the q140 gate. With random-ish
+    * fixture embeddings (distances concentrate — the hard regime for
+    * any quantized index), the ADC SHORTLIST at [[shortlistFor]]'s 10%
+    * rate recalls the exact top-[[TopK]] at measured min 0.6 (sf0.01) /
+    * 0.8 (sf0.1); gated at 0.5 (the q49 floor convention — floors sit
+    * under the measured minimum with margin, specs pin the margin). */
+  val AdcRecallFloor = 0.5
+
+  /** ADC shortlist size: 10% of the corpus, floored at 50 — the
+    * re-rank budget that makes PQ a SHORTLIST index (scan compressed
+    * codes for everything, pay exact distance only for R candidates).
+    * Production tunes R per corpus; the scaling rule keeps the gate
+    * meaningful at every fixture SF. */
+  def shortlistFor(n: Long): Int = math.max(50L, n / 10L).toInt
+
+  /** ADC shortlist per probe: encoded corpus (vec_id → [[M]] codes)
+    * scored against each probe through a per-(probe, sub, code)
+    * distance lookup table — the PQ search trick (Jégou et al. §IV):
+    * the probe is compared to [[K]] centroids per subspace ONCE (LUT =
+    * probes × [[M]] × [[K]] int64 cells, built driver-side from two
+    * bounded frames), and every corpus vector's approximate distance is
+    * then [[M]] lookups + adds, independent of dimension. One
+    * (probe, vec)-grain aggregate over the LUT-replicated code stream
+    * — linear in corpus × probes. */
+  private[graft] def adcShortlist(spark: SparkSession, dir: String, r: Int): DataFrame = {
+    import spark.implicits._
+    val book = trainedBook(spark, dir)
+    val q = KMeans.quantized(spark, dir)
+    // probe set = vec_id < NumProbes, the q29 convention (ids are dense
+    // from 0 in every fixture; the oracle counts the same predicate)
+    val probes = q.filter(col("vec_id") < NumProbes).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val lut = for {
+      (pid, pv) <- probes.toSeq
+      (s, cs) <- book
+      (j, c) <- cs
+    } yield {
+      var d = 0L
+      var i = 0
+      while (i < Dsub) {
+        val diff = pv(s * Dsub + i) - c(i); d += diff * diff; i += 1
+      }
+      (pid, s, j, d)
+    }
+    val lutDf = lut.toDF("probe_id", "sub", "code", "pd")
+    val encoded = assigned(subVectors(spark, dir), book)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val adc = encoded.join(broadcast(lutDf), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("pd")).as("adc_d"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("adc_d"), col("vec_id"))
+    adc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= r)
+      .select(col("probe_id"), col("vec_id"))
+  }
+
+  /** The PRODUCTION PQ search: ADC shortlist → exact re-rank of the R
+    * candidates (fetch the R true vectors by key, pay R exact distances
+    * instead of n) → final top-[[TopK]]. This two-stage shape is how
+    * IVF-PQ deployments answer queries; the exact stage is bounded by
+    * the shortlist, never corpus-sized. */
+  private[graft] def adcTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = KMeans.quantized(spark, dir)
+    val n = q.count()
+    val probes = q.filter(col("vec_id") < NumProbes).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    val pDf = broadcast(probes.toDF("probe_id", "pv"))
+    val shortlist = adcShortlist(spark, dir, shortlistFor(n))
+    val reranked = shortlist
+      .join(q, Seq("vec_id"))
+      .join(pDf, Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        aggregate(zip_with(col("em"), col("pv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("d"), col("vec_id"))
+    reranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("d"))
+  }
+
+  /** Exact integer-L2 top-k twin over the micro-quantized corpus (the
+    * recall reference — one corpus scan, probe literals broadcast). */
+  private[graft] def exactTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = KMeans.quantized(spark, dir)
+    val probes = q.filter(col("vec_id") < NumProbes).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    val pDf = broadcast(probes.toDF("probe_id", "pv"))
+    val scored = q.crossJoin(pDf)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        aggregate(zip_with(col("em"), col("pv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("d"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("d"))
+  }
+
+  /** q140 — the PQ-ADC SEARCH GATE (q43 convention): [[adcTopK]]
+    * compared in-plan against the exact integer-L2 twin; emits the
+    * oracle-recomputable corpus facts plus the deterministic
+    * recall-floor verdict. Production callers use [[adcTopK]] — the
+    * exact twin exists only inside the gate. */
+  def q140PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val adc = adcTopK(spark, dir).select(col("probe_id"), col("neighbor_id"))
+    val exact = exactTopK(spark, dir).select(col("probe_id"), col("neighbor_id"))
+    val hits = adc.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    val perProbe = exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
+    perProbe.agg(
+      count(lit(1)).as("n_probes"),
+      sum(lit(TopK)).cast("long").as("n_exact_results"),
+      (min(col("recall")) >= AdcRecallFloor).as("recall_ok"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_pq_codebook" -> (q136PqCodebook _),
+    "q140_pq_adc"      -> (q140PqAdc _))
+
+  /** The training trajectory unrolled in SQL from the same [[M]]/[[K]]/
+    * [[Dsub]] constants the plan uses ([[KMeans.oracleSql]] convention);
+    * every doubly-referenced CTE is MATERIALIZED so the replay stays
+    * fd-linear (the q133 lesson). */
+  val oracles: Map[String, String] = Map(
+    "q136_pq_codebook" -> oracleSql,
+    // q140: the q43 gate shape — probe/result counts are corpus facts,
+    // the recall verdict is deterministic (integer arithmetic end to
+    // end), asserted literally.
+    "q140_pq_adc" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(count(*) * $TopK AS BIGINT) AS n_exact_results,
+         |  TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $NumProbes""".stripMargin)
+
+  /** Entry + sub-vector explode + seed + one Lloyd round + the refined
+    * assignment (a2) as SQL CTE text — shared verbatim by the q136
+    * oracle and q141's ([[graft.streaming.PqEncodeStream]]), so the two
+    * oracles can never disagree about the trained codebook (the
+    * [[KMeans.commonCtes]] convention). */
+  private[graft] def commonCtes: String = {
+    val idx = s"range(1, ${Dsub + 1})"
+    def assign(book: String, n: Int) =
+      s"""d$n AS (
+         |  SELECT v.vec_id, v.sub, v.sv, c.j,
+         |    list_sum(list_transform($idx,
+         |      i -> (v.sv[i] - c.c[i]) * (v.sv[i] - c.c[i]))) AS d
+         |  FROM sv v JOIN $book c ON v.sub = c.sub),
+         |a$n AS MATERIALIZED (
+         |  SELECT vec_id, sub, sv, j AS code, d
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, j) AS rk
+         |        FROM d$n) WHERE rk = 1)""".stripMargin
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> ${KMeans.halfAwaySql("CAST(x AS DOUBLE) * 1000000")}) AS em
+       |  FROM embeddings),
+       |sv AS MATERIALIZED (
+       |  SELECT e.vec_id, s.sub,
+       |    list_transform($idx, i -> e.em[CAST(s.sub * $Dsub AS INTEGER) + i]) AS sv
+       |  FROM e, (SELECT unnest(range(0, $M)) AS sub) s),
+       |seed AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+       |  FROM e ORDER BY vec_id LIMIT $K),
+       |c0 AS MATERIALIZED (
+       |  SELECT v.sub, s.j, v.sv AS c
+       |  FROM sv v JOIN seed s ON v.vec_id = s.vec_id),
+       |${assign("c0", 1)},
+       |u1 AS (
+       |  SELECT sub, code, i, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+       |  FROM (SELECT sub, code, unnest(sv) AS v,
+       |          unnest($idx) AS i FROM a1)
+       |  GROUP BY 1, 2, 3),
+       |c1 AS MATERIALIZED (
+       |  SELECT sub, code AS j,
+       |    list(CAST(CASE WHEN s >= 0 THEN s // n
+       |              ELSE -((-s + n - 1) // n) END AS BIGINT) ORDER BY i) AS c
+       |  FROM u1 GROUP BY 1, 2),
+       |${assign("c1", 2)}""".stripMargin
+  }
+
+  private def oracleSql: String =
+    s"""WITH $commonCtes
+       |SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS BIGINT) AS code,
+       |  count(*) AS n_vecs,
+       |  CAST(sum((CAST(d AS BIGINT) + 500000) // 1000000) AS BIGINT) AS distortion_micro
+       |FROM a2 GROUP BY 1, 2 ORDER BY sub, code""".stripMargin
+
+  /** The q141 replay ([[graft.streaming.PqEncodeStream]]): the shared
+    * trajectory CTEs, then the refined assignment re-shaped to one row
+    * per vector — codes in subspace order + the row-bounded total
+    * squared distortion (raw micro² — an 8-term int64 sum, exact). */
+  private[graft] def encodeOracleSql: String =
+    s"""WITH $commonCtes
+       |SELECT vec_id,
+       |  list(CAST(code AS INTEGER) ORDER BY sub) AS codes,
+       |  CAST(sum(CAST(d AS BIGINT)) AS BIGINT) AS distortion_sq_micro
+       |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** ROW-LOCAL PQ encode columns over a (vec_id, em: array<long>)
+    * frame: codes (subspace-order array<int>) + total squared
+    * distortion — no explode, no shuffle, broadcast-literal codebook;
+    * STREAMING-SAFE (the [[KMeans.assigned]] posture), shared by the
+    * q141 ingest path so batch and stream encoding can never drift. */
+  private[graft] def encodeColumns(df: DataFrame, book: Seq[(Int, Seq[(Int, Array[Long])])]): DataFrame = {
+    val mins = book.map { case (s, cs) =>
+      val pairs = cs.map { case (j, c) =>
+        struct(dist2(slice(col("em"), lit(s * Dsub + 1), lit(Dsub)), c).as("d"),
+          lit(j).as("j"))
+      }
+      array_min(array(pairs: _*))
+    }
+    df.withColumn("m", array(mins: _*))
+      .select(col("vec_id"),
+        transform(col("m"), m => m.getField("j")).as("codes"),
+        aggregate(transform(col("m"), m => m.getField("d")), lit(0L), (a, x) => a + x)
+          .as("distortion_sq_micro"))
+  }
+}

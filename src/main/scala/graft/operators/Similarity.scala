@@ -561,8 +561,59 @@ object Similarity {
       .orderBy("source")
   }
 
+  /** Eval-slice modulus for the SEMANTIC decontamination fixture
+    * (vec_id ≡ 0 mod this = the held-out eval set) — mirrors
+    * [[Dedup.EvalDocModulus]]'s q62 convention so the two
+    * decontamination views carve the same kind of slice. */
+  val EvalVecModulus = 97L
+
+  /** q137 — SEMANTIC DECONTAMINATION: the embedding-space twin of q62's
+    * n-gram decontamination. Paraphrased eval leakage shares no 5-gram
+    * with the eval set but sits next to it in embedding space (Yang et
+    * al. 2023, "Rethinking Benchmark and Contamination ... n-gram
+    * overlap is not enough"), so a production pipeline audits BOTH:
+    * q62 catches verbatim leakage, this catches semantic leakage.
+    *
+    * For every train vector: the max cosine to ANY eval vector; the
+    * per-source report counts vectors over the [[NearDupThreshold]]
+    * contamination line. Eval sets are small by construction (a slice
+    * here; thousands of rows in production), so the eval side is a
+    * BROADCAST and the scan is ONE map-only pass over the train corpus
+    * — |train|·|eval| dot products with no shuffle until the tiny
+    * (source)-grain report. At 100 TB the same report runs behind the
+    * q49 sign-LSH bucket prefilter (bucket-join train×eval first, exact
+    * cosine only within buckets) exactly as q31→q49; the exact form IS
+    * the oracle-checked baseline, like q31.
+    *
+    * Numeric contract: cosine is the q29/q31 bit-identical double fold;
+    * max is order-free (no double sums cross the engines); one
+    * round(·, 6) on the comparison-stable max. */
+  def q137SemDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val ev = broadcast(
+      emb.filter(col("vec_id") % EvalVecModulus === 0)
+        .select(col("embedding").as("ee")))
+    val mx = emb.filter(col("vec_id") % EvalVecModulus =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(ev)
+      .select(col("vec_id"), cosine(col("embedding"), col("ee")).as("c"))
+      .groupBy("vec_id")
+      .agg(max(col("c")).as("mx"))
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    mx.join(src, Seq("vec_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(when(col("mx") >= NearDupThreshold, 1L).otherwise(0L)).as("n_contaminated"),
+        round(max(col("mx")), 6).as("max_eval_cosine"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_centroid_drift"  -> (q82CentroidDrift _),
+    "q137_sem_decontaminate" -> (q137SemDecontaminate _),
     "q69_sem_dedup"       -> (q69SemDedup _),
     "q29_cosine_topk"     -> (q29CosineTopK _),
     "q30_ann_lsh"         -> (q30AnnLsh _),
@@ -571,6 +622,26 @@ object Similarity {
     "q49_near_dup_lsh"    -> (q49NearDupLsh _))
 
   val oracles: Map[String, String] = Map(
+    // q137: exact replay — same cosine arithmetic as q31, max per train
+    // vector, source-grain report.
+    "q137_sem_decontaminate" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS ee
+         |  FROM embeddings WHERE vec_id % $EvalVecModulus = 0),
+         |mx AS (
+         |  SELECT t.vec_id,
+         |    max(list_dot_product(CAST(t.embedding AS DOUBLE[]), ev.ee) /
+         |      sqrt(list_dot_product(CAST(t.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])) *
+         |           list_dot_product(ev.ee, ev.ee))) AS mx
+         |  FROM embeddings t, ev
+         |  WHERE t.vec_id % $EvalVecModulus <> 0
+         |  GROUP BY t.vec_id)
+         |SELECT d.source, count(*) AS n_train,
+         |  CAST(sum(CASE WHEN m.mx >= $NearDupThreshold THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  round(max(m.mx), 6) AS max_eval_cosine
+         |FROM mx m JOIN documents d ON m.vec_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // q43: the verdict row is exactly reproducible — n_probes and
     // n_exact_results are corpus facts, recall_ok is the deterministic
     // engine-side gate (both searches are deterministic), asserted

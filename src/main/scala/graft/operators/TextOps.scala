@@ -803,9 +803,65 @@ object TextOps {
     "q46_rolling_fp"    -> (q46RollingFp _),
     "q47_token_bpe"     -> (q47TokenBpe _),
     "q53_vocab_top"     -> (q53VocabTop _),
-    "q54_tfidf"         -> (q54TfIdf _))
+    "q54_tfidf"         -> (q54TfIdf _),
+    "q138_token_fertility" -> (q138TokenFertility _))
+
+  /** q138 — TOKENIZER FERTILITY BY LANGUAGE: per-lang corpus totals of
+    * whitespace words, BPE-ish subword tokens ([[BpePattern]], the q47
+    * estimator) and UTF-8 bytes, with the two ratios every multilingual
+    * tokenizer report publishes — fertility (subwords per word; the
+    * metric tokenizer papers use for cross-language cost skew, e.g.
+    * Rust et al. 2021 "How Good is Your Tokenizer?") and compression
+    * (bytes per subword). A language whose fertility is 2× pays 2× the
+    * context budget for the same text — this table is how a pipeline
+    * decides whether the tokenizer or the language mix needs to change.
+    *
+    * Shape: map-only per-document counting (codegen'd regex/size, no
+    * explode — counts, not token streams), partial-agged into the
+    * languages-grain report. Integer sums (order-free), then one
+    * int-derived double division per ratio — the q122 contract. */
+  def q138TokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.documents(spark, dir)
+      .select(
+        col("lang"),
+        size(tokens(col("text"))).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("bpe"),
+        octet_length(col("text")).cast("long").as("b"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_words"),
+        sum(col("bpe")).as("n_subwords"),
+        sum(col("b")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"), col("n_bytes"),
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(col("n_subwords").cast("double") / col("n_words"), 4))
+          .as("fertility"),
+        when(col("n_subwords") === 0, lit(0.0))
+          .otherwise(round(col("n_bytes").cast("double") / col("n_subwords"), 4))
+          .as("bytes_per_subword"))
+      .orderBy("lang")
+  }
 
   val oracles: Map[String, String] = Map(
+    "q138_token_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws,
+        |    len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9 ]+')) AS bpe,
+        |    octet_length(encode(text)) AS b
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS n_words,
+        |    CAST(sum(bpe) AS BIGINT) AS n_subwords, CAST(sum(b) AS BIGINT) AS n_bytes
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_subwords, n_bytes,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |       ELSE round(CAST(n_subwords AS DOUBLE) / n_words, 4) END AS fertility,
+        |  CASE WHEN n_subwords = 0 THEN 0.0
+        |       ELSE round(CAST(n_bytes AS DOUBLE) / n_subwords, 4) END AS bytes_per_subword
+        |FROM g ORDER BY lang""".stripMargin,
     // micro-fixed lns + exact int64 normal equations: the one double
     // division lands bit-identically on both engines
     "q122_zipf_slope" ->

@@ -48,7 +48,16 @@ object ScaleBench {
     // to check empirically
     "q125_mix_manifest", "q126_cluster_histogram", "q127_attrition",
     "q129_dsir_select", "q130_kmeans_refine", "q132_stream_dsir",
-    "q133_pca_power")
+    "q133_pca_power",
+    // round-8 additions: PQ training (three full-corpus integer
+    // aggregate passes) and semantic decontamination (|train|·|eval|
+    // broadcast dot products — the sweep checks the eval-slice cost
+    // grows linearly with the corpus, not quadratically)
+    "q136_pq_codebook", "q137_sem_decontaminate",
+    // q140 sweeps the PRODUCTION ADC scan (LUT join over the code
+    // stream), not the gate (whose exact twin is the audit, the q49
+    // convention); q139 sweeps the full decode→dHash→cluster chain
+    "q140_adc_scan", "q139_image_dhash")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */
@@ -75,7 +84,11 @@ object ScaleBench {
     // the q114 gate computes stream AND batch twin for the equality
     // audit; the sweep times the streaming screen alone
     "q114_stream_screen" -> ((s: SparkSession, d: String) =>
-      graft.streaming.DedupStream.streamScreen(s, d)))
+      graft.streaming.DedupStream.streamScreen(s, d)),
+    // the q140 gate's exact-L2 twin is the audit; the sweep times the
+    // production ADC scan alone (train + encode + LUT-join top-k)
+    "q140_adc_scan" -> ((s: SparkSession, d: String) =>
+      graft.operators.Pq.adcTopK(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -108,4 +108,35 @@ class MultimodalSpec extends SparkSpec {
     assert(agg == expect)
     assert(agg.keySet == Set("png", "bmp"))
   }
+
+  test("q139: dHash from decoded pixels equals the formula replay; clusters are real") {
+    import Multimodal.ImageFixture
+    // driver-side replay of the full dHash from the generating formula
+    def dhash(d: Long, w: Int, h: Int): (Long, Long) = {
+      def p(x: Int, y: Int): Int = ImageFixture.pixel(d, x * w / 9, y * h / 8)
+      var lo = 0L; var hi = 0L
+      for (y <- 0 until 8; x <- 0 until 8 if p(x + 1, y) > p(x, y)) {
+        if (y < 4) lo |= 1L << (y * 8 + x) else hi |= 1L << ((y - 4) * 8 + x)
+      }
+      (hi, lo)
+    }
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = docs.map { case (d, nc) =>
+      val (w, h) = ImageFixture.dims(nc)
+      (d, dhash(d, w, h))
+    }
+    val expectedClusters = expected.groupBy(_._2).view
+      .mapValues(ms => (ms.length.toLong, ms.map(_._1).min))
+      .filter(_._2._1 >= 2).toMap
+
+    val got = Multimodal.q139ImageDhash(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expectedClusters)
+    // the fixture corpus genuinely contains perceptual duplicates, so
+    // the operator is exercised (not vacuously empty)
+    assert(got.nonEmpty, "fixture has no dHash clusters — operator untested")
+    assert(got.values.forall(_._1 >= 2))
+  }
 }

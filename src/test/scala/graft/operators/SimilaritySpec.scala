@@ -292,6 +292,39 @@ class SimilaritySpec extends SparkSpec {
              java.lang.Double.doubleToLongBits(row.getDouble(1))))
   }
 
+  test("q137: per-source counts conserve the train slice and flags match a direct recount") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.q137SemDecontaminate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // every max cosine is a valid cosine and the flag line is respected
+    out.foreach { case (_, nTrain, nFlag, mx) =>
+      assert(nFlag <= nTrain)
+      assert(mx <= 1.000001 && mx >= -1.000001)
+      if (mx < Similarity.NearDupThreshold) assert(nFlag == 0)
+    }
+    // conservation: Σ n_train = vectors outside the eval slice (that
+    // have a documents row — fixture ids are 1:1)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val nTrainExpected =
+      emb.filter(col("vec_id") % Similarity.EvalVecModulus =!= 0).count()
+    assert(out.map(_._2).sum == nTrainExpected)
+
+    // direct recount on the driver (tiny fixture): flagged = train
+    // vectors whose max cosine to any eval vector clears the threshold
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val ev = vecs.filter(_._1 % Similarity.EvalVecModulus == 0).map(_._2)
+    val expectedFlagged = vecs
+      .filter(_._1 % Similarity.EvalVecModulus != 0)
+      .count { case (_, v) => ev.map(e => cos(v, e)).max >= Similarity.NearDupThreshold }
+    assert(out.map(_._3).sum == expectedFlagged)
+  }
+
   test("cosine column matches a scala-side computation") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")

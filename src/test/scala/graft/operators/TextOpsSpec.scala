@@ -305,4 +305,26 @@ class TextOpsSpec extends SparkSpec {
       r.getLong(3), r.getDouble(4))).toSeq
     assert(got == Seq(("s1", "en", 3L, 1L, 1.0 / 3), ("s2", "en", 2L, 1L, 0.5)))
   }
+
+  test("q138: fertility totals reconcile with q47 per-doc counts") {
+    val out = TextOps.q138TokenFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.nonEmpty)
+    // corpus-level reconciliation against the q47 per-document profile
+    val perDoc = TextOps.q47TokenBpe(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sum == perDoc.map(_._1).sum, "word totals")
+    assert(out.map(_._4).sum == perDoc.map(_._2).sum, "subword totals")
+    assert(out.map(_._2).sum == perDoc.length.toLong, "doc totals")
+    // ratios re-derive from the emitted integer sums
+    out.foreach { case (_, _, w, sw, b, fert, bps) =>
+      val ef = if (w == 0) 0.0 else BigDecimal(sw.toDouble / w)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(fert - ef) < 1e-9)
+      val eb = if (sw == 0) 0.0 else BigDecimal(b.toDouble / sw)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(bps - eb) < 1e-9)
+    }
+  }
 }
