@@ -23,6 +23,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM decontaminate('eval_docs')
   *   SELECT * FROM corpus_diff('documents_v1', 'documents')
   *   SELECT * FROM near_dup_pairs(0.6)
+  *   SELECT * FROM containment(0.8)
+  *   SELECT * FROM token_fertility()
+  *   SELECT * FROM sem_decontaminate()
   *   SELECT * FROM dedup_apply(0.6) WHERE NOT is_keeper
   *   SELECT * FROM temperature_mix(0.7)
   *   SELECT * FROM corpus_drift('documents_v1', 'documents')
@@ -286,6 +289,32 @@ object TableFunctions {
             graft.operators.Dedup.sigsOf(spark.table("documents")),
             dbl(thr, "near_dup_pairs(threshold)")))
         case _ => throw new IllegalArgumentException("near_dup_pairs expects (threshold)")
+      }
+    },
+    "containment" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(thr) =>
+          val t = dbl(thr, "containment(threshold)")
+          require(t >= 0.0 && t <= 1.0, "containment: threshold must be in [0, 1]")
+          plan(spark => graft.operators.Dedup.containmentPairs(
+            graft.operators.Dedup.sigsOf(spark.table("documents")),
+            math.round(t * 1e6), graft.operators.Dedup.ContainMinShingles))
+        case _ => throw new IllegalArgumentException("containment expects (threshold)")
+      }
+    },
+    "token_fertility" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.TextOps.tokenFertility(spark.table("documents")))
+        case _ => throw new IllegalArgumentException("token_fertility expects no arguments")
+      }
+    },
+    "sem_decontaminate" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Similarity.semDecontaminate(
+            spark.table("embeddings"), spark.table("documents")))
+        case _ => throw new IllegalArgumentException("sem_decontaminate expects no arguments")
       }
     },
     "dedup_apply" -> { exprs: Seq[Expression] =>

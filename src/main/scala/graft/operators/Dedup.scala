@@ -808,7 +808,57 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Containment threshold (micros) and minimum shingle-set size for
+    * q142: C ≥ 0.8 with ≥ 5 shingles — the quote/subset line. */
+  val ContainMicros = 800000L
+  val ContainMinShingles = 5L
+
+  /** Exact shingle-CONTAINMENT pairs over a [[sigsOf]]-shaped signature
+    * table: C(A→B) = |S(A)∩S(B)| / |S(A)| for the SMALLER set A — the
+    * asymmetric twin of [[jaccardPairs]]. Jaccard normalizes by the
+    * union, so a short document wholly quoted inside a long one scores
+    * near zero and survives Jaccard dedup; containment normalizes by
+    * the contained side and catches exactly that (Broder 1997's
+    * resemblance-vs-containment distinction — the subset/quote
+    * detector every curation pipeline runs next to its near-dup pass).
+    *
+    * INTEGER-EXACT: containment_micro = (inter · 1e6) div min(n1, n2)
+    * — int64 division, nothing for the engines to disagree about.
+    * Same hash-keyed shingle self-join + (pair)-grain count as q26
+    * (shuffle carries shingle hashes, never text). The scale path is
+    * the ASYMMETRIC prefix filter: C(A→B) ≥ τ forces A to share one of
+    * its first |A|−⌈τ|A|⌉+1 ordered shingles, so only the contained
+    * side explodes a prefix (the q99 move with the B side unpruned —
+    * still never all-pairs). */
+  private[graft] def containmentPairs(
+      sigs: DataFrame, thresholdMicros: Long, minShingles: Long): DataFrame = {
+    val sh = sigs.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    val a = sh.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("h"))
+    val b = sh.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("h"))
+    a.join(b, Seq("h")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2", "n1", "n2")
+      .agg(count(lit(1)).as("inter"))
+      .filter(least(col("n1"), col("n2")) >= minShingles)
+      .withColumn("contained",
+        when(col("n2") < col("n1"), col("d2")).otherwise(col("d1")))
+      .withColumn("container",
+        when(col("n2") < col("n1"), col("d1")).otherwise(col("d2")))
+      .withColumn("containment_micro",
+        expr("(inter * 1000000) div least(n1, n2)"))
+      .filter(col("containment_micro") >= thresholdMicros)
+      .select("contained", "container", "containment_micro")
+      .orderBy("contained", "container")
+  }
+
+  /** q142 — subset/quote detection: [[containmentPairs]] at the
+    * [[ContainMicros]] line over the shared shingle-signature stage. */
+  def q142Containment(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    containmentPairs(shingleSigs(spark, dir), ContainMicros, ContainMinShingles)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_containment" -> (q142Containment _),
     "q120_source_overlap" -> (q120SourceOverlap _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q24_dedup_exact"   -> (q24DedupExact _),
@@ -850,6 +900,17 @@ object Dedup {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q142: the q26 pair CTEs, containment-normalized (integer micro
+    // division — exact on both engines)
+    "q142_containment" ->
+      s"""$jaccardCtes
+         |SELECT CASE WHEN n2.n_sh < n1.n_sh THEN p.d2 ELSE p.d1 END AS contained,
+         |  CASE WHEN n2.n_sh < n1.n_sh THEN p.d1 ELSE p.d2 END AS container,
+         |  CAST((inter * 1000000) // least(n1.n_sh, n2.n_sh) AS BIGINT) AS containment_micro
+         |FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+         |WHERE least(n1.n_sh, n2.n_sh) >= $ContainMinShingles
+         |  AND (inter * 1000000) // least(n1.n_sh, n2.n_sh) >= $ContainMicros
+         |ORDER BY contained, container""".stripMargin,
     // string-shingle recomputation of the engine's hash-grain source
     // sets (same collision caveat as q26/q62)
     "q120_source_overlap" ->

@@ -590,7 +590,12 @@ object Similarity {
     * round(·, 6) on the comparison-stable max. */
   def q137SemDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val emb = Tables.embeddings(spark, dir)
+    semDecontaminate(Tables.embeddings(spark, dir), Tables.documents(spark, dir))
+  }
+
+  /** The q137 report over ANY embeddings/documents-shaped frames (also
+    * the `sem_decontaminate()` TVF). */
+  def semDecontaminate(emb: DataFrame, docs: DataFrame): DataFrame = {
     val ev = broadcast(
       emb.filter(col("vec_id") % EvalVecModulus === 0)
         .select(col("embedding").as("ee")))
@@ -600,8 +605,7 @@ object Similarity {
       .select(col("vec_id"), cosine(col("embedding"), col("ee")).as("c"))
       .groupBy("vec_id")
       .agg(max(col("c")).as("mx"))
-    val src = Tables.documents(spark, dir)
-      .select(col("doc_id").as("vec_id"), col("source"))
+    val src = docs.select(col("doc_id").as("vec_id"), col("source"))
     mx.join(src, Seq("vec_id"))
       .groupBy("source")
       .agg(

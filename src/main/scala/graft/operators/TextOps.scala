@@ -822,7 +822,13 @@ object TextOps {
     * int-derived double division per ratio — the q122 contract. */
   def q138TokenFertility(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    Tables.documents(spark, dir)
+    tokenFertility(Tables.documents(spark, dir))
+  }
+
+  /** The q138 report over ANY documents-shaped frame (also the
+    * `token_fertility()` TVF). */
+  def tokenFertility(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("lang"),
         size(tokens(col("text"))).cast("long").as("ws"),
@@ -842,7 +848,6 @@ object TextOps {
           .otherwise(round(col("n_bytes").cast("double") / col("n_subwords"), 4))
           .as("bytes_per_subword"))
       .orderBy("lang")
-  }
 
   val oracles: Map[String, String] = Map(
     "q138_token_fertility" ->

@@ -123,6 +123,20 @@ class TableFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("containment / token_fertility / sem_decontaminate TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(rows(spark.sql("SELECT * FROM containment(0.8)")) ==
+      rows(graft.operators.Dedup.containmentPairs(
+        graft.operators.Dedup.sigsOf(docs),
+        graft.operators.Dedup.ContainMicros, graft.operators.Dedup.ContainMinShingles)))
+    assert(rows(spark.sql("SELECT * FROM token_fertility()")) ==
+      rows(graft.operators.TextOps.tokenFertility(docs)))
+    assert(rows(spark.sql("SELECT * FROM sem_decontaminate()")) ==
+      rows(graft.operators.Similarity.semDecontaminate(
+        Tables.embeddings(spark, sf), docs)))
+  }
+
   test("temperature_mix / chunk / pii_redact TVFs match their Scala twins") {
     Tables.registerAll(spark, sf)
     val docs = Tables.documents(spark, sf)

@@ -489,4 +489,25 @@ class DedupSpec extends SparkSpec {
       assert(q38(id) == grp, s"doc $id group drifted between q38 and q131")
     }
   }
+
+  test("q142 containment: quoted subset flagged even where Jaccard sees nothing") {
+    import spark.implicits._
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")
+    val big = ((1 to 10) ++ (11 to 60)).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val sigs = Dedup.sigsOf(docs)
+    val out = Dedup.containmentPairs(sigs, Dedup.ContainMicros, Dedup.ContainMinShingles)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the quote is fully contained: C = 1.0, directed small → big
+    assert(out.toSeq == Seq((1L, 2L, 1000000L)))
+    // the same pair is invisible to Jaccard at any near-dup threshold
+    val j = Dedup.jaccardPairs(sigs, 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) < 0.2, s"jaccard ${j((1L, 2L))} not small — fixture broken")
+    // corpus run: the planted full-containment near-dups surface
+    val corpus = Dedup.q142Containment(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall(_.getLong(2) >= Dedup.ContainMicros))
+  }
 }
