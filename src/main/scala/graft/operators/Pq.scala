@@ -185,16 +185,13 @@ object Pq {
     * then [[M]] lookups + adds, independent of dimension. One
     * (probe, vec)-grain aggregate over the LUT-replicated code stream
     * — linear in corpus × probes. */
-  private[graft] def adcShortlist(spark: SparkSession, dir: String, r: Int): DataFrame = {
-    import spark.implicits._
-    val book = trainedBook(spark, dir)
-    val q = KMeans.quantized(spark, dir)
-    // probe set = vec_id < NumProbes, the q29 convention (ids are dense
-    // from 0 in every fixture; the oracle counts the same predicate)
-    val probes = q.filter(col("vec_id") < NumProbes).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    val lut = for {
-      (pid, pv) <- probes.toSeq
+  /** The per-(probe, sub, code) int64 distance lookup table — probes ×
+    * [[M]] × [[K]] cells, built driver-side from two bounded frames. */
+  private def lutRows(
+      probes: Seq[(Long, Array[Long])],
+      book: Seq[(Int, Seq[(Int, Array[Long])])]): Seq[(Long, Int, Int, Long)] =
+    for {
+      (pid, pv) <- probes
       (s, cs) <- book
       (j, c) <- cs
     } yield {
@@ -205,7 +202,16 @@ object Pq {
       }
       (pid, s, j, d)
     }
-    val lutDf = lut.toDF("probe_id", "sub", "code", "pd")
+
+  private[graft] def adcShortlist(spark: SparkSession, dir: String, r: Int): DataFrame = {
+    import spark.implicits._
+    val book = trainedBook(spark, dir)
+    val q = KMeans.quantized(spark, dir)
+    // probe set = vec_id < NumProbes, the q29 convention (ids are dense
+    // from 0 in every fixture; the oracle counts the same predicate)
+    val probes = q.filter(col("vec_id") < NumProbes).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val lutDf = lutRows(probes.toSeq, book).toDF("probe_id", "sub", "code", "pd")
     val encoded = assigned(subVectors(spark, dir), book)
       .select(col("vec_id"), col("sub"), col("code"))
     val adc = encoded.join(broadcast(lutDf), Seq("sub", "code"))
@@ -286,9 +292,110 @@ object Pq {
       (min(col("recall")) >= AdcRecallFloor).as("recall_ok"))
   }
 
+  /** Coarse lists a probe visits in the q143 IVF-PQ search (of
+    * [[KMeans.K]] = 8 total — a 25% expected scan). */
+  val NprobeLists = 2
+
+  /** Scan-fraction ceiling for the q143 gate: no probe may touch more
+    * than this fraction of the corpus (measured ~0.25 at [[NprobeLists]]
+    * = 2 of 8 lists; the bound holds with margin unless the coarse
+    * quantizer collapses). */
+  val MaxScanFraction = 0.6
+
+  /** The FULL IVF-PQ search (Jégou et al. §V): the coarse k-means
+    * quantizer ([[KMeans.trainedCentroids]], q130's model) routes each
+    * probe to its [[NprobeLists]] nearest inverted lists; the ADC LUT
+    * scores ONLY the vectors in those lists from their 8-byte codes;
+    * the shortlist re-ranks exactly. Per-probe cost: (nprobe/k)·n code
+    * lookups + R exact distances — the two-level structure that makes
+    * billion-vector search tractable. Returns (topk, visited): the
+    * final neighbors and the per-probe visited counts (the gate's
+    * scan-fraction evidence). Routing is driver-side (both models are
+    * bounded driver values); corpus-side work is two broadcast joins —
+    * nothing shuffles except the (probe, vec)-grain aggregate. */
+  private[graft] def ivfPqSearch(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val cents = KMeans.trainedCentroids(spark, dir)
+    val book = trainedBook(spark, dir)
+    val q = KMeans.quantized(spark, dir)
+    val n = q.count()
+    val probes = q.filter(col("vec_id") < NumProbes).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    // probe → its NprobeLists nearest coarse lists (ties → lower id),
+    // computed driver-side from the k×dim model
+    val routes = probes.flatMap { case (pid, pv) =>
+      cents.map { case (j, c) =>
+        var dd = 0L
+        var i = 0
+        while (i < pv.length) { val df = pv(i) - c(i); dd += df * df; i += 1 }
+        (dd, j)
+      }.sorted.take(NprobeLists).map { case (_, j) => (pid, j) }
+    }
+    val routeDf = broadcast(routes.toDF("probe_id", "cluster"))
+    // corpus routing: the SAME assignment pass the ingest stream runs
+    // (q135) — at deployment the cluster column is already materialized
+    val assignedLists = KMeans.assigned(q, cents)
+      .select(col("vec_id"), col("cluster"))
+    val visited = assignedLists.join(routeDf, Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id")
+    val lutDf = broadcast(lutRows(probes, book).toDF("probe_id", "sub", "code", "pd"))
+    val encoded = assigned(subVectors(spark, dir), book)
+      .select(col("vec_id"), col("sub"), col("code"))
+    // the compressed-domain scan: |visited|·M code lookups
+    val adc = visited.join(encoded, Seq("vec_id"))
+      .join(lutDf, Seq("probe_id", "sub", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("pd")).as("adc_d"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("adc_d"), col("vec_id"))
+    val shortlist = adc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= shortlistFor(n))
+      .select("probe_id", "vec_id")
+    val pDf = broadcast(probes.toDF("probe_id", "pv"))
+    val reranked = shortlist
+      .join(q, Seq("vec_id"))
+      .join(pDf, Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        aggregate(zip_with(col("em"), col("pv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"))
+    val w2 = Window.partitionBy("probe_id").orderBy(col("d"), col("vec_id"))
+    val topk = reranked.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("d"))
+    val fracs = visited.groupBy("probe_id")
+      .agg((count(lit(1)).cast("double") / n).as("scan_frac"))
+    (topk, fracs)
+  }
+
+  /** q143 — the IVF-PQ SEARCH GATE (q43 convention): [[ivfPqSearch]]
+    * against the exact integer-L2 twin, plus the scan-fraction verdict
+    * — the two claims an IVF-PQ index must prove (finds the neighbors,
+    * touches a bounded slice). Production callers use [[ivfPqSearch]]'s
+    * topk; the exact twin exists only inside the gate. */
+  def q143IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val (topk, fracs) = ivfPqSearch(spark, dir)
+    val approx = topk.select(col("probe_id"), col("neighbor_id"))
+    val exact = exactTopK(spark, dir).select(col("probe_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    val perProbe = exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
+      .join(fracs, Seq("probe_id"))
+    perProbe.agg(
+      count(lit(1)).as("n_probes"),
+      sum(lit(TopK)).cast("long").as("n_exact_results"),
+      (min(col("recall")) >= AdcRecallFloor).as("recall_ok"),
+      (max(col("scan_frac")) <= MaxScanFraction).as("scan_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_pq_codebook" -> (q136PqCodebook _),
-    "q140_pq_adc"      -> (q140PqAdc _))
+    "q140_pq_adc"      -> (q140PqAdc _),
+    "q143_ivf_pq"      -> (q143IvfPq _))
 
   /** The training trajectory unrolled in SQL from the same [[M]]/[[K]]/
     * [[Dsub]] constants the plan uses ([[KMeans.oracleSql]] convention);
@@ -303,6 +410,12 @@ object Pq {
       s"""SELECT CAST(count(*) AS BIGINT) AS n_probes,
          |  CAST(count(*) * $TopK AS BIGINT) AS n_exact_results,
          |  TRUE AS recall_ok
+         |FROM embeddings WHERE vec_id < $NumProbes""".stripMargin,
+    // q143: same gate shape with the scan-fraction verdict alongside.
+    "q143_ivf_pq" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(count(*) * $TopK AS BIGINT) AS n_exact_results,
+         |  TRUE AS recall_ok, TRUE AS scan_ok
          |FROM embeddings WHERE vec_id < $NumProbes""".stripMargin)
 
   /** Entry + sub-vector explode + seed + one Lloyd round + the refined

@@ -57,7 +57,7 @@ object ScaleBench {
     // q140 sweeps the PRODUCTION ADC scan (LUT join over the code
     // stream), not the gate (whose exact twin is the audit, the q49
     // convention); q139 sweeps the full decode→dHash→cluster chain
-    "q140_adc_scan", "q139_image_dhash")
+    "q140_adc_scan", "q139_image_dhash", "q143_ivfpq_scan")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */
@@ -88,7 +88,10 @@ object ScaleBench {
     // the q140 gate's exact-L2 twin is the audit; the sweep times the
     // production ADC scan alone (train + encode + LUT-join top-k)
     "q140_adc_scan" -> ((s: SparkSession, d: String) =>
-      graft.operators.Pq.adcTopK(s, d)))
+      graft.operators.Pq.adcTopK(s, d)),
+    // likewise q143: the production two-level search, not the gate
+    "q143_ivfpq_scan" -> ((s: SparkSession, d: String) =>
+      graft.operators.Pq.ivfPqSearch(s, d)._1))
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")

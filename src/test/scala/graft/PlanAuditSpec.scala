@@ -232,4 +232,24 @@ class PlanAuditSpec extends SparkSpec {
         s"$q scans beyond documents metadata (expected stage reuse): $paths")
     }
   }
+
+  test("semantic decontamination broadcasts the eval slice, never shuffling the train corpus against it (q137)") {
+    val (_, plan) = executed("q137_sem_decontaminate")
+    // the train×eval pairing must be a broadcast nested loop (eval side
+    // bounded by construction) — a sort-merge/shuffle formulation would
+    // move the whole train corpus per eval batch at 100 TB
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q137: train×eval is not a broadcast join\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q137: unexpected sort-merge join in the scoring path\n$plan")
+  }
+
+  test("image dHash is map-only fingerprinting: one aggregation shuffle plus the output sort (q139)") {
+    val (df, _) = executed("q139_image_dhash")
+    // decode + hash ride the scan partitions; the only data movement is
+    // the (hash)-grain aggregate and the bounded output sort
+    val exchanges = BucketedLayout.collectExchanges(df.queryExecution.executedPlan)
+    assert(exchanges.length <= 2,
+      s"q139: ${exchanges.length} exchanges — fingerprinting must stay map-side")
+  }
 }

@@ -75,4 +75,27 @@ class PqSpec extends SparkSpec {
     assert(gate.head.getLong(1) == Pq.NumProbes * Pq.TopK)
     assert(gate.head.getBoolean(2), "gate verdict false")
   }
+
+  test("q143: IVF-PQ finds the neighbors while touching a bounded corpus slice") {
+    val (topk, fracs) = Pq.ivfPqSearch(spark, sf)
+    val tk = topk.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tk.length == Pq.NumProbes * Pq.TopK)
+    val fr = fracs.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fr.length == Pq.NumProbes)
+    // the index must not degenerate into a full scan
+    assert(fr.forall(_._2 <= Pq.MaxScanFraction),
+      s"scan fractions ${fr.map(_._2).max} over bound")
+    assert(fr.forall(_._2 > 0.0))
+    val exactSet = Pq.exactTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = tk.groupBy(_._1).map { case (_, hits) =>
+      hits.count(exactSet.contains).toDouble / Pq.TopK
+    }
+    assert(recalls.min >= Pq.AdcRecallFloor,
+      s"min per-probe recall ${recalls.min} under floor")
+    val gate = Pq.q143IvfPq(spark, sf).collect()
+    assert(gate.length == 1)
+    assert(gate.head.getBoolean(2), "recall verdict false")
+    assert(gate.head.getBoolean(3), "scan verdict false")
+  }
 }
