@@ -495,7 +495,11 @@ object TextOps {
     unigramCore(docTok, total)
   }
 
-  private def unigramCore(docTok: DataFrame, total: DataFrame): DataFrame = {
+  /** Per-doc integer LM surprisal: (doc_id, n_tokens, bits_e4) where
+    * bits_e4 = mean bits/token half-up-quantized to 1e-4 units, as an
+    * exact int64 — the sortable difficulty key q144 buckets on and the
+    * integer q78 divides down for display. */
+  private def unigramBitsE4(docTok: DataFrame, total: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docTok
       .withColumn("cnt", sum(col("tf")).over(Window.partitionBy("token")))
@@ -507,10 +511,15 @@ object TextOps {
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("micro_bits") * col("tf")).as("s"))
       .select(col("doc_id"), col("n_tokens"),
-        (floor((col("s") * 2 + col("n_tokens") * 100) /
-          (col("n_tokens") * 200)) / 10000.0).as("bits_per_token"))
-      .orderBy("doc_id")
+        floor((col("s") * 2 + col("n_tokens") * 100) /
+          (col("n_tokens") * 200)).cast("long").as("bits_e4"))
   }
+
+  private def unigramCore(docTok: DataFrame, total: DataFrame): DataFrame =
+    unigramBitsE4(docTok, total)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("bits_e4") / 10000.0).as("bits_per_token"))
+      .orderBy("doc_id")
 
   def q78UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
@@ -521,6 +530,53 @@ object TextOps {
     unigramCore(
       tokenStream(spark, dir).groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
       tokenStage(spark, dir).agg(count(col("token")).as("n_total")))
+  }
+
+  /** Bucket count for the q144 perplexity curriculum (CCNet's
+    * head/middle/tail generalized to deciles). */
+  val PerplexityBuckets = 10
+
+  /** q144 — PERPLEXITY BUCKETING (Wenzek et al. 2020, CCNet; Bengio et
+    * al. 2009 curriculum learning): the corpus partitioned into
+    * [[PerplexityBuckets]] difficulty buckets by the q78 unigram
+    * surprisal score, with per-bucket doc/token mass and score range —
+    * the manifest a curriculum schedule or a CCNet-style quality
+    * filter consumes ("train on head+middle, drop tail").
+    *
+    * SCALE SHAPE — deliberately NOT a global NTILE (a corpus-sized
+    * single-partition sort): docs aggregate to a VALUE-GRAIN histogram
+    * of the integer score (distinct bits_e4 values ≪ corpus, the q70
+    * df-frame argument), the cumulative window runs over that bounded
+    * histogram, and every doc with the same score lands in the same
+    * bucket (value-threshold buckets, the CCNet posture — bucket
+    * boundaries are score thresholds, so sizes wobble only at ties).
+    * Integer end-to-end: bits_e4 is the q78 int64 key, the bucket id is
+    * pure integer division, the only doubles are the /1e4 range
+    * displays. */
+  def q144PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    import org.apache.spark.sql.expressions.Window
+    val db = unigramBitsE4(
+      tokenStream(spark, dir).groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
+      tokenStage(spark, dir).agg(count(col("token")).as("n_total")))
+    val hist = db.groupBy("bits_e4")
+      .agg(count(lit(1)).as("nv"), sum(col("n_tokens")).as("tv"))
+    val total = hist.agg(sum(col("nv")).cast("long").as("n_docs_total"))
+    // value-grain cumulative — the window frame is the bounded histogram
+    val wv = Window.orderBy("bits_e4")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_before", coalesce(sum(col("nv")).over(wv), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket",
+        expr(s"(cum_before * $PerplexityBuckets) div n_docs_total").cast("int"))
+      .groupBy("bucket")
+      .agg(
+        sum(col("nv")).as("n_docs"),
+        sum(col("tv")).as("total_tokens"),
+        (min(col("bits_e4")) / 10000.0).as("min_bits_per_token"),
+        (max(col("bits_e4")) / 10000.0).as("max_bits_per_token"))
+      .orderBy("bucket")
   }
 
   /** Collocation-mining support floor: a bigram must occur this often
@@ -804,7 +860,8 @@ object TextOps {
     "q47_token_bpe"     -> (q47TokenBpe _),
     "q53_vocab_top"     -> (q53VocabTop _),
     "q54_tfidf"         -> (q54TfIdf _),
-    "q138_token_fertility" -> (q138TokenFertility _))
+    "q138_token_fertility" -> (q138TokenFertility _),
+    "q144_perplexity_buckets" -> (q144PerplexityBuckets _))
 
   /** q138 — TOKENIZER FERTILITY BY LANGUAGE: per-lang corpus totals of
     * whitespace words, BPE-ish subword tokens ([[BpePattern]], the q47
@@ -972,6 +1029,38 @@ object TextOps {
     // q78: integer micro-bits per token type before any order-sensitive
     // sum; log2 agrees across engines at micro precision (same risk
     // profile as q70 BM25, which is oracle-exact).
+    // q144: the q78 surprisal CTEs kept to the integer bits_e4 key,
+    // value-grain histogram, integer cumulative division.
+    "q144_perplexity_buckets" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents),
+         |counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         |n AS (SELECT sum(cnt) AS n_total FROM counts),
+         |scores AS (
+         |  SELECT token,
+         |    CAST(round(-log2(CAST(cnt AS DOUBLE) / n_total) * 1000000) AS BIGINT) AS micro_bits
+         |  FROM counts, n),
+         |db AS (
+         |  SELECT t.doc_id, count(*) AS n_tokens,
+         |    CAST(floor((2 * sum(s.micro_bits) + 100 * count(*)) / (200.0 * count(*))) AS BIGINT) AS bits_e4
+         |  FROM tok t JOIN scores s USING (token)
+         |  GROUP BY t.doc_id),
+         |hist AS (
+         |  SELECT bits_e4, CAST(count(*) AS BIGINT) AS nv,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tv
+         |  FROM db GROUP BY 1),
+         |tot AS (SELECT CAST(sum(nv) AS BIGINT) AS n_docs_total FROM hist),
+         |hb AS (
+         |  SELECT bits_e4, nv, tv,
+         |    CAST(coalesce(sum(nv) OVER (ORDER BY bits_e4
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM hist)
+         |SELECT CAST((cum_before * $PerplexityBuckets) // n_docs_total AS INTEGER) AS bucket,
+         |  CAST(sum(nv) AS BIGINT) AS n_docs, CAST(sum(tv) AS BIGINT) AS total_tokens,
+         |  min(bits_e4) / 10000.0 AS min_bits_per_token,
+         |  max(bits_e4) / 10000.0 AS max_bits_per_token
+         |FROM hb, tot GROUP BY 1 ORDER BY 1""".stripMargin,
     "q78_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token

@@ -306,6 +306,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(("s1", "en", 3L, 1L, 1.0 / 3), ("s2", "en", 2L, 1L, 0.5)))
   }
 
+  test("q144: perplexity buckets partition the corpus with ordered, disjoint score ranges") {
+    val out = TextOps.q144PerplexityBuckets(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty && out.length <= TextOps.PerplexityBuckets)
+    assert(out.forall { case (b, _, _, _, _) => b >= 0 && b < TextOps.PerplexityBuckets })
+    // partition: every scored doc (≥1 token) lands in exactly one bucket
+    val scored = TextOps.q78UnigramLogprob(spark, sf).count()
+    assert(out.map(_._2).sum == scored, "bucket doc counts must sum to the scored corpus")
+    // within-bucket range sanity + strictly ordered, disjoint ranges
+    out.foreach { case (_, _, _, lo, hi) => assert(lo <= hi) }
+    out.sliding(2).foreach {
+      case Array((_, _, _, _, hi1), (_, _, _, lo2, _)) =>
+        assert(hi1 <= lo2, s"bucket ranges overlap: $hi1 > $lo2")
+      case _ => ()
+    }
+    // deterministic
+    val again = TextOps.q144PerplexityBuckets(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("q138: fertility totals reconcile with q47 per-doc counts") {
     val out = TextOps.q138TokenFertility(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
