@@ -51,7 +51,8 @@ object SparkEntry {
       streaming.BudgetStream.queries ++
       streaming.DsirStream.queries ++
       streaming.AssignStream.queries ++
-      streaming.PqEncodeStream.queries
+      streaming.PqEncodeStream.queries ++
+      streaming.HeavyHittersStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -85,5 +86,6 @@ object SparkEntry {
       streaming.BudgetStream.oracles ++
       streaming.DsirStream.oracles ++
       streaming.AssignStream.oracles ++
-      streaming.PqEncodeStream.oracles
+      streaming.PqEncodeStream.oracles ++
+      streaming.HeavyHittersStream.oracles
 }
