@@ -189,6 +189,57 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Context budgets the q146 packing ablation sweeps. */
+  val PackSweepBudgets = Seq(128L, 256L, 512L)
+
+  /** q146 — PACKING ABLATION SWEEP: the q63 concatenate-and-cut packing
+    * evaluated at several context lengths IN ONE PASS — per budget: doc
+    * count, documents SPLIT across a sequence boundary (the
+    * attention-contamination proxy that motivates doc-masking or longer
+    * contexts — a split doc attends across an unrelated neighbor
+    * unless masked), total training sequences, and the split share.
+    * The ablation table a pretraining team reads before fixing its
+    * sequence length.
+    *
+    * One corpus scan + ONE shard-local cumsum window (shared across
+    * budgets — the cut points at every budget derive from the same
+    * cumulative offsets), then a budgets-sized explode of per-doc
+    * integer comparisons. Pure integer: a doc splits at budget c iff
+    * cum_before div c ≠ (cum_before + n_tokens − 1) div c; sequence
+    * counts are ceil-divisions of per-shard totals. One int-derived
+    * double (the split share) per row. */
+  def q146PackingSweep(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val toks = TextOps.tokens(col("text"))
+    val w = Window.partitionBy("shard").orderBy("ch", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        (hexBucket(col("text"), 5) % PackShards).as("shard"),
+        md5(trim(col("text"))).as("ch"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val ctxs = array(PackSweepBudgets.map(lit(_)): _*)
+    val docStats = packed
+      .select(col("n_tokens"), col("cum_before"), explode(ctxs).as("ctx"))
+      .groupBy("ctx")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(expr(
+          "n_tokens > 0 AND (cum_before div ctx) != ((cum_before + n_tokens - 1) div ctx)"),
+          1L).otherwise(0L)).as("n_split_docs"))
+    val seqStats = packed.groupBy("shard")
+      .agg(sum(col("n_tokens")).as("tot"))
+      .select(col("tot"), explode(ctxs).as("ctx"))
+      .groupBy("ctx")
+      .agg(sum(expr("(tot + ctx - 1) div ctx")).as("n_sequences"))
+    docStats.join(seqStats, Seq("ctx"))
+      .select(col("ctx"), col("n_docs"), col("n_split_docs"), col("n_sequences"),
+        (expr("(n_split_docs * 1000000) div n_docs") / 10000.0).as("split_pct"))
+      .orderBy("ctx")
+  }
+
   /** Temperature for [[q64TemperatureMix]]: α < 1 flattens the source
     * distribution (the multilingual/multi-domain resampling standard). */
   val MixAlpha = 0.7
@@ -550,6 +601,7 @@ object Sampling {
     "q59_source_cap"    -> (q59SourceCap _),
     "q60_quality_sample" -> (q60QualitySample _),
     "q63_sequence_pack" -> (q63SequencePack _),
+    "q146_packing_sweep" -> (q146PackingSweep _),
     "q64_temperature_mix" -> (q64TemperatureMix _))
 
   /** DuckDB nibble arithmetic reproducing `conv(substr(hx, pos, 4), 16,
@@ -667,6 +719,36 @@ object Sampling {
          |top AS (SELECT * FROM s ORDER BY k DESC, doc_id LIMIT $WeightedSampleK)
          |SELECT doc_id, n_chars, round(k, 8) AS es_key
          |FROM top ORDER BY doc_id""".stripMargin,
+    // q146: the q63 CTEs swept over the budget list — same cut points,
+    // integer split test and ceil-division sequence counts per budget.
+    "q146_packing_sweep" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, md5(trim(text)) AS ch,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, ch, n_tokens,
+         |    CAST(${hex4Sql("ch", 5)} % $PackShards AS BIGINT) AS shard
+         |  FROM t),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ch, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM s),
+         |ctx AS (SELECT CAST(unnest([${PackSweepBudgets.mkString(", ")}]) AS BIGINT) AS ctx),
+         |d AS (
+         |  SELECT ctx.ctx, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN c.n_tokens > 0
+         |      AND (c.cum_before // ctx.ctx) != ((c.cum_before + c.n_tokens - 1) // ctx.ctx)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+         |  FROM c, ctx GROUP BY 1),
+         |sh AS (SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS tot FROM c GROUP BY shard),
+         |q AS (
+         |  SELECT ctx.ctx, CAST(sum((sh.tot + ctx.ctx - 1) // ctx.ctx) AS BIGINT) AS n_sequences
+         |  FROM sh, ctx GROUP BY 1)
+         |SELECT d.ctx, d.n_docs, d.n_split_docs, q.n_sequences,
+         |  ((d.n_split_docs * 1000000) // d.n_docs) / 10000.0 AS split_pct
+         |FROM d JOIN q ON d.ctx = q.ctx ORDER BY d.ctx""".stripMargin,
     "q63_sequence_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, md5(trim(text)) AS ch,

@@ -283,4 +283,36 @@ class SamplingSpec extends SparkSpec {
     assert(shardDirs.nonEmpty && shardDirs.subsetOf(
       (0 until 4).map(i => s"shard=$i").toSet))
   }
+
+  test("q146: packing sweep reconciles with q63's cut points; nested budgets are monotone") {
+    val out = Sampling.q146PackingSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Sampling.PackSweepBudgets)
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(out.forall(_._2 == nDocs), "every budget covers the whole corpus")
+    // reconcile the SeqBudget row against q63's emitted offsets: a doc
+    // crosses a boundary iff its offset + length reaches past the cut
+    val toks = graft.core.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.operators.TextOps.tokens(
+            org.apache.spark.sql.functions.col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q63 = Sampling.q63SequencePack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val expectedSplit = q63.count { case (d, off) =>
+      toks(d) > 0 && off + toks(d) - 1 >= Sampling.SeqBudget
+    }
+    val atBudget = out.find(_._1 == Sampling.SeqBudget).get
+    assert(atBudget._3 == expectedSplit,
+      s"split count ${atBudget._3} != q63-derived $expectedSplit")
+    // nested budgets (128 | 256 | 512): splits and sequences both shrink
+    // as the context grows
+    assert(out.map(_._3).toSeq == out.map(_._3).sortBy(-_).toSeq, "splits not monotone")
+    assert(out.map(_._4).toSeq == out.map(_._4).sortBy(-_).toSeq, "sequences not monotone")
+    out.foreach { case (_, nd, ns, _, pct) =>
+      assert(math.abs(pct - (ns * 1000000L / nd) / 10000.0) < 1e-9)
+    }
+  }
 }
