@@ -857,8 +857,43 @@ object Dedup {
     containmentPairs(shingleSigs(spark, dir), ContainMicros, ContainMinShingles)
   }
 
+  /** Jaccard thresholds the q147 sensitivity sweep evaluates. */
+  val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** q147 — DEDUP THRESHOLD SENSITIVITY: near-dup pair and
+    * affected-document counts at every threshold of [[SweepThresholds]]
+    * from ONE pair computation — the ablation table behind "how
+    * aggressive should near-dup dedup be" (every dataset paper
+    * publishes one; Lee et al. 2022 §4 sweeps exactly this). The pair
+    * set comes from the PREFIX-FILTERED join at the sweep FLOOR
+    * (q99's Bayardo/PPJoin pruning — exact for every τ ≥ the floor,
+    * never all-pairs), so widening the sweep never recomputes the
+    * join; the per-threshold rollup is a thresholds-sized explode of
+    * the pair frame. */
+  def q147DedupSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    import spark.implicits._
+    val pairs = prefixJaccardPairs(shingleSigs(spark, dir), SweepThresholds.min)
+    val e = pairs
+      .select(col("d1"), col("d2"), col("jaccard"),
+        explode(array(SweepThresholds.map(lit(_)): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val pairCounts = e.groupBy("threshold").agg(count(lit(1)).as("np"))
+    val docCounts = e
+      .select(col("threshold"), explode(array(col("d1"), col("d2"))).as("d"))
+      .groupBy("threshold").agg(countDistinct(col("d")).as("nd"))
+    SweepThresholds.toDF("threshold")
+      .join(pairCounts, Seq("threshold"), "left_outer")
+      .join(docCounts, Seq("threshold"), "left_outer")
+      .select(col("threshold"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("nd"), lit(0L)).as("n_docs_affected"))
+      .orderBy("threshold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_containment" -> (q142Containment _),
+    "q147_dedup_sensitivity" -> (q147DedupSensitivity _),
     "q120_source_overlap" -> (q120SourceOverlap _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q24_dedup_exact"   -> (q24DedupExact _),
@@ -900,6 +935,29 @@ object Dedup {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q147: the q26 pair CTEs rolled up per threshold (same rounded-4
+    // jaccard and literal-threshold compares the hash-matched q26/q99
+    // already rely on)
+    "q147_dedup_sensitivity" ->
+      s"""$jaccardCtes,
+         |j AS (
+         |  SELECT p.d1, p.d2,
+         |    round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) AS jaccard
+         |  FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id),
+         |th AS (SELECT CAST(unnest([${SweepThresholds.mkString(", ")}]) AS DOUBLE) AS threshold),
+         |e AS (
+         |  SELECT th.threshold, j.d1, j.d2 FROM j, th WHERE j.jaccard >= th.threshold),
+         |pc AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM e GROUP BY 1),
+         |dc AS (
+         |  SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+         |  FROM (SELECT threshold, d1 AS d FROM e UNION ALL SELECT threshold, d2 FROM e)
+         |  GROUP BY 1)
+         |SELECT th.threshold,
+         |  coalesce(pc.n_pairs, 0) AS n_pairs,
+         |  coalesce(dc.n_docs_affected, 0) AS n_docs_affected
+         |FROM th LEFT JOIN pc ON th.threshold = pc.threshold
+         |LEFT JOIN dc ON th.threshold = dc.threshold
+         |ORDER BY th.threshold""".stripMargin,
     // q142: the q26 pair CTEs, containment-normalized (integer micro
     // division — exact on both engines)
     "q142_containment" ->

@@ -490,6 +490,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q147: threshold sweep reconciles with q26 at 0.6 and is monotone in τ") {
+    val out = Dedup.q147DedupSensitivity(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Dedup.SweepThresholds)
+    val q26 = Dedup.q26NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val at06 = out.find(_._1 == 0.6).get
+    assert(at06._2 == q26.length.toLong, s"0.6 pair count ${at06._2} != q26 ${q26.length}")
+    assert(at06._3 == q26.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    // tightening the threshold can only shrink both counts
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq, "pairs not monotone")
+    assert(out.map(_._3).toSeq == out.map(_._3).sortBy(-_).toSeq, "docs not monotone")
+  }
+
   test("q142 containment: quoted subset flagged even where Jaccard sees nothing") {
     import spark.implicits._
     val small = (1 to 10).map(i => s"w$i").mkString(" ")
