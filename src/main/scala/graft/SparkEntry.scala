@@ -52,7 +52,8 @@ object SparkEntry {
       streaming.DsirStream.queries ++
       streaming.AssignStream.queries ++
       streaming.PqEncodeStream.queries ++
-      streaming.HeavyHittersStream.queries
+      streaming.HeavyHittersStream.queries ++
+      streaming.DecodeStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -87,5 +88,6 @@ object SparkEntry {
       streaming.DsirStream.oracles ++
       streaming.AssignStream.oracles ++
       streaming.PqEncodeStream.oracles ++
-      streaming.HeavyHittersStream.oracles
+      streaming.HeavyHittersStream.oracles ++
+      streaming.DecodeStream.oracles
 }
