@@ -57,7 +57,12 @@ object ScaleBench {
     // q140 sweeps the PRODUCTION ADC scan (LUT join over the code
     // stream), not the gate (whose exact twin is the audit, the q49
     // convention); q139 sweeps the full decode→dHash→cluster chain
-    "q140_adc_scan", "q139_image_dhash", "q143_ivfpq_scan")
+    "q140_adc_scan", "q139_image_dhash", "q143_ivfpq_scan",
+    // the rest of the round-8 family: shingle-join ablations, the
+    // streaming MG sketch, the perplexity histogram, in-flight decode
+    "q142_containment", "q147_dedup_sensitivity",
+    "q145_stream_heavy_hitters", "q144_perplexity_buckets",
+    "q148_stream_decode")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */
