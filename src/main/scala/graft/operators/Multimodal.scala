@@ -224,31 +224,94 @@ object Multimodal {
     * Map-only, per-partition codec amortization, 16 bytes of
     * fingerprint per image regardless of resolution — the shape that
     * fingerprints a 100 TB image corpus in one pass. */
+  /** The dHash bit computation over a decoded raster — shared by the
+    * batch fingerprint stage and the incremental maintenance path so
+    * the two can never drift. Returns (h_hi, h_lo). */
+  private def dhashBits(img: PixelImage): (Long, Long) = {
+    def p(x: Int, y: Int): Int =
+      img.gray((y * img.height / 8) * img.width + (x * img.width / 9))
+    var lo = 0L
+    var hi = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (p(x + 1, y) > p(x, y)) {
+          if (y < 4) lo |= 1L << (y * 8 + x)
+          else hi |= 1L << ((y - 4) * 8 + x)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
   def dHashImages(assets: Dataset[ImageAsset]): Dataset[DHashedImage] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
         val img = ImageIoDecoder.decode(a.payload).getOrElse(
           throw new IllegalStateException(s"payload for doc ${a.doc_id} (${a.format}) did not decode"))
-        def p(x: Int, y: Int): Int =
-          img.gray((y * img.height / 8) * img.width + (x * img.width / 9))
-        var lo = 0L
-        var hi = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            if (p(x + 1, y) > p(x, y)) {
-              if (y < 4) lo |= 1L << (y * 8 + x)
-              else hi |= 1L << ((y - 4) * 8 + x)
-            }
-            x += 1
-          }
-          y += 1
-        }
+        val (hi, lo) = dhashBits(img)
         DHashedImage(a.doc_id, hi, lo)
       }
     }
+  }
+
+  /** dHash fingerprints for a documents-shaped SNAPSHOT frame, with
+    * image geometry derived from the LIVE text length (not the carried
+    * `n_chars` column) — so an edited document's image genuinely
+    * changes across snapshot versions and a stale carried fingerprint
+    * is a value error the oracle catches. Full real codec round-trip
+    * per row, map-only. */
+  private[operators] def dhashOfDocs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (docId, len) =>
+          val (w, h) = ImageFixture.dims(len)
+          val bytes = ImageFixture.encode(
+            ImageFixture.grid(docId, w, h), ImageFixture.format(docId))
+          val img = ImageIoDecoder.decode(bytes).getOrElse(
+            throw new IllegalStateException(s"payload for doc $docId did not decode"))
+          val (hi, lo) = dhashBits(img)
+          (docId, hi, lo)
+        }
+      }.toDF("doc_id", "h_hi", "h_lo")
+  }
+
+  /** INCREMENTAL maintenance of the image-fingerprint table across a
+    * corpus recrawl — [[graft.operators.Corpus.incrementalSigs]]'
+    * change-sized story applied to the multimodal family's expensive
+    * artifact: re-decode and re-hash ONLY the added/changed documents'
+    * payloads, carry every unchanged fingerprint forward untouched,
+    * drop removed/changed docs' old rows. At 100 TB a recrawl touching
+    * 0.1% of payloads costs 0.1% of the codec work, not a re-decode of
+    * the archive. The diff is broadcast (change-sized); the carried
+    * side is a map-only anti-join over the existing fingerprint table. */
+  def incrementalDhash(prev: DataFrame, v1: DataFrame, v2: DataFrame): DataFrame = {
+    val d = broadcast(Corpus.diff(v1, v2))
+    val kept = prev
+      .join(d.filter(col("status").isin("removed", "changed")),
+        Seq("doc_id"), "left_anti")
+    val fresh = dhashOfDocs(
+      v2.join(d.filter(col("status").isin("added", "changed")), Seq("doc_id"))
+        .select(v2.columns.map(col): _*))
+    kept.unionByName(fresh)
+  }
+
+  /** q149 — [[incrementalDhash]] across the growth-snapshot pair (the
+    * growth rule changes text LENGTH, hence image geometry, hence the
+    * hash — carrying a changed doc's stale fingerprint is caught). The
+    * oracle is the DIRECT v2 rebuild: incremental maintenance must land
+    * exactly on it. */
+  def q149IncrementalDhash(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val v1 = SnapshotFixture.table(spark, dir, "documents_v1_growth")
+    val v2 = SnapshotFixture.table(spark, dir, "documents_v2")
+    incrementalDhash(dhashOfDocs(v1), v1, v2).orderBy("doc_id")
   }
 
   case class FrameSample(
@@ -577,6 +640,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_image_dhash"    -> (q139ImageDhash _),
+    "q149_incremental_dhash" -> (q149IncrementalDhash _),
     "q32_multimodal_meta" -> (q32MultimodalMeta _),
     "q33_decode_stats"    -> (q33DecodeStats _),
     "q50_resize"          -> (q50Resize _),
@@ -588,6 +652,28 @@ object Multimodal {
   // the engine's numbers come from ImageIO-decoded rasters, the oracle's
   // from the generating formula; they agree only if the codecs are exact.
   val oracles: Map[String, String] = Map(
+    // q149: the DIRECT v2 fingerprint rebuild — v2 membership by the
+    // snapshot rule, geometry from the live text length; a stale
+    // carried fingerprint (changed doc, old dims) breaks the hash.
+    "q149_incremental_dhash" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, 8 + (length(text) % 8) AS w, 8 + (length(text) % 6) AS h
+         |  FROM documents
+         |  WHERE doc_id % ${Corpus.DroppedFromV1Mod} <> ${Corpus.DroppedFromV1Rem})
+         |SELECT doc_id,
+         |  CAST(list_sum(flatten(list_transform(range(4, 8), y ->
+         |    list_transform(range(0, 8), x ->
+         |      CASE WHEN (31 * doc_id + 7 * (((x + 1) * w) // 9) + 13 * ((y * h) // 8)) % 256
+         |              >  (31 * doc_id + 7 * ((x * w) // 9)       + 13 * ((y * h) // 8)) % 256
+         |           THEN CAST(1 AS BIGINT) << CAST((y - 4) * 8 + x AS INTEGER)
+         |           ELSE CAST(0 AS BIGINT) END)))) AS BIGINT) AS h_hi,
+         |  CAST(list_sum(flatten(list_transform(range(0, 4), y ->
+         |    list_transform(range(0, 8), x ->
+         |      CASE WHEN (31 * doc_id + 7 * (((x + 1) * w) // 9) + 13 * ((y * h) // 8)) % 256
+         |              >  (31 * doc_id + 7 * ((x * w) // 9)       + 13 * ((y * h) // 8)) % 256
+         |           THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER)
+         |           ELSE CAST(0 AS BIGINT) END)))) AS BIGINT) AS h_lo
+         |FROM a ORDER BY doc_id""".stripMargin,
     // q139: the dHash bits replayed from the pixel formula through the
     // identical 9×8 floor-sample + gradient + 32-bit-half bit packing.
     "q139_image_dhash" ->

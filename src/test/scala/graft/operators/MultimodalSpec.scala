@@ -139,4 +139,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has no dHash clusters — operator untested")
     assert(got.values.forall(_._1 >= 2))
   }
+
+  test("q149: incremental dHash lands exactly on the direct v2 rebuild; changed slice is real") {
+    val v1 = graft.operators.SnapshotFixture.table(spark, sf, "documents_v1_growth")
+    val v2 = graft.operators.SnapshotFixture.table(spark, sf, "documents_v2")
+    val inc = Multimodal.incrementalDhash(Multimodal.dhashOfDocs(v1), v1, v2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val rebuild = Multimodal.dhashOfDocs(v2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(inc == rebuild, "incremental maintenance drifted from the rebuild")
+    // the trap is armed: some docs genuinely changed geometry between
+    // the snapshots (carrying their v1 fingerprints would have failed)
+    val v1Map = Multimodal.dhashOfDocs(v1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val changedAndDifferent = rebuild.count { case (d, hi, lo) =>
+      v1Map.get(d).exists(_ != ((hi, lo)))
+    }
+    assert(changedAndDifferent > 0, "no doc changed fingerprint — the stale-carry trap is dead")
+  }
 }
