@@ -202,11 +202,21 @@ class PlanAuditSpec extends SparkSpec {
     // shingle stage, gated above)
     Seq("q53_vocab_top", "q54_tfidf", "q78_unigram_logprob",
         "q92_pmi_collocations", "q109_cooccurrence",
-        "q117_inverted_index", "q118_bpe_merges").foreach { q =>
+        "q117_inverted_index", "q118_bpe_merges",
+        // q144 derives both its inputs (per-doc tf + corpus total) from
+        // the token stage; q147 reads the persisted shingle-signature
+        // stage — neither may re-scan the corpus
+        "q144_perplexity_buckets", "q147_dedup_sensitivity").foreach { q =>
       val (df, _) = executed(q)
       val n = parquetScans(df.queryExecution.executedPlan)
       assert(n == 0, s"$q runs $n parquet scans (expected 0: token-stage reuse)")
     }
+  }
+
+  test("the packing sweep reads documents at most twice — one cumsum shared across budgets (q146)") {
+    val (df, _) = executed("q146_packing_sweep")
+    val n = parquetScans(df.queryExecution.executedPlan)
+    assert(n <= 2, s"q146 runs $n parquet scans (doc-stat + shard-total branches only)")
   }
 
   test("coverage and overlap audits read documents once, for metadata only") {
