@@ -64,10 +64,107 @@ object Audit {
     integrity(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
   }
 
+  /** q150 — PER-SOURCE CURATION DASHBOARD: the dedup/decontamination
+    * family assembled into the one table a data lead reads per recrawl —
+    * for each source: doc count and how many of its documents are
+    * flagged by each curation screen (exact duplicate, ≥0.6 shingle
+    * near-dup, 5-gram overlap with the held-out eval slice, ≥0.45
+    * embedding near-dup). A source whose near-dup or eval-overlap share
+    * spikes is the first thing a curation review looks at.
+    *
+    * Every flag reuses the family's shared machinery: the md5
+    * fingerprint (q24), the PREFIX-FILTERED exact Jaccard join over the
+    * cached signature stage (q99 — never all-pairs), the q62 eval-slice
+    * shingle overlap, and the q31 exact cosine pairs (the oracle-exact
+    * baseline — at 100 TB this column comes from the q49/q69 LSH/IVF
+    * screens instead, same flag semantics). Flags attach to the
+    * doc-grain frame as flagged-set left joins (each flagged set is
+    * sparse by construction — AQE broadcasts it), then one tiny
+    * (source)-grain aggregate. */
+  def q150CurationDashboard(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val dupDocs = docs
+      .select(col("doc_id"), md5(trim(col("text"))).as("fp"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("n") > 1).select("doc_id")
+    val sigs = Dedup.shingleSigs(spark, dir)
+    val nearPairs = Dedup.prefixJaccardPairs(sigs, 0.6)
+    val nearDocs = nearPairs.select(col("d1").as("doc_id"))
+      .unionAll(nearPairs.select(col("d2").as("doc_id"))).distinct()
+    val sh = sigs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val evalH = sh.filter(col("doc_id") % Dedup.EvalDocModulus === 0)
+      .select("h").distinct()
+    val deconDocs = sh.filter(col("doc_id") % Dedup.EvalDocModulus =!= 0)
+      .join(evalH, Seq("h")).select("doc_id").distinct()
+    val emb = Tables.embeddings(spark, dir)
+    val l = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val r = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val semPairs = l.crossJoin(r).filter(col("v1") < col("v2"))
+      .filter(Similarity.cosine(col("e1"), col("e2")) >= Similarity.NearDupThreshold)
+    val semDocs = semPairs.select(col("v1").as("doc_id"))
+      .unionAll(semPairs.select(col("v2").as("doc_id"))).distinct()
+    def flagged(s: DataFrame, name: String): DataFrame =
+      s.withColumn(name, lit(1L))
+    docs.select(col("doc_id"), col("source"))
+      .join(flagged(dupDocs, "f_exact"), Seq("doc_id"), "left_outer")
+      .join(flagged(nearDocs, "f_near"), Seq("doc_id"), "left_outer")
+      .join(flagged(deconDocs, "f_decon"), Seq("doc_id"), "left_outer")
+      .join(flagged(semDocs, "f_sem"), Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("f_exact"), lit(0L))).as("n_exact_dup"),
+        sum(coalesce(col("f_near"), lit(0L))).as("n_near_dup"),
+        sum(coalesce(col("f_decon"), lit(0L))).as("n_eval_overlap"),
+        sum(coalesce(col("f_sem"), lit(0L))).as("n_sem_dup"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q72_integrity_audit" -> (q72IntegrityAudit _))
+    "q72_integrity_audit" -> (q72IntegrityAudit _),
+    "q150_curation_dashboard" -> (q150CurationDashboard _))
 
   val oracles: Map[String, String] = Map(
+    // q150: every flag replayed from its family's proven oracle
+    // arithmetic — q24 md5 groups, the q26 string-shingle pair CTEs at
+    // 0.6, the q62 eval-overlap join, the q31 cosine pairs — rolled up
+    // per source.
+    "q150_curation_dashboard" ->
+      s"""${Dedup.jaccardCtes},
+         |j AS (
+         |  SELECT p.d1, p.d2
+         |  FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) >= 0.6),
+         |nd AS (SELECT DISTINCT d FROM (SELECT d1 AS d FROM j UNION ALL SELECT d2 FROM j)),
+         |ed AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, count(*) OVER (PARTITION BY md5(trim(text))) AS cnt
+         |    FROM documents) WHERE cnt > 1),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % ${Dedup.EvalDocModulus} = 0),
+         |dc AS (
+         |  SELECT DISTINCT t.doc_id FROM sh t JOIN ev USING (s)
+         |  WHERE t.doc_id % ${Dedup.EvalDocModulus} <> 0),
+         |sp AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+         |      sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) *
+         |           list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+         |      >= ${Similarity.NearDupThreshold}),
+         |sd AS (SELECT DISTINCT v FROM (SELECT v1 AS v FROM sp UNION ALL SELECT v2 FROM sp))
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ed.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |  CAST(sum(CASE WHEN nd.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+         |  CAST(sum(CASE WHEN dc.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_overlap,
+         |  CAST(sum(CASE WHEN sd.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_dup
+         |FROM documents d
+         |LEFT JOIN ed ON d.doc_id = ed.doc_id
+         |LEFT JOIN nd ON d.doc_id = nd.d
+         |LEFT JOIN dc ON d.doc_id = dc.doc_id
+         |LEFT JOIN sd ON d.doc_id = sd.v
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q72_integrity_audit" ->
       s"""SELECT issue, n FROM (
          |  SELECT 'empty_text' AS issue,

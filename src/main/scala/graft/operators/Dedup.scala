@@ -910,7 +910,7 @@ object Dedup {
 
   /** Shared exact-Jaccard CTE block (string-shingle recomputation of the
     * hash-shingle overlap). */
-  private val jaccardCtes =
+  private[operators] val jaccardCtes =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
       |  FROM documents),

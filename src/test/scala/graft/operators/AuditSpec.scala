@@ -56,4 +56,28 @@ class AuditSpec extends SparkSpec {
     assert(markerRow.getLong(2) == 0L, "first_doc is the minimum doc_id")
     assert(rows.forall(_.getLong(1) >= TextOps.BoilerMinDocs))
   }
+
+  test("q150: dashboard columns reconcile with the family queries they summarize") {
+    val out = Audit.q150CurationDashboard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(out.map(_._2).sum == nDocs, "sources must partition the corpus")
+    // exact-dup column = total members of q24's duplicate groups
+    val q24Copies = graft.operators.Dedup.q24DedupExact(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(out.map(_._3).sum == q24Copies, "exact-dup total != q24 group members")
+    // near-dup column = distinct docs in the q26 pair set
+    val q26Docs = graft.operators.Dedup.q26NgramJaccard(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length
+    assert(out.map(_._4).sum == q26Docs.toLong, "near-dup total != q26 docs")
+    // sem-dup column = distinct vectors in the q31 pair set
+    val q31Docs = graft.operators.Similarity.q31CosineNearDup(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length
+    assert(out.map(_._6).sum == q31Docs.toLong, "sem-dup total != q31 vectors")
+    // flags never exceed the source's doc count
+    out.foreach { case (_, n, a, b, c, d) =>
+      assert(Seq(a, b, c, d).forall(f => f >= 0 && f <= n))
+    }
+  }
 }
