@@ -35,6 +35,7 @@ object SparkEntry {
       operators.Privacy.queries ++
       operators.Retrieval.queries ++
       operators.Audit.queries ++
+      operators.Classify.queries ++
       operators.Analytics.queries ++
       operators.BloomPrune.queries ++
       operators.Quantize.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       streaming.AssignStream.queries ++
       streaming.PqEncodeStream.queries ++
       streaming.HeavyHittersStream.queries ++
+      streaming.ClassifyStream.queries ++
       streaming.DecodeStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,6 +73,7 @@ object SparkEntry {
       operators.Privacy.oracles ++
       operators.Retrieval.oracles ++
       operators.Audit.oracles ++
+      operators.Classify.oracles ++
       operators.Analytics.oracles ++
       operators.BloomPrune.oracles ++
       operators.Quantize.oracles ++
@@ -89,5 +92,6 @@ object SparkEntry {
       streaming.AssignStream.oracles ++
       streaming.PqEncodeStream.oracles ++
       streaming.HeavyHittersStream.oracles ++
+      streaming.ClassifyStream.oracles ++
       streaming.DecodeStream.oracles
 }

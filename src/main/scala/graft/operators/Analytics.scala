@@ -289,7 +289,53 @@ object Analytics {
     cohortRetention(Tables.events(spark, dir))
   }
 
+  /** Trailing-window length (observed days) and the minimum history
+    * before a verdict is published. */
+  val AnomalyWindow = 7
+  val AnomalyMinHistory = 3
+
+  /** Ingest-volume anomaly detection over ANY event frame: per
+    * (event_type, day) arrival counts, each compared to the mean of the
+    * trailing [[AnomalyWindow]] OBSERVED days (current day excluded).
+    * `is_spike` = count > 2× trailing mean; `is_drop` = count < ½× —
+    * the crawl-flood / crawl-failure tripwire an ingest pipeline pages
+    * on. Both verdicts are PURE INTEGER cross-multiplications
+    * (n·w ≷ k·Σ), so no mean is ever materialized as a double and the
+    * flags can never sit on a float tie (the q96 z² move applied to
+    * rates).
+    *
+    * Scale shape: the fact table is touched once by a map-side-combined
+    * (type, day) aggregate; the window runs over the day-grain frame —
+    * calendar-bounded, thousands of rows at ANY fact scale (the q85
+    * observation) — partitioned by event_type, so no global sort. */
+  def ingestAnomaly(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val tw = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-AnomalyWindow, -1)
+    daily
+      .withColumn("w_days", count(lit(1)).over(tw))
+      .withColumn("trail_sum", coalesce(sum(col("n_events")).over(tw), lit(0L)))
+      .filter(col("w_days") >= AnomalyMinHistory)
+      .select(
+        col("event_type"), col("day"), col("n_events"),
+        col("w_days"), col("trail_sum"),
+        (col("n_events") * col("w_days") > col("trail_sum") * 2).as("is_spike"),
+        (col("n_events") * col("w_days") * 2 < col("trail_sum")).as("is_drop"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q155 — INGEST-VOLUME ANOMALY DETECTION: [[ingestAnomaly]] over the
+    * event log — the per-(source, day) arrival monitor a recrawl
+    * pipeline publishes next to the q150 curation dashboard. */
+  def q155IngestAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    ingestAnomaly(Tables.events(spark, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_ingest_anomaly" -> (q155IngestAnomaly _),
     "q83_pivot" -> (q83Pivot _),
     "q84_funnel" -> (q84Funnel _),
     "q85_moving_avg" -> (q85MovingAvg _),
@@ -299,6 +345,23 @@ object Analytics {
     "q102_cohort_retention" -> (q102CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "q155_ingest_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n_events,
+        |    count(*) OVER tw AS w_days,
+        |    coalesce(sum(n_events) OVER tw, 0) AS trail_sum
+        |  FROM d
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n_events,
+        |  CAST(w_days AS BIGINT) AS w_days,
+        |  CAST(trail_sum AS BIGINT) AS trail_sum,
+        |  n_events * w_days > trail_sum * 2 AS is_spike,
+        |  n_events * w_days * 2 < trail_sum AS is_drop
+        |FROM w WHERE w_days >= 3 ORDER BY event_type, day""".stripMargin,
     "q102_cohort_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,

@@ -188,6 +188,44 @@ object Audio {
     }
   }
 
+  case class AudioFingerprint(doc_id: Long, n_frames: Long, grad_bits: Long)
+
+  /** Perceptual audio fingerprint — the dHash idea ([[Multimodal]]'s
+    * q139) applied to the decoded waveform: frame the PCM into
+    * `frame`-sample windows, take per-frame energy Σ s², and keep one
+    * GRADIENT bit per adjacent frame pair (`bit f` set iff
+    * `e[f+1] > e[f]`). Amplitude-invariant up to monotone energy
+    * transforms (gain changes preserve the comparison), content-exact
+    * through the real WAV encode→decode chain, and 16 bytes per asset
+    * regardless of duration — the cheap pre-cluster key a 100 TB audio
+    * corpus groups on before any expensive acoustic comparison. */
+  def fingerprintAudio(assets: Dataset[AudioAsset], frame: Int = 64): Dataset[AudioFingerprint] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val w = WavDecoder.decode(a.payload)
+        val nFrames = w.samples.length / frame
+        val e = new Array[Long](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0L
+          var i = f * frame
+          val end = i + frame
+          while (i < end) { val s = w.samples(i).toLong; acc += s * s; i += 1 }
+          e(f) = acc
+          f += 1
+        }
+        var bits = 0L
+        f = 0
+        while (f < nFrames - 1) {
+          if (e(f + 1) > e(f)) bits |= 1L << f
+          f += 1
+        }
+        AudioFingerprint(a.doc_id, nFrames.toLong, bits)
+      }
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------
@@ -220,15 +258,60 @@ object Audio {
       .orderBy("doc_id")
   }
 
+  /** q153 — PERCEPTUAL AUDIO DEDUP: [[fingerprintAudio]] gradient
+    * fingerprints from the real codec chain, then exact-fingerprint
+    * duplicate clusters with q38 keeper election (min doc_id) — the
+    * audio member of the per-modality dedup family (text q24-q28,
+    * embeddings q31/q49, images q139). The cluster key is
+    * (n_frames, grad_bits): same duration class AND same energy
+    * contour. Fingerprinting is map-only (16 bytes/asset at any
+    * duration); the groupBy shuffles only the fingerprints, never the
+    * payloads — the shape that holds when the corpus is 100 TB of
+    * audio. Hamming near-dup rides q28's banding on the same bits.
+    * Oracle: the generating waveform formula replayed through the
+    * identical frame/energy/gradient arithmetic — a codec, framing, or
+    * bit-order drift breaks the hash. */
+  def q153AudioFpDedup(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    fingerprintAudio(audioAssets(spark, dir)).toDF()
+      .groupBy("n_frames", "grad_bits")
+      .agg(count(lit(1)).as("n_assets"), min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_assets") >= 2)
+      .orderBy("n_frames", "grad_bits")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_audio_stats"  -> (q110AudioStats _),
-    "q111_audio_frames" -> (q111AudioFrames _))
+    "q111_audio_frames" -> (q111AudioFrames _),
+    "q153_audio_fp_dedup" -> (q153AudioFpDedup _))
 
   // The oracles replay AudioFixture.sample over the derived lengths —
   // verifying the real WAV encode→decode round trip end-to-end: the
   // engine's numbers come from codec-decoded PCM, the oracle's from the
   // generating formula; they agree only if the codec chain is exact.
   val oracles: Map[String, String] = Map(
+    // q153: frame energies from the sample formula, gradient bits,
+    // exact-fingerprint clusters ≥ 2 with min-doc keeper election.
+    "q153_audio_fp_dedup" ->
+      """WITH a AS (
+        |  SELECT doc_id, 256 + (n_chars % 97) * 4 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n // 64 AS nf,
+        |    list_transform(range(0, n // 64), f ->
+        |      list_sum(list_transform(range(f * 64, f * 64 + 64), i ->
+        |        CAST(((37 * doc_id + 17 * i) % 4096 - 2048) AS BIGINT) *
+        |          ((37 * doc_id + 17 * i) % 4096 - 2048)))) AS e
+        |  FROM a),
+        |fp AS (
+        |  SELECT doc_id, nf,
+        |    coalesce(list_sum(list_transform(range(0, nf - 1), f ->
+        |      CASE WHEN e[f + 2] > e[f + 1] THEN CAST(1 AS BIGINT) << CAST(f AS INTEGER)
+        |           ELSE CAST(0 AS BIGINT) END)), 0) AS bits
+        |  FROM s)
+        |SELECT CAST(nf AS BIGINT) AS n_frames, CAST(bits AS BIGINT) AS grad_bits,
+        |  count(*) AS n_assets, min(doc_id) AS keeper_doc
+        |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY n_frames, grad_bits""".stripMargin,
     "q110_audio_stats" ->
       """WITH a AS (
         |  SELECT doc_id,

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sessions, Tables}
+
+/** Trained document-quality classification (SURVEY §2.9 extension): the
+  * fastText-style "train a cheap classifier, score the whole corpus"
+  * curation step (Joulin et al. 2016; GPT-3's quality filter, Brown et
+  * al. 2020 App. A) expressed as pure relational algebra — a multinomial
+  * Naive Bayes over token counts with add-1 smoothing, trained and
+  * applied in the SAME Spark job.
+  *
+  * Contrast with [[Sampling.q129DsirSelect]] (DSIR): DSIR hashes features
+  * into a FIXED B=64 bucket space precisely so its model can collect and
+  * broadcast; this family keeps the full VOCABULARY-SIZED model as a
+  * distributed frame and scores by a token-keyed JOIN — the shape for
+  * models too large to broadcast (a web-scale vocabulary). The streaming
+  * twin ([[graft.streaming.ClassifyStream]]) bridges the two: it ships
+  * the [[NbModelK]]-largest-|weight| slice of the model, bounded by
+  * construction, into the ingest path.
+  *
+  * Parity contract (the q78/q129 recipe): each log₂ is rounded to integer
+  * MICRO-BITS separately, scores are integer sums of (tf · weight), and
+  * every published double is one int-derived division — so float addition
+  * order can never flip a verdict in either engine.
+  */
+object Classify {
+
+  /** Truncated-model size for the streaming scorer (top-K by |weight|,
+    * ties by token) — fixed, so the model ships at any corpus scale. */
+  val NbModelK = 256
+
+  /** Filler-token list and the admission ratio for the training label:
+    * `hq` iff filler-token share ≤ 1/[[FillerMax]]. */
+  val FillerTokens: Seq[String] = Seq("a", "the")
+  val FillerMax = 16
+
+  /** Per-document training labels from the shared token stage:
+    * `hq` = filler-token ratio ≤ 1/16 (`16·#filler ≤ total`) — the
+    * C4-style "too much boilerplate filler" heuristic (Raffel et al.
+    * 2020 §2.2 uses stopword/punct rules the same way), pure-integer,
+    * and — crucially for a NB teacher signal — TOKEN-IDENTITY-driven,
+    * so the classifier has something to learn (a length-only label is
+    * invisible to a bag-of-words model; measured: this label trains to
+    * ~94-98% self-agreement on the fixtures, balanced ~50/50). The
+    * label RULE is fixture machinery; the train/score plumbing is the
+    * operator. Token-less docs label hq (0 ≤ 0), deterministic both
+    * engines. */
+  private[graft] def labels(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenStage(spark, dir)
+      .groupBy("doc_id")
+      .agg(max(col("dl")).as("dl"),
+        coalesce(sum(when(col("token").isInCollection(FillerTokens), 1L)
+          .otherwise(0L)), lit(0L)).as("filler"))
+      .select(col("doc_id"), (col("filler") * FillerMax <= col("dl")).as("hq"))
+
+  /** Per-(doc, token) term frequencies off the shared token stage. */
+  private def termFreqs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenStream(spark, dir)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+
+  /** The trained model: per-token class counts and the integer micro-bit
+    * log-likelihood-ratio weight. VOCABULARY-SIZED and kept distributed —
+    * never collected; scoring joins on `token`. The class totals and
+    * vocabulary size are one scalar row, attached by broadcast cross
+    * join (the BM25 move). */
+  private[graft] def nbModel(tf: DataFrame, lab: DataFrame): DataFrame = {
+    val counts = tf.join(lab, Seq("doc_id"))
+      .groupBy("token")
+      .agg(
+        coalesce(sum(when(col("hq"), col("tf"))), lit(0L)).as("cp"),
+        coalesce(sum(when(not(col("hq")), col("tf"))), lit(0L)).as("cn"))
+    val totals = counts.agg(
+      sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("cp"), col("cn"),
+        (round(log2((col("cp") + 1).cast("double") / (col("tp") + col("v"))) * 1000000)
+          .cast("long") -
+          round(log2((col("cn") + 1).cast("double") / (col("tn") + col("v"))) * 1000000)
+            .cast("long")).as("w_micro"))
+  }
+
+  /** The class-prior log-ratio in micro-bits, as a 1-row frame. */
+  private def priorMicro(lab: DataFrame): DataFrame =
+    lab.agg(
+      coalesce(sum(when(col("hq"), 1L)), lit(0L)).as("np"),
+      coalesce(sum(when(not(col("hq")), 1L)), lit(0L)).as("nn"))
+      .select(
+        (round(log2(col("np").cast("double")) * 1000000).cast("long") -
+          round(log2(col("nn").cast("double")) * 1000000).cast("long"))
+          .as("prior_micro"))
+
+  /** Per-document integer NB scores: prior + Σ tf·w over the token-keyed
+    * model join; docs with no tokens score the prior alone. Returns
+    * (doc_id, hq, score_micro, pred_hq). */
+  private[graft] def nbScores(spark: SparkSession, dir: String): DataFrame = {
+    val lab = labels(spark, dir)
+    val tf = termFreqs(spark, dir)
+    val perDoc = tf.join(nbModel(tf, lab).select("token", "w_micro"), Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("w_micro")).as("s"))
+    lab.join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priorMicro(lab)))
+      .select(col("doc_id"), col("hq"),
+        (col("prior_micro") + coalesce(col("s"), lit(0L))).as("score_micro"))
+      .withColumn("pred_hq", col("score_micro") >= 0)
+  }
+
+  /** The serving slice of the model for the streaming scorer: the
+    * [[NbModelK]] tokens with the largest |weight|, ties broken by token
+    * — a TOTAL order, so the truncation is deterministic and the oracle
+    * replays it with the same ORDER BY. Bounded top-k
+    * (TakeOrderedAndProject), never a global sort. */
+  private[graft] def truncatedModel(spark: SparkSession, dir: String): DataFrame = {
+    val lab = labels(spark, dir)
+    nbModel(termFreqs(spark, dir), lab)
+      .select("token", "w_micro")
+      .orderBy(abs(col("w_micro")).desc, col("token"))
+      .limit(NbModelK)
+  }
+
+  /** The scalar prior for shipping into the stream. */
+  private[graft] def priorMicroOf(spark: SparkSession, dir: String): Long =
+    priorMicro(labels(spark, dir)).collect()(0).getLong(0)
+
+  /** q151 — TRAINED QUALITY CLASSIFIER: multinomial NB trained on the
+    * filler-ratio label, applied back over the corpus, reported as
+    * the per-source confusion summary a data lead reads before flipping
+    * the filter on (n docs, labeled/predicted high-quality, agreement,
+    * accuracy).
+    *
+    * Scale shape: token stream → per-(doc, token) tf (ONE corpus-sized
+    * shuffle, map-side combined); the vocabulary-keyed model aggregate
+    * and the scoring join both key on `token` — over the persisted
+    * token-bucketed stage they co-locate; per-doc score reduce; one
+    * source-grain report aggregate. The model is never collected — the
+    * join IS the broadcast-free application path, which is what survives
+    * a vocabulary that outgrows executor memory. */
+  def q151NbQuality(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    nbScores(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("hq"), 1L).otherwise(0L)).as("n_label_hq"),
+        sum(when(col("pred_hq"), 1L).otherwise(0L)).as("n_pred_hq"),
+        sum(when(col("hq") === col("pred_hq"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("source"), col("n_docs"), col("n_label_hq"), col("n_pred_hq"),
+        col("n_agree"),
+        (floor((col("n_agree") * 20000 + col("n_docs")) / (col("n_docs") * 2)) / 10000.0)
+          .as("accuracy"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_nb_quality" -> (q151NbQuality _))
+
+  /** Shared oracle CTE text: tokens → labels → tf → model → integer
+    * weights → per-doc scores — mirrored op-for-op against the plan;
+    * reused verbatim by the streaming twin's oracle so the two can
+    * never drift. */
+  private[graft] val nbCtes: String = {
+    val fillerList = FillerTokens.map(t => s"'$t'").mkString(", ")
+    s"""tok AS MATERIALIZED (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents),
+      |dstat AS (
+      |  SELECT doc_id, count(*) AS dl,
+      |    count(*) FILTER (token IN ($fillerList)) AS filler
+      |  FROM tok GROUP BY doc_id),
+      |lab AS MATERIALIZED (
+      |  SELECT d.doc_id, d.source,
+      |    coalesce(s.filler, 0) * $FillerMax <= coalesce(s.dl, 0) AS hq
+      |  FROM documents d LEFT JOIN dstat s USING (doc_id)),
+      |tf AS MATERIALIZED (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |mdl AS MATERIALIZED (
+      |  SELECT token,
+      |    coalesce(sum(tf) FILTER (hq), 0) AS cp,
+      |    coalesce(sum(tf) FILTER (NOT hq), 0) AS cn
+      |  FROM tf JOIN lab USING (doc_id) GROUP BY token),
+      |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM mdl),
+      |w AS MATERIALIZED (
+      |  SELECT token, cp, cn,
+      |    CAST(round(log2((cp + 1) * 1.0 / (tp + v)) * 1000000) AS BIGINT)
+      |  - CAST(round(log2((cn + 1) * 1.0 / (tn + v)) * 1000000) AS BIGINT) AS w_micro
+      |  FROM mdl, tot),
+      |pri AS (
+      |  SELECT CAST(round(log2(1.0 * count(*) FILTER (hq)) * 1000000) AS BIGINT)
+      |       - CAST(round(log2(1.0 * count(*) FILTER (NOT hq)) * 1000000) AS BIGINT)
+      |         AS prior_micro
+      |  FROM lab),
+      |ds AS (
+      |  SELECT tf.doc_id, sum(tf.tf * w.w_micro) AS s
+      |  FROM tf JOIN w USING (token) GROUP BY 1),
+      |sc AS (
+      |  SELECT l.doc_id, l.source, l.hq,
+      |    (SELECT prior_micro FROM pri) + coalesce(ds.s, 0) AS score_micro
+      |  FROM lab l LEFT JOIN ds USING (doc_id))""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q151_nb_quality" ->
+      s"""WITH $nbCtes
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(*) FILTER (hq) AS BIGINT) AS n_label_hq,
+         |  CAST(count(*) FILTER (score_micro >= 0) AS BIGINT) AS n_pred_hq,
+         |  CAST(count(*) FILTER (hq = (score_micro >= 0)) AS BIGINT) AS n_agree,
+         |  floor((count(*) FILTER (hq = (score_micro >= 0)) * 20000 + count(*))
+         |        / (count(*) * 2)) / 10000.0 AS accuracy
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin)
+}

@@ -490,6 +490,38 @@ object Multimodal {
     }
   }
 
+  case class VideoFingerprint(doc_id: Long, n_frames: Long, grad_bits: Long)
+
+  /** Perceptual video fingerprint — the temporal analogue of [[dhashBits]]
+    * and [[Audio.fingerprintAudio]]: per-frame pixel sums over the REAL
+    * GIF-decoded rasters, one gradient bit per adjacent frame pair
+    * (`bit f` set iff `sum[f+1] > sum[f]`). Brightness-monotone edits
+    * preserve the bits; the key is 16 bytes per asset at any
+    * resolution/length, so clustering shuffles fingerprints, never
+    * payloads. */
+  def fingerprintVideo(assets: Dataset[VideoAsset]): Dataset[VideoFingerprint] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val rd = ImageIO.getImageReadersByFormatName("gif").next()
+      it.map { a =>
+        val frames = GifFrameDecoder.decode(rd, a.payload)
+        val sums = frames.map { fr =>
+          var s = 0L
+          var i = 0
+          while (i < fr.gray.length) { s += fr.gray(i); i += 1 }
+          s
+        }
+        var bits = 0L
+        var f = 0
+        while (f < sums.length - 1) {
+          if (sums(f + 1) > sums(f)) bits |= 1L << f
+          f += 1
+        }
+        VideoFingerprint(a.doc_id, frames.length.toLong, bits)
+      }
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Fallback for non-JDK formats (webp, video): byte stats, no decode
   // ---------------------------------------------------------------------
@@ -638,7 +670,26 @@ object Multimodal {
       .orderBy("h_hi", "h_lo")
   }
 
+  /** q158 — PERCEPTUAL VIDEO DEDUP: [[fingerprintVideo]] temporal
+    * gradient fingerprints from the real multi-frame codec chain, then
+    * exact-fingerprint clusters ≥ 2 with q38 keeper election — closing
+    * the per-modality dedup family (text q24-q28, embeddings q31/q49,
+    * images q139, audio q153). Cluster key = (n_frames, grad_bits):
+    * same length class AND same brightness contour over time. Oracle:
+    * the frame-sum formula replayed through the identical gradient/bit
+    * arithmetic — any frame drop, reorder, or palette loss in the
+    * decode chain breaks the hash. */
+  def q158VideoFpDedup(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    fingerprintVideo(videoAssets(spark, dir)).toDF()
+      .groupBy("n_frames", "grad_bits")
+      .agg(count(lit(1)).as("n_assets"), min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_assets") >= 2)
+      .orderBy("n_frames", "grad_bits")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_video_fp_dedup" -> (q158VideoFpDedup _),
     "q139_image_dhash"    -> (q139ImageDhash _),
     "q149_incremental_dhash" -> (q149IncrementalDhash _),
     "q32_multimodal_meta" -> (q32MultimodalMeta _),
@@ -652,6 +703,30 @@ object Multimodal {
   // the engine's numbers come from ImageIO-decoded rasters, the oracle's
   // from the generating formula; they agree only if the codecs are exact.
   val oracles: Map[String, String] = Map(
+    // q158: per-frame pixel sums from the generating formula, temporal
+    // gradient bits, exact-fingerprint clusters with keeper election.
+    "q158_video_fp_dedup" ->
+      """WITH a AS (
+        |  SELECT doc_id, 8 + (n_chars % 8) AS w, 8 + (n_chars % 6) AS h,
+        |         4 + (n_chars % 5) AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, nf,
+        |    list_transform(range(0, nf), f ->
+        |      list_sum(flatten(list_transform(range(0, h), y ->
+        |        list_transform(range(0, w), x ->
+        |          CAST((31 * doc_id + 7 * x + 13 * y + 41 * f) % 256 AS BIGINT)))))) AS fs
+        |  FROM a),
+        |fp AS (
+        |  SELECT doc_id, nf,
+        |    coalesce(list_sum(list_transform(range(0, nf - 1), f ->
+        |      CASE WHEN fs[f + 2] > fs[f + 1] THEN CAST(1 AS BIGINT) << CAST(f AS INTEGER)
+        |           ELSE CAST(0 AS BIGINT) END)), 0) AS bits
+        |  FROM s)
+        |SELECT CAST(nf AS BIGINT) AS n_frames, CAST(bits AS BIGINT) AS grad_bits,
+        |  count(*) AS n_assets, min(doc_id) AS keeper_doc
+        |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY n_frames, grad_bits""".stripMargin,
     // q149: the DIRECT v2 fingerprint rebuild — v2 membership by the
     // snapshot rule, geometry from the live text length; a stale
     // carried fingerprint (changed doc, old dims) breaks the hash.

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Sessions
+import graft.operators.{Classify, TextOps}
+
+/** STREAMING QUALITY ADMISSION: the q151 Naive Bayes classifier run at
+  * ingest — batch-train over the historical corpus, ship a BOUNDED slice
+  * of the model to the stream, score every arriving document map-only
+  * (the q132/q135/q141 batch-train / score-at-ingest posture applied to
+  * the quality filter).
+  *
+  * The full q151 model is vocabulary-sized and deliberately never
+  * collected; the stream ships the [[Classify.NbModelK]] tokens with the
+  * LARGEST |weight| (ties by token — a total order, so the truncation is
+  * deterministic and the oracle replays it with the same ORDER BY). That
+  * is the standard serving compression for linear text classifiers: the
+  * heavy tail of near-zero weights moves scores by ~nothing but would
+  * make the broadcast unbounded. Out-of-model tokens score 0 by
+  * construction in BOTH engines.
+  *
+  * Scoring is stateless row-local column math — no watermark, no state
+  * store, the firehose never shuffles. Admission keeps predicted-HQ
+  * documents (score ≥ 0, the same decision line as q151's `pred_hq`). */
+object ClassifyStream {
+
+  /** q152 — streamed admission over `dir`'s documents table. */
+  def q152StreamNbQuality(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    // batch-train, truncate to the K largest-|w| tokens (bounded collect
+    // by construction), ship both the weights and the prior as literals
+    val topW: Map[String, Long] = Classify.truncatedModel(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prior: Long = Classify.priorMicroOf(spark, dir)
+    val modelLit = typedLit(topW)
+    val stream = spark.readStream
+      .schema(DedupStream.docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val toks = TextOps.tokens(coalesce(col("text"), lit("")))
+    val scored = stream.select(
+      col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      (lit(prior) + aggregate(
+        transform(toks, t => coalesce(element_at(modelLit, t), lit(0L))),
+        lit(0L), (acc, x) => acc + x)).as("score_micro"))
+      .filter(col("score_micro") >= 0)
+    EventStream.drainToFiles(spark, scored).orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_stream_nb_quality" -> (q152StreamNbQuality _))
+
+  /** Full value oracle: the q151 training CTEs (shared text) + the same
+    * top-K truncation + per-doc scoring + the admission floor. */
+  val oracles: Map[String, String] = Map(
+    "q152_stream_nb_quality" ->
+      s"""WITH ${Classify.nbCtes},
+         |topw AS MATERIALIZED (
+         |  SELECT token, w_micro FROM w
+         |  ORDER BY abs(w_micro) DESC, token LIMIT ${Classify.NbModelK}),
+         |ds2 AS (
+         |  SELECT tf.doc_id, sum(tf.tf * topw.w_micro) AS s
+         |  FROM tf JOIN topw USING (token) GROUP BY 1)
+         |SELECT l.doc_id, l.source,
+         |  CAST(coalesce(st.dl, 0) AS BIGINT) AS n_tokens,
+         |  (SELECT prior_micro FROM pri) + coalesce(ds2.s, 0) AS score_micro
+         |FROM lab l
+         |LEFT JOIN ds2 USING (doc_id)
+         |LEFT JOIN dstat st USING (doc_id)
+         |WHERE (SELECT prior_micro FROM pri) + coalesce(ds2.s, 0) >= 0
+         |ORDER BY doc_id""".stripMargin)
+}

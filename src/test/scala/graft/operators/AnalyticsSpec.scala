@@ -175,4 +175,29 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-01", 1, 1L, 0.5),
       ("2024-01-08", 0, 1L, 1.0)))
   }
+
+  test("q155 anomaly semantics on a crafted volume series: spike, drop, warm-up, exclusion") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // type A: 10/day for 7 days, then a 25-event spike, then a 4-event drop
+    val a = (1 to 7).flatMap(d => Seq.fill(10)(("A", t(d)))) ++
+      Seq.fill(25)(("A", t(8))) ++ Seq.fill(4)(("A", t(9)))
+    // type B: only 2 days of history — below the min-history floor, no rows
+    val b = Seq.fill(5)(("B", t(1))) ++ Seq.fill(5)(("B", t(2))) ++
+      Seq.fill(50)(("B", t(3)))
+    val events = (a ++ b).toDF("event_type", "ts")
+    val rows = Analytics.ingestAnomaly(events).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getBoolean(5), r.getBoolean(6)))
+    // warm-up: days 1-3 of A have < 3 trailing days → absent
+    assert(!rows.exists(r => r._1 == "A" && r._2 <= "2024-01-03"))
+    // day 8: trailing mean 10, count 25 → spike (25·7 > 70·2), not drop
+    assert(rows.contains(("A", "2024-01-08", 25L, true, false)))
+    // day 9: trailing window now CONTAINS the spike (mean ≈ 12.1) —
+    // 4·7·2 = 56 < 85 → drop; the spike itself is excluded from its own
+    // window (else day 8 could never flag)
+    assert(rows.contains(("A", "2024-01-09", 4L, false, true)))
+    // B's 50-event day 3 has only 2 days of history → filtered
+    assert(!rows.exists(_._1 == "B"))
+  }
 }

@@ -41,6 +41,32 @@ class AudioSpec extends SparkSpec {
     }
   }
 
+  test("q153 fingerprint replays the energy-gradient formula; clusters partition by fingerprint") {
+    val fps = Audio.fingerprintAudio(Audio.audioAssets(spark, sf)).collect()
+    assert(fps.nonEmpty)
+    fps.foreach { r =>
+      // the fingerprint uses complete frames only, so replaying the first
+      // n_frames·64 samples reproduces every energy it saw
+      val wave = Audio.AudioFixture.waveform(r.doc_id, r.n_frames.toInt * 64)
+      val e = (0 until r.n_frames.toInt).map { f =>
+        (f * 64 until f * 64 + 64).map(i => wave(i).toLong * wave(i)).sum
+      }
+      val bits = (0 until r.n_frames.toInt - 1)
+        .foldLeft(0L)((acc, f) => if (e(f + 1) > e(f)) acc | (1L << f) else acc)
+      assert(r.grad_bits == bits, s"doc ${r.doc_id} gradient bits")
+    }
+    val clusters = Audio.q153AudioFpDedup(spark, sf).collect()
+    assert(clusters.nonEmpty, "fixture corpus should have fingerprint collisions")
+    val byFp = fps.groupBy(r => (r.n_frames, r.grad_bits))
+    clusters.foreach { c =>
+      val members = byFp((c.getLong(0), c.getLong(1)))
+      assert(c.getLong(2) == members.length.toLong)
+      assert(c.getLong(3) == members.map(_.doc_id).min, "keeper = min doc_id")
+    }
+    // every multi-member fingerprint is reported, none invented
+    assert(clusters.length == byFp.count(_._2.length >= 2))
+  }
+
   test("q110 aggregates the real decoded waveforms per sample rate") {
     val decoded = Audio.decodeAudio(Audio.audioAssets(spark, sf)).collect()
     val expect = decoded.groupBy(_.sample_rate.toLong).view.mapValues { rs =>

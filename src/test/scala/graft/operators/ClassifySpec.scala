@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClassifySpec extends SparkSpec {
+
+  /** Driver-side replay of the whole NB pipeline from raw text. */
+  private def replay() = {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""), r.getString(2)))
+    val toks = docs.map { case (d, t, _) =>
+      d -> t.split(" ").filter(_.nonEmpty).toSeq
+    }.toMap
+    val filler = Classify.FillerTokens.toSet
+    val labels = toks.view.mapValues(ts =>
+      ts.count(filler) * Classify.FillerMax <= ts.length).toMap
+    val tf = toks.toSeq.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, os) => (d, t, os.length.toLong) }
+    }
+    val cp = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val cn = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    tf.foreach { case (d, t, c) => if (labels(d)) cp(t) += c else cn(t) += c }
+    val vocab = (cp.keySet ++ cn.keySet).toSeq.sorted
+    val (tp, tn, v) = (cp.values.sum, cn.values.sum, vocab.length.toLong)
+    def micro(x: Double): Long = math.round(math.log(x) / math.log(2) * 1e6)
+    val w = vocab.map { t =>
+      t -> (micro((cp(t) + 1).toDouble / (tp + v)) - micro((cn(t) + 1).toDouble / (tn + v)))
+    }.toMap
+    val np = labels.values.count(identity).toLong
+    val nn = labels.size - np
+    val prior = micro(np.toDouble) - micro(nn.toDouble)
+    val scores = toks.map { case (d, ts) =>
+      d -> (prior + ts.map(w).sum)
+    }
+    (docs, labels, w, prior, scores)
+  }
+
+  test("label rule splits the fixture non-degenerately; scores replay the NB arithmetic") {
+    val (_, labels, _, _, scores) = replay()
+    val npos = labels.values.count(identity)
+    assert(npos > labels.size / 10 && npos < labels.size * 9 / 10,
+      s"label split degenerate: $npos/${labels.size}")
+    val got = Classify.nbScores(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getBoolean(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size == labels.size)
+    got.foreach { case (d, (hq, s, pred)) =>
+      assert(hq == labels(d), s"doc $d label")
+      assert(s == scores(d), s"doc $d score: engine $s, replay ${scores(d)}")
+      assert(pred == (s >= 0), s"doc $d prediction line")
+    }
+    // the token-identity label is genuinely learnable: well above chance
+    val agree = got.count { case (d, (hq, _, pred)) => hq == pred }
+    assert(agree * 10 > got.size * 8, s"NB agreement $agree/${got.size} below 80%")
+  }
+
+  test("q151 confusion report reconciles against the per-doc scores") {
+    val perDoc = Classify.nbScores(spark, sf)
+      .join(graft.core.Tables.documents(spark, sf).select("doc_id", "source"), Seq("doc_id"))
+      .collect()
+      .map(r => (r.getString(4), r.getBoolean(1), r.getBoolean(3)))
+    val expect = perDoc.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.count(_._2).toLong, rs.count(_._3).toLong,
+        rs.count(r => r._2 == r._3).toLong)
+    }.toMap
+    val got = Classify.q151NbQuality(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      val (n, lab, pred, agr) = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((n, lab, pred, agr)))
+      val acc = math.floor((agr * 20000.0 + n) / (n * 2)) / 10000.0
+      assert(r.getDouble(5) == acc, s"${r.getString(0)} accuracy")
+    }
+  }
+
+  test("truncated model: exactly K rows, the K largest |weights|, deterministic order") {
+    val (_, _, w, _, _) = replay()
+    val got = Classify.truncatedModel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val k = math.min(Classify.NbModelK, w.size)
+    assert(got.length == k)
+    val expect = w.toSeq.sortBy { case (t, wm) => (-math.abs(wm), t) }.take(k)
+    assert(got.toSeq == expect, "truncation must follow the (|w| desc, token) total order")
+  }
+}

@@ -140,6 +140,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.forall(_._1 >= 2))
   }
 
+  test("q158: video fingerprint replays the frame-sum gradient; clusters are cluster-for-cluster exact") {
+    import Multimodal.VideoFixture
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side replay from the generating formula
+    val expected = docs.map { case (d, nc) =>
+      val (w, h) = Multimodal.ImageFixture.dims(nc)
+      val nf = VideoFixture.nFrames(nc)
+      val sums = (0 until nf).map { f =>
+        (for (y <- 0 until h; x <- 0 until w)
+          yield VideoFixture.pixel(d, f, x, y).toLong).sum
+      }
+      val bits = (0 until nf - 1)
+        .foldLeft(0L)((acc, f) => if (sums(f + 1) > sums(f)) acc | (1L << f) else acc)
+      (d, (nf.toLong, bits))
+    }
+    val expectedClusters = expected.groupBy(_._2).view
+      .mapValues(ms => (ms.length.toLong, ms.map(_._1).min))
+      .filter(_._2._1 >= 2).toMap
+    val got = Multimodal.q158VideoFpDedup(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expectedClusters)
+    assert(got.nonEmpty, "fixture has no video fingerprint clusters — operator untested")
+    assert(got.values.forall(_._1 >= 2))
+  }
+
   test("q149: incremental dHash lands exactly on the direct v2 rebuild; changed slice is real") {
     val v1 = graft.operators.SnapshotFixture.table(spark, sf, "documents_v1_growth")
     val v2 = graft.operators.SnapshotFixture.table(spark, sf, "documents_v2")
