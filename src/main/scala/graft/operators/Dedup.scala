@@ -784,6 +784,68 @@ object Dedup {
       Tables.documents(spark, dir).select("doc_id", "source"))
   }
 
+  /** MinHash permutation count for the per-source sketch, and the gate
+    * tolerance (|est − exact| in Jaccard micros; K = 16 has standard
+    * error √(J(1−J)/16) ≤ 0.125, measured max deviation ≈ 0.097 on the
+    * fixtures). */
+  val SketchPerms = 16
+  val SketchTolMicro = 250000L
+
+  /** q154 — SOURCE-PAIR OVERLAP SKETCH, gated against the exact matrix:
+    * a K=[[SketchPerms]]-permutation MinHash signature per SOURCE
+    * (merged over all its documents' distinct shingles), pairwise
+    * match-fraction as the Jaccard estimate, compared IN-PLAN against
+    * the exact q120 value (the q42 HLL-gate convention).
+    *
+    * Why it exists: q120's exact matrix needs the full shingle-grain
+    * self-join — at 100 TB that join IS the job. The sketch side is ONE
+    * scan: per-(source, k) minima are a map-side-combined aggregate
+    * (commutative, mergeable — each partition folds its shingles into K
+    * running minima, so signatures also maintain INCREMENTALLY under
+    * recrawl, the q100 posture), and the pair comparison runs on a
+    * sources²-bounded frame of K-long arrays. A deployment publishes
+    * the estimate and samples the exact gate; the fixture runs both.
+    *
+    * Parity: permutation k hashes `md5("k:" || shingle)` (first 12 hex
+    * nibbles → 48-bit int) — engine-portable, replayed nibble-for-nibble
+    * by the oracle; estimates and exact values are integer micros
+    * (matches·10⁶/K and ⌊inter·10⁶/union⌋), the verdict an integer
+    * comparison. */
+  def q154SourceSketch(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val srcSh = Tables.documents(spark, dir)
+      .select(col("source"), explode(shingleArray(col("text"))).as("s"))
+      .distinct()
+    val minCols = (0 until SketchPerms).map { k =>
+      min(conv(substring(md5(concat_ws(":", lit(k.toString), col("s"))), 1, 12), 16, 10)
+        .cast("long")).as(s"m$k")
+    }
+    val sigs = srcSh.groupBy("source")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("source"),
+        array((0 until SketchPerms).map(i => col(s"m$i")): _*).as("sig"))
+    val est = sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          m => m)) * lit(1000000L / SketchPerms)).as("est_micro"))
+    // exact side at the same string-shingle grain the oracle replays
+    val n = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val inter = srcSh.select(col("source").as("src_a"), col("s"))
+      .join(srcSh.select(col("source").as("src_b"), col("s")), Seq("s"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(broadcast(n.select(col("source").as("src_a"), col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(n.select(col("source").as("src_b"), col("n_sh").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("est_micro"),
+        expr("coalesce(inter, 0) * 1000000 div (n_a + n_b - coalesce(inter, 0))")
+          .as("exact_micro"))
+      .withColumn("within_tol",
+        abs(col("est_micro") - col("exact_micro")) <= SketchTolMicro)
+      .orderBy("src_a", "src_b")
+  }
+
   /** The overlap matrix over ANY (doc_id, hs) signature frame + (doc_id,
     * source) metadata frame. */
   def sourceOverlap(sigs: DataFrame, meta: DataFrame): DataFrame = {
@@ -895,6 +957,7 @@ object Dedup {
     "q142_containment" -> (q142Containment _),
     "q147_dedup_sensitivity" -> (q147DedupSensitivity _),
     "q120_source_overlap" -> (q120SourceOverlap _),
+    "q154_source_sketch" -> (q154SourceSketch _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q24_dedup_exact"   -> (q24DedupExact _),
     "q25_dedup_counts"  -> (q25DedupCounts _),
@@ -971,6 +1034,45 @@ object Dedup {
          |ORDER BY contained, container""".stripMargin,
     // string-shingle recomputation of the engine's hash-grain source
     // sets (same collision caveat as q26/q62)
+    "q154_source_sketch" -> {
+      // 48-bit value of the first 12 md5 hex nibbles (the hex4Sql move,
+      // widened): nibble i × 16^(11−i)
+      def hex12(hx: String): String = "(" + (0 until 12).map { i =>
+        s"(strpos('0123456789abcdef', substr($hx, ${1 + i}, 1)) - 1) * ${1L << (4 * (11 - i))}"
+      }.mkString(" +\n     ") + ")"
+      val h = hex12("md5(CAST(t.k AS VARCHAR) || ':' || s)")
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |sh AS MATERIALIZED (
+         |  SELECT DISTINCT source,
+         |    unnest(list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+         |      i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ')))) AS s
+         |  FROM toks),
+         |mins AS (
+         |  SELECT source, t.k, min($h) AS mn
+         |  FROM sh, range(0, $SketchPerms) t(k) GROUP BY 1, 2),
+         |sigs AS (SELECT source, list(mn ORDER BY k) AS sig FROM mins GROUP BY source),
+         |est AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    len(list_filter(range(1, ${SketchPerms + 1}), i -> a.sig[i] = b.sig[i]))
+         |      * ${1000000L / SketchPerms} AS est_micro
+         |  FROM sigs a JOIN sigs b ON a.source < b.source),
+         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT est.src_a, est.src_b, CAST(est_micro AS BIGINT) AS est_micro,
+         |  coalesce(i, 0) * 1000000 // (na.n_sh + nb.n_sh - coalesce(i, 0)) AS exact_micro,
+         |  abs(est_micro - coalesce(i, 0) * 1000000 // (na.n_sh + nb.n_sh - coalesce(i, 0)))
+         |    <= $SketchTolMicro AS within_tol
+         |FROM est
+         |JOIN n na ON na.source = est.src_a
+         |JOIN n nb ON nb.source = est.src_b
+         |LEFT JOIN inter ON inter.src_a = est.src_a AND inter.src_b = est.src_b
+         |ORDER BY est.src_a, est.src_b""".stripMargin
+    },
     "q120_source_overlap" ->
       """WITH toks AS (
         |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w

@@ -615,7 +615,103 @@ object Similarity {
       .orderBy("source")
   }
 
+  /** Hard-negative cosine band [lo, hi): high enough to be informative,
+    * strictly below [[NearDupThreshold]] so a paraphrase can never be
+    * mislabeled negative. */
+  val HnLoCos = 0.15
+  val HnHiCos = NearDupThreshold
+  val HnK = 5
+
+  /** q156 — HARD-NEGATIVE MINING (the contrastive-training pair miner,
+    * DPR / Karpukhin et al. 2020 §3.2): for each anchor vector, the
+    * [[HnK]] highest-cosine candidates inside the band
+    * [[[HnLoCos]], [[HnHiCos]]) — similar enough that the training
+    * gradient is informative, but capped strictly below the near-dup
+    * line so no positive-in-disguise is ever labeled negative (the
+    * standard false-negative guard). Anchors are the fixed probe set
+    * (the q29 convention).
+    *
+    * Scale shape: the fixture runs the exact brute-force band scan
+    * (probes × corpus, broadcast probe side, map-only) — at 100 TB the
+    * candidate stream comes from the q43 IVF / q30 LSH index instead
+    * and this SAME band-and-rank tail runs over it, exactly the
+    * q29→q30/q43 relationship. Band edges compare the bit-identical
+    * cosine fold in both engines, so no boundary tie can flip. */
+  def q156HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("probe_vec"))
+    val scored = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(
+        col("anchor_id"),
+        col("vec_id").as("negative_id"),
+        cosine(col("probe_vec"), col("embedding")).as("cos_raw"))
+      .filter(col("cos_raw") >= HnLoCos && col("cos_raw") < HnHiCos)
+    val w = Window.partitionBy("anchor_id").orderBy(col("cos_raw").desc, col("negative_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= HnK)
+      .select(col("anchor_id"), col("rnk").cast("long").as("rnk"),
+        col("negative_id"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy("anchor_id", "rnk")
+  }
+
+  /** Unit-vector quantization grain for the diversity audit: milli
+    * units keep Σ-of-squares within int64 up to ~10⁵ vectors per
+    * source × 32 dims (a deployment drops the grain for bigger
+    * strata); the quantization error on a MEAN cosine is ≤ ~1e-3 —
+    * audit precision, exactly replayed by the oracle. */
+  val DivQuant = 1000.0
+
+  /** q157 — EMBEDDING DIVERSITY AUDIT: mean pairwise cosine within each
+    * source, WITHOUT a pair join. On unit vectors,
+    * Σ_{i≠j} cos(vᵢ,vⱼ) = ‖Σᵢv̂ᵢ‖² − Σᵢ‖v̂ᵢ‖², so the per-source mean
+    * needs only the per-dimension SUM of quantized unit vectors and the
+    * sum of their self-dots — two map-side-combined aggregates over ONE
+    * scan. The n² pair computation q31 pays for near-dup detection is
+    * deleted, which is the difference between an audit you run per
+    * recrawl and one you can't run at all at 100 TB. High mean cosine =
+    * collapsed/templated source (the SemDeDup signal, Abbas et al.
+    * 2023, at corpus grain); low = diverse.
+    *
+    * Parity: each unit vector is quantized to integer milli-units
+    * (sign-split half-away, the q88/q130 contract) BEFORE any sum, so
+    * both engines sum exact integers in any order; the published mean
+    * is one sign-split integer division. */
+  def q157EmbeddingDiversity(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val nrm = sqrt(dot(col("embedding"), col("embedding")))
+    val qv = transform(col("embedding"),
+      x => KMeans.halfAway(lit(DivQuant) * x.cast("double") / nrm))
+    val quant = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).join(src, Seq("vec_id"))
+      .select(col("source"), qv.as("q"))
+      .select(col("source"), col("q"),
+        aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x).as("qq"))
+    val perDim = quant
+      .select(col("source"), posexplode(col("q")))
+      .groupBy("source", "pos").agg(sum(col("col")).as("sd"))
+      .groupBy("source").agg(sum(col("sd") * col("sd")).as("aa"))
+    quant.groupBy("source")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qq")).as("bb"))
+      .join(perDim, Seq("source"))
+      .select(col("source"), col("n_vecs"),
+        // truncating integer division, sign-split so both engines agree
+        when(col("n_vecs") < 2, lit(null).cast("long"))
+          .when(col("aa") - col("bb") >= 0,
+            expr("(aa - bb) div (n_vecs * (n_vecs - 1))"))
+          .otherwise(-expr("(bb - aa) div (n_vecs * (n_vecs - 1))"))
+          .as("mean_pair_cos_micro"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_embedding_diversity" -> (q157EmbeddingDiversity _),
+    "q156_hard_negatives" -> (q156HardNegatives _),
     "q82_centroid_drift"  -> (q82CentroidDrift _),
     "q137_sem_decontaminate" -> (q137SemDecontaminate _),
     "q69_sem_dedup"       -> (q69SemDedup _),
@@ -626,6 +722,51 @@ object Similarity {
     "q49_near_dup_lsh"    -> (q49NearDupLsh _))
 
   val oracles: Map[String, String] = Map(
+    // q157: the Σ-vector identity replayed — unit-quantize, two
+    // integer aggregates, one sign-split truncating division.
+    "q157_embedding_diversity" -> {
+      val nrm = "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT d.source,
+         |    list_transform(CAST(e.embedding AS DOUBLE[]),
+         |      x -> ${KMeans.halfAwaySql(s"1000.0 * x / $nrm")}) AS q
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         |t AS MATERIALIZED (
+         |  SELECT source, q,
+         |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qq
+         |  FROM q),
+         |dims AS (
+         |  SELECT source, unnest(range(len(q))) AS dim, unnest(q) AS v FROM t),
+         |sd AS (SELECT source, dim, sum(v) AS sd FROM dims GROUP BY 1, 2),
+         |a AS (SELECT source, CAST(sum(sd * sd) AS BIGINT) AS aa FROM sd GROUP BY source),
+         |b AS (SELECT source, count(*) AS n_vecs, sum(qq) AS bb FROM t GROUP BY source)
+         |SELECT b.source, b.n_vecs,
+         |  CAST(CASE WHEN n_vecs < 2 THEN NULL
+         |            WHEN aa - bb >= 0 THEN (aa - bb) // (n_vecs * (n_vecs - 1))
+         |            ELSE -((bb - aa) // (n_vecs * (n_vecs - 1))) END AS BIGINT)
+         |    AS mean_pair_cos_micro
+         |FROM b JOIN a USING (source) ORDER BY source""".stripMargin
+    },
+    // q156: the q29 ranking replayed inside the hard-negative band.
+    "q156_hard_negatives" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS pv
+         |  FROM embeddings WHERE vec_id < $NumProbes),
+         |scored AS (
+         |  SELECT p.anchor_id, e.vec_id AS negative_id,
+         |    list_dot_product(p.pv, CAST(e.embedding AS DOUBLE[])) /
+         |      sqrt(list_dot_product(p.pv, p.pv) *
+         |           list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS cos_raw
+         |  FROM embeddings e, probes p WHERE e.vec_id <> p.anchor_id),
+         |banded AS (
+         |  SELECT anchor_id, negative_id, cos_raw,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |                       ORDER BY cos_raw DESC, negative_id) AS rnk
+         |  FROM scored WHERE cos_raw >= $HnLoCos AND cos_raw < $HnHiCos)
+         |SELECT anchor_id, CAST(rnk AS BIGINT) AS rnk, negative_id,
+         |  round(cos_raw, 6) AS cosine
+         |FROM banded WHERE rnk <= $HnK
+         |ORDER BY anchor_id, rnk""".stripMargin,
     // q137: exact replay — same cosine arithmetic as q31, max per train
     // vector, source-grain report.
     "q137_sem_decontaminate" ->

@@ -524,4 +524,46 @@ class DedupSpec extends SparkSpec {
     assert(corpus.nonEmpty)
     assert(corpus.forall(_.getLong(2) >= Dedup.ContainMicros))
   }
+
+  test("q154: sketch estimate replays driver-side; gate holds; signatures merge") {
+    import java.security.MessageDigest
+    def h48(k: Int, s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s"$k:$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // driver-side per-source distinct shingle sets from raw text
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("")))
+    def shinglesOf(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      (1 to math.max(w.length - 4, 1)).map(i => w.slice(i - 1, i + 4).mkString(" ")).toSet
+    }
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(_.map(d => shinglesOf(d._2)).reduce(_ ++ _)).toMap
+    val sig = bySrc.view.mapValues { sh =>
+      (0 until Dedup.SketchPerms).map(k => sh.map(h48(k, _)).min).toVector
+    }.toMap
+    val rows = Dedup.q154SourceSketch(spark, sf).collect()
+    assert(rows.length == bySrc.size * (bySrc.size - 1) / 2, "full pair grid")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val matches = sig(a).zip(sig(b)).count { case (x, y) => x == y }
+      assert(r.getLong(2) == matches * (1000000L / Dedup.SketchPerms), s"($a,$b) estimate")
+      val inter = (bySrc(a) & bySrc(b)).size.toLong
+      val uni = (bySrc(a) | bySrc(b)).size.toLong
+      assert(r.getLong(3) == inter * 1000000L / uni, s"($a,$b) exact")
+      assert(r.getBoolean(4) == (math.abs(r.getLong(2) - r.getLong(3)) <= Dedup.SketchTolMicro))
+    }
+    // the gate itself holds everywhere on the fixture corpus
+    assert(rows.forall(_.getBoolean(4)), "sketch deviates beyond tolerance")
+    // mergeability: the union-set signature IS the elementwise min of the
+    // members' signatures — the property that makes the sketch a one-scan
+    // mergeable aggregate (and incrementally maintainable)
+    val (s1, s2) = (bySrc.keys.head, bySrc.keys.last)
+    val merged = (0 until Dedup.SketchPerms)
+      .map(k => (bySrc(s1) ++ bySrc(s2)).map(h48(k, _)).min).toVector
+    assert(merged == sig(s1).zip(sig(s2)).map { case (x, y) => math.min(x, y) }.toVector)
+  }
 }

@@ -325,6 +325,62 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._3).sum == expectedFlagged)
   }
 
+  test("q156: negatives live strictly inside the band; ranks replay driver-side") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    val rows = Similarity.q156HardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byAnchor = rows.groupBy(_.getLong(0))
+    assert(byAnchor.keySet == (0L until Similarity.NumProbes).toSet)
+    byAnchor.foreach { case (a, rs) =>
+      assert(rs.length <= Similarity.HnK)
+      // driver replay of the band + ranking
+      val banded = emb.toSeq.filter(_._1 != a)
+        .map { case (id, v) => (id, cos(emb(a), v)) }
+        .filter { case (_, c) => c >= Similarity.HnLoCos && c < Similarity.HnHiCos }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.HnK)
+      assert(rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq == banded.map(_._1),
+        s"anchor $a negatives")
+      // the false-negative guard: nothing at or above the near-dup line
+      rs.foreach(r => assert(r.getDouble(3) < Similarity.NearDupThreshold))
+    }
+  }
+
+  test("q157: Σ-vector identity equals the direct O(n²) pairwise mean on quantized vectors") {
+    val src = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def halfAway(y: Double): Long =
+      if (y >= 0) math.floor(y + 0.5).toLong else -math.floor(-y + 0.5).toLong
+    val quant = emb.map { case (id, v) =>
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      (src(id), v.map(x => halfAway(Similarity.DivQuant * x / n)))
+    }
+    val bySrc = quant.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = Similarity.q157EmbeddingDiversity(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, vs) =>
+      val n = vs.length.toLong
+      // direct: every ordered pair's integer dot
+      val direct = (for {
+        i <- vs.indices; j <- vs.indices if i != j
+      } yield vs(i).indices.foldLeft(0L)((a, d) => a + vs(i)(d) * vs(j)(d))).sum
+      val mean = if (direct >= 0) direct / (n * (n - 1)) else -((-direct) / (n * (n - 1)))
+      assert(got(s) == ((n, mean)), s"source $s diversity")
+    }
+  }
+
   test("cosine column matches a scala-side computation") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
