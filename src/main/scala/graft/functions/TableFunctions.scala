@@ -43,6 +43,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM funnel()
   *   SELECT * FROM hybrid_rrf('spark join', 1, 10)
   *   SELECT * FROM corpus_datasheet()
+  *   SELECT * FROM nb_quality()
+  *   SELECT * FROM ingest_anomaly() WHERE is_spike
+  *   SELECT * FROM hard_negatives(0.15, 0.45, 5)
+  *   SELECT * FROM embedding_diversity()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -80,7 +84,10 @@ object TableFunctions {
     "cooccurrence", "k_anonymity", "winsorize", "cohort_retention",
     "funnel", "hybrid_rrf", "corpus_datasheet", "inverted_index",
     "bpe_merges", "vocab_coverage", "source_overlap", "token_budget",
-    "zipf_slope", "split_leakage", "mix_manifest", "dup_clusters")
+    "zipf_slope", "split_leakage", "mix_manifest", "dup_clusters",
+    "containment", "token_fertility", "sem_decontaminate",
+    "nb_quality", "ingest_anomaly", "hard_negatives",
+    "embedding_diversity")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -502,6 +509,46 @@ object TableFunctions {
         case Seq() =>
           plan(spark => graft.operators.Analytics.funnelOver(spark.table("events")))
         case _ => throw new IllegalArgumentException("funnel expects no arguments")
+      }
+    },
+    "nb_quality" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Classify.nbQualityOver(spark.table("documents")))
+        case _ => throw new IllegalArgumentException("nb_quality expects no arguments")
+      }
+    },
+    "ingest_anomaly" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Analytics.ingestAnomaly(spark.table("events")))
+        case _ => throw new IllegalArgumentException("ingest_anomaly expects no arguments")
+      }
+    },
+    "hard_negatives" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(lo, hi, k) =>
+          val l = dbl(lo, "hard_negatives(lo, hi, k)")
+          val h = dbl(hi, "hard_negatives(lo, hi, k)")
+          require(l < h, "hard_negatives: lo must be < hi")
+          plan(spark => graft.operators.Similarity.hardNegatives(
+            spark.table("embeddings"), l, h, int(k, "hard_negatives(lo, hi, k)")))
+        case _ => throw new IllegalArgumentException(
+          "hard_negatives expects (lo, hi, k)")
+      }
+    },
+    "embedding_diversity" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan { spark =>
+            import org.apache.spark.sql.functions.col
+            graft.operators.Similarity.embeddingDiversity(
+              spark.table("embeddings"),
+              spark.table("documents")
+                .select(col("doc_id").as("vec_id"), col("source")))
+          }
+        case _ => throw new IllegalArgumentException(
+          "embedding_diversity expects no arguments")
       }
     })
 

@@ -49,7 +49,13 @@ object Classify {
     * operator. Token-less docs label hq (0 ≤ 0), deterministic both
     * engines. */
   private[graft] def labels(spark: SparkSession, dir: String): DataFrame =
-    TextOps.tokenStage(spark, dir)
+    labelsOf(TextOps.tokenStage(spark, dir))
+
+  /** The label rule over any tokenized (doc_id, dl, pos, token) frame —
+    * shared by the staged corpus path and the TVF's fresh-tokenize
+    * path, so the two can never drift. */
+  private def labelsOf(tokd: DataFrame): DataFrame =
+    tokd
       .groupBy("doc_id")
       .agg(max(col("dl")).as("dl"),
         coalesce(sum(when(col("token").isInCollection(FillerTokens), 1L)
@@ -96,9 +102,11 @@ object Classify {
   /** Per-document integer NB scores: prior + Σ tf·w over the token-keyed
     * model join; docs with no tokens score the prior alone. Returns
     * (doc_id, hq, score_micro, pred_hq). */
-  private[graft] def nbScores(spark: SparkSession, dir: String): DataFrame = {
-    val lab = labels(spark, dir)
-    val tf = termFreqs(spark, dir)
+  private[graft] def nbScores(spark: SparkSession, dir: String): DataFrame =
+    nbScoresOf(labels(spark, dir), termFreqs(spark, dir))
+
+  /** The score pipeline over ANY label/term-frequency frames. */
+  private def nbScoresOf(lab: DataFrame, tf: DataFrame): DataFrame = {
     val perDoc = tf.join(nbModel(tf, lab).select("token", "w_micro"), Seq("token"))
       .groupBy("doc_id")
       .agg(sum(col("tf") * col("w_micro")).as("s"))
@@ -141,8 +149,25 @@ object Classify {
     * a vocabulary that outgrows executor memory. */
   def q151NbQuality(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    nbScores(spark, dir)
-      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+    nbReport(nbScores(spark, dir),
+      Tables.documents(spark, dir).select("doc_id", "source"))
+  }
+
+  /** Train + score + report over ANY (doc_id, text, source) frame —
+    * also the `nb_quality()` TVF body (derives labels and term
+    * frequencies from a fresh tokenize of the given frame rather than
+    * the per-corpus stage). */
+  private[graft] def nbQualityOver(docs: DataFrame): DataFrame = {
+    val tokd = TextOps.tokenized(docs.select(col("doc_id"), col("text")))
+    val tf = tokd.filter(col("token").isNotNull)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    nbReport(nbScoresOf(labelsOf(tokd), tf), docs.select("doc_id", "source"))
+  }
+
+  /** The per-source confusion report over scored docs. */
+  private def nbReport(scores: DataFrame, meta: DataFrame): DataFrame =
+    scores
+      .join(meta, Seq("doc_id"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -154,7 +179,6 @@ object Classify {
         (floor((col("n_agree") * 20000 + col("n_docs")) / (col("n_docs") * 2)) / 10000.0)
           .as("accuracy"))
       .orderBy("source")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_nb_quality" -> (q151NbQuality _))

@@ -791,6 +791,41 @@ object Dedup {
   val SketchPerms = 16
   val SketchTolMicro = 250000L
 
+  /** Distinct (source, shingle-string) pairs — the sketch family's
+    * grain. Strings, not xxhash64, because the md5 permutation hashes
+    * must be oracle-replayable. */
+  private def srcShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(shingleArray(col("text"))).as("s"))
+      .distinct()
+
+  /** PRODUCTION sketch path: per-source K-permutation signatures (one
+    * map-side-combined aggregate — K running minima per source) and the
+    * pairwise match-fraction estimates on the sources²-bounded frame.
+    * This is everything a deployment runs; the exact join lives only in
+    * the q154 gate. */
+  private[graft] def sourceSketchEst(srcSh: DataFrame): DataFrame = {
+    val minCols = (0 until SketchPerms).map { k =>
+      min(conv(substring(md5(concat_ws(":", lit(k.toString), col("s"))), 1, 12), 16, 10)
+        .cast("long")).as(s"m$k")
+    }
+    val sigs = srcSh.groupBy("source")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("source"),
+        array((0 until SketchPerms).map(i => col(s"m$i")): _*).as("sig"))
+    sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          m => m)) * lit(1000000L / SketchPerms)).as("est_micro"))
+  }
+
+  /** [[sourceSketchEst]] over the corpus at `dir` (the ScaleBench
+    * production entry). */
+  private[graft] def sourceSketchEstOf(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    sourceSketchEst(srcShingles(spark, dir))
+  }
+
   /** q154 — SOURCE-PAIR OVERLAP SKETCH, gated against the exact matrix:
     * a K=[[SketchPerms]]-permutation MinHash signature per SOURCE
     * (merged over all its documents' distinct shingles), pairwise
@@ -813,21 +848,8 @@ object Dedup {
     * comparison. */
   def q154SourceSketch(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val srcSh = Tables.documents(spark, dir)
-      .select(col("source"), explode(shingleArray(col("text"))).as("s"))
-      .distinct()
-    val minCols = (0 until SketchPerms).map { k =>
-      min(conv(substring(md5(concat_ws(":", lit(k.toString), col("s"))), 1, 12), 16, 10)
-        .cast("long")).as(s"m$k")
-    }
-    val sigs = srcSh.groupBy("source")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("source"),
-        array((0 until SketchPerms).map(i => col(s"m$i")): _*).as("sig"))
-    val est = sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
-      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-          m => m)) * lit(1000000L / SketchPerms)).as("est_micro"))
+    val srcSh = srcShingles(spark, dir)
+    val est = sourceSketchEst(srcSh)
     // exact side at the same string-shingle grain the oracle replays
     val n = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val inter = srcSh.select(col("source").as("src_a"), col("s"))

@@ -639,7 +639,13 @@ object Similarity {
     * cosine fold in both engines, so no boundary tie can flip. */
   def q156HardNegatives(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val emb = Tables.embeddings(spark, dir)
+    hardNegatives(Tables.embeddings(spark, dir), HnLoCos, HnHiCos, HnK)
+  }
+
+  /** The miner over ANY (vec_id, embedding) frame — also the
+    * `hard_negatives(lo, hi, k)` TVF body. */
+  private[graft] def hardNegatives(emb: DataFrame, lo: Double, hi: Double,
+      k: Int): DataFrame = {
     val probes = emb.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("anchor_id"), col("embedding").as("probe_vec"))
     val scored = emb.crossJoin(broadcast(probes))
@@ -648,11 +654,11 @@ object Similarity {
         col("anchor_id"),
         col("vec_id").as("negative_id"),
         cosine(col("probe_vec"), col("embedding")).as("cos_raw"))
-      .filter(col("cos_raw") >= HnLoCos && col("cos_raw") < HnHiCos)
+      .filter(col("cos_raw") >= lo && col("cos_raw") < hi)
     val w = Window.partitionBy("anchor_id").orderBy(col("cos_raw").desc, col("negative_id"))
     scored
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= HnK)
+      .filter(col("rnk") <= k)
       .select(col("anchor_id"), col("rnk").cast("long").as("rnk"),
         col("negative_id"), round(col("cos_raw"), 6).as("cosine"))
       .orderBy("anchor_id", "rnk")
@@ -682,12 +688,18 @@ object Similarity {
     * is one sign-split integer division. */
   def q157EmbeddingDiversity(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val src = Tables.documents(spark, dir)
-      .select(col("doc_id").as("vec_id"), col("source"))
+    embeddingDiversity(
+      Tables.embeddings(spark, dir),
+      Tables.documents(spark, dir).select(col("doc_id").as("vec_id"), col("source")))
+  }
+
+  /** The audit over ANY (vec_id, embedding) + (vec_id, source) frames —
+    * also the `embedding_diversity()` TVF body. */
+  private[graft] def embeddingDiversity(emb: DataFrame, src: DataFrame): DataFrame = {
     val nrm = sqrt(dot(col("embedding"), col("embedding")))
     val qv = transform(col("embedding"),
       x => KMeans.halfAway(lit(DivQuant) * x.cast("double") / nrm))
-    val quant = Tables.embeddings(spark, dir)
+    val quant = emb
       .select(col("vec_id"), col("embedding")).join(src, Seq("vec_id"))
       .select(col("source"), qv.as("q"))
       .select(col("source"), col("q"),

@@ -62,7 +62,18 @@ object ScaleBench {
     // streaming MG sketch, the perplexity histogram, in-flight decode
     "q142_containment", "q147_dedup_sensitivity",
     "q145_stream_heavy_hitters", "q144_perplexity_buckets",
-    "q148_stream_decode")
+    "q148_stream_decode",
+    // round-8 part-3 additions: the NB classifier (two corpus shuffles +
+    // a vocabulary-keyed model join — the sweep checks the join-based
+    // scoring scales with the corpus, not the vocabulary), its streaming
+    // twin, the audio/video fingerprint dedup chains (per-row codec
+    // CPU), the source sketch PRODUCTION path (q49 convention: the
+    // exact-join gate is the audit, the sketch is the operator), the
+    // probes×corpus hard-negative scan, and the pair-join-free
+    // diversity audit (must scale ~linearly — that is its whole claim)
+    "q151_nb_quality", "q152_stream_nb_quality", "q153_audio_fp_dedup",
+    "q154_sketch_est", "q156_hard_negatives", "q157_embedding_diversity",
+    "q158_video_fp_dedup", "q155_ingest_anomaly")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */
@@ -96,7 +107,11 @@ object ScaleBench {
       graft.operators.Pq.adcTopK(s, d)),
     // likewise q143: the production two-level search, not the gate
     "q143_ivfpq_scan" -> ((s: SparkSession, d: String) =>
-      graft.operators.Pq.ivfPqSearch(s, d)._1))
+      graft.operators.Pq.ivfPqSearch(s, d)._1),
+    // q154's gate joins the exact matrix in-plan (deliberately the
+    // expensive audit); the sweep times the sketch alone
+    "q154_sketch_est" -> ((s: SparkSession, d: String) =>
+      graft.operators.Dedup.sourceSketchEstOf(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")

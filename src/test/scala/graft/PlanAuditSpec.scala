@@ -262,4 +262,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.length <= 2,
       s"q139: ${exchanges.length} exchanges — fingerprinting must stay map-side")
   }
+
+  test("audio/video fingerprint dedup stays map-side like the image path (q153, q158)") {
+    Seq("q153_audio_fp_dedup", "q158_video_fp_dedup").foreach { q =>
+      val (df, _) = executed(q)
+      val exchanges = BucketedLayout.collectExchanges(df.queryExecution.executedPlan)
+      assert(exchanges.length <= 2,
+        s"$q: ${exchanges.length} exchanges — fingerprinting must stay map-side")
+    }
+  }
+
+  test("diversity audit never forms an embedding pair join (q157)") {
+    val (df, plan) = executed("q157_embedding_diversity")
+    // the whole point of the Σ-vector identity: no corpus×corpus join.
+    // The only joins allowed are the doc-metadata attach and the final
+    // sources-sized aa⋈bb merge.
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q157: pairwise product crept back in\n$plan")
+    val scans = raw"\(\d+\) Scan parquet".r
+      .findAllIn(plan.split("== Initial Plan ==")(0)).length
+    assert(scans <= 4, s"q157: $scans parquet scans\n$plan")
+  }
+
+  test("source sketch is one corpus pass + a sources²-bounded compare (q154 production path)") {
+    val df = graft.operators.Dedup.sourceSketchEstOf(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.explainString(FormattedMode)
+    // the signature build reads documents once; the pair compare joins
+    // K-long signature arrays on a frame bounded by |sources|
+    val scans = raw"\(\d+\) Scan parquet".r
+      .findAllIn(plan.split("== Initial Plan ==")(0)).length
+    assert(scans <= 2, s"q154 sketch: $scans parquet scans (signature build must be one pass)\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q154 sketch: pair compare must broadcast, not shuffle\n$plan")
+  }
+
+  test("NB classifier scoring is join-based: the vocabulary model is never collected (q151)") {
+    val (df, plan) = executed("q151_nb_quality")
+    // the model attaches by a token-keyed join; the only broadcasts are
+    // the scalar totals/prior rows. A LocalRelation of vocabulary size
+    // would mean a driver-side collect crept into the path.
+    val locals = raw"LocalTableScan".r.findAllIn(plan).length
+    assert(locals == 0, s"q151: LocalTableScan in plan — model was collected\n$plan")
+  }
 }

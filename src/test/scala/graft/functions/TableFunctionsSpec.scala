@@ -304,4 +304,24 @@ class TableFunctionsSpec extends SparkSpec {
     assert(rows(dc) == rows(graft.operators.Dedup.q126ClusterHistogram(spark, sf)))
     assert(dc.columns.toSeq == Seq("cluster_size", "n_clusters", "n_docs"))
   }
+
+  test("nb_quality / ingest_anomaly / hard_negatives / embedding_diversity TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    val nb = spark.sql("SELECT * FROM nb_quality()")
+    assert(rows(nb) == rows(graft.operators.Classify.q151NbQuality(spark, sf)))
+    assert(nb.columns.toSeq ==
+      Seq("source", "n_docs", "n_label_hq", "n_pred_hq", "n_agree", "accuracy"))
+    val ia = spark.sql("SELECT * FROM ingest_anomaly()")
+    assert(rows(ia) == rows(graft.operators.Analytics.q155IngestAnomaly(spark, sf)))
+    // composes with WHERE on the verdict column
+    val spikes = spark.sql("SELECT * FROM ingest_anomaly() WHERE is_spike").count()
+    assert(spikes == ia.filter(col("is_spike")).count())
+    val hn = spark.sql(
+      s"SELECT * FROM hard_negatives(${graft.operators.Similarity.HnLoCos}, " +
+        s"${graft.operators.Similarity.HnHiCos}, ${graft.operators.Similarity.HnK})")
+    assert(rows(hn) == rows(graft.operators.Similarity.q156HardNegatives(spark, sf)))
+    val ed = spark.sql("SELECT * FROM embedding_diversity()")
+    assert(rows(ed) == rows(graft.operators.Similarity.q157EmbeddingDiversity(spark, sf)))
+    assert(ed.columns.toSeq == Seq("source", "n_vecs", "mean_pair_cos_micro"))
+  }
 }
