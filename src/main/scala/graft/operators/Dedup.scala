@@ -84,6 +84,34 @@ object Dedup {
       .orderBy("fp")
   }
 
+  /** Normalization for [[q160NormalizedDedup]]: lowercase + collapse
+    * space runs — deliberately the PORTABLE subset (literal space
+    * class, not `\s`: Java and RE2 disagree on `\x0B`) so the oracle
+    * replays byte-for-byte. */
+  private[graft] def normalized(text: Column): Column =
+    lower(regexp_replace(trim(text), " +", " "))
+
+  /** q160 — NORMALIZATION-AWARE EXACT DEDUP: the C4/RefinedWeb
+    * "normalize before you hash" pre-pass — documents identical up to
+    * case and whitespace runs collapse to one fingerprint that raw-md5
+    * dedup (q24) treats as distinct. Emits each normalized cluster
+    * with its copy count, keeper (q38 election) and the number of RAW
+    * fingerprint variants inside it — `n_raw_variants > 1` rows are
+    * exactly the catches q24 misses. Map-only normalize+hash; the
+    * groupBy shuffles 16-byte fingerprints. */
+  def q160NormalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(normalized(col("text"))).as("fp"),
+        TextOps.fingerprint(col("text")).as("raw_fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keeper"),
+        countDistinct(col("raw_fp")).as("n_raw_variants"))
+      .filter(col("copies") > 1)
+      .orderBy("fp")
+  }
+
   /** Corpus-level dedup accounting: total vs content-distinct docs. */
   def q25DedupCounts(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
@@ -980,6 +1008,7 @@ object Dedup {
     "q147_dedup_sensitivity" -> (q147DedupSensitivity _),
     "q120_source_overlap" -> (q120SourceOverlap _),
     "q154_source_sketch" -> (q154SourceSketch _),
+    "q160_normalized_dedup" -> (q160NormalizedDedup _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q24_dedup_exact"   -> (q24DedupExact _),
     "q25_dedup_counts"  -> (q25DedupCounts _),
@@ -1056,6 +1085,13 @@ object Dedup {
          |ORDER BY contained, container""".stripMargin,
     // string-shingle recomputation of the engine's hash-grain source
     // sets (same collision caveat as q26/q62)
+    "q160_normalized_dedup" ->
+      """SELECT md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
+        |  count(*) AS copies, min(doc_id) AS keeper,
+        |  CAST(count(DISTINCT md5(trim(text))) AS BIGINT) AS n_raw_variants
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY fp""".stripMargin,
     "q154_source_sketch" -> {
       // 48-bit value of the first 12 md5 hex nibbles (the hex4Sql move,
       // widened): nibble i × 16^(11−i)

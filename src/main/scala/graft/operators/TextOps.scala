@@ -532,6 +532,55 @@ object TextOps {
       tokenStage(spark, dir).agg(count(col("token")).as("n_total")))
   }
 
+  /** Begin-of-document sentinel for the q159 bigram history at position
+    * 1. Reserved: the fixture vocabulary is plain lowercase words, so
+    * the sentinel can never collide with a real token. */
+  val BosToken = "<s>"
+
+  /** q159 — corpus-self-trained BIGRAM LM scoring: the order-2 upgrade
+    * of q78 and one step toward the 5-gram KenLM filter CCNet actually
+    * ships (Wenzek et al. 2020 §3.3) — per-position surprisal
+    * −log₂ p(wᵢ | wᵢ₋₁) under add-1 smoothing, per-document mean
+    * bits/token. Context for position 1 is the [[BosToken]] sentinel.
+    * A document of common words in UNCOMMON ORDER now scores high
+    * (noise the unigram model can't see); boilerplate word sequences
+    * score low.
+    *
+    * Plan shape (the q78 contract, one order up): positions come off
+    * the shared token stage with a per-doc lag window (the q92
+    * adjacency move); per-(doc, h, w) frequencies are the one
+    * corpus-sized shuffle; the model is the (h, w)-grain aggregate with
+    * per-HISTORY totals from a window partitioned BY h (never a global
+    * window — a billion-history model stays parallel); the
+    * vocabulary²-sparse model is kept DISTRIBUTED and scoring joins on
+    * (h, w) — the q151 posture, one order up from q78's token join.
+    * Per-(h, w)-type surprisal fixes to INTEGER micro-bits before the
+    * order-sensitive per-doc sum; the mean is the q78 half-up integer
+    * division. */
+  def q159BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Sessions.prepare(spark)
+    val st = tokenStream(spark, dir)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = st.select(col("doc_id"), col("token").as("w"),
+      coalesce(lag(col("token"), 1).over(w), lit(BosToken)).as("h"))
+    val pairTf = bg.groupBy("doc_id", "h", "w").agg(count(lit(1)).as("tf"))
+    val model = pairTf.groupBy("h", "w").agg(sum(col("tf")).as("cnt"))
+      .withColumn("htot", sum(col("cnt")).over(Window.partitionBy("h")))
+    val vocab = st.agg(countDistinct(col("token")).as("v"))
+    val scores = model.crossJoin(broadcast(vocab))
+      .select(col("h"), col("w"),
+        round(-log2((col("cnt") + 1).cast("double") / (col("htot") + col("v"))) * 1000000)
+          .cast("long").as("micro_bits"))
+    pairTf.join(scores, Seq("h", "w"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("tf") * col("micro_bits")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor((col("s") * 2 + col("n_tokens") * 100) /
+          (col("n_tokens") * 200)) / 10000.0).as("bits_per_token"))
+      .orderBy("doc_id")
+  }
+
   /** Bucket count for the q144 perplexity curriculum (CCNet's
     * head/middle/tail generalized to deciles). */
   val PerplexityBuckets = 10
@@ -848,6 +897,7 @@ object TextOps {
     "q109_cooccurrence" -> (q109Cooccurrence _),
     "q92_pmi_collocations" -> (q92PmiCollocations _),
     "q78_unigram_logprob" -> (q78UnigramLogprob _),
+    "q159_bigram_lm" -> (q159BigramLm _),
     "q73_boilerplate"   -> (q73Boilerplate _),
     "q68_repetition"    -> (q68Repetition _),
     "q65_chunk_overlap" -> (q65ChunkOverlap _),
@@ -1061,6 +1111,33 @@ object TextOps {
          |  min(bits_e4) / 10000.0 AS min_bits_per_token,
          |  max(bits_e4) / 10000.0 AS max_bits_per_token
          |FROM hb, tot GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q159: positions and BOS histories rebuilt in SQL, per-(h, w)-type
+    // integer micro-bits before the per-doc sum (the q78 contract).
+    "q159_bigram_lm" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d),
+         |bg AS MATERIALIZED (
+         |  SELECT doc_id, w[i] AS wd,
+         |    CASE WHEN i = 1 THEN '$BosToken' ELSE w[i - 1] END AS h
+         |  FROM pos),
+         |ptf AS MATERIALIZED (
+         |  SELECT doc_id, h, wd, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+         |m AS (SELECT h, wd, sum(tf) AS cnt FROM ptf GROUP BY 1, 2),
+         |mh AS MATERIALIZED (
+         |  SELECT h, wd, cnt, sum(cnt) OVER (PARTITION BY h) AS htot FROM m),
+         |v AS (SELECT count(DISTINCT wd) AS v FROM bg),
+         |sc AS (
+         |  SELECT h, wd,
+         |    CAST(round(-log2((cnt + 1) * 1.0 / (htot + v)) * 1000000) AS BIGINT) AS micro
+         |  FROM mh, v)
+         |SELECT p.doc_id, CAST(sum(p.tf) AS BIGINT) AS n_tokens,
+         |  floor((2 * sum(p.tf * s.micro) + 100 * sum(p.tf)) / (200.0 * sum(p.tf))) / 10000.0
+         |    AS bits_per_token
+         |FROM ptf p JOIN sc s ON p.h = s.h AND p.wd = s.wd
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "q78_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token

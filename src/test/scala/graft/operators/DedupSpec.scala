@@ -525,6 +525,35 @@ class DedupSpec extends SparkSpec {
     assert(corpus.forall(_.getLong(2) >= Dedup.ContainMicros))
   }
 
+  test("q160: normalized dedup catches case/whitespace variants raw md5 misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted corpus: 1+2 are raw-identical; 3 differs only by case and
+    // space runs (q24 misses it, q160 must catch it); 4 is genuinely new
+    val docs = Seq(
+      (1L, "spark joins fast"),
+      (2L, "spark joins fast"),
+      (3L, "Spark  JOINS   fast"),
+      (4L, "something else"))
+      .toDF("doc_id", "text")
+    val clusters = docs
+      .select(col("doc_id"), md5(Dedup.normalized(col("text"))).as("fp"),
+        graft.operators.TextOps.fingerprint(col("text")).as("raw_fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keeper"),
+        countDistinct(col("raw_fp")).as("n_raw_variants"))
+      .filter(col("copies") > 1).collect()
+    assert(clusters.length == 1)
+    assert(clusters(0).getLong(1) == 3L, "all three variants collapse")
+    assert(clusters(0).getLong(2) == 1L, "keeper = min doc_id")
+    assert(clusters(0).getLong(3) == 2L, "two raw variants inside — the q24 miss")
+    // corpus run: every q24 raw cluster is contained in some q160 cluster
+    val raw = Dedup.q24DedupExact(spark, sf).collect().map(_.getLong(1)).sum
+    val norm = Dedup.q160NormalizedDedup(spark, sf).collect()
+    assert(norm.map(_.getLong(1)).sum >= raw,
+      "normalized clusters cover at least the raw duplicate mass")
+  }
+
   test("q154: sketch estimate replays driver-side; gate holds; signatures merge") {
     import java.security.MessageDigest
     def h48(k: Int, s: String): Long = {

@@ -41,6 +41,43 @@ class TextOpsSpec extends SparkSpec {
     Seq(1, 3, 5).foreach(i => assert(gate.getBoolean(i), s"HLL 2σ verdict col $i"))
   }
 
+  test("q159 bigram LM: engine scores equal a full driver-side replay; order carries signal") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val toks = docs.map { case (d, t) => d -> t.split(" ").filter(_.nonEmpty).toSeq }
+      .filter(_._2.nonEmpty).toMap
+    // driver replay: bigram counts with BOS, add-1 over (htot + V)
+    val bigrams = toks.toSeq.flatMap { case (d, ts) =>
+      ts.zipWithIndex.map { case (w, i) =>
+        (d, if (i == 0) TextOps.BosToken else ts(i - 1), w)
+      }
+    }
+    val cnt = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val htot = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val v = toks.values.flatten.toSet.size.toLong
+    val micro = cnt.map { case ((h, w), c) =>
+      (h, w) -> math.round(-(math.log((c + 1).toDouble / (htot(h) + v)) / math.log(2)) * 1e6)
+    }
+    val expect = toks.map { case (d, ts) =>
+      val s = ts.zipWithIndex.map { case (w, i) =>
+        micro((if (i == 0) TextOps.BosToken else ts(i - 1), w))
+      }.sum
+      val n = ts.length.toLong
+      d -> ((n, math.floor((s * 2 + n * 100).toDouble / (n * 200)) / 10000.0))
+    }
+    val got = TextOps.q159BigramLm(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expect.keySet, "every tokenized doc scores")
+    got.foreach { case (d, v2) => assert(v2 == expect(d), s"doc $d bigram bits") }
+    // the order-2 model sees sequence structure the unigram model can't:
+    // scores must not collapse to the q78 values
+    val uni = TextOps.q78UnigramLogprob(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val differing = got.count { case (d, (_, b)) => math.abs(b - uni(d)) > 1e-9 }
+    assert(differing * 10 > got.size * 9, "bigram scores should differ from unigram almost everywhere")
+  }
+
   test("unigram LM scoring: rare-token docs score more bits than common-token docs") {
     val rows = TextOps.q78UnigramLogprob(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
