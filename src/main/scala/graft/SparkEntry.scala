@@ -55,6 +55,7 @@ object SparkEntry {
       streaming.PqEncodeStream.queries ++
       streaming.HeavyHittersStream.queries ++
       streaming.ClassifyStream.queries ++
+      streaming.AnomalyStream.queries ++
       streaming.DecodeStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +94,6 @@ object SparkEntry {
       streaming.PqEncodeStream.oracles ++
       streaming.HeavyHittersStream.oracles ++
       streaming.ClassifyStream.oracles ++
+      streaming.AnomalyStream.oracles ++
       streaming.DecodeStream.oracles
 }

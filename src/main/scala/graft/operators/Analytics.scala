@@ -308,10 +308,17 @@ object Analytics {
     * (type, day) aggregate; the window runs over the day-grain frame —
     * calendar-bounded, thousands of rows at ANY fact scale (the q85
     * observation) — partitioned by event_type, so no global sort. */
-  def ingestAnomaly(events: DataFrame): DataFrame = {
-    val daily = events
-      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("n_events"))
+  def ingestAnomaly(events: DataFrame): DataFrame =
+    anomalyVerdicts(
+      events
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events")))
+
+  /** The verdict tail over an ALREADY day-grain (event_type, day,
+    * n_events) frame — shared verbatim by the batch path and the
+    * streaming monitor ([[graft.streaming.AnomalyStream]]), whose
+    * windowed aggregation maintains exactly this frame incrementally. */
+  private[graft] def anomalyVerdicts(daily: DataFrame): DataFrame = {
     val tw = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-AnomalyWindow, -1)
     daily
