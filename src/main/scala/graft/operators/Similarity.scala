@@ -699,18 +699,20 @@ object Similarity {
     val nrm = sqrt(dot(col("embedding"), col("embedding")))
     val qv = transform(col("embedding"),
       x => KMeans.halfAway(lit(DivQuant) * x.cast("double") / nrm))
-    val quant = emb
+    // ONE pass: quantize once, explode to (source, dim, q), and take all
+    // three statistics from a single two-level aggregate — per (source,
+    // dim): Σq, Σq², row count (= the source's vector count, identical
+    // at every dim); per source: aa = Σ_d (Σq)², bb = Σ_d Σq² (which IS
+    // Σ_vec‖v̂‖²). A second scan / second quantization pass buys nothing.
+    emb
       .select(col("vec_id"), col("embedding")).join(src, Seq("vec_id"))
-      .select(col("source"), qv.as("q"))
-      .select(col("source"), col("q"),
-        aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x).as("qq"))
-    val perDim = quant
-      .select(col("source"), posexplode(col("q")))
-      .groupBy("source", "pos").agg(sum(col("col")).as("sd"))
-      .groupBy("source").agg(sum(col("sd") * col("sd")).as("aa"))
-    quant.groupBy("source")
-      .agg(count(lit(1)).as("n_vecs"), sum(col("qq")).as("bb"))
-      .join(perDim, Seq("source"))
+      .select(col("source"), posexplode(qv))
+      .groupBy("source", "pos")
+      .agg(sum(col("col")).as("sd"), sum(col("col") * col("col")).as("sq"),
+        count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(max(col("cnt")).as("n_vecs"),
+        sum(col("sd") * col("sd")).as("aa"), sum(col("sq")).as("bb"))
       .select(col("source"), col("n_vecs"),
         // truncating integer division, sign-split so both engines agree
         when(col("n_vecs") < 2, lit(null).cast("long"))
