@@ -723,7 +723,108 @@ object Similarity {
       .orderBy("source")
   }
 
+  /** nprobe values for the q162 ablation and the per-value recall
+    * floors the gate asserts (set from measured fixture recalls with
+    * margin; the spec pins the actual values). */
+  val NprobeSweep: Seq[Int] = Seq(1, 4, 16)
+  val NprobeRecallFloorE2: Map[Int, Long] = Map(1 -> 10L, 4 -> 30L, 16 -> 60L)
+
+  /** q162 — IVF nprobe ABLATION GATE: the recall-vs-cost tuning table
+    * every ANN deployment publishes (Jégou et al. §V.C; the q146/q147
+    * ablation posture applied to the index) — top-k recall against the
+    * exact q29 twin at nprobe ∈ [[NprobeSweep]] visited lists, ALL from
+    * ONE assignment pass and ONE exact-twin computation: candidates
+    * carry their list's per-probe rank, so "nprobe = n" is a filter,
+    * never a recompute. Emitted per nprobe: probe counts (oracle-
+    * recomputed facts) and three deterministic verdicts — recall above
+    * the per-nprobe floor, recall monotone in nprobe (more lists can
+    * only help — asserted in-plan across the sweep's branches), and
+    * the candidate set bounded by the visited share of the spilled
+    * index (the linear-cost claim). Centroids are engine-local
+    * (capped-sample trained), so this is a q43-style verdict gate;
+    * the measured recalls themselves are spec-pinned. */
+  def q162NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val corpusN = emb.count()
+    val centers = IvfIndex.centroids(spark, dir, NumLists)
+    val assigned = emb.select(
+      col("vec_id"), col("embedding"),
+      explode(graft.functions.VectorFunctions.nearest_centroids(
+        col("embedding"), centers, SpillAssign)).as("list_id"))
+    val probeRows = emb.filter(col("vec_id") < NumProbes)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dist2(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    import spark.implicits._
+    // every probe's centroid ranking once — nprobe=n is then lrank ≤ n
+    val probeListRanks = probeRows.flatMap { case (pid, vec) =>
+      centers.zipWithIndex
+        .map { case (c, li) => (li, dist2(vec, c)) }
+        .sortBy(_._2).take(NprobeSweep.max)
+        .zipWithIndex.map { case ((li, _), r) => (pid, li, r + 1) }
+    }.toSeq.toDF("probe_id", "list_id", "lrank")
+    val probes = emb.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      .join(probeListRanks, Seq("probe_id"))
+    // one scored candidate stream, each with its BEST list rank
+    val cand = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .agg(min(col("lrank")).as("lrank"),
+        max(cosine(col("probe_vec"), col("embedding"))).as("cos_raw"))
+    // the exact twin (q29 arithmetic) as a (probe, neighbor) top-k set
+    val exactScored = emb.crossJoin(broadcast(
+      emb.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("probe_vec"), col("embedding")).as("cos_raw"))
+    val wEx = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val exact = exactScored.withColumn("rnk", row_number().over(wEx))
+      .filter(col("rnk") <= TopK).select("probe_id", "neighbor_id")
+    // per-nprobe branch: filter by rank, re-rank, intersect with exact
+    val branches = NprobeSweep.map { n =>
+      val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+      val topkN = cand.filter(col("lrank") <= n)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+      val hits = topkN.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("sum_hits")).select(lit(n).as("nprobe"), col("sum_hits"))
+      val maxCand = cand.filter(col("lrank") <= n)
+        .groupBy("probe_id").agg(count(lit(1)).as("nc"))
+        .agg(max(col("nc")).as("max_cand")).select(lit(n).as("nprobe"), col("max_cand"))
+      hits.join(maxCand, Seq("nprobe"))
+    }
+    val sweep = branches.reduce(_ unionAll _)
+    val wOrd = Window.orderBy("nprobe")
+    val floorExpr = NprobeSweep.tail.foldLeft(
+      when(col("nprobe") === NprobeSweep.head,
+        col("sum_hits") * 100 >= lit(NprobeRecallFloorE2(NprobeSweep.head)) * NumProbes * TopK)) {
+      (acc, n) =>
+        acc.when(col("nprobe") === n,
+          col("sum_hits") * 100 >= lit(NprobeRecallFloorE2(n)) * NumProbes * TopK)
+    }
+    sweep
+      .withColumn("prev_hits", lag(col("sum_hits"), 1).over(wOrd))
+      .select(
+        col("nprobe").cast("long").as("nprobe"),
+        lit(NumProbes.toLong).as("n_probes"),
+        lit((NumProbes * TopK).toLong).as("n_exact_results"),
+        floorExpr.as("recall_ok"),
+        coalesce(col("sum_hits") >= col("prev_hits"), lit(true)).as("monotone_ok"),
+        // visited share of the spilled index, with 4x imbalance slack
+        (col("max_cand") <= lit(corpusN) * col("nprobe") * SpillAssign * 4 / NumLists + TopK)
+          .as("scan_bounded_ok"))
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_nprobe_sweep" -> (q162NprobeSweep _),
     "q157_embedding_diversity" -> (q157EmbeddingDiversity _),
     "q156_hard_negatives" -> (q156HardNegatives _),
     "q82_centroid_drift"  -> (q82CentroidDrift _),
@@ -736,6 +837,18 @@ object Similarity {
     "q49_near_dup_lsh"    -> (q49NearDupLsh _))
 
   val oracles: Map[String, String] = Map(
+    // q162: the q43 gate convention swept — probe counts are corpus
+    // facts, the three verdicts are deterministic in-plan booleans.
+    "q162_nprobe_sweep" -> {
+      val vals = NprobeSweep.map(n => s"($n)").mkString(", ")
+      s"""WITH p AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS np FROM embeddings
+         |  WHERE vec_id < $NumProbes)
+         |SELECT CAST(t.n AS BIGINT) AS nprobe, np AS n_probes,
+         |  np * $TopK AS n_exact_results,
+         |  TRUE AS recall_ok, TRUE AS monotone_ok, TRUE AS scan_bounded_ok
+         |FROM p, (VALUES $vals) t(n) ORDER BY nprobe""".stripMargin
+    },
     // q157: the Σ-vector identity replayed — unit-quantize, two
     // integer aggregates, one sign-split truncating division.
     "q157_embedding_diversity" -> {

@@ -381,6 +381,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q162: nprobe sweep verdicts hold; recall is monotone across the sweep") {
+    val rows = Similarity.q162NprobeSweep(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Similarity.NprobeSweep.map(_.toLong))
+    rows.foreach { r =>
+      assert(r.getLong(1) == Similarity.NumProbes.toLong)
+      assert(r.getLong(2) == (Similarity.NumProbes * Similarity.TopK).toLong)
+      assert(r.getBoolean(3), s"nprobe ${r.getLong(0)}: recall below floor")
+      assert(r.getBoolean(4), s"nprobe ${r.getLong(0)}: recall not monotone")
+      assert(r.getBoolean(5), s"nprobe ${r.getLong(0)}: candidate set not bounded")
+    }
+    // determinism: the gate's verdicts are stable across runs (cached
+    // quantizer + fixed probe set)
+    val again = Similarity.q162NprobeSweep(spark, sf).collect().map(_.toString).toSeq
+    assert(again == rows.map(_.toString).toSeq)
+  }
+
   test("cosine column matches a scala-side computation") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
