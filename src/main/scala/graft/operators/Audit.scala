@@ -122,11 +122,134 @@ object Audit {
       .orderBy("source")
   }
 
+  /** Filter identifiers for [[q163FilterCorrelation]], in report order. */
+  private val QualityFilters = Seq("filler", "repetition", "short", "lm_tail")
+
+  /** q163 — QUALITY-FILTER CORRELATION AUDIT: the overlap matrix of the
+    * quality-filter stack (the table RefinedWeb/Dolma-class dataset
+    * papers publish before composing filters): four doc-grain screens —
+    * filler ratio > 1/16 (the q151 label inverted), repeated-token share
+    * ≥ 2/3 (the q68 signal as a hard flag), length < 25 tokens, and
+    * unigram-LM surprisal above the corpus mean (the q78 tail) — counted
+    * per unordered pair: both-flagged, each-alone, and the Jaccard of the
+    * two flag sets. Highly-overlapping filters are redundant (drop one);
+    * near-disjoint ones are independent signal. All flags are integer
+    * rules off the shared token stage + the q78 integer surprisal key.
+    *
+    * Scale shape: ONE pass — every per-filter and per-pair count comes
+    * from a single conditional aggregate over the doc-grain flag frame
+    * (itself two stage-grain aggregates + a broadcast scalar mean); the
+    * 1-row aggregate fans out to the 6 report rows via `explode(map)`
+    * (the q72 move), so nothing corpus-sized is ever recomputed or
+    * collected. */
+  def q163FilterCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val st = TextOps.tokenStage(spark, dir)
+    val base = st.groupBy("doc_id")
+      .agg(max(col("dl")).as("dl"), countDistinct(col("token")).as("dt"),
+        coalesce(sum(when(col("token").isInCollection(Classify.FillerTokens), 1L)
+          .otherwise(0L)), lit(0L)).as("filler"))
+    val lm = TextOps.unigramBitsE4(
+      st.filter(col("token").isNotNull)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
+      st.agg(count(col("token")).as("n_total")))
+      .select(col("doc_id"), col("bits_e4"))
+    val mu = lm.agg(
+      floor((sum(col("bits_e4")) * 2 + count(lit(1))) / (count(lit(1)) * 2))
+        .cast("long").as("mu"))
+    val flags = base.join(lm, Seq("doc_id"), "left")
+      .crossJoin(broadcast(mu))
+      .select(
+        (col("filler") * Classify.FillerMax > col("dl")).as("f_filler"),
+        ((col("dl") - col("dt")) * 3 >= col("dl") * 2).as("f_repetition"),
+        (col("dl") < 25).as("f_short"),
+        coalesce(col("bits_e4") > col("mu"), lit(false)).as("f_lm_tail"))
+    val pairs = QualityFilters.combinations(2).toSeq.map { case Seq(a, b) => (a, b) }
+    val agg1 = flags.agg(
+      count(lit(1)).as("n_docs"),
+      QualityFilters.map(f =>
+        sum(when(col(s"f_$f"), 1L).otherwise(0L)).as(s"n_$f")) ++
+        pairs.map { case (a, b) =>
+          sum(when(col(s"f_$a") && col(s"f_$b"), 1L).otherwise(0L)).as(s"b_${a}_$b")
+        }: _*)
+    val entries = pairs.flatMap { case (a, b) =>
+      Seq(lit(s"$a|$b"),
+        struct(col(s"n_$a").as("n_a"), col(s"n_$b").as("n_b"),
+          col(s"b_${a}_$b").as("n_both")))
+    }
+    agg1
+      .select(col("n_docs"), explode(map(entries: _*)).as(Seq("pair", "s")))
+      .select(
+        split(col("pair"), "\\|").getItem(0).as("filter_a"),
+        split(col("pair"), "\\|").getItem(1).as("filter_b"),
+        col("n_docs"), col("s.n_a").as("n_a"), col("s.n_b").as("n_b"),
+        col("s.n_both").as("n_both"),
+        when(col("s.n_a") + col("s.n_b") - col("s.n_both") === 0, 0L)
+          .otherwise(expr("s.n_both * 1000000 div (s.n_a + s.n_b - s.n_both)"))
+          .as("jaccard_micro"))
+      .orderBy("filter_a", "filter_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_integrity_audit" -> (q72IntegrityAudit _),
+    "q163_filter_correlation" -> (q163FilterCorrelation _),
     "q150_curation_dashboard" -> (q150CurationDashboard _))
 
   val oracles: Map[String, String] = Map(
+    // q163: the four integer filter rules + the q78 surprisal key
+    // replayed; pair counts from one conditional aggregate, report rows
+    // via UNION ALL.
+    "q163_filter_correlation" -> {
+      val fl = Classify.FillerTokens.map(t => s"'$t'").mkString(", ")
+      val pairRows = QualityFilters.combinations(2).toSeq.map { case Seq(a, b) =>
+        val (na, nb, both) = (s"n_$a", s"n_$b", s"b_${a}_$b")
+        s"""SELECT '$a' AS filter_a, '$b' AS filter_b, n_docs,
+           |  $na AS n_a, $nb AS n_b, $both AS n_both,
+           |  CASE WHEN $na + $nb - $both = 0 THEN 0
+           |       ELSE $both * 1000000 // ($na + $nb - $both) END AS jaccard_micro
+           |FROM ag""".stripMargin
+      }.mkString("\n|UNION ALL\n|")
+      val pairAggs = QualityFilters.combinations(2).toSeq.map { case Seq(a, b) =>
+        s"count(*) FILTER (f_$a AND f_$b) AS b_${a}_$b"
+      }.mkString(",\n|    ")
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, count(*) AS dl, count(DISTINCT token) AS dt,
+         |    count(*) FILTER (token IN ($fl)) AS filler
+         |  FROM tok GROUP BY doc_id),
+         |counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         |nt AS (SELECT sum(cnt) AS n_total FROM counts),
+         |scx AS (
+         |  SELECT token,
+         |    CAST(round(-log2(CAST(cnt AS DOUBLE) / n_total) * 1000000) AS BIGINT) AS mb
+         |  FROM counts, nt),
+         |lm AS MATERIALIZED (
+         |  SELECT t.doc_id,
+         |    CAST(floor((2 * sum(s.mb) + 100 * count(*)) / (200.0 * count(*))) AS BIGINT) AS bits_e4
+         |  FROM tok t JOIN scx s USING (token) GROUP BY t.doc_id),
+         |mu AS (
+         |  SELECT CAST(floor((sum(bits_e4) * 2 + count(*)) / (count(*) * 2.0)) AS BIGINT) AS mu
+         |  FROM lm),
+         |flags AS (
+         |  SELECT
+         |    coalesce(s.filler, 0) * ${Classify.FillerMax} > coalesce(s.dl, 0) AS f_filler,
+         |    (coalesce(s.dl, 0) - coalesce(s.dt, 0)) * 3 >= coalesce(s.dl, 0) * 2 AS f_repetition,
+         |    coalesce(s.dl, 0) < 25 AS f_short,
+         |    coalesce(l.bits_e4 > mu.mu, FALSE) AS f_lm_tail
+         |  FROM documents d
+         |  LEFT JOIN st s USING (doc_id)
+         |  LEFT JOIN lm l ON l.doc_id = d.doc_id, mu),
+         |ag AS MATERIALIZED (
+         |  SELECT count(*) AS n_docs,
+         |    ${QualityFilters.map(f => s"count(*) FILTER (f_$f) AS n_$f").mkString(",\n|    ")},
+         |    $pairAggs
+         |  FROM flags)
+         |SELECT * FROM (
+         |$pairRows
+         |) ORDER BY filter_a, filter_b""".stripMargin
+    },
     // q150: every flag replayed from its family's proven oracle
     // arithmetic — q24 md5 groups, the q26 string-shingle pair CTEs at
     // 0.6, the q62 eval-overlap join, the q31 cosine pairs — rolled up

@@ -72,12 +72,22 @@ object Classify {
     * never collected; scoring joins on `token`. The class totals and
     * vocabulary size are one scalar row, attached by broadcast cross
     * join (the BM25 move). */
-  private[graft] def nbModel(tf: DataFrame, lab: DataFrame): DataFrame = {
-    val counts = tf.join(lab, Seq("doc_id"))
+  private[graft] def nbModel(tf: DataFrame, lab: DataFrame): DataFrame =
+    weightsOf(countsOf(tf, lab))
+
+  /** Per-(token, class) occurrence counts from term frequencies +
+    * labels — the ADDITIVE grain of the model, which is what makes it
+    * incrementally maintainable ([[incrementalNbCounts]]). */
+  private def countsOf(tf: DataFrame, lab: DataFrame): DataFrame =
+    tf.join(lab, Seq("doc_id"))
       .groupBy("token")
       .agg(
         coalesce(sum(when(col("hq"), col("tf"))), lit(0L)).as("cp"),
         coalesce(sum(when(not(col("hq")), col("tf"))), lit(0L)).as("cn"))
+
+  /** The integer micro-bit weights over ANY (token, cp, cn) count
+    * frame; totals and vocabulary size ride a 1-row broadcast. */
+  private[graft] def weightsOf(counts: DataFrame): DataFrame = {
     val totals = counts.agg(
       sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
       count(lit(1)).as("v"))
@@ -87,6 +97,56 @@ object Classify {
           .cast("long") -
           round(log2((col("cn") + 1).cast("double") / (col("tn") + col("v"))) * 1000000)
             .cast("long")).as("w_micro"))
+  }
+
+  /** [[countsOf]] from a raw (doc_id, text) frame — fresh tokenize, for
+    * the diff slices of the incremental path. */
+  private def classCountsOf(docs: DataFrame): DataFrame = {
+    val tokd = TextOps.tokenized(docs.select(col("doc_id"), col("text")))
+    countsOf(
+      tokd.filter(col("token").isNotNull)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
+      labelsOf(tokd))
+  }
+
+  /** Incremental NB model maintenance: class counts are ADDITIVE per
+    * token, so a recrawl updates the model by SUBTRACTING the
+    * removed/changed docs' v1 contributions and ADDING the
+    * added/changed docs' v2 contributions — the update is diff-sized
+    * (the q100/q116/q149 change-sized story applied to a trained
+    * model; no unchanged doc is ever re-tokenized, and a 100 TB model
+    * refresh costs O(recrawl delta)). Labels are per-doc-local, so a
+    * changed doc whose filler ratio crosses the line flips class
+    * automatically in both deltas. Tokens whose counts drop to zero
+    * leave the vocabulary, matching a from-scratch rebuild. */
+  def incrementalNbCounts(prev: DataFrame, v1: DataFrame, v2: DataFrame): DataFrame = {
+    val d = broadcast(Corpus.diff(v1, v2))
+    val minus = classCountsOf(
+      v1.join(d.filter(col("status").isin("removed", "changed")), Seq("doc_id"))
+        .select(col("doc_id"), col("text")))
+      .select(col("token"), (-col("cp")).as("cp"), (-col("cn")).as("cn"))
+    val plus = classCountsOf(
+      v2.join(d.filter(col("status").isin("added", "changed")), Seq("doc_id"))
+        .select(col("doc_id"), col("text")))
+    prev.unionByName(minus).unionByName(plus)
+      .groupBy("token")
+      .agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn"))
+      .filter(col("cp") =!= 0 || col("cn") =!= 0)
+  }
+
+  /** q164 — INCREMENTAL CLASSIFIER MAINTENANCE: the v1-trained model
+    * advanced to v2 by [[incrementalNbCounts]] over the snapshot diff,
+    * re-weighted, emitted as the full (token, cp, cn, w_micro) model.
+    * The oracle REBUILDS the v2 model from scratch — any stale carried
+    * count, missed label flip, or lingering zero-count token breaks the
+    * hash. Uses the growth snapshot (changed docs' text grows), so
+    * changed docs genuinely change their contributions. */
+  def q164IncrementalNb(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val v1 = SnapshotFixture.table(spark, dir, "documents_v1_growth")
+    val v2 = SnapshotFixture.table(spark, dir, "documents_v2")
+    weightsOf(incrementalNbCounts(classCountsOf(v1), v1, v2))
+      .orderBy("token")
   }
 
   /** The class-prior log-ratio in micro-bits, as a 1-row frame. */
@@ -181,17 +241,23 @@ object Classify {
       .orderBy("source")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q151_nb_quality" -> (q151NbQuality _))
+    "q151_nb_quality" -> (q151NbQuality _),
+    "q164_incremental_nb" -> (q164IncrementalNb _))
 
   /** Shared oracle CTE text: tokens → labels → tf → model → integer
     * weights → per-doc scores — mirrored op-for-op against the plan;
     * reused verbatim by the streaming twin's oracle so the two can
     * never drift. */
-  private[graft] val nbCtes: String = {
+  private[graft] val nbCtes: String = nbCtesWhere("")
+
+  /** The training CTEs over a filtered documents subset (`where` is a
+    * full `WHERE ...` clause or empty) — the q164 oracle rebuilds the
+    * v2 model with the snapshot membership rule injected here. */
+  private[graft] def nbCtesWhere(where: String): String = {
     val fillerList = FillerTokens.map(t => s"'$t'").mkString(", ")
     s"""tok AS MATERIALIZED (
       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-      |  FROM documents),
+      |  FROM documents $where),
       |dstat AS (
       |  SELECT doc_id, count(*) AS dl,
       |    count(*) FILTER (token IN ($fillerList)) AS filler
@@ -199,7 +265,7 @@ object Classify {
       |lab AS MATERIALIZED (
       |  SELECT d.doc_id, d.source,
       |    coalesce(s.filler, 0) * $FillerMax <= coalesce(s.dl, 0) AS hq
-      |  FROM documents d LEFT JOIN dstat s USING (doc_id)),
+      |  FROM documents d LEFT JOIN dstat s USING (doc_id) $where),
       |tf AS MATERIALIZED (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
       |mdl AS MATERIALIZED (
       |  SELECT token,
@@ -227,6 +293,13 @@ object Classify {
   }
 
   val oracles: Map[String, String] = Map(
+    // q164: the DIRECT v2 rebuild — the snapshot membership rule over
+    // live text, trained from scratch; any stale carried count breaks
+    // the hash.
+    "q164_incremental_nb" ->
+      s"""WITH ${nbCtesWhere(
+        s"WHERE doc_id % ${Corpus.DroppedFromV1Mod} <> ${Corpus.DroppedFromV1Rem}")}
+         |SELECT token, cp, cn, w_micro FROM w ORDER BY token""".stripMargin,
     "q151_nb_quality" ->
       s"""WITH $nbCtes
          |SELECT source, count(*) AS n_docs,

@@ -499,7 +499,7 @@ object TextOps {
     * bits_e4 = mean bits/token half-up-quantized to 1e-4 units, as an
     * exact int64 — the sortable difficulty key q144 buckets on and the
     * integer q78 divides down for display. */
-  private def unigramBitsE4(docTok: DataFrame, total: DataFrame): DataFrame = {
+  private[graft] def unigramBitsE4(docTok: DataFrame, total: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docTok
       .withColumn("cnt", sum(col("tf")).over(Window.partitionBy("token")))

@@ -57,6 +57,46 @@ class AuditSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) >= TextOps.BoilerMinDocs))
   }
 
+  test("q163: pair counts replay driver-side; matrix is symmetric-consistent") {
+    // driver-side replay of all four flags from raw text + the engine's
+    // own q78 surprisal key (integer, so exact)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val toks = docs.map { case (d, t) => d -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val filler = graft.operators.Classify.FillerTokens.toSet
+    val cnt = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = toks.values.map(_.size.toLong).sum
+    val mb = cnt.view.mapValues(c =>
+      math.round(-(math.log(c.toDouble / nTotal) / math.log(2)) * 1e6)).toMap
+    val bits = toks.collect { case (d, ts) if ts.nonEmpty =>
+      d -> math.floor((2.0 * ts.map(mb).sum + 100 * ts.length) / (200.0 * ts.length)).toLong
+    }
+    val mu = math.floor((bits.values.sum * 2.0 + bits.size) / (bits.size * 2)).toLong
+    val flags = docs.map { case (d, _) =>
+      val ts = toks(d)
+      Map(
+        "filler" -> (ts.count(filler) * graft.operators.Classify.FillerMax > ts.length),
+        "repetition" -> ((ts.length - ts.distinct.length) * 3 >= ts.length * 2),
+        "short" -> (ts.length < 25),
+        "lm_tail" -> bits.get(d).exists(_ > mu))
+    }
+    val rows = Audit.q163FilterCorrelation(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (na, nb, both) =
+        (flags.count(_(a)).toLong, flags.count(_(b)).toLong,
+          flags.count(f => f(a) && f(b)).toLong)
+      assert(r.getLong(2) == docs.length.toLong)
+      assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((na, nb, both)), s"pair ($a,$b)")
+      val union = na + nb - both
+      val jac = if (union == 0) 0L else both * 1000000L / union
+      assert(r.getLong(6) == jac, s"pair ($a,$b) jaccard")
+      assert(both <= math.min(na, nb), "intersection bounded by both sets")
+    }
+  }
+
   test("q150: dashboard columns reconcile with the family queries they summarize") {
     val out = Audit.q150CurationDashboard(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

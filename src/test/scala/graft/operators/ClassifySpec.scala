@@ -75,6 +75,41 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("q164: incremental model lands exactly on the from-scratch v2 rebuild; trap armed") {
+    val v2 = SnapshotFixture.table(spark, sf, "documents_v2")
+    // from-scratch rebuild via the same public pipeline pieces: train on
+    // v2 as if it were the whole corpus (nbQualityOver's internals),
+    // here reachable through the q164 result vs a v2-only driver replay
+    val got = Classify.q164IncrementalNb(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // driver rebuild from raw v2 text
+    val docs = v2.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val toks = docs.map { case (d, t) => d -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val filler = Classify.FillerTokens.toSet
+    val lab = toks.view.mapValues(ts => ts.count(filler) * Classify.FillerMax <= ts.length).toMap
+    val cp = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val cn = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    toks.foreach { case (d, ts) =>
+      val tgt = if (lab(d)) cp else cn
+      ts.foreach(t => tgt(t) += 1)
+    }
+    val vocab = (cp.keySet ++ cn.keySet)
+    val (tp, tn, v) = (cp.values.sum, cn.values.sum, vocab.size.toLong)
+    def micro(x: Double): Long = math.round(math.log(x) / math.log(2) * 1e6)
+    val expect = vocab.map { t =>
+      t -> ((cp(t), cn(t),
+        micro((cp(t) + 1).toDouble / (tp + v)) - micro((cn(t) + 1).toDouble / (tn + v))))
+    }.toMap
+    assert(got == expect, "incremental maintenance must equal the from-scratch rebuild")
+    // the trap is armed: the growth rule genuinely changes docs between
+    // versions, so a stale carry would differ
+    val v1 = SnapshotFixture.table(spark, sf, "documents_v1_growth")
+    val changed = graft.operators.Corpus.diff(v1, v2)
+      .filter(org.apache.spark.sql.functions.col("status") === "changed").count()
+    assert(changed > 0, "fixture has no changed docs — the stale-carry trap is unarmed")
+  }
+
   test("truncated model: exactly K rows, the K largest |weights|, deterministic order") {
     val (_, _, w, _, _) = replay()
     val got = Classify.truncatedModel(spark, sf).collect()
