@@ -73,7 +73,12 @@ object ScaleBench {
     // diversity audit (must scale ~linearly — that is its whole claim)
     "q151_nb_quality", "q152_stream_nb_quality", "q153_audio_fp_dedup",
     "q154_sketch_est", "q156_hard_negatives", "q157_embedding_diversity",
-    "q158_video_fp_dedup", "q155_ingest_anomaly")
+    "q158_video_fp_dedup", "q155_ingest_anomaly",
+    // the order-2 LM (vocabulary²-sparse model join — the sweep checks
+    // the model join scales with the CORPUS, not vocab²), the one-pass
+    // filter matrix, and the diff-sized model refresh (must scale with
+    // the snapshot delta, not the corpus)
+    "q159_bigram_lm", "q163_filter_correlation", "q164_incremental_nb")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */
