@@ -112,6 +112,48 @@ object Dedup {
       .orderBy("fp")
   }
 
+  /** Containment floor for the q165 directed source matrix. */
+  val SourceContainMicros = 100000L
+
+  /** q165 — DIRECTED SOURCE CONTAINMENT: the asymmetric twin of q120's
+    * source-overlap matrix (q142's resemblance-vs-containment
+    * distinction lifted to source grain) — C(a→b) = |A∩B| / |A| over
+    * the sources' distinct shingle sets. Jaccard can't tell a mirror
+    * from its origin: a small source wholly syndicated from a large one
+    * scores near-zero Jaccard but containment ≈ 1 in exactly one
+    * direction, which names WHO copies WHOM — the fact a curation
+    * pipeline needs to pick the keeper SOURCE (the q38 election at
+    * corpus grain). Emits every ordered pair with shared-shingle count,
+    * containment micros and the ≥[[SourceContainMicros]] flag.
+    *
+    * Scale shape: rides the SAME distinct (source, shingle) grain and
+    * pairwise intersection counts as q120/q154 — one corpus pass, one
+    * hash-keyed pair join, sources²-bounded output; both directions
+    * derive from the one undirected intersection count. */
+  def q165SourceContainment(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val srcSh = Tables.documents(spark, dir)
+      .select(col("source"), explode(shingleArray(col("text"))).as("s"))
+      .distinct()
+    val n = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val inter = srcSh.select(col("source").as("src_a"), col("s"))
+      .join(srcSh.select(col("source").as("src_b"), col("s")), Seq("s"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    // full ordered grid so zero-overlap directions are explicit rows
+    val grid = n.select(col("source").as("src_from"), col("n_sh").as("n_from"))
+      .crossJoin(n.select(col("source").as("src_to")))
+      .filter(col("src_from") =!= col("src_to"))
+    grid
+      .join(inter.withColumnRenamed("src_a", "src_from")
+        .withColumnRenamed("src_b", "src_to"), Seq("src_from", "src_to"), "left")
+      .select(col("src_from"), col("src_to"), col("n_from"),
+        coalesce(col("inter"), lit(0L)).as("n_shared"),
+        expr("coalesce(inter, 0) * 1000000 div n_from").as("containment_micro"))
+      .withColumn("is_contained", col("containment_micro") >= SourceContainMicros)
+      .orderBy("src_from", "src_to")
+  }
+
   /** Corpus-level dedup accounting: total vs content-distinct docs. */
   def q25DedupCounts(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
@@ -1009,6 +1051,7 @@ object Dedup {
     "q120_source_overlap" -> (q120SourceOverlap _),
     "q154_source_sketch" -> (q154SourceSketch _),
     "q160_normalized_dedup" -> (q160NormalizedDedup _),
+    "q165_source_containment" -> (q165SourceContainment _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q24_dedup_exact"   -> (q24DedupExact _),
     "q25_dedup_counts"  -> (q25DedupCounts _),
@@ -1085,6 +1128,30 @@ object Dedup {
          |ORDER BY contained, container""".stripMargin,
     // string-shingle recomputation of the engine's hash-grain source
     // sets (same collision caveat as q26/q62)
+    "q165_source_containment" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |sh AS MATERIALIZED (
+         |  SELECT DISTINCT source,
+         |    unnest(list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+         |      i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ')))) AS s
+         |  FROM toks),
+         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS src_from, b.source AS src_to, CAST(count(*) AS BIGINT) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.source <> b.source
+         |  GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT f.source AS src_from, t.source AS src_to, f.n_sh AS n_from
+         |  FROM n f, n t WHERE f.source <> t.source)
+         |SELECT g.src_from, g.src_to, g.n_from,
+         |  coalesce(i, 0) AS n_shared,
+         |  coalesce(i, 0) * 1000000 // n_from AS containment_micro,
+         |  coalesce(i, 0) * 1000000 // n_from >= $SourceContainMicros AS is_contained
+         |FROM grid g
+         |LEFT JOIN inter ON inter.src_from = g.src_from AND inter.src_to = g.src_to
+         |ORDER BY g.src_from, g.src_to""".stripMargin,
     "q160_normalized_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
         |  count(*) AS copies, min(doc_id) AS keeper,

@@ -50,12 +50,76 @@ object ClassifyStream {
     EventStream.drainToFiles(spark, scored).orderBy("doc_id")
   }
 
+  /** q166 — ONLINE CLASSIFIER TRAINING AT INGEST: the model TRAINS
+    * continuously as documents arrive — per-token class counts
+    * maintained as streaming aggregation state (labels are row-local
+    * integer rules, so no second pass is ever needed), drained in
+    * update mode and re-weighted from the landed counts. With q152
+    * (serve-at-ingest) and q164 (diff-sized batch refresh) this
+    * completes the classifier lifecycle: train online, refresh in
+    * batch, serve in the stream — all three arriving at byte-identical
+    * models because every path shares the same count grain and weight
+    * formula.
+    *
+    * State posture: one (cp, cn) pair per token type — bounded by
+    * VOCABULARY, not corpus (the q48 state class); counts only grow,
+    * so multi-batch drains converge by keeping each token's
+    * largest-total emission (monotone versioning, the q145 move). */
+  def q166StreamNbTrain(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val base = spark.conf.getOption("spark.graft.streamResultsDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val root = s"$base/graft_nbtrain_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val stream = spark.readStream
+      .schema(DedupStream.docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val toks = TextOps.tokens(coalesce(col("text"), lit("")))
+    val filler = size(filter(toks,
+      t => Classify.FillerTokens.map(lit(_) === t).reduce(_ || _)))
+    val counts = stream
+      .select(toks.as("toks"),
+        (filler * Classify.FillerMax <= size(toks)).as("hq"))
+      .select(explode(col("toks")).as("token"), col("hq"))
+      .groupBy("token")
+      .agg(
+        sum(when(col("hq"), 1L).otherwise(0L)).as("cp"),
+        sum(when(not(col("hq")), 1L).otherwise(0L)).as("cn"))
+    val outSchema = counts.schema
+    EventStream.withStreamStatePartitions(spark) {
+      val q = counts.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .option("checkpointLocation", s"$root/checkpoint")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$root/data")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // latest emission per token = the largest running total (counts are
+    // monotone under updates)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy((col("cp") + col("cn")).desc)
+    val landed = spark.read.schema(outSchema).parquet(s"$root/data")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("token", "cp", "cn")
+    Classify.weightsOf(landed).orderBy("token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q152_stream_nb_quality" -> (q152StreamNbQuality _))
+    "q152_stream_nb_quality" -> (q152StreamNbQuality _),
+    "q166_stream_nb_train" -> (q166StreamNbTrain _))
 
   /** Full value oracle: the q151 training CTEs (shared text) + the same
     * top-K truncation + per-doc scoring + the admission floor. */
   val oracles: Map[String, String] = Map(
+    // q166: a single-batch drain must land on exactly the batch-trained
+    // model — the q151 training CTEs verbatim.
+    "q166_stream_nb_train" ->
+      s"""WITH ${Classify.nbCtes}
+         |SELECT token, cp, cn, w_micro FROM w ORDER BY token""".stripMargin,
     "q152_stream_nb_quality" ->
       s"""WITH ${Classify.nbCtes},
          |topw AS MATERIALIZED (

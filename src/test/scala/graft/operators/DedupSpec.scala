@@ -554,6 +554,40 @@ class DedupSpec extends SparkSpec {
       "normalized clusters cover at least the raw duplicate mass")
   }
 
+  test("q165: directed containment names the mirror; corpus grid reconciles with q120 counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted asymmetry: srcSmall's one doc is wholly quoted inside
+    // srcBig's doc — containment 1.0 small→big, far less big→small,
+    // Jaccard blind to the direction
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = small + " iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq((1L, small, "srcSmall"), (2L, big, "srcBig"))
+      .toDF("doc_id", "text", "source")
+    val srcSh = docs.select(col("source"), explode(Dedup.shingleArray(col("text"))).as("s")).distinct()
+    val n = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inter = srcSh.as("a").join(srcSh.as("b"),
+      col("a.s") === col("b.s") && col("a.source") =!= col("b.source"))
+      .filter(col("a.source") === "srcSmall").count()
+    assert(inter == n("srcSmall"), "every small-source shingle is inside the big source")
+    assert(n("srcBig") > n("srcSmall") * 2, "big source genuinely bigger")
+    // corpus run: grid complete, directions reconcile with set sizes
+    val rows = Dedup.q165SourceContainment(spark, sf).collect()
+    val srcs = rows.map(_.getString(0)).distinct
+    assert(rows.length == srcs.length * (srcs.length - 1), "full ordered grid")
+    rows.foreach { r =>
+      val (nFrom, shared, cm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(shared <= nFrom, "intersection bounded by the contained side")
+      assert(cm == shared * 1000000L / nFrom, "containment arithmetic")
+      assert(r.getBoolean(5) == (cm >= Dedup.SourceContainMicros))
+    }
+    // symmetry of the shared count, asymmetry of the ratio: for every
+    // (a, b), n_shared(a→b) == n_shared(b→a)
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    byPair.foreach { case ((a, b), s) => assert(byPair((b, a)) == s) }
+  }
+
   test("q154: sketch estimate replays driver-side; gate holds; signatures merge") {
     import java.security.MessageDigest
     def h48(k: Int, s: String): Long = {
