@@ -297,6 +297,31 @@ class PlanAuditSpec extends SparkSpec {
       s"q154 sketch: pair compare must broadcast, not shuffle\n$plan")
   }
 
+  test("bigram LM never single-partitions the history vocabulary (q159)") {
+    // per-history totals come from a window PARTITIONED BY h over the
+    // (h, w)-grain model frame — the q78 contract one order up; a
+    // global window would single-thread a billion-history model
+    val (df, plan) = executed("q159_bigram_lm")
+    val exchanges = BucketedLayout.collectExchanges(df.queryExecution.executedPlan)
+    assert(!exchanges.exists(_.contains("SinglePartition")),
+      s"q159 coalesces to one partition: $exchanges\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"q159: the vocabulary scalar must attach by broadcast\n$plan")
+  }
+
+  test("filter-correlation audit is one conditional aggregate, nothing collected (q163)") {
+    val (df, plan) = executed("q163_filter_correlation")
+    // the 6 report rows fan out from the 1-row aggregate via
+    // explode(map) — a LocalTableScan would mean a driver-side collect
+    // crept in; multiple corpus-sized aggregations would mean the
+    // one-pass claim broke
+    assert(!plan.contains("LocalTableScan"),
+      s"q163: report rows must fan out in-plan, not via a collect\n$plan")
+    val scans = raw"\(\d+\) Scan parquet".r
+      .findAllIn(plan.split("== Initial Plan ==")(0)).length
+    assert(scans <= 3, s"q163: $scans parquet scans (token stage + lm inputs)\n$plan")
+  }
+
   test("NB classifier scoring is join-based: the vocabulary model is never collected (q151)") {
     val (df, plan) = executed("q151_nb_quality")
     // the model attaches by a token-keyed join; the only broadcasts are
