@@ -334,7 +334,7 @@ object Analytics {
   }
 
   /** q155 — INGEST-VOLUME ANOMALY DETECTION: [[ingestAnomaly]] over the
-    * event log — the per-(source, day) arrival monitor a recrawl
+    * event log — the per-(event_type, day) arrival monitor a recrawl
     * pipeline publishes next to the q150 curation dashboard. */
   def q155IngestAnomaly(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)

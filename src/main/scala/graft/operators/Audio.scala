@@ -217,7 +217,12 @@ object Audio {
         }
         var bits = 0L
         f = 0
-        while (f < nFrames - 1) {
+        // one 64-bit word holds at most 64 gradient bits; Java long
+        // shifts take the count mod 64, so an asset with >65 frames
+        // would silently wrap and corrupt earlier bits — cap the loop
+        // (the oracle mirrors the same cap)
+        val nBits = math.min(nFrames - 1, 64)
+        while (f < nBits) {
           if (e(f + 1) > e(f)) bits |= 1L << f
           f += 1
         }
@@ -304,7 +309,7 @@ object Audio {
         |  FROM a),
         |fp AS (
         |  SELECT doc_id, nf,
-        |    coalesce(list_sum(list_transform(range(0, nf - 1), f ->
+        |    coalesce(list_sum(list_transform(range(0, least(nf - 1, 64)), f ->
         |      CASE WHEN e[f + 2] > e[f + 1] THEN CAST(1 AS BIGINT) << CAST(f AS INTEGER)
         |           ELSE CAST(0 AS BIGINT) END)), 0) AS bits
         |  FROM s)

@@ -269,8 +269,8 @@ object Classify {
       |tf AS MATERIALIZED (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
       |mdl AS MATERIALIZED (
       |  SELECT token,
-      |    coalesce(sum(tf) FILTER (hq), 0) AS cp,
-      |    coalesce(sum(tf) FILTER (NOT hq), 0) AS cn
+      |    CAST(coalesce(sum(tf) FILTER (hq), 0) AS BIGINT) AS cp,
+      |    CAST(coalesce(sum(tf) FILTER (NOT hq), 0) AS BIGINT) AS cn
       |  FROM tf JOIN lab USING (doc_id) GROUP BY token),
       |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM mdl),
       |w AS MATERIALIZED (

@@ -513,7 +513,11 @@ object Multimodal {
         }
         var bits = 0L
         var f = 0
-        while (f < sums.length - 1) {
+        // cap at 64 gradient bits — Java long shifts wrap mod 64, so a
+        // clip with >65 frames would corrupt earlier bits (oracle
+        // mirrors the cap); same guard as Audio.fingerprintAudio
+        val nBits = math.min(sums.length - 1, 64)
+        while (f < nBits) {
           if (sums(f + 1) > sums(f)) bits |= 1L << f
           f += 1
         }
@@ -719,7 +723,7 @@ object Multimodal {
         |  FROM a),
         |fp AS (
         |  SELECT doc_id, nf,
-        |    coalesce(list_sum(list_transform(range(0, nf - 1), f ->
+        |    coalesce(list_sum(list_transform(range(0, least(nf - 1, 64)), f ->
         |      CASE WHEN fs[f + 2] > fs[f + 1] THEN CAST(1 AS BIGINT) << CAST(f AS INTEGER)
         |           ELSE CAST(0 AS BIGINT) END)), 0) AS bits
         |  FROM s)

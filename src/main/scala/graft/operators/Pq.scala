@@ -472,22 +472,28 @@ object Pq {
 
   /** The q141 replay ([[graft.streaming.PqEncodeStream]]): the shared
     * trajectory CTEs, then the refined assignment re-shaped to one row
-    * per vector — codes in subspace order + the row-bounded total
-    * squared distortion (raw micro² — an 8-term int64 sum, exact). */
+    * per vector — the M=8 codes PACKED big-endian (subspace order, 4
+    * bits each since K=16) into one BIGINT + the row-bounded total
+    * squared distortion (raw micro² — an 8-term int64 sum, exact).
+    * Packing keeps the result scalar/sortable for the driver harness
+    * and is a tighter hash than an array column. */
   private[graft] def encodeOracleSql: String =
     s"""WITH $commonCtes
        |SELECT vec_id,
-       |  list(CAST(code AS INTEGER) ORDER BY sub) AS codes,
+       |  CAST(sum(CAST(code AS BIGINT) * CAST(power($K, ${M - 1} - sub) AS BIGINT))
+       |       AS BIGINT) AS codes_packed,
        |  CAST(sum(CAST(d AS BIGINT)) AS BIGINT) AS distortion_sq_micro
        |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   /** ROW-LOCAL PQ encode columns over a (vec_id, em: array<long>)
-    * frame: codes (subspace-order array<int>) + total squared
-    * distortion — no explode, no shuffle, broadcast-literal codebook;
-    * STREAMING-SAFE (the [[KMeans.assigned]] posture), shared by the
-    * q141 ingest path so batch and stream encoding can never drift. */
+    * frame: codes_packed (the M subspace codes folded big-endian into
+    * one int64 — K=16 codes are 4 bits each, so the pack is 32 bits and
+    * exactly invertible) + total squared distortion — no explode, no
+    * shuffle, broadcast-literal codebook; STREAMING-SAFE (the
+    * [[KMeans.assigned]] posture), shared by the q141 ingest path so
+    * batch and stream encoding can never drift. */
   private[graft] def encodeColumns(df: DataFrame, book: Seq[(Int, Seq[(Int, Array[Long])])]): DataFrame = {
-    val mins = book.map { case (s, cs) =>
+    val mins = book.sortBy(_._1).map { case (s, cs) =>
       val pairs = cs.map { case (j, c) =>
         struct(dist2(slice(col("em"), lit(s * Dsub + 1), lit(Dsub)), c).as("d"),
           lit(j).as("j"))
@@ -496,7 +502,8 @@ object Pq {
     }
     df.withColumn("m", array(mins: _*))
       .select(col("vec_id"),
-        transform(col("m"), m => m.getField("j")).as("codes"),
+        aggregate(transform(col("m"), m => m.getField("j").cast("long")),
+          lit(0L), (a, x) => a * K + x).as("codes_packed"),
         aggregate(transform(col("m"), m => m.getField("d")), lit(0L), (a, x) => a + x)
           .as("distortion_sq_micro"))
   }

@@ -27,7 +27,7 @@ object AnomalyStream {
   /** q161 — streamed day counts (closed days only) → q155 verdicts. */
   def q161StreamAnomaly(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val daily = EventStream.normalizeTs(EventStream.eventsStream(spark, dir))
+    val daily = EventStream.eventsStream(spark, dir)
       .withWatermark("ts", EventStream.WatermarkDelay)
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))

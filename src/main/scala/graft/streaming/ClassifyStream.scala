@@ -130,7 +130,8 @@ object ClassifyStream {
          |  FROM tf JOIN topw USING (token) GROUP BY 1)
          |SELECT l.doc_id, l.source,
          |  CAST(coalesce(st.dl, 0) AS BIGINT) AS n_tokens,
-         |  (SELECT prior_micro FROM pri) + coalesce(ds2.s, 0) AS score_micro
+         |  CAST((SELECT prior_micro FROM pri) + coalesce(ds2.s, 0) AS BIGINT)
+         |    AS score_micro
          |FROM lab l
          |LEFT JOIN ds2 USING (doc_id)
          |LEFT JOIN dstat st USING (doc_id)

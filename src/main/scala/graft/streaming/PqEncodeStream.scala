@@ -30,7 +30,10 @@ import graft.operators.{KMeans, Pq}
 object PqEncodeStream {
 
   /** q141 — each arriving embedding quantized and PQ-encoded:
-    * (vec_id, codes: array<int> in subspace order, distortion_sq_micro). */
+    * (vec_id, codes_packed: the M=8 4-bit codes folded big-endian into
+    * one int64, distortion_sq_micro). Scalar columns only — the packed
+    * form is sortable/hashable by any downstream harness and unpacks
+    * exactly (code_i = (packed >> 4*(M-1-i)) & 15). */
   def q141StreamPqEncode(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     // batch-train once per corpus version (cached); the stream only

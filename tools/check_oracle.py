@@ -32,6 +32,7 @@ def canon(rows, cols):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    type_manifest = {}   # name -> {"spark": {col: t}, "oracle": {col: t}}
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -43,12 +44,39 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         sq = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        stypes = {f.name: str(f.type) for f in sq.arrow().schema}
+        sq = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
         scols = [d[0] for d in sq.description]; srows = sq.fetchall()
         try:
+            dq = con.execute(oracle[name])
+            dtypes = {f.name: str(f.type) for f in dq.arrow().schema}
             dq = con.execute(oracle[name])
             dcols = [d[0] for d in dq.description]; drows = dq.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        type_manifest[name] = {"spark": stypes, "oracle": dtypes}
+        # --- driver-harness compatibility gates (the r8 failure modes) ---
+        # 1. nested Spark columns crash the driver's pandas sort_values
+        bad_nested = [c for c, t in stypes.items()
+                      if t.startswith(("list", "struct", "map", "large_list"))]
+        if bad_nested:
+            print(f"FAIL {name}: nested spark columns {bad_nested} "
+                  f"(driver pandas cannot sort ndarray cells)"); n_fail += 1; continue
+        # 2. decimal/hugeint oracle columns render '3.0' vs Spark int64 '3'
+        #    in the driver's pandas layer -> hash mismatch (uncast sum())
+        bad_dec = [c for c, t in dtypes.items()
+                   if t.startswith("decimal") or t in ("int128", "uint64")]
+        if bad_dec:
+            print(f"FAIL {name}: oracle columns {bad_dec} typed "
+                  f"{[dtypes[c] for c in bad_dec]} — wrap in CAST(... AS BIGINT)")
+            n_fail += 1; continue
+        # 3. same-name columns must agree on integer-vs-float family
+        fam = lambda t: ("int" if t.startswith(("int", "uint")) else
+                         "float" if t in ("float", "double", "halffloat") else t)
+        mism = [c for c in stypes if c in dtypes and fam(stypes[c]) != fam(dtypes[c])]
+        if mism:
+            print(f"FAIL {name}: dtype family mismatch "
+                  f"{[(c, stypes[c], dtypes[c]) for c in mism]}"); n_fail += 1; continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}"); n_fail += 1; continue
         a, b = canon(srows, scols), canon(drows, dcols)
@@ -58,6 +86,17 @@ def main():
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL {name}: value mismatch, e.g. {diff}"); n_fail += 1; continue
         print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
+    # persist the type manifest; HarnessCompatSpec (ScalaTest) re-validates
+    # it so a decimal/hugeint/nested column becomes a test-suite failure,
+    # not a driver-artifact surprise (regenerate whenever oracles change,
+    # same discipline as OperatorCatalog)
+    import os
+    manifest_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "oracle_types.json")
+    with open(manifest_path, "w") as f:
+        json.dump({k: type_manifest[k] for k in sorted(type_manifest)}, f,
+                  indent=1, sort_keys=True)
+    print(f"wrote {manifest_path} ({len(type_manifest)} entries)")
     # queries with no oracle entry get a rows-only note
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
