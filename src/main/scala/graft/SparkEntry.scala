@@ -43,6 +43,9 @@ object SparkEntry {
       operators.Pq.queries ++
       operators.Pca.queries ++
       operators.HeavyHitters.queries ++
+      operators.Propagate.queries ++
+      operators.Cms.queries ++
+      operators.IvfMaintain.queries ++
       layout.BucketedLayout.queries ++
       sources.JsonlIngest.queries ++
       streaming.EventStream.queries ++
@@ -56,7 +59,8 @@ object SparkEntry {
       streaming.HeavyHittersStream.queries ++
       streaming.ClassifyStream.queries ++
       streaming.AnomalyStream.queries ++
-      streaming.DecodeStream.queries
+      streaming.DecodeStream.queries ++
+      streaming.DecontaminateStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -82,6 +86,9 @@ object SparkEntry {
       operators.Pq.oracles ++
       operators.Pca.oracles ++
       operators.HeavyHitters.oracles ++
+      operators.Propagate.oracles ++
+      operators.Cms.oracles ++
+      operators.IvfMaintain.oracles ++
       layout.BucketedLayout.oracles ++
       sources.JsonlIngest.oracles ++
       streaming.EventStream.oracles ++
@@ -95,5 +102,6 @@ object SparkEntry {
       streaming.HeavyHittersStream.oracles ++
       streaming.ClassifyStream.oracles ++
       streaming.AnomalyStream.oracles ++
-      streaming.DecodeStream.oracles
+      streaming.DecodeStream.oracles ++
+      streaming.DecontaminateStream.oracles
 }

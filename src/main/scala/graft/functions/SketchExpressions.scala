@@ -4,7 +4,8 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter membership as a native Catalyst expression — the probe
@@ -47,6 +48,72 @@ case class BloomMightContainLong(
     val bloomVar = ctx.addMutableState(bloomCls, "bloomFilter",
       v => s"$v = ($bloomCls) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bloomVar.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** EXACT membership count of an `array<bigint>` column against a SORTED
+  * broadcast long array: how many of the row's hashes appear in the
+  * reference set (binary search per element, so a row costs
+  * O(|array| · log |set|) with zero allocation).
+  *
+  * Why a custom expression: the built-in that computes this shape —
+  * `size(array_intersect(col, lit(set)))` — rebuilds a hash set of the
+  * literal side on EVERY row (Spark's ArrayIntersect has no literal
+  * fast path), turning a per-row probe into a per-row O(|set|) build;
+  * and a join-based count needs an explode + shuffle + re-aggregate,
+  * which a STREAMING map-only screen (the q167 at-ingest
+  * decontamination) cannot afford on the firehose. Like
+  * [[BloomMightContainLong]] the reference set rides a Broadcast handle
+  * — shipped to each executor once, resolved once per generated class —
+  * but membership here is EXACT (the decontamination verdict is a
+  * keep/drop decision, so false positives would drop clean documents). */
+case class SortedLongSetCount(
+    child: Expression,
+    sortedSetBc: Broadcast[Array[Long]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_set_count"
+
+  @transient private lazy val set: Array[Long] = sortedSetBc.value
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    var i = 0
+    var n = 0L
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i) &&
+          java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) n += 1L
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("sortedSetBc", sortedSetBc,
+      classOf[Broadcast[_]].getName)
+    val setVar = ctx.addMutableState("long[]", "sortedSet",
+      v => s"$v = (long[]) $bcRef.value();")
+    val cnt = ctx.freshName("cnt")
+    val i = ctx.freshName("i")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""long $cnt = 0L;
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i) &&
+         |      java.util.Arrays.binarySearch($setVar, $c.getLong($i)) >= 0) $cnt++;
+         |}
+         |${ev.value} = $cnt;""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

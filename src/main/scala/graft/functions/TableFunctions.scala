@@ -47,6 +47,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM ingest_anomaly() WHERE is_spike
   *   SELECT * FROM hard_negatives(0.15, 0.45, 5)
   *   SELECT * FROM embedding_diversity()
+  *   SELECT * FROM quality_propagation(0.6)
+  *   SELECT * FROM cms_sketch()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -87,7 +89,7 @@ object TableFunctions {
     "zipf_slope", "split_leakage", "mix_manifest", "dup_clusters",
     "containment", "token_fertility", "sem_decontaminate",
     "nb_quality", "ingest_anomaly", "hard_negatives",
-    "embedding_diversity")
+    "embedding_diversity", "quality_propagation", "cms_sketch")
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -549,6 +551,28 @@ object TableFunctions {
           }
         case _ => throw new IllegalArgumentException(
           "embedding_diversity expects no arguments")
+      }
+    },
+    "quality_propagation" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(thr) =>
+          plan { spark =>
+            val docs = spark.table("documents")
+            graft.operators.Propagate.qualityPropagation(docs,
+              graft.operators.Dedup.jaccardPairs(
+                graft.operators.Dedup.sigsOf(docs),
+                dbl(thr, "quality_propagation(threshold)")))
+          }
+        case _ => throw new IllegalArgumentException(
+          "quality_propagation expects (jaccard threshold)")
+      }
+    },
+    "cms_sketch" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Cms.cmsAudit(spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "cms_sketch expects no arguments")
       }
     })
 

@@ -435,4 +435,11 @@ object VectorFunctions {
     * planes.length / planesPerTable. */
   def sign_buckets(vec: Column, planes: Array[Array[Double]], planesPerTable: Int): Column =
     GraftBridge.column(SignBuckets(GraftBridge.expression(vec), planes, planesPerTable))
+
+  /** `sorted_set_count(hashArray)` — exact membership count against a
+    * sorted broadcast long set (binary search per element; the map-only
+    * probe for at-ingest screens). */
+  def sorted_set_count(hashes: Column,
+      sortedSetBc: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftBridge.column(SortedLongSetCount(GraftBridge.expression(hashes), sortedSetBc))
 }

@@ -1220,19 +1220,7 @@ object Dedup {
     // string-shingle recomputation of the hash-shingle overlap (counts
     // agree unless xxhash64 collides across the corpus' distinct
     // shingles — ~|shingles|²/2⁶⁵, see sigsOf)
-    "q62_decontaminate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
-         |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ')))) AS s
-         |  FROM toks),
-         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % $EvalDocModulus = 0)
-         |SELECT t.doc_id, count(DISTINCT t.s) AS n_shared
-         |FROM sh t JOIN ev USING (s)
-         |WHERE t.doc_id % $EvalDocModulus <> 0
-         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q62_decontaminate" -> decontaminateOracle,
     "q24_dedup_exact" ->
       """SELECT md5(trim(text)) AS fp, count(*) AS copies,
         |  CAST(min(doc_id) AS BIGINT) AS keeper
@@ -1335,7 +1323,30 @@ object Dedup {
   /** The q38 reachability CTEs (exact near-dup pairs → symmetric edges →
     * transitive closure), shared by the dedup-apply and cluster-histogram
     * oracles. */
-  private lazy val reachCtes =
+  /** Shared q62/q167 oracle: the batch decontamination answer — the
+    * streaming at-ingest screen (q167) must land on the identical rows,
+    * so BOTH queries carry this text verbatim. */
+  private[graft] lazy val decontaminateOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+       |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ')))) AS s
+       |  FROM toks),
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % $EvalDocModulus = 0)
+       |SELECT t.doc_id, count(DISTINCT t.s) AS n_shared
+       |FROM sh t JOIN ev USING (s)
+       |WHERE t.doc_id % $EvalDocModulus <> 0
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** Shared oracle prefix: the exact-verified near-dup pair graph
+    * (toks → shingles → Jaccard ≥ 0.6 pairs → symmetric edges) — the
+    * SQL replay of [[verifiedPairs]]. Consumed by [[reachCtes]] (the
+    * q38/q126/q131 reachability family) and by q168's propagation
+    * oracle ([[Propagate]]), so the graph over which quality smooths
+    * is definitionally the one dedup clusters on. */
+  private[graft] lazy val pairGraphCtes =
     """WITH RECURSIVE toks AS MATERIALIZED (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
       |  FROM documents),
@@ -1352,7 +1363,10 @@ object Dedup {
       |  SELECT d1, d2 FROM p
       |  JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
       |  WHERE round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) >= 0.6),
-      |edges AS MATERIALIZED (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |edges AS MATERIALIZED (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs)""".stripMargin
+
+  private lazy val reachCtes =
+    s"""$pairGraphCtes,
       |reach(id, r) AS (
       |  SELECT DISTINCT s, s FROM edges
       |  UNION

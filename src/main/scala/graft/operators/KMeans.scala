@@ -198,7 +198,13 @@ object KMeans {
     * verbatim by the q130 oracle and q135's
     * ([[graft.streaming.AssignStream]]), so the two oracles can never
     * disagree about the trained quantizer. */
-  private[graft] def commonCtes: String = {
+  private[graft] def commonCtes: String = commonCtesWhere("")
+
+  /** [[commonCtes]] with a membership rule injected into the entry CTE —
+    * the q164 `nbCtesWhere` convention applied to the quantizer: q170
+    * trains its FROZEN index on the v1 snapshot slice, and its oracle
+    * replays the identical trajectory over the identical slice. */
+  private[graft] def commonCtesWhere(where: String): String = {
     val dim = 64
     def assign(prev: String, n: Int) =
       s"""d$n AS (
@@ -228,12 +234,35 @@ object KMeans {
     s"""e AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> ${halfAwaySql("CAST(x AS DOUBLE) * 1000000")}) AS em
-       |  FROM embeddings),
+       |  FROM embeddings $where),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, em AS c
        |  FROM e ORDER BY vec_id LIMIT $K),
        |${rounds.mkString(",\n")}""".stripMargin
   }
+
+  /** Final centroids of the [[Iters]]-round trajectory over ANY
+    * quantized (vec_id, em) frame — the frozen-index entry q170's
+    * incremental maintenance reuses (same arithmetic as
+    * [[trainedCentroids]], caller-keyed caching). */
+  private val sliceCentCache = scala.collection.mutable.Map
+    .empty[(String, String, String, String), Seq[(Int, Array[Long])]]
+
+  private[graft] def trainedCentroidsOf(
+      spark: SparkSession, dir: String, tag: String,
+      input: => DataFrame): Seq[(Int, Array[Long])] =
+    synchronized {
+      val version = graft.core.TableVersion.signature(spark, dir, "embeddings.parquet")
+      sliceCentCache.getOrElseUpdate(
+        (spark.sparkContext.applicationId, dir, version, tag), {
+          val q = input.persist()
+          try {
+            var cents = seedCentroids(q, K)
+            (1 to Iters).foreach { _ => cents = updateCentroids(assigned(q, cents)) }
+            cents
+          } finally { q.unpersist(); () }
+        })
+    }
 
   private def oracleSql: String = {
     val unions = (1 to Iters).map(n => s"SELECT * FROM r$n").mkString(" UNION ALL ")

@@ -113,9 +113,20 @@ object EventStream {
     * 32 → 8). A real deployment sizes `spark.graft.streamStatePartitions`
     * UP with key cardinality; the partition count is fixed at the
     * stream's first checkpoint, which is also why it must be a deliberate
-    * knob rather than whatever the session happened to have. */
+    * knob rather than whatever the session happened to have.
+    *
+    * Default 4 (was 8): a stream-stream join keeps FOUR state stores per
+    * partition and commits each per micro-batch, so per-batch commit IO
+    * is 4× the partition count regardless of state volume. Measured on
+    * the q77 drain at sf0.1 (the heaviest join state in the bench):
+    * 8 → 4 partitions cuts the warm drain 4.1 s → 2.6 s on the default
+    * provider and 4.4 s → 3.3 s on RocksDB, while 4 → 2 adds nothing
+    * (2.5 s) — the floor is the two-micro-batch machinery, not commit
+    * fan-out, from 4 down. The largest fixture state (q114's ~0.5M
+    * band-bucket keys at sf0.1) is ~125k keys/partition at 4 — far
+    * inside heap-provider comfort. */
   private[streaming] def withStreamStatePartitions[T](spark: SparkSession)(body: => T): T = {
-    val parts = spark.conf.getOption("spark.graft.streamStatePartitions").getOrElse("8")
+    val parts = spark.conf.getOption("spark.graft.streamStatePartitions").getOrElse("4")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevProvider = spark.conf.getOption(ProviderClassConf)
     spark.conf.set("spark.sql.shuffle.partitions", parts)

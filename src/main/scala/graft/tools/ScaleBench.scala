@@ -88,7 +88,17 @@ object ScaleBench {
     // the model join scales with the CORPUS, not vocab²), the one-pass
     // filter matrix, and the diff-sized model refresh (must scale with
     // the snapshot delta, not the corpus)
-    "q159_bigram_lm", "q163_filter_correlation", "q164_incremental_nb")
+    "q159_bigram_lm", "q163_filter_correlation", "q164_incremental_nb",
+    // round-9 additions: graph propagation (two edge-sized join rounds —
+    // must scale with the PAIR GRAPH, not the corpus), the CMS sketch
+    // (shuffles are capped at d·w cells — must be ~flat in corpus size
+    // beyond the shingle grouping), and the at-ingest decontamination
+    // screen (map-only over the firehose, eval side bounded)
+    "q168_quality_propagation", "q169_cms_sketch", "q167_stream_decontaminate",
+    // index maintenance: two map-only assignment passes against the
+    // frozen v1 centroids — must scale with the corpus scan, with the
+    // training cost amortized behind the per-version cache
+    "q170_incremental_ivf")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

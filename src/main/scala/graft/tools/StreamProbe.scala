@@ -25,6 +25,12 @@ object StreamProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // extra session confs: SPARK_GRAFT_CONF="k=v;k=v" (probe-only knob)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
         println(s"[probe] started ${e.id} at ${e.timestamp}")

@@ -26,6 +26,21 @@ class PlanAuditSpec extends SparkSpec {
 
   private val pushedNonEmpty = raw"PushedFilters: \[[^\]]".r
 
+  /** Count FINAL-plan scans of `documents.parquet`: formatted AQE output
+    * lists the final tree, then `== Initial Plan ==`, then ONE detail
+    * section keyed by node id serving both trees — so the table name
+    * must be resolved per node id, and only ids present in the final
+    * tree counted. */
+  private def documentsScansInFinal(plan: String): Int = {
+    val finalSec = plan.split(raw"== Initial Plan ==").head
+    val ids = raw"Scan parquet\s*\((\d+)\)".r
+      .findAllMatchIn(finalSec).map(_.group(1)).toSet
+    ids.count { id =>
+      raw"(?s)\($id\) Scan parquet.{0,600}?Location[^\n]*".r
+        .findFirstIn(plan).exists(_.contains("documents.parquet"))
+    }
+  }
+
   test("filters reach the parquet scan (q02, q04)") {
     Seq("q02_proj_filter_limit", "q04_pricing_summary").foreach { q =>
       val (_, plan) = executed(q)
@@ -329,5 +344,33 @@ class PlanAuditSpec extends SparkSpec {
     // would mean a driver-side collect crept into the path.
     val locals = raw"LocalTableScan".r.findAllIn(plan).length
     assert(locals == 0, s"q151: LocalTableScan in plan — model was collected\n$plan")
+  }
+
+  test("propagation's rounds never re-scan the corpus (q168)") {
+    // stage the pair graph first (its BUILD pass legitimately scans the
+    // corpus; the operator's own plan must not). The seed pass is a
+    // materialized checkpoint, so the RETURNED plan — the two rounds +
+    // report — touches the corpus zero times, and at most once in any
+    // refactor that inlines the seeds back.
+    graft.operators.Dedup.q27MinhashLsh(spark, sf).collect()
+    val (_, plan) = executed("q168_quality_propagation")
+    val docScans = documentsScansInFinal(plan)
+    assert(docScans <= 1,
+      s"q168 rounds must not re-scan the corpus — got $docScans scans\n$plan")
+  }
+
+  test("CMS report is partial-agg sketching + bounded top-k (q169)") {
+    val (_, plan) = executed("q169_cms_sketch")
+    // the shingle-df build must partial-aggregate (per-partition
+    // sketches merged by the shuffle — the monoid posture in the plan)
+    assert(raw"partial_".r.findFirstIn(plan).isDefined,
+      s"q169: no partial aggregation — sketch shards are not map-side merged\n$plan")
+    // the TopN report plans as top-k, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q169: report should plan as TakeOrderedAndProject\n$plan")
+    // one corpus scan feeds the whole sketch-and-audit
+    val docScans = documentsScansInFinal(plan)
+    assert(docScans == 1,
+      s"q169 must scan the corpus exactly once — got $docScans\n$plan")
   }
 }

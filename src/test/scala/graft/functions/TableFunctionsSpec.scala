@@ -324,4 +324,22 @@ class TableFunctionsSpec extends SparkSpec {
     assert(rows(ed) == rows(graft.operators.Similarity.q157EmbeddingDiversity(spark, sf)))
     assert(ed.columns.toSeq == Seq("source", "n_vecs", "mean_pair_cos_micro"))
   }
+
+  test("quality_propagation / cms_sketch TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    // the TVF derives pairs from the named table with the exact Jaccard
+    // detector at the same threshold the cached q27 stage verifies at —
+    // identical pair set, so identical propagation
+    val qp = spark.sql("SELECT * FROM quality_propagation(0.6)")
+    assert(rows(qp) == rows(graft.operators.Propagate.q168QualityPropagation(spark, sf)))
+    assert(qp.columns.toSeq ==
+      Seq("doc_id", "deg", "s0_micro", "s2_micro", "shift_micro"))
+    // composes with SQL around it
+    val shifted = spark.sql(
+      "SELECT count(*) FROM quality_propagation(0.6) WHERE shift_micro <> 0").collect()(0).getLong(0)
+    assert(shifted == qp.filter(col("shift_micro") =!= 0).count())
+    val cs = spark.sql("SELECT * FROM cms_sketch()")
+    assert(rows(cs) == rows(graft.operators.Cms.q169CmsSketch(spark, sf)))
+    assert(cs.columns.toSeq == Seq("shingle", "exact_df", "cms_est", "overcount"))
+  }
 }

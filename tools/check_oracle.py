@@ -93,10 +93,21 @@ def main():
     import os
     manifest_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "oracle_types.json")
+    # MERGE into the existing manifest: a SPARK_GRAFT_ONLY subset run must
+    # refresh only the queries it actually checked, not clobber the rest
+    merged = {}
+    if os.path.exists(manifest_path):
+        try:
+            merged = json.load(open(manifest_path))
+        except Exception:
+            merged = {}
+    merged.update(type_manifest)
+    # drop entries for queries that no longer exist
+    merged = {k: v for k, v in merged.items() if k in oracle or k in type_manifest}
     with open(manifest_path, "w") as f:
-        json.dump({k: type_manifest[k] for k in sorted(type_manifest)}, f,
+        json.dump({k: merged[k] for k in sorted(merged)}, f,
                   indent=1, sort_keys=True)
-    print(f"wrote {manifest_path} ({len(type_manifest)} entries)")
+    print(f"wrote {manifest_path} ({len(type_manifest)} checked, {len(merged)} total)")
     # queries with no oracle entry get a rows-only note
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
