@@ -41,6 +41,7 @@ object SparkEntry {
       operators.Quantize.queries ++
       operators.KMeans.queries ++
       operators.Pq.queries ++
+      operators.Sq.queries ++
       operators.Pca.queries ++
       operators.HeavyHitters.queries ++
       operators.Propagate.queries ++
@@ -60,7 +61,8 @@ object SparkEntry {
       streaming.ClassifyStream.queries ++
       streaming.AnomalyStream.queries ++
       streaming.DecodeStream.queries ++
-      streaming.DecontaminateStream.queries
+      streaming.DecontaminateStream.queries ++
+      streaming.CmsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -84,6 +86,7 @@ object SparkEntry {
       operators.Quantize.oracles ++
       operators.KMeans.oracles ++
       operators.Pq.oracles ++
+      operators.Sq.oracles ++
       operators.Pca.oracles ++
       operators.HeavyHitters.oracles ++
       operators.Propagate.oracles ++
@@ -103,5 +106,6 @@ object SparkEntry {
       streaming.ClassifyStream.oracles ++
       streaming.AnomalyStream.oracles ++
       streaming.DecodeStream.oracles ++
-      streaming.DecontaminateStream.oracles
+      streaming.DecontaminateStream.oracles ++
+      streaming.CmsStream.oracles
 }

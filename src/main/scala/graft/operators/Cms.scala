@@ -45,6 +45,27 @@ object Cms {
   /** How many top-by-exact-df shingles the audit reports. */
   val TopN = 20
 
+  /** The d row-bucket columns for a shingle column — four disjoint
+    * 16-bit nibble slices of one salted md5, mod [[W]]. Shared by the
+    * batch audit (q169) and the streaming maintainer (q172), so twin
+    * equality is by construction. */
+  private[graft] def bucketCols(s: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val hx = md5(concat(lit("cms:"), s))
+    (0 until D).map { r =>
+      conv(substring(hx, 1 + 4 * r, 4), 16, 10).cast("long") % W
+    }
+  }
+
+  /** The exact sketch CELLS over any (doc_id, text) frame: one row per
+    * non-empty (r, b) cell with its counter — each (document, shingle)
+    * occurrence increments d cells. Batch ground truth for the
+    * streaming maintainer's state. */
+  private[graft] def exactCells(docs: DataFrame): DataFrame =
+    Dedup.shingles(docs)
+      .select(posexplode(array(bucketCols(col("s")): _*)).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("cell"))
+      .select(col("r").cast("long").as("r"), col("b").cast("long").as("b"), col("cell"))
+
   /** The sketch-and-audit over ANY (doc_id, text) frame — shared by
     * q169 and the `cms_sketch()` TVF. */
   private[graft] def cmsAudit(docs: DataFrame): DataFrame = {
@@ -53,10 +74,7 @@ object Cms {
     val df = Dedup.shingles(docs)
       .groupBy("s").agg(count(lit(1)).as("exact_df"))
     // d bucket columns from one md5: 16 bits per row, mod w
-    val hx = md5(concat(lit("cms:"), col("s")))
-    val buckets = (0 until D).map { r =>
-      (conv(substring(hx, 1 + 4 * r, 4), 16, 10).cast("long") % W).as(s"b$r")
-    }
+    val buckets = bucketCols(col("s")).zipWithIndex.map { case (c, r) => c.as(s"b$r") }
     val hashed = df.select(col("s") +: col("exact_df") +: buckets: _*)
     val exploded = hashed.select(col("s"), col("exact_df"),
       posexplode(array((0 until D).map(r => col(s"b$r")): _*)).as(Seq("r", "b")))

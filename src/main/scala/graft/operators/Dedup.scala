@@ -509,6 +509,55 @@ object Dedup {
     spanDedup(Tables.documents(spark, dir), SpanWindow)
   }
 
+  /** Edit-similarity tier floors (micro-units) for [[q171EditVerifiedDedup]]:
+    * ≥ 0.99 normalized similarity reads "near-exact copy" (template
+    * reuse / trivial retouch), ≥ 0.90 "high" (paraphrase-level edit),
+    * below that "moderate" — the verified-pair list never drops below
+    * the q27 Jaccard floor, so no fourth tier exists. */
+  val EditNearExactMicros = 990000L
+  val EditHighMicros = 900000L
+
+  /** q171 — EDIT-DISTANCE VERIFICATION of the near-dup pair list: the
+    * classic fuzzy-dedup refine stage (set-similarity blocking →
+    * character-level verify; Xiao et al. WWW'08 Ed-Join runs the same
+    * two-phase shape). Set-Jaccard is order- and position-blind — two
+    * documents over one vocabulary in different arrangements tie with a
+    * light retouch of one document — so each q27-verified pair is
+    * re-scored with the character-level signal: Levenshtein distance
+    * over q160's normalized text (trim, whitespace-collapse, lowercase),
+    * expressed as an integer similarity
+    * `(maxlen − dist) · 1e6 div maxlen` and bucketed into copy tiers.
+    *
+    * Scale shape: the corpus never self-joins here — the expensive
+    * O(L²)-per-pair verify runs ONLY on the LSH-blocked, Jaccard-
+    * verified pair list (pair-sized, not corpus-sized), and each pair
+    * fetches its two texts by doc_id equi-join. Both engines compute the
+    * same character-level Levenshtein on the same normalization, and the
+    * similarity is integer micros (truncating `div` on non-negatives),
+    * so the oracle matches bit-for-bit.
+    *
+    * Reference scope: `sql/sample_athena_queries.sql` stops at exact
+    * GROUP-BY duplicate detection; this is the near-dup extension's
+    * verify tier. */
+  def q171EditVerifiedDedup(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val norm = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      lower(regexp_replace(trim(col("text")), " +", " ")).as("nx"))
+    verifiedPairs(spark, dir)
+      .join(norm.select(col("doc_id").as("d1"), col("nx").as("nx1")), Seq("d1"))
+      .join(norm.select(col("doc_id").as("d2"), col("nx").as("nx2")), Seq("d2"))
+      .withColumn("maxlen", greatest(length(col("nx1")), length(col("nx2"))).cast("long"))
+      .withColumn("edit_dist", levenshtein(col("nx1"), col("nx2")).cast("long"))
+      .withColumn("edit_sim_micro", expr("(maxlen - edit_dist) * 1000000 div maxlen"))
+      .select(
+        col("d1"), col("d2"), col("jaccard"), col("edit_dist"), col("edit_sim_micro"),
+        when(col("edit_sim_micro") >= EditNearExactMicros, lit("near_exact"))
+          .when(col("edit_sim_micro") >= EditHighMicros, lit("high"))
+          .otherwise(lit("moderate")).as("tier"))
+      .orderBy("d1", "d2")
+  }
+
   /** Iteration cap for the CC loop. The chase step makes convergence
     * O(log diameter), so 50 covers graphs of astronomically large
     * diameter; hitting the cap is logged (never silent — a truncated
@@ -1063,7 +1112,8 @@ object Dedup {
     "q27_minhash_lsh"   -> (q27MinhashLsh _),
     "q28_simhash"       -> (q28Simhash _),
     "q38_dedup_apply"   -> (q38DedupApply _),
-    "q80_span_dedup"    -> (q80SpanDedup _))
+    "q80_span_dedup"    -> (q80SpanDedup _),
+    "q171_edit_verified_dedup" -> (q171EditVerifiedDedup _))
 
   /** Shared exact-Jaccard CTE block (string-shingle recomputation of the
     * hash-shingle overlap). */
@@ -1246,6 +1296,31 @@ object Dedup {
          |WHERE s1.split <> s2.split
          |ORDER BY d1, d2""".stripMargin,
     "q27_minhash_lsh"   -> jaccardOracle,
+    // q171: the q27 pair CTEs + the same normalization as q160 + DuckDB's
+    // levenshtein (plain character-level edit distance on both engines;
+    // the fixture text is ASCII so UTF-16 vs codepoint counting agree)
+    "q171_edit_verified_dedup" ->
+      s"""$jaccardCtes,
+         |j AS (
+         |  SELECT d1, d2,
+         |    round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) AS jaccard
+         |  FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) >= 0.6),
+         |nt AS (SELECT doc_id, lower(regexp_replace(trim(text), ' +', ' ', 'g')) AS nx
+         |       FROM documents),
+         |e AS (
+         |  SELECT j.d1, j.d2, j.jaccard,
+         |    CAST(levenshtein(a.nx, b.nx) AS BIGINT) AS edit_dist,
+         |    CAST(greatest(len(a.nx), len(b.nx)) AS BIGINT) AS maxlen
+         |  FROM j JOIN nt a ON j.d1 = a.doc_id JOIN nt b ON j.d2 = b.doc_id)
+         |SELECT d1, d2, jaccard, edit_dist,
+         |  (maxlen - edit_dist) * 1000000 // maxlen AS edit_sim_micro,
+         |  CASE WHEN (maxlen - edit_dist) * 1000000 // maxlen >= $EditNearExactMicros
+         |         THEN 'near_exact'
+         |       WHEN (maxlen - edit_dist) * 1000000 // maxlen >= $EditHighMicros
+         |         THEN 'high'
+         |       ELSE 'moderate' END AS tier
+         |FROM e ORDER BY d1, d2""".stripMargin,
     // q80: the span fingerprint is md5 on both engines, so the election
     // and the reassembled text agree verbatim; list_slice bounds are
     // both-inclusive (= Spark's slice(start, length) at length 10).

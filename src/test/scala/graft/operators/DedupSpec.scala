@@ -629,4 +629,54 @@ class DedupSpec extends SparkSpec {
       .map(k => (bySrc(s1) ++ bySrc(s2)).map(h48(k, _)).min).toVector
     assert(merged == sig(s1).zip(sig(s2)).map { case (x, y) => math.min(x, y) }.toVector)
   }
+
+  test("q171: edit verification replays the Levenshtein recurrence bit-for-bit") {
+    // reference DP, driver-side — the ground truth the engine column
+    // (and the DuckDB oracle) must both equal
+    def lev(a: String, b: String): Long = {
+      val prev = Array.tabulate(b.length + 1)(_.toLong)
+      val cur = new Array[Long](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i.toLong
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val norm = graft.core.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.col("text")), " +", " ")).as("nx"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Dedup.q171EditVerifiedDedup(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture should contain verified near-dup pairs")
+    // pair list == q27's verified pairs (the verify stage adds columns,
+    // never adds or drops pairs)
+    val q27 = Dedup.q27MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == q27)
+    rows.foreach { r =>
+      val (d1, d2) = (r.getLong(0), r.getLong(1))
+      val (n1, n2) = (norm(d1), norm(d2))
+      val d = lev(n1, n2)
+      val maxlen = math.max(n1.length, n2.length).toLong
+      val simMicro = (maxlen - d) * 1000000L / maxlen
+      assert(r.getLong(3) == d, s"($d1,$d2) edit_dist")
+      assert(r.getLong(4) == simMicro, s"($d1,$d2) edit_sim_micro")
+      val tier =
+        if (simMicro >= Dedup.EditNearExactMicros) "near_exact"
+        else if (simMicro >= Dedup.EditHighMicros) "high"
+        else "moderate"
+      assert(r.getString(5) == tier, s"($d1,$d2) tier")
+    }
+    // the fixture's planted near-dups are light retouches, so the top
+    // tiers must actually fire (the column isn't constant)
+    assert(rows.exists(_.getString(5) == "near_exact"))
+    assert(rows.exists(_.getString(5) != "near_exact"))
+  }
 }
