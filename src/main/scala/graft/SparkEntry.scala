@@ -42,6 +42,7 @@ object SparkEntry {
       operators.KMeans.queries ++
       operators.Pq.queries ++
       operators.Sq.queries ++
+      operators.Matryoshka.queries ++
       operators.Pca.queries ++
       operators.HeavyHitters.queries ++
       operators.Propagate.queries ++
@@ -87,6 +88,7 @@ object SparkEntry {
       operators.KMeans.oracles ++
       operators.Pq.oracles ++
       operators.Sq.oracles ++
+      operators.Matryoshka.oracles ++
       operators.Pca.oracles ++
       operators.HeavyHitters.oracles ++
       operators.Propagate.oracles ++

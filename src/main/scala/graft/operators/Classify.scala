@@ -240,9 +240,50 @@ object Classify {
           .as("accuracy"))
       .orderBy("source")
 
+  /** Reliability-table bin count for [[q175NbCalibration]]. */
+  val CalibBins = 10
+
+  /** q175 — CLASSIFIER CALIBRATION TABLE (reliability diagram as data):
+    * the scored corpus cut into [[CalibBins]] equal-population score
+    * deciles, each reporting its labeled-positive rate — the table a
+    * data lead reads to decide whether the NB score is a usable RANKER
+    * (rates rise with the decile) and where to put the admission
+    * threshold (q152's serve gate), not just whether sign-accuracy is
+    * high (q151's report). Completes the classifier lifecycle: train
+    * (q151) → serve (q152) → refresh (q164) → online (q166) → CALIBRATE.
+    *
+    * Determinism: deciles come from `ntile` over the TOTAL order
+    * (score_micro, doc_id) — both engines implement standard SQL ntile
+    * (first `n mod bins` buckets take the extra row), so bucket
+    * membership is identical; every emitted column is an integer or an
+    * integer ratio in micros.
+    *
+    * Scale shape: scoring reuses the token-keyed join (nothing
+    * collected); the ntile is one total-order window — the same
+    * global-sort cost as any ranked report at this grain — and the
+    * report is a [[CalibBins]]-row aggregate. */
+  def q175NbCalibration(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("score_micro"), col("doc_id"))
+    nbScores(spark, dir)
+      .withColumn("decile", ntile(CalibBins).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("hq"), 1L).otherwise(0L)).as("n_hq"),
+        min(col("score_micro")).as("score_lo"),
+        max(col("score_micro")).as("score_hi"))
+      .select(col("decile"), col("n_docs"), col("n_hq"),
+        expr("n_hq * 1000000 div n_docs").as("hq_rate_micro"),
+        col("score_lo"), col("score_hi"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_nb_quality" -> (q151NbQuality _),
-    "q164_incremental_nb" -> (q164IncrementalNb _))
+    "q164_incremental_nb" -> (q164IncrementalNb _),
+    "q175_nb_calibration" -> (q175NbCalibration _))
 
   /** Shared oracle CTE text: tokens → labels → tf → model → integer
     * weights → per-doc scores — mirrored op-for-op against the plan;
@@ -300,6 +341,19 @@ object Classify {
       s"""WITH ${nbCtesWhere(
         s"WHERE doc_id % ${Corpus.DroppedFromV1Mod} <> ${Corpus.DroppedFromV1Rem}")}
          |SELECT token, cp, cn, w_micro FROM w ORDER BY token""".stripMargin,
+    "q175_nb_calibration" ->
+      s"""WITH $nbCtes,
+         |b AS (
+         |  SELECT hq, score_micro,
+         |    CAST(ntile($CalibBins) OVER (ORDER BY score_micro, doc_id) AS BIGINT)
+         |      AS decile
+         |  FROM sc)
+         |SELECT decile, count(*) AS n_docs,
+         |  CAST(count(*) FILTER (hq) AS BIGINT) AS n_hq,
+         |  count(*) FILTER (hq) * 1000000 // count(*) AS hq_rate_micro,
+         |  CAST(min(score_micro) AS BIGINT) AS score_lo,
+         |  CAST(max(score_micro) AS BIGINT) AS score_hi
+         |FROM b GROUP BY decile ORDER BY decile""".stripMargin,
     "q151_nb_quality" ->
       s"""WITH $nbCtes
          |SELECT source, count(*) AS n_docs,

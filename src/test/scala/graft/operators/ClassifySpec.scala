@@ -119,4 +119,31 @@ class ClassifySpec extends SparkSpec {
     val expect = w.toSeq.sortBy { case (t, wm) => (-math.abs(wm), t) }.take(k)
     assert(got.toSeq == expect, "truncation must follow the (|w| desc, token) total order")
   }
+
+  test("q175: calibration deciles partition the corpus; rates ride the score order") {
+    val rows = Classify.q175NbCalibration(spark, sf).collect()
+    assert(rows.length == Classify.CalibBins)
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "bins partition the corpus")
+    // equal-population to within the ntile remainder
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1), "micro arithmetic")
+      assert(r.getLong(4) <= r.getLong(5), "bin score range ordered")
+    }
+    // consecutive bins do not overlap in score (the ntile order is score-first)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(5) <= b.getLong(4), "decile ranges in score order")
+    }
+    // the fixture classifier is a real ranker: the labeled-positive rate
+    // trends up the deciles (strict per-bin monotonicity would be noise-
+    // sensitive at tens of docs per bin — at sf0.001 adjacent bins wobble
+    // by a doc or two; the TREND is the calibration claim)
+    val rates = rows.map(_.getLong(3))
+    val (bottom, top) = (rates.take(3), rates.takeRight(3))
+    assert(top.sum / 3 >= bottom.sum / 3 + 500000L,
+      s"top deciles must dominate bottom by >=0.5: ${rates.mkString(",")}")
+    assert(rates.head < rates.last, "the curve actually separates the classes")
+  }
 }
