@@ -243,6 +243,60 @@ object Classify {
   /** Reliability-table bin count for [[q175NbCalibration]]. */
   val CalibBins = 10
 
+  /** Distributed global rank over a TOTAL order — the scalable stand-in
+    * for Spark's empty-partition `Window.orderBy(...)`, which funnels
+    * the whole dataset through ONE task (Spark plans an unpartitioned
+    * window as a single-partition Exchange; at 100 TB that task is the
+    * job). This is the TeraSort-shaped alternative: a range-partitioned
+    * global sort (parallel), per-partition row counts (one cheap job
+    * over the sorted RDD), and a partition-offset scan that attaches
+    * `rank = offset + local index` map-side. The order must be TOTAL
+    * (include a tiebreaker column) or ranks at partition boundaries
+    * would be nondeterministic. The rare justified `mapPartitions`:
+    * the declarative form of this operator is precisely the
+    * single-task plan being avoided. */
+  private[graft] def withGlobalRank(
+      df: DataFrame, order: Seq[org.apache.spark.sql.Column], rankCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.orderBy(order: _*).persist()
+    try {
+      val counts = sorted.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val ranked = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        var r = offsets(i)
+        it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+      }
+      val schema = StructType(sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false))
+      val out = sorted.sparkSession.createDataFrame(ranked, schema)
+      // localCheckpoint (eager): materializes AND truncates lineage — a
+      // recomputed sort could land different range boundaries, and the
+      // collected offsets would then be stale; after this the ranks can
+      // never silently shift
+      out.localCheckpoint(true)
+    } finally sorted.unpersist()
+  }
+
+  /** SQL-standard ntile of a 1-based global rank: with `q = n div b`
+    * and `rem = n mod b`, the first `rem` buckets hold `q + 1` rows —
+    * the exact rule both engines' `ntile` implements, reproduced as a
+    * closed-form column so the scalable rank path and the oracle's
+    * window agree row-for-row. */
+  private[graft] def ntileOfRank(rank: org.apache.spark.sql.Column, n: Long, b: Int): org.apache.spark.sql.Column = {
+    val q = n / b
+    val rem = n % b
+    // exact integer division of the non-negative rank terms: a % d is
+    // exact, the difference is an exact multiple of d, so the double
+    // division is exact at any magnitude (the Sq truncation identity)
+    def idiv(a: org.apache.spark.sql.Column, d: Long) = ((a - a % d) / d).cast("long")
+    if (q == 0) rank // degenerate tiny input: one row per bucket
+    else
+      when(rank <= rem * (q + 1), idiv(rank - 1, q + 1) + 1)
+        .otherwise(lit(rem) + idiv(rank - 1 - rem * (q + 1), q) + 1)
+  }
+
   /** q175 — CLASSIFIER CALIBRATION TABLE (reliability diagram as data):
     * the scored corpus cut into [[CalibBins]] equal-population score
     * deciles, each reporting its labeled-positive rate — the table a
@@ -252,22 +306,24 @@ object Classify {
     * high (q151's report). Completes the classifier lifecycle: train
     * (q151) → serve (q152) → refresh (q164) → online (q166) → CALIBRATE.
     *
-    * Determinism: deciles come from `ntile` over the TOTAL order
-    * (score_micro, doc_id) — both engines implement standard SQL ntile
-    * (first `n mod bins` buckets take the extra row), so bucket
-    * membership is identical; every emitted column is an integer or an
-    * integer ratio in micros.
+    * Determinism: deciles follow SQL ntile over the TOTAL order
+    * (score_micro, doc_id) — but computed via [[withGlobalRank]] +
+    * [[ntileOfRank]] instead of an unpartitioned window, because Spark
+    * plans `ntile().over(Window.orderBy(...))` as a SINGLE-PARTITION
+    * exchange (the one-task bottleneck a 100 TB report cannot pay); the
+    * oracle uses the window form and the closed-form rule makes them
+    * identical row-for-row. Every emitted column is an integer.
     *
     * Scale shape: scoring reuses the token-keyed join (nothing
-    * collected); the ntile is one total-order window — the same
-    * global-sort cost as any ranked report at this grain — and the
-    * report is a [[CalibBins]]-row aggregate. */
+    * collected); the rank is a parallel range-partitioned sort plus a
+    * partition-count scan; the report is a [[CalibBins]]-row
+    * aggregate. */
   def q175NbCalibration(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("score_micro"), col("doc_id"))
-    nbScores(spark, dir)
-      .withColumn("decile", ntile(CalibBins).over(w).cast("long"))
+    val scores = nbScores(spark, dir)
+    val n = scores.count()
+    withGlobalRank(scores, Seq(col("score_micro"), col("doc_id")), "rk")
+      .withColumn("decile", ntileOfRank(col("rk"), n, CalibBins))
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n_docs"),

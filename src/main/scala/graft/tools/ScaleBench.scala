@@ -98,7 +98,17 @@ object ScaleBench {
     // index maintenance: two map-only assignment passes against the
     // frozen v1 centroids — must scale with the corpus scan, with the
     // training cost amortized behind the per-version cache
-    "q170_incremental_ivf")
+    "q170_incremental_ivf",
+    // round-9 part-2: the edit-distance verify (must scale with the PAIR
+    // LIST, not the corpus — the O(L²) per-pair cost is fixed per pair),
+    // the streaming CMS (state hard-capped at d·w cells — must be ~flat
+    // beyond the shingle scan), the SQ8 asymmetric scan and the
+    // truncation sweep (both single corpus scans over probe literals),
+    // and the calibration table (the distributed global-rank path — the
+    // sweep checks the rank scales like a sort, not like the
+    // single-partition window it replaces)
+    "q171_edit_verified_dedup", "q172_stream_cms", "q173_sq_adc",
+    "q174_truncation_sweep", "q175_nb_calibration")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

@@ -120,6 +120,27 @@ class ClassifySpec extends SparkSpec {
     assert(got.toSeq == expect, "truncation must follow the (|w| desc, token) total order")
   }
 
+  test("withGlobalRank + ntileOfRank reproduce the single-partition window exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // adversarial sizes: n not divisible by b, n < b, heavy ties in the key
+    for ((n, b) <- Seq((257, 10), (100, 7), (5, 10), (64, 8))) {
+      val df = (1 to n).map(i => (i.toLong, (i % 13).toLong)).toDF("id", "key")
+        .repartition(7) // scatter so the rank genuinely crosses partitions
+      val viaWindow = df
+        .withColumn("rk", row_number().over(Window.orderBy(col("key"), col("id"))))
+        .withColumn("nt", ntile(b).over(Window.orderBy(col("key"), col("id"))).cast("long"))
+        .select("id", "rk", "nt")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getLong(2))).toMap
+      val viaRank = Classify.withGlobalRank(df, Seq(col("key"), col("id")), "rk")
+        .withColumn("nt", Classify.ntileOfRank(col("rk"), n.toLong, b))
+        .select("id", "rk", "nt")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(viaRank == viaWindow, s"n=$n b=$b")
+    }
+  }
+
   test("q175: calibration deciles partition the corpus; rates ride the score order") {
     val rows = Classify.q175NbCalibration(spark, sf).collect()
     assert(rows.length == Classify.CalibBins)
