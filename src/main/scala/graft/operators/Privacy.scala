@@ -113,9 +113,68 @@ object Privacy {
       Seq("c_mktsegment", "n_name"), KAnonThreshold)
   }
 
+  /** q178 release parameters: ε = 1 (micro-units) and the release-run
+    * salt that seeds the noise draw. Sensitivity of a per-source doc
+    * count under add/remove-one-document neighbors is 1. */
+  val DpEpsilonMicros = 1000000L
+  val DpSalt = "dp:v1:"
+
+  /** 2⁴⁸ — the modulus of the 12-nibble md5 uniform draw. */
+  private val DpH = 1L << 48
+
+  /** q178 — DIFFERENTIALLY-PRIVATE RELEASE of the per-source document
+    * counts (Dwork et al. 2006 Laplace mechanism): the third privacy
+    * surface beside redaction (q67, removes identifiers from content)
+    * and k-anonymity (q101, audits quasi-identifier cells) — this one
+    * protects the AGGREGATE ITSELF, the published statistic a corpus
+    * datasheet exposes about its sources. `released = n + Lap(1/ε)`,
+    * sensitivity 1 per document.
+    *
+    * The noise draw is DERANDOMIZED for engine parity (the
+    * [[Sampling]] content-hash convention): u comes from 48 bits of
+    * `md5(salt ‖ source)` — a fixed draw per (release, key), which is
+    * how DP deployments make releases reproducible ACROSS REGENERATION
+    * (fresh noise per re-run would let an observer average the noise
+    * away; a keyed PRF draw is standard practice, with the salt in the
+    * secret). Inverse-CDF: with t = 2h − 2⁴⁸,
+    * `noise = −sgn(t)·(1/ε)·ln((2⁴⁸ − |t|)/2⁴⁸)`; the one
+    * transcendental is quantized immediately —
+    * `floor(−log2(arg)·693147 + 0.5)` micro-units, log2·ln2 = ln — on
+    * both engines (the established log2-micro contract). The argument
+    * is an exact dyadic rational (int64 over 2⁴⁸), so both engines
+    * evaluate log2 of the SAME double.
+    *
+    * Scale shape: one partial-agged count shuffle; noise is a map over
+    * the source-grain cell frame (tiny at any corpus size). */
+  def q178DpRelease(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    dpRelease(Tables.documents(spark, dir))
+  }
+
+  /** The release over ANY frame with a `source` column — also the
+    * `dp_release()` TVF body. */
+  private[graft] def dpRelease(docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(concat(lit(DpSalt), col("source"))), 1, 12), 16, 10)
+      .cast("long")
+    docs
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("t", h * 2 - DpH)
+      .withColumn("arg",
+        greatest(lit(DpH) - abs(col("t")), lit(1L)).cast("double") / lit(DpH.toDouble))
+      .withColumn("noise_micro",
+        (when(col("t") >= 0, lit(1L)).otherwise(lit(-1L)) *
+          floor(-log2(col("arg")) * lit(693147.0) + lit(0.5)).cast("long")).as("noise_micro"))
+      .select(col("source"), col("n_docs"),
+        lit(DpEpsilonMicros).as("epsilon_micro"),
+        col("noise_micro"),
+        (col("n_docs") * 1000000L + col("noise_micro")).as("released_micro"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_k_anonymity" -> (q101KAnonymity _),
-    "q67_pii_redact" -> (q67PiiRedact _))
+    "q67_pii_redact" -> (q67PiiRedact _),
+    "q178_dp_release" -> (q178DpRelease _))
 
   // DuckDB single-quoted strings do no backslash processing, so the
   // patterns interpolate verbatim — the same bytes Spark's Java engine
@@ -124,7 +183,27 @@ object Privacy {
   private val phoneSql = PhoneRe
   private val ipSql = IpRe
 
+  /** The 48-bit value of the first 12 md5 hex nibbles (the q154 hex12
+    * move): nibble i × 16^(11−i). */
+  private def hex12Sql(hx: String): String = "(" + (0 until 12).map { i =>
+    s"(strpos('0123456789abcdef', substr($hx, ${1 + i}, 1)) - 1) * ${1L << (4 * (11 - i))}"
+  }.mkString(" +\n     ") + ")"
+
   val oracles: Map[String, String] = Map(
+    "q178_dp_release" -> {
+      val h = hex12Sql(s"md5('$DpSalt' || source)")
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |t AS (SELECT source, n_docs, $h * 2 - $DpH AS t FROM c),
+         |z AS (
+         |  SELECT source, n_docs, t,
+         |    CASE WHEN t >= 0 THEN 1 ELSE -1 END
+         |      * CAST(floor(-log2(greatest($DpH - abs(t), 1) / $DpH.0) * 693147 + 0.5)
+         |             AS BIGINT) AS noise_micro
+         |  FROM t)
+         |SELECT source, n_docs, CAST($DpEpsilonMicros AS BIGINT) AS epsilon_micro,
+         |  noise_micro, n_docs * 1000000 + noise_micro AS released_micro
+         |FROM z ORDER BY source""".stripMargin
+    },
     "q101_k_anonymity" ->
       s"""SELECT c_mktsegment, n_name, count(*) AS k,
          |  count(*) < $KAnonThreshold AS at_risk

@@ -52,11 +52,14 @@ object Sq {
 
   /** (vec_id, em, recon): the int8 code's de-quantized value per
     * element — map-only over the micro-quantized store. */
-  private[graft] def reconstructed(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def reconstructed(spark: SparkSession, dir: String): DataFrame =
+    reconstructedOf(KMeans.quantized(spark, dir))
+
+  /** [[reconstructed]] over ANY micro-quantized (vec_id, em) frame. */
+  private[graft] def reconstructedOf(q: DataFrame): DataFrame = {
     val em = col("em")
     val scale = greatest(array_max(transform(em, e => abs(e))), lit(1L))
-    KMeans.quantized(spark, dir)
-      .withColumn("sc", scale)
+    q.withColumn("sc", scale)
       .withColumn("recon",
         transform(em, e => tdiv(tdiv(e * 127, col("sc")) * col("sc"), lit(127L))))
   }
@@ -67,11 +70,13 @@ object Sq {
   /** The PRODUCTION SQ8 search: asymmetric top-[[TopK]] per probe over
     * the reconstructed store (full-precision probe vs int8-coded
     * database side). */
-  private[graft] def sqTopK(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def sqTopK(spark: SparkSession, dir: String): DataFrame =
+    sqTopKOf(spark, KMeans.quantized(spark, dir))
+
+  private[graft] def sqTopKOf(spark: SparkSession, q: DataFrame): DataFrame = {
     import spark.implicits._
-    val r = reconstructed(spark, dir)
-    val probes = KMeans.quantized(spark, dir)
-      .filter(col("vec_id") < NumProbes).collect()
+    val r = reconstructedOf(q)
+    val probes = q.filter(col("vec_id") < NumProbes).collect()
       .map(row => (row.getLong(0), row.getSeq[Long](1).toArray)).toSeq
     val pDf = broadcast(probes.toDF("probe_id", "pv"))
     val scored = r.crossJoin(pDf)
@@ -84,14 +89,37 @@ object Sq {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("d"))
   }
 
+  /** Exact int-L2 top-k twin over a quantized frame (the recall
+    * reference inside [[sqGateOver]]). */
+  private def exactTopKOf(spark: SparkSession, q: DataFrame): DataFrame = {
+    import spark.implicits._
+    val probes = q.filter(col("vec_id") < NumProbes).collect()
+      .map(row => (row.getLong(0), row.getSeq[Long](1).toArray)).toSeq
+    val pDf = broadcast(probes.toDF("probe_id", "pv"))
+    val scored = q.crossJoin(pDf)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), d2(col("em"), col("pv")).as("d"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("d"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+  }
+
   /** q173 — the SQ8 SEARCH GATE, per probe: exact-result count, SQ-hit
     * count, integer recall, and the summed asymmetric distance of the
     * SQ result set (the error-mass fact q88 predicts). Everything in
     * the row is recomputed verbatim by the oracle. */
   def q173SqAdc(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val sq = sqTopK(spark, dir)
-    val exact = Pq.exactTopK(spark, dir).select(col("probe_id"), col("neighbor_id"))
+    sqGateOver(spark, KMeans.quantized(spark, dir))
+  }
+
+  /** The gate over ANY quantized (vec_id, em) frame — also the
+    * `sq_search()` TVF body. */
+  private[graft] def sqGateOver(spark: SparkSession, q: DataFrame): DataFrame = {
+    val sq = sqTopKOf(spark, q)
+    val exact = exactTopKOf(spark, q)
     val hits = sq.select(col("probe_id"), col("neighbor_id"))
       .join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
       .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))

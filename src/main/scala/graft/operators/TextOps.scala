@@ -175,6 +175,30 @@ object TextOps {
       .orderBy("predicted_lang")
   }
 
+  /** q179 — LANG-ID CONFUSION MATRIX: the q45 heuristic evaluated
+    * against the corpus' declared `lang` column — per (declared,
+    * predicted) cell counts with the agreement flag. q45 reports what
+    * the classifier SAYS; this reports where it is RIGHT — the
+    * evaluation table that decides whether the cheap stopword heuristic
+    * suffices for routing or a per-language corpus needs a real model
+    * (the q151/q175 classifier-eval posture applied to lang-id).
+    * One aggregate over the corpus scan; the cell frame is
+    * |langs|²-bounded. */
+  def q179LangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    langidConfusion(Tables.documents(spark, dir))
+  }
+
+  /** The confusion matrix over ANY (lang, text) frame — also the
+    * `langid_confusion()` TVF body. */
+  private[graft] def langidConfusion(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("lang"), languageId(col("text")).as("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("predicted_lang"), col("n_docs"),
+        (col("lang") === col("predicted_lang")).as("agree"))
+      .orderBy("lang", "predicted_lang")
+
   /** Rolling polynomial fingerprint over the UTF-8 BYTES of a string:
     * h = fold(bytes, 0, (acc, b) → (acc·31 + b) mod 1e9+7). Byte-exact
     * (non-ASCII safe); the modulus keeps every intermediate < 3.3e10, so
@@ -906,6 +930,7 @@ object TextOps {
     "q22_lang_profile"  -> (q22LangProfile _),
     "q23_quality_score" -> (q23QualityScore _),
     "q45_lang_id"       -> (q45LangId _),
+    "q179_langid_confusion" -> (q179LangidConfusion _),
     "q46_rolling_fp"    -> (q46RollingFp _),
     "q47_token_bpe"     -> (q47TokenBpe _),
     "q53_vocab_top"     -> (q53VocabTop _),
@@ -1306,6 +1331,29 @@ object TextOps {
         |  FROM s)
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tfidf
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // q179: the q45 prediction CTEs joined back to the declared lang
+    "q179_langid_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','es'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','de','et','est'))) AS s_fr
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |         WHEN s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS predicted_lang
+        |  FROM s)
+        |SELECT d.lang, p.predicted_lang, count(*) AS n_docs,
+        |  d.lang = p.predicted_lang AS agree
+        |FROM p JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin,
     // argmax with ties going to the lexicographically LAST language —
     // the ordered >= CASE reproduces the struct-sort tie-break exactly
     "q45_lang_id" ->

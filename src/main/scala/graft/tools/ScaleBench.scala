@@ -108,7 +108,11 @@ object ScaleBench {
     // sweep checks the rank scales like a sort, not like the
     // single-partition window it replaces)
     "q171_edit_verified_dedup", "q172_stream_cms", "q173_sq_adc",
-    "q174_truncation_sweep", "q175_nb_calibration")
+    "q174_truncation_sweep", "q175_nb_calibration",
+    // sorted-neighborhood (one distributed sort + w·n bounded verifies —
+    // must scale like the sort) and the centroid silhouette (map-only
+    // n·k scoring against centroid literals)
+    "q176_sorted_neighborhood", "q177_silhouette")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

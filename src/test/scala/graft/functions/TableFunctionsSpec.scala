@@ -342,4 +342,51 @@ class TableFunctionsSpec extends SparkSpec {
     assert(rows(cs) == rows(graft.operators.Cms.q169CmsSketch(spark, sf)))
     assert(cs.columns.toSeq == Seq("shingle", "exact_df", "cms_est", "overcount"))
   }
+
+  test("edit_verify / sorted_neighborhood TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    // the TVF derives pairs from the named table at the same threshold
+    // the cached q27 stage verifies at — identical pair set
+    val ev = spark.sql("SELECT * FROM edit_verify(0.6)")
+    assert(rows(ev) == rows(graft.operators.Dedup.q171EditVerifiedDedup(spark, sf)))
+    assert(ev.columns.toSeq ==
+      Seq("d1", "d2", "jaccard", "edit_dist", "edit_sim_micro", "tier"))
+    val tiered = spark.sql(
+      "SELECT count(*) FROM edit_verify(0.6) WHERE tier = 'near_exact'").collect()(0).getLong(0)
+    assert(tiered == ev.filter(col("tier") === "near_exact").count())
+    val sn = spark.sql("SELECT * FROM sorted_neighborhood()")
+    assert(rows(sn) == rows(graft.operators.Dedup.q176SortedNeighborhood(spark, sf)))
+    assert(sn.columns.toSeq == Seq("d1", "d2", "edit_dist", "sim_micro"))
+  }
+
+  test("sq_search / truncation_sweep TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    val sq = spark.sql("SELECT * FROM sq_search()")
+    assert(rows(sq) == rows(graft.operators.Sq.q173SqAdc(spark, sf)))
+    assert(sq.columns.toSeq ==
+      Seq("probe_id", "n_exact", "n_hits", "recall_micro", "sq_err"))
+    val ts = spark.sql("SELECT * FROM truncation_sweep()")
+    assert(rows(ts) == rows(graft.operators.Matryoshka.q174TruncationSweep(spark, sf)))
+    assert(ts.columns.toSeq == Seq("trunc_dim", "n_probes", "sum_hits", "recall_micro"))
+  }
+
+  test("nb_calibration / dp_release / langid_confusion / source_quality_shrunk TVFs match") {
+    Tables.registerAll(spark, sf)
+    val cal = spark.sql("SELECT * FROM nb_calibration()")
+    assert(rows(cal) == rows(graft.operators.Classify.q175NbCalibration(spark, sf)))
+    assert(cal.columns.toSeq ==
+      Seq("decile", "n_docs", "n_hq", "hq_rate_micro", "score_lo", "score_hi"))
+    val dp = spark.sql("SELECT * FROM dp_release()")
+    assert(rows(dp) == rows(graft.operators.Privacy.q178DpRelease(spark, sf)))
+    assert(dp.columns.toSeq ==
+      Seq("source", "n_docs", "epsilon_micro", "noise_micro", "released_micro"))
+    val lc = spark.sql("SELECT * FROM langid_confusion()")
+    assert(rows(lc) == rows(graft.operators.TextOps.q179LangidConfusion(spark, sf)))
+    val off = spark.sql("SELECT count(*) FROM langid_confusion() WHERE NOT agree").collect()(0).getLong(0)
+    assert(off == lc.filter(!col("agree")).count())
+    val sh = spark.sql("SELECT * FROM source_quality_shrunk()")
+    assert(rows(sh) == rows(graft.operators.Classify.q180SourceQualityShrunk(spark, sf)))
+    assert(sh.columns.toSeq == Seq("source", "n_docs", "n_hq",
+      "raw_rate_micro", "global_rate_micro", "shrunk_rate_micro"))
+  }
 }

@@ -120,6 +120,27 @@ class ClassifySpec extends SparkSpec {
     assert(got.toSeq == expect, "truncation must follow the (|w| desc, token) total order")
   }
 
+  test("q180: shrinkage pulls every source toward the global rate, small sources hardest") {
+    val rows = Classify.q180SourceQualityShrunk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val global = rows.head._5
+    assert(rows.forall(_._5 == global), "one global rate")
+    rows.foreach { case (src, n, hq, raw, g, shrunk) =>
+      assert(raw == hq * 1000000L / n)
+      // exact integer replay of the posterior mean
+      assert(shrunk == (hq * 1000000L + Classify.ShrinkKappa * g) / (n + Classify.ShrinkKappa),
+        s"$src shrinkage arithmetic")
+      // shrunk lies between raw and the global rate (inclusive, up to
+      // the 1-micro truncation slack of the two divisions)
+      val (lo, hi) = (math.min(raw, g), math.max(raw, g))
+      assert(shrunk >= lo - 1 && shrunk <= hi + 1, s"$src: $shrunk outside [$lo, $hi]")
+    }
+    // conservation: weighted raw rates reconstruct the global numerator
+    val (nt, ht) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(global == ht * 1000000L / nt)
+  }
+
   test("withGlobalRank + ntileOfRank reproduce the single-partition window exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

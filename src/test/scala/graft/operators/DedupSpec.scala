@@ -679,4 +679,52 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(_.getString(5) == "near_exact"))
     assert(rows.exists(_.getString(5) != "near_exact"))
   }
+
+  test("q176: sorted-neighborhood replays driver-side and finds the planted pairs") {
+    def lev(a: String, b: String): Long = {
+      val prev = Array.tabulate(b.length + 1)(_.toLong)
+      val cur = new Array[Long](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i.toLong
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val norm = graft.core.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.col("text")), " +", " ")).as("nx"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // driver replay of the whole procedure: sort, window, verify
+    val ordered = norm.sortBy { case (id, nx) => (nx.take(Dedup.SnPrefix), id) }
+    val expected = (for {
+      i <- ordered.indices
+      j <- (i + 1) to math.min(i + Dedup.SnWindow, ordered.length - 1)
+    } yield {
+      val (d1, n1) = ordered(i); val (d2, n2) = ordered(j)
+      val maxlen = math.max(n1.length, n2.length).toLong
+      val dist = lev(n1, n2)
+      (d1, d2, dist, (maxlen - dist) * 1000000L / maxlen)
+    }).filter(_._4 >= Dedup.SnSimFloorMicros)
+      .map { case (d1, d2, dist, sim) => (d1, d2, dist, sim) }.toSet
+    val got = Dedup.q176SortedNeighborhood(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"SN replay: got ${got.size}, expected ${expected.size}")
+    assert(got.nonEmpty, "fixture should contain planted near-dups in sort range")
+    // blocking works on this corpus: SN recovers every LSH-verified pair
+    // that clears the same edit floor (prefix retouches would break this
+    // — the fixture's planted edits are mid-document)
+    val q171High = Dedup.q171EditVerifiedDedup(spark, sf).collect()
+      .filter(_.getLong(4) >= Dedup.SnSimFloorMicros)
+      .map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    val gotUnordered = got.map { case (d1, d2, _, _) => Set(d1, d2) }
+    assert(q171High.subsetOf(gotUnordered),
+      s"SN missed LSH pairs: ${(q171High -- gotUnordered).take(3)}")
+  }
 }

@@ -47,4 +47,34 @@ class KMeansSpec extends SparkSpec {
     val first = out.filter(_._1 == 1)
     assert(last.map(_._4).sum < first.map(_._4).sum / 10)
   }
+
+  test("q177: silhouette replays driver-side from the trained model") {
+    val cents = KMeans.trainedCentroids(spark, sf)
+    val vecs = KMeans.quantized(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    def d2(v: Array[Long], c: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    // per vector: distances to all centroids sorted by (d, j)
+    val per = vecs.map { case (_, v) =>
+      val ds = cents.map { case (j, c) => (d2(v, c), j) }.sorted
+      val (a, cluster) = ds(0)
+      val (b, _) = ds(1)
+      (cluster.toLong, (b - a) * 1000000L / math.max(b, 1L))
+    }
+    val expected = per.groupBy(_._1).map { case (cl, xs) =>
+      val ss = xs.map(_._2)
+      cl -> (xs.length.toLong, ss.sum / ss.length, ss.min)
+    }
+    val got = KMeans.q177Silhouette(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, "silhouette replay")
+    // structural facts: clusters partition the corpus, s in [0, 1e6)
+    assert(got.values.map(_._1).sum == vecs.length.toLong)
+    got.values.foreach { case (_, mean, mn) =>
+      assert(mn >= 0L && mean >= mn && mean < 1000000L)
+    }
+  }
 }

@@ -70,4 +70,32 @@ class PrivacySpec extends SparkSpec {
     // the fixture exercises both outcomes
     assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
   }
+
+  test("q178: the noise draw is a keyed PRF — deterministic, signed by the hash, bounded") {
+    val rows = Privacy.q178DpRelease(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // replay the uniform draw exactly: 48 bits of md5(salt || source)
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    def h48(s: String): Long = {
+      val hex = mdi.digest((Privacy.DpSalt + s).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    rows.foreach { case (src, n, eps, noise, released) =>
+      assert(eps == Privacy.DpEpsilonMicros)
+      assert(released == n * 1000000L + noise, "release = count + noise, exactly")
+      val t = h48(src) * 2 - (1L << 48)
+      // sign rides the hash bit; |noise| is capped by -ln(2^-48)/eps
+      if (noise != 0) assert((noise > 0) == (t >= 0), s"$src sign")
+      assert(math.abs(noise) <= 34000000L, s"$src noise magnitude")
+    }
+    // a real two-sided draw across the fixture's sources
+    assert(rows.exists(_._4 > 0) && rows.exists(_._4 < 0))
+    // determinism: the release is reproducible run-to-run (the anti-
+    // averaging property the keyed draw exists for)
+    val again = Privacy.q178DpRelease(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    assert(again.toSeq == rows.map(r => (r._1, r._5)).toSeq)
+  }
 }

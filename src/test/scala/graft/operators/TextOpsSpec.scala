@@ -385,4 +385,26 @@ class TextOpsSpec extends SparkSpec {
       assert(math.abs(bps - eb) < 1e-9)
     }
   }
+
+  test("q179: the confusion matrix reconciles with q45 and the corpus") {
+    import org.apache.spark.sql.functions._
+    val cells = TextOps.q179LangidConfusion(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getBoolean(3))))
+    // cells partition the corpus
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(cells.map(_._2._1).sum == total)
+    // the agree flag is the cell identity
+    cells.foreach { case ((l, p), (_, agree)) => assert(agree == (l == p)) }
+    // column marginals equal q45's per-prediction counts
+    val marginals = cells.groupBy(_._1._2).map { case (p, xs) => p -> xs.map(_._2._1).sum }
+    val q45 = TextOps.q45LangId(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(marginals == q45, "prediction marginals must match q45")
+    // the declared-lang marginals match the corpus lang histogram
+    val declared = cells.groupBy(_._1._1).map { case (l, xs) => l -> xs.map(_._2._1).sum }
+    val corpus = graft.core.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(declared == corpus)
+  }
 }
