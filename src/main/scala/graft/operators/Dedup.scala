@@ -596,7 +596,19 @@ object Dedup {
   }
 
   /** The sorted-neighborhood join over ANY (doc_id, text) frame — also
-    * the `sorted_neighborhood()` TVF body. */
+    * the `sorted_neighborhood()` TVF body.
+    *
+    * The verify stage is BANDED, not full-matrix: a pair passes iff
+    * `(maxlen − d)·1e6 div maxlen ≥ floor`, which (truncating division
+    * on non-negatives) is exactly `d ≤ dmax = maxlen·(1e6 − floor) div
+    * 1e6` — so (a) pairs whose LENGTHS already differ by more than dmax
+    * are dropped before any string work (`d ≥ |len1 − len2|` always),
+    * and (b) the survivors run Spark's threshold form of `levenshtein`,
+    * whose banded DP costs O(L·dmax) instead of O(L²) and returns the
+    * EXACT distance for every distance ≤ dmax (−1 beyond — already
+    * excluded by the bound). At the 0.9 floor that is a 10×+ cut of
+    * the per-pair constant with a bit-identical admitted set; the
+    * full-matrix oracle proves it. */
   private[graft] def snPairs(docs: DataFrame): DataFrame = {
     val nt = docs.select(
       col("doc_id"),
@@ -610,9 +622,12 @@ object Dedup {
     probes.join(
         ranked.select(col("doc_id").as("d2"), col("nx").as("n2"), col("rk")), Seq("rk"))
       .withColumn("maxlen", greatest(length(col("n1")), length(col("n2"))).cast("long"))
-      .withColumn("edit_dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .withColumn("dmax", expr(s"maxlen * ${1000000L - SnSimFloorMicros} div 1000000"))
+      .filter(abs(length(col("n1")) - length(col("n2"))).cast("long") <= col("dmax"))
+      .withColumn("edit_dist",
+        expr("levenshtein(n1, n2, CAST(dmax AS INT))").cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= col("dmax"))
       .withColumn("sim_micro", expr("(maxlen - edit_dist) * 1000000 div maxlen"))
-      .filter(col("sim_micro") >= SnSimFloorMicros)
       .select("d1", "d2", "edit_dist", "sim_micro")
       .orderBy("d1", "d2")
   }
