@@ -59,37 +59,54 @@ object Matryoshka {
   }
 
   /** The sweep over ANY quantized (vec_id, em) frame — also the
-    * `truncation_sweep()` TVF body. */
+    * `truncation_sweep()` TVF body.
+    *
+    * Plan shape (gated in `PlanAuditSpec`): the per-branch formulation
+    * (`union` of one window per dim) re-scans the store once PER SWEEP
+    * POINT — 4 corpus scans at 100 TB. Instead every (probe, vec) row
+    * carries all 4 prefix distances out of the SAME scan, the sweep
+    * ranks ride ONE probe-keyed Exchange (chained windows differing
+    * only in sort key — no second shuffle), and "hit at dim d" is the
+    * row-local conjunction `rk_d ≤ K ∧ rk_full ≤ K`, so the whole
+    * sweep reduces in one conditional aggregate — one scan, one
+    * shuffle, no self-join, however many dims the sweep has. */
   private[graft] def sweepOver(spark: SparkSession, q: DataFrame): DataFrame = {
     import spark.implicits._
     val probes = q.filter(col("vec_id") < NumProbes).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
     val pDf = broadcast(probes.toDF("probe_id", "pv"))
-    // one scan: every sweep distance is a row-local prefix sum
+    // one scan: all sweep distances are row-local prefix sums
     val scored = q.crossJoin(pDf)
       .filter(col("vec_id") =!= col("probe_id"))
       .select(
         col("probe_id") +: col("vec_id") +:
           Dims.map(d => d2Prefix(col("em"), col("pv"), d).as(s"d$d")): _*)
+    // every sweep rank over ONE probe-keyed Exchange: the windows share
+    // the partitioning and differ only in sort key, so Spark plans one
+    // shuffle feeding chained Sort+Window nodes
     import org.apache.spark.sql.expressions.Window
-    def topk(dcol: String): DataFrame = {
-      val w = Window.partitionBy("probe_id").orderBy(col(dcol), col("vec_id"))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= TopK)
-        .select("probe_id", "vec_id")
+    val ranked = Dims.foldLeft(scored) { (df, d) =>
+      df.withColumn(s"rk$d", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col(s"d$d"), col("vec_id"))))
     }
-    val exact = topk(s"d$FullDim")
-    val branches = Dims.map { d =>
-      topk(s"d$d")
-        .join(exact, Seq("probe_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).as("sum_hits"))
-        .select(
-          lit(d.toLong).as("trunc_dim"),
-          lit(NumProbes.toLong).as("n_probes"),
-          col("sum_hits"),
-          expr(s"sum_hits * 1000000 div ${NumProbes * TopK}").as("recall_micro"))
-    }
-    branches.reduce(_ unionAll _).orderBy("trunc_dim")
+    // a hit at dim d = inside BOTH d's top-k and the full-dim top-k; the
+    // whole sweep reduces in one conditional aggregate, no self-join
+    val agg = ranked.agg(
+      Dims.map(d =>
+        sum(when(col(s"rk$d") <= TopK && col(s"rk$FullDim") <= TopK, 1L).otherwise(0L))
+          .as(s"hits$d")).head,
+      Dims.tail.map(d =>
+        sum(when(col(s"rk$d") <= TopK && col(s"rk$FullDim") <= TopK, 1L).otherwise(0L))
+          .as(s"hits$d")): _*)
+    agg
+      .select(explode(array(Dims.map(d =>
+        struct(lit(d.toLong).as("trunc_dim"), col(s"hits$d").as("sum_hits"))): _*)).as("x"))
+      .select(
+        col("x.trunc_dim").as("trunc_dim"),
+        lit(NumProbes.toLong).as("n_probes"),
+        col("x.sum_hits").as("sum_hits"),
+        expr(s"x.sum_hits * 1000000 div ${NumProbes * TopK}").as("recall_micro"))
+      .orderBy("trunc_dim")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

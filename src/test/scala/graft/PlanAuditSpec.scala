@@ -359,6 +359,54 @@ class PlanAuditSpec extends SparkSpec {
       s"q168 rounds must not re-scan the corpus — got $docScans scans\n$plan")
   }
 
+  test("truncation sweep is ONE store scan + ONE probe-keyed shuffle (q174)") {
+    val (_, plan) = executed("q174_truncation_sweep")
+    val finalSec = plan.split(raw"== Initial Plan ==").head
+    val scans = raw"Scan parquet\s*\(\d+\)".r.findAllIn(finalSec).size
+    assert(scans == 1,
+      s"q174 must scan the embedding store exactly once (was 4 in the " +
+        s"per-branch form) — got $scans\n$finalSec")
+    // chained same-partitioning windows: no per-dim re-shuffle
+    val shuffles = raw"\bExchange \(\d+\)".r.findAllIn(finalSec).size
+    assert(shuffles <= 2,
+      s"q174: sweep ranks must share one probe-keyed Exchange — got $shuffles\n$finalSec")
+    assert(finalSec.contains("BroadcastNestedLoopJoin"),
+      s"q174: probe literals should attach as a broadcast\n$finalSec")
+  }
+
+  test("calibration deciles avoid the single-partition window (q175)") {
+    val (_, plan) = executed("q175_nb_calibration")
+    val finalSec = plan.split(raw"== Initial Plan ==").head
+    // the distributed-rank path: the decile report aggregates a
+    // checkpointed ranked RDD; an unpartitioned ntile window would put
+    // a Window node (and a single-partition Exchange) right here
+    assert(!finalSec.contains("Window"),
+      s"q175: decile assignment regressed to a window\n$finalSec")
+    assert(finalSec.contains("Scan ExistingRDD"),
+      s"q175: expected the checkpointed global-rank scan\n$finalSec")
+  }
+
+  test("sorted-neighborhood verify is banded and join-based, never a cross product (q176)") {
+    val (_, plan) = executed("q176_sorted_neighborhood")
+    val finalSec = plan.split(raw"== Initial Plan ==").head
+    assert(!finalSec.contains("CartesianProduct"),
+      s"q176: neighborhood must be an equi-join on rank\n$finalSec")
+    // the banded threshold argument reaches the levenshtein call: the
+    // 3-arg form prints its Some(threshold) argument (the alias itself
+    // may be inlined by CollapseProject, so match the call shape)
+    assert(raw"levenshtein\([^)]*, Some\(".r.findFirstIn(plan).isDefined,
+      s"q176: verify should run the threshold (banded) levenshtein\n$plan")
+  }
+
+  test("silhouette is map-only model scoring: one scan, no joins (q177)") {
+    val (_, plan) = executed("q177_silhouette")
+    val finalSec = plan.split(raw"== Initial Plan ==").head
+    val scans = raw"Scan parquet\s*\(\d+\)".r.findAllIn(finalSec).size
+    assert(scans == 1, s"q177 must scan embeddings once — got $scans\n$finalSec")
+    assert(!finalSec.contains("Join"),
+      s"q177: centroids ride as literals; a join means the model left the plan\n$finalSec")
+  }
+
   test("CMS report is partial-agg sketching + bounded top-k (q169)") {
     val (_, plan) = executed("q169_cms_sketch")
     // the shingle-df build must partial-aggregate (per-partition
