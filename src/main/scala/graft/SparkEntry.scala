@@ -49,6 +49,7 @@ object SparkEntry {
       operators.Cms.queries ++
       operators.IvfMaintain.queries ++
       layout.BucketedLayout.queries ++
+      layout.ZOrderLayout.queries ++
       sources.JsonlIngest.queries ++
       streaming.EventStream.queries ++
       streaming.FunnelStream.queries ++
@@ -95,6 +96,7 @@ object SparkEntry {
       operators.Cms.oracles ++
       operators.IvfMaintain.oracles ++
       layout.BucketedLayout.oracles ++
+      layout.ZOrderLayout.oracles ++
       sources.JsonlIngest.oracles ++
       streaming.EventStream.oracles ++
       streaming.FunnelStream.oracles ++
