@@ -45,6 +45,7 @@ object SparkEntry {
       operators.Matryoshka.queries ++
       operators.Pca.queries ++
       operators.HeavyHitters.queries ++
+      operators.QuantileSketch.queries ++
       operators.Propagate.queries ++
       operators.Cms.queries ++
       operators.IvfMaintain.queries ++
@@ -92,6 +93,7 @@ object SparkEntry {
       operators.Matryoshka.oracles ++
       operators.Pca.oracles ++
       operators.HeavyHitters.oracles ++
+      operators.QuantileSketch.oracles ++
       operators.Propagate.oracles ++
       operators.Cms.oracles ++
       operators.IvfMaintain.oracles ++
