@@ -127,7 +127,7 @@ object Bench {
       "q79_stream_enrich", "q98_stream_funnel", "q108_stream_jsonl_ingest",
       "q114_stream_lsh_screen", "q124_stream_token_budget",
       "q145_stream_heavy_hitters", "q161_stream_anomaly",
-      "q166_stream_nb_train", "q172_stream_cms")
+      "q166_stream_nb_train", "q172_stream_cms", "q183_stream_quantiles")
     spark.conf.set("spark.graft.streaming.stateStoreProvider", "rocksdb")
     val rocksRows =
       try streamingNames.filter(SparkEntry.queries.contains).map { name =>

@@ -65,7 +65,8 @@ object SparkEntry {
       streaming.AnomalyStream.queries ++
       streaming.DecodeStream.queries ++
       streaming.DecontaminateStream.queries ++
-      streaming.CmsStream.queries
+      streaming.CmsStream.queries ++
+      streaming.QuantileStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -113,5 +114,6 @@ object SparkEntry {
       streaming.AnomalyStream.oracles ++
       streaming.DecodeStream.oracles ++
       streaming.DecontaminateStream.oracles ++
-      streaming.CmsStream.oracles
+      streaming.CmsStream.oracles ++
+      streaming.QuantileStream.oracles
 }

@@ -93,7 +93,7 @@ object QuantileSketchAgg {
     /** per-level alternating compaction offset (deterministic). */
     private[QuantileSketchAgg] var offsets: ArrayBuffer[Boolean] =
       ArrayBuffer(false)
-    private[QuantileSketchAgg] var count: Long = 0L
+    private[graft] var count: Long = 0L
 
     def insert(v: Long): Unit = {
       levels(0) += v

@@ -42,10 +42,22 @@ object QuantileSketch {
     Sessions.prepare(spark)
     val ev = Tables.events(spark, dir).select(col("event_type"), cents)
     // one sketch pass per event type
-    val est = ev.groupBy("event_type")
+    val estWide = ev.groupBy("event_type")
       .agg(QuantileSketchAgg.mrl_quantiles(col("cents"), Pcts).as("est"))
-      .select(col("event_type"),
-        posexplode(col("est")).as(Seq("pi", "est_v")))
+      .select(col("event_type") +: Pcts.zipWithIndex.map { case (p, i) =>
+        col("est").getItem(i).as(s"est_p$p")
+      }: _*)
+    verdictsOver(ev, estWide)
+  }
+
+  /** The batch-recount verdict tail over ANY (event_type, cents) value
+    * frame and wide (event_type, est_p50, est_p90, est_p99) estimate
+    * frame — shared by the batch gate and the streaming twin
+    * ([[graft.streaming.QuantileStream]]), so the two gates can never
+    * disagree about the contract. */
+  private[graft] def verdictsOver(ev: DataFrame, estWide: DataFrame): DataFrame = {
+    val est = estWide.select(col("event_type"),
+        posexplode(array(Pcts.map(p => col(s"est_p$p")): _*)).as(Seq("pi", "est_v")))
       .select(col("event_type"),
         element_at(array(Pcts.map(lit(_)): _*), col("pi") + 1).as("pct"),
         col("est_v"))
