@@ -36,19 +36,37 @@ import graft.operators.{Cms, Dedup}
 object CmsStream {
 
   private[streaming] case class CellRow(cell: Int)
+  private[streaming] case class CellCount(cell: Int, n: Long)
   private[streaming] case class CellState(n: Long)
   private[streaming] case class CellOut(cell: Int, n: Long)
 
-  /** Fold a batch of arriving increments into one cell's counter. The
-    * emitted value is the cell's running total — monotone, so the
-    * latest emission per cell is its max and multi-batch drains
-    * converge without ordering assumptions. */
+  /** Map-side combine of raw increments: each input partition reduces
+    * its increments to at most d·w = 4096 (cell, count) rows BEFORE
+    * the stateful shuffle — the same partial-aggregation posture the
+    * batch sketch gets from Spark's HashAggregate for free. Without
+    * this the shuffle carries every (doc, shingle, row) increment;
+    * with it, ≤ 4096 rows per partition regardless of corpus size. */
+  private[streaming] def combineLocal(
+      it: Iterator[CellRow]): Iterator[CellCount] = {
+    val m = new java.util.HashMap[Int, Long]()
+    it.foreach(r => m.merge(r.cell, 1L, (a, b) => a + b))
+    val out = scala.collection.mutable.ArrayBuffer.empty[CellCount]
+    m.forEach((k, v) => { out += CellCount(k, v); () })
+    out.iterator
+  }
+
+  /** Fold a batch of arriving pre-combined counts into one cell's
+    * counter. The emitted value is the cell's running total —
+    * monotone, so the latest emission per cell is its max and
+    * multi-batch drains converge without ordering assumptions. */
   private[streaming] def cellUpdate(
       cell: Int,
-      rows: Iterator[CellRow],
+      rows: Iterator[CellCount],
       state: GroupState[CellState]): Iterator[CellOut] = {
     val prev = if (state.exists) state.get.n else 0L
-    val n = prev + rows.size
+    var add = 0L
+    rows.foreach(add += _.n)
+    val n = prev + add
     state.update(CellState(n))
     Iterator.single(CellOut(cell, n))
   }
@@ -69,6 +87,7 @@ object CmsStream {
       .select((col("r") * Cms.W + col("b")).cast("int").as("cell"))
       .as[CellRow]
     val summaries = increments
+      .mapPartitions(combineLocal) // map-side combine: ≤ d·w rows/partition
       .groupByKey(_.cell)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(cellUpdate)
       .toDF()

@@ -112,7 +112,12 @@ object ScaleBench {
     // sorted-neighborhood (one distributed sort + w·n bounded verifies —
     // must scale like the sort) and the centroid silhouette (map-only
     // n·k scoring against centroid literals)
-    "q176_sorted_neighborhood", "q177_silhouette")
+    "q176_sorted_neighborhood", "q177_silhouette",
+    // z-order rewrite + 2-D range gate (one global sort — must scale
+    // like a sort), and the quantile-sketch gates (one partial-agged
+    // sketch pass + the audit recount; stream twin adds micro-batch
+    // drain overhead only)
+    "q181_zorder_range", "q182_quantile_sketch", "q183_stream_quantiles")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

@@ -37,10 +37,16 @@ class CmsStreamSpec extends SparkSpec {
       eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
       hasTimedOut = false)
     val s1 = state(None)
-    val out1 = CmsStream.cellUpdate(7, Iterator.fill(3)(CmsStream.CellRow(7)), s1).toSeq
+    val out1 = CmsStream.cellUpdate(7,
+      Iterator(CmsStream.CellCount(7, 2L), CmsStream.CellCount(7, 1L)), s1).toSeq
     assert(out1 == Seq(CmsStream.CellOut(7, 3L)))
     val s2 = state(Some(s1.get))
-    val out2 = CmsStream.cellUpdate(7, Iterator.fill(2)(CmsStream.CellRow(7)), s2).toSeq
+    val out2 = CmsStream.cellUpdate(7, Iterator(CmsStream.CellCount(7, 2L)), s2).toSeq
     assert(out2 == Seq(CmsStream.CellOut(7, 5L)))
+    // the map-side combine reduces raw increments to one row per cell
+    val combined = CmsStream.combineLocal(
+      Iterator(CmsStream.CellRow(7), CmsStream.CellRow(9), CmsStream.CellRow(7))).toSeq
+    assert(combined.sortBy(_.cell) ==
+      Seq(CmsStream.CellCount(7, 2L), CmsStream.CellCount(9, 1L)))
   }
 }
