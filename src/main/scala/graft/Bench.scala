@@ -153,6 +153,23 @@ object Bench {
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     catch { case _: Throwable => () }
+    // compact summary as the LAST stdout line (round-9 verdict item 3):
+    // the driver preserves only a ~2,000-char stdout TAIL, which the
+    // full per-query line above overflows — r9's BENCH_r09.json kept
+    // only the truncated back half ("parsed": null) and the headline
+    // survived solely in BENCH_LAST.json. This line is < 1 KB by
+    // construction (fixed fields + slowest-10), so the tail always
+    // contains one complete, parseable JSON object.
+    val allRows = sw.results ++ rocksRows
+    val slowest = allRows.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val streamCore = sw.results.filter(r => streamingNames.contains(r._1)).map(_._2).sum
+    val grand = allRows.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${sw.results.size}""" +
+      s""","grand_total":$grand,"n_rows":${allRows.size}""" +
+      f""","streaming_core_sec":$streamCore%.3f,"slowest":$slowest""" +
+      s""","sf":"$sfDir","retried":$retried,"contended":${contended(sw)}""" +
+      s""","full_queries_in":"BENCH_LAST.json"}""")
     spark.stop()
   }
 }

@@ -135,15 +135,21 @@ object QuantileSketchAgg {
     }
 
     /** Lower quantile at p percent: smallest kept value whose weighted
-      * cumulative count reaches ⌈p·n/100⌉. */
+      * cumulative count reaches ⌈p·n/100⌉, with n the TRACKED TRUE
+      * count — not the retained weight. The two drift apart whenever a
+      * compaction runs over an odd-sized level (always reachable via
+      * [[mergeIn]], where level sizes are arbitrary): the dropped
+      * unpaired item loses its weight from the retained total, so a
+      * totalW-derived rank would target a slightly different position
+      * than the gate's ⌈p·n/100⌉ computed from true n, adding rank
+      * error the sketch bound does not account for. */
     def quantile(p: Int): Long = {
       val weighted = levels.zipWithIndex.flatMap { case (buf, i) =>
         val w = 1L << i
         buf.map(v => (v, w))
       }.sortBy(_._1)
       if (weighted.isEmpty) return 0L
-      val totalW = weighted.map(_._2).sum
-      val target = math.max(1L, (totalW * p + 99L) / 100L)
+      val target = math.max(1L, (count * p + 99L) / 100L)
       var cum = 0L
       var idx = 0
       while (idx < weighted.length) {

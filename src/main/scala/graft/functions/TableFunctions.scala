@@ -57,6 +57,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM dp_release()
   *   SELECT * FROM langid_confusion() WHERE NOT agree
   *   SELECT * FROM source_quality_shrunk()
+  *   SELECT * FROM quantile_sketch()
+  *   SELECT * FROM z_range(5, 15, 10000, 20000)
+  *   SELECT * FROM cms_probe('the quick brown fox jumps')
+  *   SELECT * FROM ivf_maintain() WHERE drift
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -86,18 +90,9 @@ object TableFunctions {
   private def semClusters(emb: org.apache.spark.sql.DataFrame): Int =
     graft.operators.Similarity.semClustersFor(emb.count())
 
-  private val names = Seq(
-    "bm25", "source_cap", "sem_dedup", "decontaminate", "corpus_diff",
-    "near_dup_pairs", "dedup_apply", "temperature_mix", "corpus_drift",
-    "chunk", "pii_redact", "lm_score", "span_dedup", "scd2",
-    "quantize_error", "novelty", "heavy_hitters", "weighted_sample",
-    "cooccurrence", "k_anonymity", "winsorize", "cohort_retention",
-    "funnel", "hybrid_rrf", "corpus_datasheet", "inverted_index",
-    "bpe_merges", "vocab_coverage", "source_overlap", "token_budget",
-    "zipf_slope", "split_leakage", "mix_manifest", "dup_clusters",
-    "containment", "token_fertility", "sem_decontaminate",
-    "nb_quality", "ingest_anomaly", "hard_negatives",
-    "embedding_diversity", "quality_propagation", "cms_sketch")
+  // derived from the builder list so the idempotence check can never
+  // cover only a stale subset of the registered functions
+  private lazy val names = builders.map(_._1)
 
   /** Idempotent per-session registration (the table-function analogue of
     * [[Dialect.register]]; [[graft.core.Sessions.prepare]] routes through
@@ -654,6 +649,46 @@ object TableFunctions {
           plan(spark => graft.operators.Classify.shrunkQualityOver(spark.table("documents")))
         case _ => throw new IllegalArgumentException(
           "source_quality_shrunk expects no arguments")
+      }
+    },
+    "quantile_sketch" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.QuantileSketch.gateOver(spark.table("events")))
+        case _ => throw new IllegalArgumentException(
+          "quantile_sketch expects no arguments")
+      }
+    },
+    "z_range" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(uLo, uHi, cLo, cHi) =>
+          plan(spark => graft.layout.ZOrderLayout.rangeAggOverEvents(
+            spark.table("events"),
+            long(uLo, "z_range(u_lo, u_hi, cents_lo, cents_hi)"),
+            long(uHi, "z_range(u_lo, u_hi, cents_lo, cents_hi)"),
+            long(cLo, "z_range(u_lo, u_hi, cents_lo, cents_hi)"),
+            long(cHi, "z_range(u_lo, u_hi, cents_lo, cents_hi)")))
+        case _ => throw new IllegalArgumentException(
+          "z_range expects (user_lo, user_hi, cents_lo, cents_hi)")
+      }
+    },
+    "cms_probe" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case grams if grams.nonEmpty =>
+          plan(spark => graft.operators.Cms.probe(
+            spark.table("documents"),
+            grams.map(g => string(g, "cms_probe(ngram, ...)"))))
+        case _ => throw new IllegalArgumentException(
+          "cms_probe expects at least one n-gram string")
+      }
+    },
+    "ivf_maintain" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.IvfMaintain.maintainFromEmbeddings(
+            spark.table("embeddings")))
+        case _ => throw new IllegalArgumentException(
+          "ivf_maintain expects no arguments")
       }
     })
 

@@ -57,12 +57,30 @@ object Compactor {
   /** Compact the parquet directory `dir` toward `targetBytes` files.
     * No-op (reported, not silent) when the directory already has at
     * most the target file count — rewriting well-laid-out data would
-    * just churn the object store. */
+    * just churn the object store.
+    *
+    * SCOPE: local-filesystem directories only. The swap below relies
+    * on `File.renameTo`, which is atomic-per-rename on a local POSIX
+    * FS but does not exist as an operation on S3 (and crosses to a
+    * copy on HDFS via this API) — an object-store deployment would
+    * swap via a manifest/pointer flip (Iceberg/Delta-style commit)
+    * instead, with the same read-clone-swap shape. The crash window
+    * between the two renames (live dir absent, data complete under
+    * `.compact.old`) is recovered on the next call, below. */
   def compact(
       spark: SparkSession,
       dir: String,
       targetBytes: Long = DefaultTargetBytes): Report = {
     val d = new java.io.File(dir)
+    // crash recovery: a failure between rename(d -> old) and
+    // rename(tmp -> d) leaves NO live directory but a complete copy
+    // under .compact.old — restore it before anything else so a
+    // crashed compaction self-heals instead of stranding the data
+    locally {
+      val old = new java.io.File(d.getParentFile, d.getName + ".compact.old")
+      if (!d.isDirectory && old.isDirectory)
+        require(old.renameTo(d), s"crash recovery failed: $old -> $dir")
+    }
     require(d.isDirectory, s"not a directory: $dir")
     val files = dataFiles(d)
     val bytes = files.map(_.length()).sum

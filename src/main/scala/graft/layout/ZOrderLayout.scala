@@ -64,7 +64,16 @@ object ZOrderLayout {
     (x | (x << 1)) & 0x55555555L
   }
 
-  /** 16-bit rank of `x` within [lo, hi] (inclusive), integer-exact:
+  /** Largest span for which [[rank16]] is bit-exact: the truncating-
+    * division identity `(n − n%d)/d` runs Spark's long `/` in DOUBLE,
+    * which is exact only while the numerator `(x − lo)·65535` stays
+    * under 2⁵³ — so span ≤ 2⁵³/65535 ≈ 1.37e11. [[ensure]] asserts it
+    * against the collected min/max (the Sq/ntileOfRank magnitude
+    * convention: guard the identity, don't let it decay silently). */
+  private[layout] val MaxRankSpan: Long = (1L << 53) / 65535L
+
+  /** 16-bit rank of `x` within [lo, hi] (inclusive), integer-exact
+    * while `hi − lo ≤` [[MaxRankSpan]]:
     * `(x − lo) · 65535 div (hi − lo)`. */
   private[layout] def rank16(x: Column, lo: Long, hi: Long): Column =
     if (hi == lo) lit(0L)
@@ -99,6 +108,10 @@ object ZOrderLayout {
       val r = ev.agg(
         min("user_id"), max("user_id"), min("value_cents"), max("value_cents")).collect()(0)
       val (uLo, uHi, vLo, vHi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      require(uHi - uLo <= MaxRankSpan && vHi - vLo <= MaxRankSpan,
+        s"z-order dim span exceeds the rank16 exactness bound $MaxRankSpan " +
+          s"(user_id span ${uHi - uLo}, value_cents span ${vHi - vLo}); " +
+          "widen rank16 to guarded idiv before laying out this table")
       ev.withColumn("z", morton(
           rank16(col("user_id"), uLo, uHi), rank16(col("value_cents"), vLo, vHi)))
         .repartitionByRange(ZFiles, col("z"))
@@ -121,16 +134,34 @@ object ZOrderLayout {
 
   def q181ZorderRange(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val z = spark.read.parquet(ensure(spark, dir))
-    z.filter(col("user_id").between(UserLo, UserHi) &&
-        col("value_cents").between(CentsLo, CentsHi))
+    // the z copy already carries value_cents, so no dims() re-derive
+    rangeAggOver(spark.read.parquet(ensure(spark, dir)),
+      UserLo, UserHi, CentsLo, CentsHi)
+  }
+
+  /** The 2-D range aggregate over ANY frame carrying (user_id,
+    * value_cents) — the q181 gate body over the z-ordered copy, and
+    * (through [[rangeAggOverEvents]]) the `z_range()` TVF over the
+    * named raw table. Layout never changes answers (q181's contract),
+    * so the SAME aggregate serves both; what the z-order layout buys
+    * is the file pruning `ZOrderLayoutSpec` asserts on the copy. */
+  private[graft] def rangeAggOver(frame: DataFrame,
+      uLo: Long, uHi: Long, cLo: Long, cHi: Long): DataFrame =
+    frame.filter(col("user_id").between(uLo, uHi) &&
+        col("value_cents").between(cLo, cHi))
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         sum(col("value_cents")).as("sum_cents"),
         min(col("value_cents")).as("min_cents"),
         max(col("value_cents")).as("max_cents"))
-  }
+
+  /** [[rangeAggOver]] from a RAW events frame (cents derived via the
+    * shared [[dims]] convention) — the `z_range(u_lo, u_hi, cents_lo,
+    * cents_hi)` TVF body. */
+  private[graft] def rangeAggOverEvents(ev: DataFrame,
+      uLo: Long, uHi: Long, cLo: Long, cHi: Long): DataFrame =
+    rangeAggOver(dims(ev), uLo, uHi, cLo, cHi)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_zorder_range" -> (q181ZorderRange _))

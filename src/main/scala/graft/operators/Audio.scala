@@ -110,9 +110,10 @@ object Audio {
     * three passes become one (the [[Multimodal.imageAssets]] lever). */
   def audioAssets(spark: SparkSession, dir: String): Dataset[AudioAsset] = {
     import spark.implicits._
-    SignatureStage.stage(spark, dir, "audio_assets") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("n_chars"))
+    // fanout both sides — the [[Multimodal.imageAssets]] rationale
+    Tables.fanout(spark, SignatureStage.stage(spark, dir, "audio_assets") {
+      Tables.fanout(spark, Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .mapPartitions { it =>
           it.map { case (docId, nChars) =>
@@ -122,7 +123,7 @@ object Audio {
             AudioAsset(docId, bytes, rate, n)
           }
         }.toDF()
-    }.as[AudioAsset]
+    }.as[AudioAsset])
   }
 
   case class DecodedAudio(

@@ -69,9 +69,15 @@ object Cms {
   /** The sketch-and-audit over ANY (doc_id, text) frame — shared by
     * q169 and the `cms_sketch()` TVF. */
   private[graft] def cmsAudit(docs: DataFrame): DataFrame = {
+    // fan the corpus out before the shingle+md5 pipeline — the per-doc
+    // compute dominates this query and must not ride a single
+    // under-split scan task (Tables.fanout; q169 was the heaviest
+    // 10×-sweep absolute at 21.8 s BECAUSE the whole sf1 corpus
+    // shingled on one core)
+    val fanned = graft.core.Tables.fanout(docs.sparkSession, docs)
     // exact document frequency per shingle (shingleArray is distinct
     // per doc, so count(*) at (shingle) grain is the df)
-    val df = Dedup.shingles(docs)
+    val df = Dedup.shingles(fanned)
       .groupBy("s").agg(count(lit(1)).as("exact_df"))
     // d bucket columns from one md5: 16 bits per row, mod w
     val buckets = bucketCols(col("s")).zipWithIndex.map { case (c, r) => c.as(s"b$r") }
@@ -93,6 +99,26 @@ object Cms {
         (col("cms_est") - col("exact_df")).as("overcount"))
       .orderBy(col("exact_df").desc, col("shingle"))
       .limit(TopN)
+  }
+
+  /** Point-frequency PROBES of the sketch over ANY (doc_id, text)
+    * frame: the [[exactCells]] sketch built in-plan and read at
+    * `grams` — the batch serving shape of the q172 stream-maintained
+    * state (a CMS exists to answer "how often does THIS n-gram
+    * occur"), and the `cms_probe(...)` TVF body. Estimate = min of the
+    * key's d cells; a never-seen key reads 0 only when at least one of
+    * its d cells is empty (the usual one-sided CMS guarantee). */
+  private[graft] def probe(docs: DataFrame, grams: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probes = grams.toDF("shingle")
+      .select(col("shingle"),
+        posexplode(array(bucketCols(col("shingle")): _*)).as(Seq("r", "b")))
+      .select(col("shingle"), col("r").cast("long").as("r"), col("b"))
+    probes.join(exactCells(docs), Seq("r", "b"), "left")
+      .groupBy("shingle")
+      .agg(min(coalesce(col("cell"), lit(0L))).as("cms_est"))
+      .orderBy("shingle")
   }
 
   /** q169 — build the sketch over (doc, shingle) pairs, audit it

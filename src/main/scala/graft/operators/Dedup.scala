@@ -52,7 +52,11 @@ object Dedup {
   /** [[sigsOf]] over the corpus at `dir`, built once per corpus version
     * and cached via [[SignatureStage]]. */
   private[graft] def shingleSigs(spark: SparkSession, dir: String): DataFrame =
-    SignatureStage.stage(spark, dir, "shingle_sigs")(sigsOf(Tables.documents(spark, dir)))
+    SignatureStage.stage(spark, dir, "shingle_sigs")(
+      // fan out before the one-per-version signature build: tokenizing
+      // + hashing the whole corpus is the stage's only cost and must
+      // use every core, not the scan's row-group count (Tables.fanout)
+      sigsOf(Tables.fanout(spark, Tables.documents(spark, dir))))
 
   /** Bucket fan-out for the persisted exploded shingle table — sized to
     * the fixtures; a deployment sizes it to ~128-256 MB per bucket. */
@@ -526,7 +530,11 @@ object Dedup {
     * re-scored with the character-level signal: Levenshtein distance
     * over q160's normalized text (trim, whitespace-collapse, lowercase),
     * expressed as an integer similarity
-    * `(maxlen − dist) · 1e6 div maxlen` and bucketed into copy tiers.
+    * `(maxlen − dist) · 1e6 div greatest(maxlen, 1)` and bucketed into
+    * copy tiers (the greatest() guard keeps two empty/whitespace-only
+    * documents — Jaccard 1.0 via the empty shingle, maxlen 0 — from
+    * dividing by zero, which Spark answers with NULL and DuckDB with an
+    * error: the q177 denominator convention).
     *
     * Scale shape: the corpus never self-joins here — the expensive
     * O(L²)-per-pair verify runs ONLY on the LSH-blocked, Jaccard-
@@ -555,7 +563,8 @@ object Dedup {
       .join(norm.select(col("doc_id").as("d2"), col("nx").as("nx2")), Seq("d2"))
       .withColumn("maxlen", greatest(length(col("nx1")), length(col("nx2"))).cast("long"))
       .withColumn("edit_dist", levenshtein(col("nx1"), col("nx2")).cast("long"))
-      .withColumn("edit_sim_micro", expr("(maxlen - edit_dist) * 1000000 div maxlen"))
+      .withColumn("edit_sim_micro",
+        expr("(maxlen - edit_dist) * 1000000 div greatest(maxlen, 1)"))
       .select(
         col("d1"), col("d2"), col("jaccard"), col("edit_dist"), col("edit_sim_micro"),
         when(col("edit_sim_micro") >= EditNearExactMicros, lit("near_exact"))
@@ -627,7 +636,13 @@ object Dedup {
       .withColumn("edit_dist",
         expr("levenshtein(n1, n2, CAST(dmax AS INT))").cast("long"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= col("dmax"))
-      .withColumn("sim_micro", expr("(maxlen - edit_dist) * 1000000 div maxlen"))
+      .withColumn("sim_micro",
+        expr("(maxlen - edit_dist) * 1000000 div greatest(maxlen, 1)"))
+      // redundant with the dmax band for maxlen ≥ 1, but REQUIRED for
+      // maxlen = 0 (two empty normalized texts): dmax = 0 admits that
+      // pair while sim_micro = 0 is below the floor — the oracle's
+      // WHERE drops it, so this filter keeps the engines identical
+      .filter(col("sim_micro") >= SnSimFloorMicros)
       .select("d1", "d2", "edit_dist", "sim_micro")
       .orderBy("d1", "d2")
   }
@@ -1387,9 +1402,9 @@ object Dedup {
          |    CAST(greatest(len(a.nx), len(b.nx)) AS BIGINT) AS maxlen
          |  FROM k a JOIN k b ON b.rk - a.rk BETWEEN 1 AND $SnWindow)
          |SELECT d1, d2, edit_dist,
-         |  (maxlen - edit_dist) * 1000000 // maxlen AS sim_micro
+         |  (maxlen - edit_dist) * 1000000 // greatest(maxlen, 1) AS sim_micro
          |FROM pairs
-         |WHERE (maxlen - edit_dist) * 1000000 // maxlen >= $SnSimFloorMicros
+         |WHERE (maxlen - edit_dist) * 1000000 // greatest(maxlen, 1) >= $SnSimFloorMicros
          |ORDER BY d1, d2""".stripMargin,
     // q171: the q27 pair CTEs + the same normalization as q160 + DuckDB's
     // levenshtein (plain character-level edit distance on both engines;
@@ -1409,10 +1424,12 @@ object Dedup {
          |    CAST(greatest(len(a.nx), len(b.nx)) AS BIGINT) AS maxlen
          |  FROM j JOIN nt a ON j.d1 = a.doc_id JOIN nt b ON j.d2 = b.doc_id)
          |SELECT d1, d2, jaccard, edit_dist,
-         |  (maxlen - edit_dist) * 1000000 // maxlen AS edit_sim_micro,
-         |  CASE WHEN (maxlen - edit_dist) * 1000000 // maxlen >= $EditNearExactMicros
+         |  (maxlen - edit_dist) * 1000000 // greatest(maxlen, 1) AS edit_sim_micro,
+         |  CASE WHEN (maxlen - edit_dist) * 1000000 // greatest(maxlen, 1)
+         |           >= $EditNearExactMicros
          |         THEN 'near_exact'
-         |       WHEN (maxlen - edit_dist) * 1000000 // maxlen >= $EditHighMicros
+         |       WHEN (maxlen - edit_dist) * 1000000 // greatest(maxlen, 1)
+         |           >= $EditHighMicros
          |         THEN 'high'
          |       ELSE 'moderate' END AS tier
          |FROM e ORDER BY d1, d2""".stripMargin,

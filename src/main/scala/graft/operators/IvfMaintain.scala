@@ -50,7 +50,14 @@ object IvfMaintain {
     // the frozen index: trained on v1 ONCE per corpus version (at
     // deployment this is the existing index — the maintenance path
     // never retrains it)
-    val cents = KMeans.trainedCentroidsOf(spark, dir, "v1", q.filter(isV1))
+    maintainOver(q, KMeans.trainedCentroidsOf(spark, dir, "v1", q.filter(isV1)))
+  }
+
+  /** The maintenance report over ANY quantized (vec_id, em) frame and
+    * a frozen centroid set — q170's body and (through
+    * [[maintainFromEmbeddings]]) the `ivf_maintain()` TVF's. */
+  private[graft] def maintainOver(
+      q: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
     def report(slice: DataFrame, n: String, d: String): DataFrame =
       KMeans.assigned(slice, cents)
         .groupBy(col("cluster").cast("long").as("cluster"))
@@ -67,6 +74,16 @@ object IvfMaintain {
       .withColumn("drift",
         col("d_sum_added_micro") * col("n_v1") > col("d_sum_v1_micro") * col("n_added") * 2)
       .orderBy("cluster")
+  }
+
+  /** [[maintainOver]] from a raw embeddings frame, the frozen index
+    * trained on its v1 slice AT RESOLUTION TIME (uncached — a TVF has
+    * no corpus dir to key the version cache; the `sem_dedup` TVF's
+    * resolution-time-fit convention, heavier here by the [[KMeans]]
+    * training rounds and documented as such). */
+  private[graft] def maintainFromEmbeddings(emb: DataFrame): DataFrame = {
+    val q = KMeans.quantizedOf(emb)
+    maintainOver(q, KMeans.trainOn(q.filter(isV1)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

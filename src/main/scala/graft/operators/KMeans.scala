@@ -317,20 +317,25 @@ object KMeans {
   private val sliceCentCache = scala.collection.mutable.Map
     .empty[(String, String, String, String), Seq[(Int, Array[Long])]]
 
+  /** The [[Iters]]-round training loop over ANY quantized (vec_id, em)
+    * frame, uncached — [[trainedCentroidsOf]]'s body, also run at
+    * TVF-resolution time where no corpus dir exists to key a cache. */
+  private[graft] def trainOn(input: DataFrame): Seq[(Int, Array[Long])] = {
+    val q = input.persist()
+    try {
+      var cents = seedCentroids(q, K)
+      (1 to Iters).foreach { _ => cents = updateCentroids(assigned(q, cents)) }
+      cents
+    } finally { q.unpersist(); () }
+  }
+
   private[graft] def trainedCentroidsOf(
       spark: SparkSession, dir: String, tag: String,
       input: => DataFrame): Seq[(Int, Array[Long])] =
     synchronized {
       val version = graft.core.TableVersion.signature(spark, dir, "embeddings.parquet")
       sliceCentCache.getOrElseUpdate(
-        (spark.sparkContext.applicationId, dir, version, tag), {
-          val q = input.persist()
-          try {
-            var cents = seedCentroids(q, K)
-            (1 to Iters).foreach { _ => cents = updateCentroids(assigned(q, cents)) }
-            cents
-          } finally { q.unpersist(); () }
-        })
+        (spark.sparkContext.applicationId, dir, version, tag), trainOn(input))
     }
 
   private def oracleSql: String = {

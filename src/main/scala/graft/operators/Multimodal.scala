@@ -136,9 +136,14 @@ object Multimodal {
     * cost of the family; staging turns three passes into one. */
   def imageAssets(spark: SparkSession, dir: String): Dataset[ImageAsset] = {
     import spark.implicits._
-    SignatureStage.stage(spark, dir, "image_assets") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("n_chars"))
+    // fanout on BOTH sides of the stage: the build so the one-time
+    // encode pass uses every core, and the staged READ because small
+    // staged files pack back into few scan partitions
+    // (files.maxPartitionBytes packs by size) while the decode passes
+    // downstream are the family's dominant per-row cost (Tables.fanout)
+    Tables.fanout(spark, SignatureStage.stage(spark, dir, "image_assets") {
+      Tables.fanout(spark, Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .mapPartitions { it =>
           // one codec context per partition; ImageIO registry lookup and
@@ -150,7 +155,7 @@ object Multimodal {
             ImageAsset(docId, bytes, fmt, w, h)
           }
         }.toDF()
-    }.as[ImageAsset]
+    }.as[ImageAsset])
   }
 
   case class DecodedImage(
@@ -432,9 +437,10 @@ object Multimodal {
     * pass runs once per (corpus dir, content version). */
   def videoAssets(spark: SparkSession, dir: String): Dataset[VideoAsset] = {
     import spark.implicits._
-    SignatureStage.stage(spark, dir, "video_assets") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("n_chars"))
+    // fanout both sides — the [[imageAssets]] rationale
+    Tables.fanout(spark, SignatureStage.stage(spark, dir, "video_assets") {
+      Tables.fanout(spark, Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars")))
         .as[(Long, Long)]
         .mapPartitions { it =>
           // one GIF writer per partition: registry lookup + palette
@@ -446,7 +452,7 @@ object Multimodal {
             VideoAsset(docId, VideoFixture.encode(wr, docId, w, h, nf), w, h, nf)
           }
         }.toDF()
-    }.as[VideoAsset]
+    }.as[VideoAsset])
   }
 
   case class VideoSample(

@@ -32,15 +32,29 @@ import graft.functions.QuantileSketchAgg
   * audit-only, like every gate's exact twin. */
 object QuantileSketch {
 
-  /** Audited percentiles and the rank tolerance: ±(n/20 + 1) — the
-    * generous worst-case budget; the fixtures measure far tighter. */
+  /** Audited percentiles. The rank tolerance is the LARGER of a fixed
+    * ±(n/20 + 1) floor and the sketch's own documented worst-case
+    * bound ±(n·levels/K) with K = [[QuantileSketchAgg.K]] and
+    * levels = ⌊log₂(n/K)⌋ + 1 computed integer-exactly as
+    * `length(bin(greatest(n div K, 1)))`. The floor dominates while
+    * levels ≤ K/20 ≈ 12.8 (n per group up to K·2¹² ≈ 1M); beyond that
+    * crossover the bound term takes over, so the gate can never
+    * hash-fail on a sketch that meets its stated guarantee — the r9
+    * formulation (floor only) would have, once n per event_type
+    * passed ~2M. */
   val Pcts = Seq(50, 90, 99)
 
   private def cents = floor(col("value") * 100 + lit(0.5)).cast("long").as("cents")
 
   def q182QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val ev = Tables.events(spark, dir).select(col("event_type"), cents)
+    gateOver(Tables.events(spark, dir))
+  }
+
+  /** The full sketch-vs-exact gate over ANY raw events frame — q182's
+    * body and the `quantile_sketch()` TVF's. */
+  private[graft] def gateOver(evRaw: DataFrame): DataFrame = {
+    val ev = evRaw.select(col("event_type"), cents)
     // one sketch pass per event type
     val estWide = ev.groupBy("event_type")
       .agg(QuantileSketchAgg.mrl_quantiles(col("cents"), Pcts).as("est"))
@@ -81,7 +95,10 @@ object QuantileSketch {
         sum(when(col("cents") < col("est_v"), 1L).otherwise(0L)).as("cnt_lt"))
     val verdicts = exact.join(ranks, Seq("event_type", "pct"))
       .withColumn("target", expr("(n * pct + 99) div 100"))
-      .withColumn("tol", expr("n div 20 + 1"))
+      .withColumn("tol", expr(
+        s"greatest(n div 20 + 1, " +
+          s"(n * length(bin(greatest(n div ${QuantileSketchAgg.K}, 1)))) " +
+          s"div ${QuantileSketchAgg.K})"))
       .withColumn("rank_err",
         greatest(lit(0L),
           greatest(col("cnt_lt") + 1 - col("target"), col("target") - col("cnt_le"))))

@@ -41,7 +41,7 @@ object AssignStream {
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir)
       .select(col("vec_id"), transform(col("embedding"), KMeans.quantizeCol _).as("em"))
-    val scored = KMeans.assigned(stream, cents)
+    val scored = KMeans.assigned(graft.core.Tables.fanout(spark, stream), cents)
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("d"))
     EventStream.drainToFiles(spark, scored).orderBy("vec_id")
   }

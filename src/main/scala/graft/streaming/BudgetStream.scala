@@ -78,7 +78,7 @@ object BudgetStream {
       .schema(DedupStream.docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    val admitted = stream
+    val admitted = graft.core.Tables.fanout(spark, stream)
       .select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
       .as[DocTok]

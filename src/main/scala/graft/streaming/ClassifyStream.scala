@@ -30,17 +30,22 @@ object ClassifyStream {
   def q152StreamNbQuality(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     // batch-train, truncate to the K largest-|w| tokens (bounded collect
-    // by construction), ship both the weights and the prior as literals
-    val topW: Map[String, Long] = Classify.truncatedModel(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val prior: Long = Classify.priorMicroOf(spark, dir)
+    // by construction), ship both the weights and the prior as literals.
+    // Trained once per CORPUS VERSION (ModelCache) — the production
+    // model lifetime; re-training per drain was fixture-only overhead.
+    val (topW: Map[String, Long], prior: Long) =
+      graft.core.ModelCache.perVersion(spark, dir, "documents.parquet", "nbTruncated") {
+        (Classify.truncatedModel(spark, dir)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+          Classify.priorMicroOf(spark, dir))
+      }
     val modelLit = typedLit(topW)
     val stream = spark.readStream
       .schema(DedupStream.docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
     val toks = TextOps.tokens(coalesce(col("text"), lit("")))
-    val scored = stream.select(
+    val scored = graft.core.Tables.fanout(spark, stream).select(
       col("doc_id"), col("source"),
       size(toks).cast("long").as("n_tokens"),
       (lit(prior) + aggregate(
@@ -77,7 +82,7 @@ object ClassifyStream {
     val toks = TextOps.tokens(coalesce(col("text"), lit("")))
     val filler = size(filter(toks,
       t => Classify.FillerTokens.map(lit(_) === t).reduce(_ || _)))
-    val counts = stream
+    val counts = graft.core.Tables.fanout(spark, stream)
       .select(toks.as("toks"),
         (filler * Classify.FillerMax <= size(toks)).as("hq"))
       .select(explode(col("toks")).as("token"), col("hq"))

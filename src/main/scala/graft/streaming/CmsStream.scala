@@ -81,7 +81,7 @@ object CmsStream {
       .schema(DedupStream.docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    val increments = stream
+    val increments = graft.core.Tables.fanout(spark, stream)
       .select(explode(Dedup.shingleArray(coalesce(col("text"), lit("")))).as("s"))
       .select(posexplode(array(Cms.bucketCols(col("s")): _*)).as(Seq("r", "b")))
       .select((col("r") * Cms.W + col("b")).cast("int").as("cell"))

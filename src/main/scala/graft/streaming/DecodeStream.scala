@@ -36,7 +36,7 @@ object DecodeStream {
       .schema(DedupStream.docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    val decoded = stream
+    val decoded = graft.core.Tables.fanout(spark, stream)
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .mapPartitions { it =>

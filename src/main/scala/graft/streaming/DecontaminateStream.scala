@@ -54,19 +54,29 @@ object DecontaminateStream {
         .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
         .getOrElse(Dedup.BroadcastShingleLimit),
       Int.MaxValue - 1L).toInt
-    val evalHashes = Dedup.shingleSigs(spark, dir).filter(isEval)
-      .select(explode(col("hs")).as("h")).distinct()
-      .as[Long].limit(limit + 1).collect()
-    require(evalHashes.length <= limit,
-      s"eval shingle set exceeds the $limit-hash broadcast guard — " +
-        "use the batch path (q62) for an eval set this large")
-    java.util.Arrays.sort(evalHashes)
+    // built once per CORPUS VERSION (ModelCache): the probe set is the
+    // shipped artifact of an offline job in production — rebuilding the
+    // explode+distinct+sort per drain was fixture-only overhead
+    val evalHashes: Array[Long] =
+      graft.core.ModelCache.perVersion(spark, dir, "documents.parquet",
+          s"decontamProbe-$limit") {
+        val hs = Dedup.shingleSigs(spark, dir).filter(isEval)
+          .select(explode(col("hs")).as("h")).distinct()
+          .as[Long].limit(limit + 1).collect()
+        require(hs.length <= limit,
+          s"eval shingle set exceeds the $limit-hash broadcast guard — " +
+            "use the batch path (q62) for an eval set this large")
+        java.util.Arrays.sort(hs)
+        hs
+      }
     val evalBc = spark.sparkContext.broadcast(evalHashes)
     val stream = spark.readStream
       .schema(DedupStream.docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    val screened = stream
+    // fan out before the per-doc shingle+hash+binary-search screen (the
+    // micro-batch's dominant cost — see Tables.fanout)
+    val screened = graft.core.Tables.fanout(spark, stream)
       .filter(col("doc_id") % Dedup.EvalDocModulus =!= 0)
       .select(col("doc_id"),
         VectorFunctions.sorted_set_count(

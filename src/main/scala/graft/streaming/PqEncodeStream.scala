@@ -45,7 +45,7 @@ object PqEncodeStream {
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir)
       .select(col("vec_id"), transform(col("embedding"), KMeans.quantizeCol _).as("em"))
-    val encoded = Pq.encodeColumns(stream, book)
+    val encoded = Pq.encodeColumns(graft.core.Tables.fanout(spark, stream), book)
     EventStream.drainToFiles(spark, encoded).orderBy("vec_id")
   }
 

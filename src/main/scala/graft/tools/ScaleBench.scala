@@ -117,7 +117,32 @@ object ScaleBench {
     // like a sort), and the quantile-sketch gates (one partial-agged
     // sketch pass + the audit recount; stream twin adds micro-batch
     // drain overhead only)
-    "q181_zorder_range", "q182_quantile_sketch", "q183_stream_quantiles")
+    "q181_zorder_range", "q182_quantile_sketch", "q183_stream_quantiles",
+    // round-10 widening (round-9 verdict item 4: the sweep is the only
+    // scale evidence the driver records; ≥80 entries). The previously
+    // un-swept r9 families first: the keyed-PRF DP release (one grouped
+    // aggregate + noise columns), the langid confusion matrix (two
+    // map-only scores + one confusion aggregate), and the EB-shrunk
+    // source quality table (sources-sized jobs — must be ~flat in
+    // corpus size beyond the scan)
+    "q178_dp_release", "q179_langid_confusion", "q180_source_quality_shrunk",
+    // the rest of the dedup/media/index families' production paths
+    "q160_normalized_dedup", "q149_incremental_dhash", "q111_audio_frames",
+    "q123_split_leakage", "q165_source_containment", "q162_nprobe_sweep",
+    "q24_dedup_exact", "q30_ann_lsh", "q43_ann_ivf",
+    // the text-analysis family: per-doc map scoring + vocabulary-sized
+    // shuffles — each must scale with the corpus scan
+    "q21_text_stats", "q45_lang_id", "q54_tfidf", "q47_token_bpe",
+    "q62_decontaminate", "q70_bm25", "q78_unigram_logprob",
+    "q90_heavy_hitters", "q42_approx_distinct", "q67_pii_redact",
+    "q68_repetition", "q73_boilerplate", "q94_novelty",
+    // the remaining streaming drains: micro-batch machinery is a fixed
+    // per-drain cost, so the swept ratio isolates the per-row and
+    // state-commit growth
+    "q34_stream_windows", "q48_stream_dedup", "q56_stream_dedup_bounded",
+    "q79_stream_enrich", "q98_stream_funnel", "q108_stream_jsonl_ingest",
+    "q135_stream_assign", "q141_stream_pq_encode", "q161_stream_anomaly",
+    "q166_stream_nb_train")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Beyond-fixture validation of the flagship near-dup chain (round-9
+  * verdict item 6): run the PRODUCTION dedup pipeline end-to-end at the
+  * 10× [[ScaleDataGen]] tree — q27 (LSH-blocked, Jaccard-verified
+  * pairs) → q38 (connected components + keeper election) → q171
+  * (edit-distance verify tier), plus q49's IVF-bucketed embedding
+  * pairs — and assert the chain's own invariants hold at that scale:
+  *
+  *   - sub-quadratic blocking: the verified pair list stays ≪ n²/2 (a
+  *     blown-up LSH regime shows here first);
+  *   - verify floor: every admitted pair sits at or above the 0.6
+  *     Jaccard threshold the chain promises;
+  *   - closure/election: every doc in the pair graph gets exactly one
+  *     keeper, keepers are group minima (keeper ≤ doc_id everywhere),
+  *     and each group's keeper claims itself;
+  *   - verify-tier coverage: q171 re-scores EXACTLY the q27 pair list
+  *     (same cardinality) and its tier floors hold;
+  *   - embedding path: every IVF-bucketed pair clears the cosine
+  *     threshold recomputed in-plan, and the pair list stays
+  *     sub-quadratic in the vector count.
+  *
+  * Emits one JSON line and writes `SCALE_VALIDATE.json`; exits nonzero
+  * on any failed gate. Run after `ScaleDataGen`:
+  * {{{
+  *   sbt "runMain graft.tools.ScaleDataGen"
+  *   sbt "runMain graft.tools.ScaleValidate"
+  * }}}
+  */
+object ScaleValidate {
+
+  def main(args: Array[String]): Unit = {
+    val sf1 = args.headOption.getOrElse("/tmp/graft-sf1")
+    if (!new java.io.File(sf1).isDirectory) {
+      System.err.println(s"[scalevalidate] $sf1 missing — run ScaleDataGen first")
+      sys.exit(2)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scale-validate")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val checks = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    val stats = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def gate(name: String)(ok: Boolean): Unit = {
+      checks(name) = ok
+      if (!ok) System.err.println(s"[scalevalidate] GATE FAILED: $name")
+    }
+
+    val nDocs = graft.core.Tables.documents(spark, sf1).count()
+    stats("n_docs") = nDocs
+
+    // q27: the production pair list. Sub-quadratic bound: at most 20
+    // pairs per document on a corpus whose planted duplication rate is
+    // ~10% — orders of magnitude under n²/2; a degenerate LSH regime
+    // (one giant bucket) blows straight past it.
+    val pairs = graft.operators.Dedup.q27MinhashLsh(spark, sf1).cache()
+    val nPairs = pairs.count()
+    stats("n_pairs") = nPairs
+    gate("pairs_subquadratic")(nPairs <= 20L * nDocs)
+    gate("pairs_nonempty")(nPairs > 0)
+    val jMin = pairs.agg(min(col("jaccard"))).collect()(0).getDouble(0)
+    gate("verify_floor_0.6")(jMin >= 0.6)
+
+    // q38: closure + keeper election over the same pair list.
+    val applied = graft.operators.Dedup.q38DedupApply(spark, sf1).cache()
+    val nInGraph = applied.count()
+    stats("n_docs_in_pair_graph") = nInGraph
+    val nClusters = applied.select("keeper").distinct().count()
+    stats("n_clusters") = nClusters
+    gate("keeper_is_group_min")(
+      applied.filter(col("keeper") > col("doc_id")).count() == 0)
+    gate("every_keeper_claims_itself")(
+      applied.filter(col("is_keeper")).count() == nClusters)
+    gate("graph_covers_pair_endpoints")(
+      nInGraph >= pairs.select(explode(array(col("d1"), col("d2")))).distinct().count())
+
+    // q171: the edit-verify tier re-scores EXACTLY the q27 list.
+    val verified = graft.operators.Dedup.q171EditVerifiedDedup(spark, sf1).cache()
+    val nVerified = verified.count()
+    stats("n_edit_verified") = nVerified
+    gate("verify_tier_covers_pairs")(nVerified == nPairs)
+    val tierOk = verified.agg(
+      sum(when(col("tier") === "near_exact" &&
+        col("edit_sim_micro") < graft.operators.Dedup.EditNearExactMicros, 1L)
+        .otherwise(0L)).as("bad")).collect()(0).getLong(0)
+    gate("tier_floors_hold")(tierOk == 0)
+    stats("n_near_exact") =
+      verified.filter(col("tier") === "near_exact").count()
+
+    // q49 production path: IVF-bucketed embedding near-dup pairs.
+    val emb = graft.core.Tables.embeddings(spark, sf1)
+    val nVecs = emb.count()
+    stats("n_vecs") = nVecs
+    val vecPairs = graft.operators.Similarity.ivfNearDupPairs(
+      emb,
+      graft.operators.IvfIndex.centroids(spark, sf1,
+        graft.operators.Similarity.semClustersFor(nVecs)),
+      graft.operators.Similarity.NearDupThreshold).cache()
+    val nVecPairs = vecPairs.count()
+    stats("n_vec_pairs") = nVecPairs
+    gate("vec_pairs_subquadratic")(nVecPairs <= 20L * nVecs)
+    // in-plan threshold recount: join the embeddings back and recompute
+    // the cosine — every admitted pair must clear the floor
+    val e1 = emb.select(col("vec_id").as("v1"), col("embedding").as("x1"))
+    val e2 = emb.select(col("vec_id").as("v2"), col("embedding").as("x2"))
+    val below = vecPairs.join(e1, Seq("v1")).join(e2, Seq("v2"))
+      .filter(graft.operators.Similarity.cosine(col("x1"), col("x2"))
+        < graft.operators.Similarity.NearDupThreshold)
+      .count()
+    gate("vec_pairs_clear_threshold")(below == 0)
+
+    val ok = checks.values.forall(identity)
+    val line =
+      s"""{"metric":"scale_validate","ok":$ok,"sf1_dir":"$sf1",""" +
+        s""""stats":{${stats.map { case (k, v) => s"\"$k\":$v" }.mkString(",")}},""" +
+        s""""gates":{${checks.map { case (k, v) => s"\"$k\":$v" }.mkString(",")}}}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALE_VALIDATE.json"), line + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

@@ -271,18 +271,21 @@ class PlanAuditSpec extends SparkSpec {
 
   test("image dHash is map-only fingerprinting: one aggregation shuffle plus the output sort (q139)") {
     val (df, _) = executed("q139_image_dhash")
-    // decode + hash ride the scan partitions; the only data movement is
-    // the (hash)-grain aggregate and the bounded output sort
+    // decode + hash ride the (fanned-out) scan partitions; data movement
+    // is the scan fan-out (RoundRobin, raw-bytes-sized — Tables.fanout),
+    // the (hash)-grain aggregate and the bounded output sort. Any MORE
+    // than that means a pairwise join or a global sort crept in.
     val exchanges = BucketedLayout.collectExchanges(df.queryExecution.executedPlan)
-    assert(exchanges.length <= 2,
+    assert(exchanges.length <= 3,
       s"q139: ${exchanges.length} exchanges — fingerprinting must stay map-side")
   }
 
   test("audio/video fingerprint dedup stays map-side like the image path (q153, q158)") {
     Seq("q153_audio_fp_dedup", "q158_video_fp_dedup").foreach { q =>
       val (df, _) = executed(q)
+      // ≤ 3: the q139 budget (fan-out + aggregate + output sort)
       val exchanges = BucketedLayout.collectExchanges(df.queryExecution.executedPlan)
-      assert(exchanges.length <= 2,
+      assert(exchanges.length <= 3,
         s"$q: ${exchanges.length} exchanges — fingerprinting must stay map-side")
     }
   }

@@ -389,4 +389,38 @@ class TableFunctionsSpec extends SparkSpec {
     assert(sh.columns.toSeq == Seq("source", "n_docs", "n_hq",
       "raw_rate_micro", "global_rate_micro", "shrunk_rate_micro"))
   }
+
+  test("quantile_sketch / z_range / cms_probe / ivf_maintain TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    val qsk = spark.sql("SELECT * FROM quantile_sketch()")
+    assert(rows(qsk) == rows(graft.operators.QuantileSketch.q182QuantileSketch(spark, sf)))
+    assert(qsk.columns.toSeq == Seq("event_type", "n_events",
+      "exact_p50_cents", "ok_p50", "exact_p90_cents", "ok_p90",
+      "exact_p99_cents", "ok_p99"))
+    // z_range over the RAW named table must agree with the q181 gate
+    // over the z-ordered copy at the same band — layout never changes
+    // answers, which is exactly q181's contract
+    import graft.layout.ZOrderLayout
+    val zr = spark.sql(s"SELECT * FROM z_range(${ZOrderLayout.UserLo}, " +
+      s"${ZOrderLayout.UserHi}, ${ZOrderLayout.CentsLo}, ${ZOrderLayout.CentsHi})")
+    assert(rows(zr) == rows(ZOrderLayout.q181ZorderRange(spark, sf)))
+    assert(zr.columns.toSeq ==
+      Seq("n_events", "n_users", "sum_cents", "min_cents", "max_cents"))
+    // cms_probe: the audit's top shingle must read back its own audited
+    // estimate; a fabricated never-seen gram must read a cell floor
+    // that is at most any real cell it collides into (≥ 0 always)
+    val top = graft.operators.Cms.q169CmsSketch(spark, sf).collect()(0)
+    val esc = top.getString(0).replace("'", "''")
+    val probed = spark.sql(s"SELECT * FROM cms_probe('$esc')").collect()(0)
+    assert(probed.getString(0) == top.getString(0))
+    assert(probed.getLong(1) == top.getLong(2),
+      s"cms_probe(${top.getString(0)}) = ${probed.getLong(1)}, audit said ${top.getLong(2)}")
+    val never = spark.sql(
+      "SELECT * FROM cms_probe('zz-never-seen-gram-zz')").collect()(0)
+    assert(never.getLong(1) >= 0L)
+    val iv = spark.sql("SELECT * FROM ivf_maintain()")
+    assert(rows(iv) == rows(graft.operators.IvfMaintain.q170IncrementalIvf(spark, sf)))
+    assert(iv.columns.toSeq == Seq("cluster", "n_v1", "d_sum_v1_micro",
+      "n_added", "d_sum_added_micro", "drift"))
+  }
 }
