@@ -49,8 +49,12 @@ object SparkEntry {
       operators.Propagate.queries ++
       operators.Cms.queries ++
       operators.IvfMaintain.queries ++
+      operators.Taxonomy.queries ++
+      operators.Cdc.queries ++
+      operators.HllRollup.queries ++
       layout.BucketedLayout.queries ++
       layout.ZOrderLayout.queries ++
+      layout.PartitionedEventsLayout.queries ++
       sources.JsonlIngest.queries ++
       streaming.EventStream.queries ++
       streaming.FunnelStream.queries ++
@@ -66,7 +70,8 @@ object SparkEntry {
       streaming.DecodeStream.queries ++
       streaming.DecontaminateStream.queries ++
       streaming.CmsStream.queries ++
-      streaming.QuantileStream.queries
+      streaming.QuantileStream.queries ++
+      streaming.CdcStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -98,8 +103,12 @@ object SparkEntry {
       operators.Propagate.oracles ++
       operators.Cms.oracles ++
       operators.IvfMaintain.oracles ++
+      operators.Taxonomy.oracles ++
+      operators.Cdc.oracles ++
+      operators.HllRollup.oracles ++
       layout.BucketedLayout.oracles ++
       layout.ZOrderLayout.oracles ++
+      layout.PartitionedEventsLayout.oracles ++
       sources.JsonlIngest.oracles ++
       streaming.EventStream.oracles ++
       streaming.FunnelStream.oracles ++
@@ -115,5 +124,6 @@ object SparkEntry {
       streaming.DecodeStream.oracles ++
       streaming.DecontaminateStream.oracles ++
       streaming.CmsStream.oracles ++
-      streaming.QuantileStream.oracles
+      streaming.QuantileStream.oracles ++
+      streaming.CdcStream.oracles
 }

@@ -61,6 +61,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM z_range(5, 15, 10000, 20000)
   *   SELECT * FROM cms_probe('the quick brown fox jumps')
   *   SELECT * FROM ivf_maintain() WHERE drift
+  *   SELECT * FROM topic_tag() WHERE topic = 'none'
+  *   SELECT * FROM cdc_apply() WHERE alive
+  *   SELECT * FROM hll_rollup()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -689,6 +692,30 @@ object TableFunctions {
             spark.table("embeddings")))
         case _ => throw new IllegalArgumentException(
           "ivf_maintain expects no arguments")
+      }
+    },
+    "topic_tag" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Taxonomy.tagged(spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "topic_tag expects no arguments")
+      }
+    },
+    "cdc_apply" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Cdc.applyOver(spark.table("events")))
+        case _ => throw new IllegalArgumentException(
+          "cdc_apply expects no arguments")
+      }
+    },
+    "hll_rollup" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.HllRollup.rollupOver(spark.table("events")))
+        case _ => throw new IllegalArgumentException(
+          "hll_rollup expects no arguments")
       }
     })
 

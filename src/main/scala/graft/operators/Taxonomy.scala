@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sessions, Tables}
+
+/** Lexicon-based TAXONOMY TAGGING (SURVEY §2.9 text-analysis family):
+  * assign every document a topic from small curated keyword lexicons —
+  * the curation step a training-data pipeline runs to balance a corpus
+  * by domain (code/law/medicine/news quotas) before mixing, and the
+  * cheap first-pass router in front of expensive classifier tiers
+  * (the q151 NB family scores ONE quality axis; this fans documents
+  * into N domains with zero training).
+  *
+  * Scale shape: the lexicons are broadcast literals (a few hundred
+  * words at production size); scoring is per-row array arithmetic over
+  * the token array — map-only, no shuffle until the (source × topic)
+  * report aggregate, whose cardinality is |sources|·|topics|. The
+  * firehose never moves.
+  *
+  * Determinism contract: hits count token OCCURRENCES (not distinct
+  * types); ties break by the FIXED topic declaration order via a
+  * `>=`-chain (first listed wins), so the label is a pure function of
+  * the token multiset on both engines — no float, no hash.
+  *
+  * Reference scope: the reference's text handling stops at LIKE/regex
+  * filters (`sql/sample_athena_queries.sql:33-44`); taxonomy routing is
+  * the §2.9 extension family's curation leg.
+  */
+object Taxonomy {
+
+  /** Topic lexicons in TIE-BREAK ORDER (first listed wins a tie). The
+    * fixture vocabulary is the synthetic query-engine wordlist, so the
+    * lexicons partition it the way a real deployment's domain lists
+    * partition natural text. */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "query" -> Seq("scan", "filter", "join", "agg", "group", "sort",
+      "order", "window", "query"),
+    "storage" -> Seq("table", "row", "column", "part", "batch", "data", "line"),
+    "perf" -> Seq("fast", "slow", "small", "big", "merge", "hash", "key", "value"))
+
+  /** Occurrence count of `lex` words in the token array. */
+  private def hits(toks: Column, lex: Seq[String]): Column =
+    size(filter(toks, t => lex.map(lit(_) === t).reduce(_ || _))).cast("long")
+
+  /** Per-document topic assignment over ANY (doc_id, source, text)
+    * frame — also the `topic_tag()` TVF body. Emits (doc_id, source,
+    * topic, topic_hits). */
+  private[graft] def tagged(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(coalesce(col("text"), lit("")))
+    val withHits = docs.select(
+      col("doc_id") +: col("source") +:
+        Lexicons.map { case (t, lex) => hits(toks, lex).as(s"h_$t") }: _*)
+    // first-listed-wins >=-chain, 'none' when every lexicon misses
+    val names = Lexicons.map(_._1)
+    val allZero = names.map(t => col(s"h_$t") === 0L).reduce(_ && _)
+    val pick = names.init.zipWithIndex.foldRight(lit(names.last): Column) {
+      case ((t, i), rest) =>
+        when(names.drop(i + 1).map(u => col(s"h_$t") >= col(s"h_$u")).reduce(_ && _),
+          lit(t)).otherwise(rest)
+    }
+    withHits.select(
+      col("doc_id"), col("source"),
+      when(allZero, lit("none")).otherwise(pick).as("topic"),
+      greatest(names.map(t => col(s"h_$t")): _*).as("topic_hits"))
+  }
+
+  /** q184 — the corpus TOPIC MIX: documents tagged per the lexicons,
+    * reported at (source, topic) grain with doc counts and total hits —
+    * the table a mixing step reads to enforce domain quotas. */
+  def q184TopicTag(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    tagged(Tables.documents(spark, dir))
+      .groupBy("source", "topic")
+      .agg(count(lit(1)).as("n_docs"), sum(col("topic_hits")).as("sum_hits"))
+      .orderBy("source", "topic")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_topic_tag" -> (q184TopicTag _))
+
+  /** Full value oracle: the same lexicons, occurrence counts and
+    * >=-chain tie-break replayed in SQL. */
+  val oracles: Map[String, String] = Map(
+    "q184_topic_tag" -> {
+      def lexList(lex: Seq[String]) = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+      val hitCols = Lexicons.map { case (t, lex) =>
+        s"len(list_filter(w, x -> list_contains(${lexList(lex)}, x))) AS h_$t"
+      }.mkString(",\n    ")
+      val names = Lexicons.map(_._1)
+      val allZero = names.map(t => s"h_$t = 0").mkString(" AND ")
+      val chain = names.init.zipWithIndex.map { case (t, i) =>
+        val geq = names.drop(i + 1).map(u => s"h_$t >= h_$u").mkString(" AND ")
+        s"WHEN $geq THEN '$t'"
+      }.mkString("\n      ")
+      val great = names.map(t => s"h_$t").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, source,
+         |    $hitCols
+         |  FROM t)
+         |SELECT source,
+         |  CASE WHEN $allZero THEN 'none'
+         |      $chain
+         |      ELSE '${names.last}' END AS topic,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(greatest($great)) AS BIGINT) AS sum_hits
+         |FROM h GROUP BY 1, 2 ORDER BY source, topic""".stripMargin
+    })
+}

@@ -423,4 +423,23 @@ class TableFunctionsSpec extends SparkSpec {
     assert(iv.columns.toSeq == Seq("cluster", "n_v1", "d_sum_v1_micro",
       "n_added", "d_sum_added_micro", "drift"))
   }
+
+  test("topic_tag / cdc_apply / hll_rollup TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    // topic_tag returns the per-doc grain; the q184 report is its
+    // (source, topic) aggregate — recomputed here through plain SQL
+    // over the TVF to prove composition
+    val viaTvf = spark.sql(
+      """SELECT source, topic, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(topic_hits) AS BIGINT) AS sum_hits
+        |FROM topic_tag() GROUP BY 1, 2 ORDER BY source, topic""".stripMargin)
+    assert(rows(viaTvf) == rows(graft.operators.Taxonomy.q184TopicTag(spark, sf)))
+    val cdc = spark.sql("SELECT * FROM cdc_apply() ORDER BY user_id")
+    assert(rows(cdc) == rows(graft.operators.Cdc.q185CdcApply(spark, sf)))
+    assert(cdc.columns.toSeq == Seq("user_id", "n_ops", "alive", "last_value_cents"))
+    val hll = spark.sql("SELECT * FROM hll_rollup()")
+    assert(rows(hll) == rows(graft.operators.HllRollup.q187HllRollup(spark, sf)))
+    assert(hll.columns.toSeq ==
+      Seq("scope", "n_exact", "est_within_bound", "merge_consistent"))
+  }
 }
