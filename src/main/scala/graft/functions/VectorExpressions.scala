@@ -430,6 +430,18 @@ object VectorFunctions {
   def deflate_ratio(text: Column): Column =
     GraftBridge.column(DeflateRatio(GraftBridge.expression(text)))
 
+  /** `shingle_xxhashes(text, k)` — distinct k-word shingle xxhash64
+    * signature in one codegen'd byte loop (the dedup family's hot
+    * inner stage; bit-identical to the composable
+    * `transform(shingleArray(text), xxhash64)` chain, spec-gated). */
+  def shingle_xxhashes(text: Column, k: Int = 5): Column =
+    // coalesce matches the composable chain's null semantics: its
+    // concat_ws swallows the null slice, so a NULL document yields the
+    // one-empty-shingle signature [xxhash64('')], not NULL
+    GraftBridge.column(ShingleXxhashes(
+      GraftBridge.expression(org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit(""))), k))
+
   /** `sign_buckets(vec)` against a constant plane set — all LSH table
     * buckets in one traversal; returns array<int> of length
     * planes.length / planesPerTable. */

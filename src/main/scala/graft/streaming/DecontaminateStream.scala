@@ -80,8 +80,7 @@ object DecontaminateStream {
       .filter(col("doc_id") % Dedup.EvalDocModulus =!= 0)
       .select(col("doc_id"),
         VectorFunctions.sorted_set_count(
-          transform(Dedup.shingleArray(coalesce(col("text"), lit(""))),
-            s => xxhash64(s)),
+          VectorFunctions.shingle_xxhashes(coalesce(col("text"), lit(""))),
           evalBc).as("n_shared"))
       .filter(col("n_shared") > 0)
     EventStream.drainToFiles(spark, screened).orderBy("doc_id")
