@@ -52,6 +52,7 @@ object SparkEntry {
       operators.Taxonomy.queries ++
       operators.Cdc.queries ++
       operators.HllRollup.queries ++
+      operators.Curriculum.queries ++
       layout.BucketedLayout.queries ++
       layout.ZOrderLayout.queries ++
       layout.PartitionedEventsLayout.queries ++
@@ -71,7 +72,8 @@ object SparkEntry {
       streaming.DecontaminateStream.queries ++
       streaming.CmsStream.queries ++
       streaming.QuantileStream.queries ++
-      streaming.CdcStream.queries
+      streaming.CdcStream.queries ++
+      streaming.RouteStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -106,6 +108,7 @@ object SparkEntry {
       operators.Taxonomy.oracles ++
       operators.Cdc.oracles ++
       operators.HllRollup.oracles ++
+      operators.Curriculum.oracles ++
       layout.BucketedLayout.oracles ++
       layout.ZOrderLayout.oracles ++
       layout.PartitionedEventsLayout.oracles ++
@@ -125,5 +128,6 @@ object SparkEntry {
       streaming.DecontaminateStream.oracles ++
       streaming.CmsStream.oracles ++
       streaming.QuantileStream.oracles ++
-      streaming.CdcStream.oracles
+      streaming.CdcStream.oracles ++
+      streaming.RouteStream.oracles
 }

@@ -80,21 +80,33 @@ object Taxonomy {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_topic_tag" -> (q184TopicTag _))
 
+  /** The per-document oracle CTEs (`h` with one h_<topic> column per
+    * lexicon, plus the tie-chain CASE) — shared by the q184 report
+    * oracle and the streaming router's per-doc oracle (q190). */
+  private[graft] def perDocOracleSql: (String, String, String) = {
+    def lexList(lex: Seq[String]) = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+    val hitCols = Lexicons.map { case (t, lex) =>
+      s"len(list_filter(w, x -> list_contains(${lexList(lex)}, x))) AS h_$t"
+    }.mkString(",\n    ")
+    val names = Lexicons.map(_._1)
+    val allZero = names.map(t => s"h_$t = 0").mkString(" AND ")
+    val chain = names.init.zipWithIndex.map { case (t, i) =>
+      val geq = names.drop(i + 1).map(u => s"h_$t >= h_$u").mkString(" AND ")
+      s"WHEN $geq THEN '$t'"
+    }.mkString("\n      ")
+    val topicCase =
+      s"""CASE WHEN $allZero THEN 'none'
+         |      $chain
+         |      ELSE '${names.last}' END""".stripMargin
+    val great = names.map(t => s"h_$t").mkString(", ")
+    (hitCols, topicCase, great)
+  }
+
   /** Full value oracle: the same lexicons, occurrence counts and
     * >=-chain tie-break replayed in SQL. */
   val oracles: Map[String, String] = Map(
     "q184_topic_tag" -> {
-      def lexList(lex: Seq[String]) = lex.map(w => s"'$w'").mkString("[", ", ", "]")
-      val hitCols = Lexicons.map { case (t, lex) =>
-        s"len(list_filter(w, x -> list_contains(${lexList(lex)}, x))) AS h_$t"
-      }.mkString(",\n    ")
-      val names = Lexicons.map(_._1)
-      val allZero = names.map(t => s"h_$t = 0").mkString(" AND ")
-      val chain = names.init.zipWithIndex.map { case (t, i) =>
-        val geq = names.drop(i + 1).map(u => s"h_$t >= h_$u").mkString(" AND ")
-        s"WHEN $geq THEN '$t'"
-      }.mkString("\n      ")
-      val great = names.map(t => s"h_$t").mkString(", ")
+      val (hitCols, topicCase, great) = perDocOracleSql
       s"""WITH t AS (
          |  SELECT doc_id, source,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -104,9 +116,7 @@ object Taxonomy {
          |    $hitCols
          |  FROM t)
          |SELECT source,
-         |  CASE WHEN $allZero THEN 'none'
-         |      $chain
-         |      ELSE '${names.last}' END AS topic,
+         |  $topicCase AS topic,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(greatest($great)) AS BIGINT) AS sum_hits
          |FROM h GROUP BY 1, 2 ORDER BY source, topic""".stripMargin
