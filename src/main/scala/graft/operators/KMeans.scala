@@ -60,9 +60,14 @@ object KMeans {
     quantizedOf(Tables.embeddings(spark, dir))
 
   /** The micro quantization over ANY (vec_id, embedding) frame — the
-    * frame-parametric entry the TVF surface uses. */
+    * frame-parametric entry the TVF surface uses. Fanned out first
+    * (Tables.fanout): every embedding-family pipeline starts here with
+    * per-row array math (quantize, distances, PQ encode), and the
+    * fixtures' one-row-group scan would otherwise run it all on one
+    * core. */
   private[graft] def quantizedOf(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), transform(col("embedding"), quantizeCol _).as("em"))
+    graft.core.Tables.fanout(emb.sparkSession, emb)
+      .select(col("vec_id"), transform(col("embedding"), quantizeCol _).as("em"))
 
   /** Sign-split half-away-from-zero rounding of a double column to
     * long: floor(y+0.5) for y ≥ 0, -floor(-y+0.5) otherwise. The one

@@ -704,7 +704,7 @@ object Similarity {
     // dim): Σq, Σq², row count (= the source's vector count, identical
     // at every dim); per source: aa = Σ_d (Σq)², bb = Σ_d Σq² (which IS
     // Σ_vec‖v̂‖²). A second scan / second quantization pass buys nothing.
-    emb
+    graft.core.Tables.fanout(emb.sparkSession, emb)
       .select(col("vec_id"), col("embedding")).join(src, Seq("vec_id"))
       .select(col("source"), posexplode(qv))
       .groupBy("source", "pos")

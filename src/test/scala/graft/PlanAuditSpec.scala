@@ -369,9 +369,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1,
       s"q174 must scan the embedding store exactly once (was 4 in the " +
         s"per-branch form) — got $scans\n$finalSec")
-    // chained same-partitioning windows: no per-dim re-shuffle
+    // chained same-partitioning windows: no per-dim re-shuffle. Budget:
+    // the scan fan-out (RoundRobin, Tables.fanout in quantizedOf) + the
+    // shared probe-keyed Exchange + the output sort — a FOURTH exchange
+    // would mean the per-dim re-shuffle crept back in
     val shuffles = raw"\bExchange \(\d+\)".r.findAllIn(finalSec).size
-    assert(shuffles <= 2,
+    assert(shuffles <= 3,
       s"q174: sweep ranks must share one probe-keyed Exchange — got $shuffles\n$finalSec")
     assert(finalSec.contains("BroadcastNestedLoopJoin"),
       s"q174: probe literals should attach as a broadcast\n$finalSec")
