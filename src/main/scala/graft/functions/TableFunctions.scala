@@ -64,6 +64,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM topic_tag() WHERE topic = 'none'
   *   SELECT * FROM cdc_apply() WHERE alive
   *   SELECT * FROM hll_rollup()
+  *   SELECT * FROM curriculum_shards()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -716,6 +717,16 @@ object TableFunctions {
           plan(spark => graft.operators.HllRollup.rollupOver(spark.table("events")))
         case _ => throw new IllegalArgumentException(
           "hll_rollup expects no arguments")
+      }
+    },
+    // resolution runs the global-rank sort eagerly (the ivf_maintain /
+    // sem_dedup resolution-time-job convention)
+    "curriculum_shards" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Curriculum.shardsOver(spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "curriculum_shards expects no arguments")
       }
     })
 

@@ -31,8 +31,15 @@ object Curriculum {
   /** q189 — the shard manifest of the quality-ordered corpus. */
   def q189CurriculumShards(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
+    shardsOver(Tables.documents(spark, dir))
+  }
+
+  /** The manifest over ANY (doc_id, text) frame — q189's body and the
+    * `curriculum_shards()` TVF's (whose resolution runs the global-rank
+    * sort eagerly, the ivf_maintain convention). */
+  private[graft] def shardsOver(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val scored = Tables.documents(spark, dir)
+    val scored = docs
       .select(
         col("doc_id"),
         size(toks).cast("double").as("n_tokens"),

@@ -441,5 +441,9 @@ class TableFunctionsSpec extends SparkSpec {
     assert(rows(hll) == rows(graft.operators.HllRollup.q187HllRollup(spark, sf)))
     assert(hll.columns.toSeq ==
       Seq("scope", "n_exact", "est_within_bound", "merge_consistent"))
+    val cur = spark.sql("SELECT * FROM curriculum_shards()")
+    assert(rows(cur) == rows(graft.operators.Curriculum.q189CurriculumShards(spark, sf)))
+    assert(cur.columns.toSeq ==
+      Seq("shard", "n_docs", "rank_lo", "rank_hi", "q_max", "q_min"))
   }
 }
