@@ -142,7 +142,7 @@ object Dedup {
     * derive from the one undirected intersection count. */
   def q165SourceContainment(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val srcSh = Tables.documents(spark, dir)
+    val srcSh = Tables.fanout(spark, Tables.documents(spark, dir))
       .select(col("source"), explode(shingleArray(col("text"))).as("s"))
       .distinct()
     val n = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
@@ -1009,7 +1009,9 @@ object Dedup {
     * grain. Strings, not xxhash64, because the md5 permutation hashes
     * must be oracle-replayable. */
   private def srcShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // fanned out before the shingle pass (Tables.fanout) — the string-
+    // shingle map stage must not ride a one-row-group scan task
+    Tables.fanout(spark, Tables.documents(spark, dir))
       .select(col("source"), explode(shingleArray(col("text"))).as("s"))
       .distinct()
 

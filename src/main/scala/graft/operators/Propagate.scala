@@ -54,7 +54,7 @@ object Propagate {
     // re-scans and re-tokenizes the CORPUS — the one thing a graph-sized
     // operator must never do more than once. The checkpoint itself is
     // doc-grain (doc_id, int64) — two longs per document.
-    val seeds = docs
+    val seeds = graft.core.Tables.fanout(docs.sparkSession, docs)
       .select(col("doc_id"), size(toks).cast("long").as("nt"),
         size(array_distinct(toks)).cast("long").as("nd"))
       .select(col("doc_id"),

@@ -44,7 +44,13 @@ object TextOps {
   def tokenStage(spark: SparkSession, dir: String): DataFrame =
     SignatureStage.stage(spark, dir, "tokens",
         Some(SignatureStage.BucketSpec(Seq("token"), 32))) {
-      tokenized(Tables.documents(spark, dir))
+      // fan out before the corpus tokenize (Tables.fanout): the cached
+      // stage inherits the BUILD's partitioning, so a one-row-group
+      // corpus would otherwise hand every stage consumer a
+      // single-partition cache (the bucketed PERSISTED form re-shuffles
+      // on its bucket columns regardless, so the fanout only ever adds
+      // build parallelism)
+      tokenized(Tables.fanout(spark, Tables.documents(spark, dir)))
     }
 
   /** The stage's tokenize pass over ANY (doc_id, text) frame —
