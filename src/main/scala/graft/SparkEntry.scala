@@ -53,9 +53,14 @@ object SparkEntry {
       operators.Cdc.queries ++
       operators.HllRollup.queries ++
       operators.Curriculum.queries ++
+      operators.Margin.queries ++
+      operators.Outlier.queries ++
+      operators.Mixture.queries ++
+      operators.Drift.queries ++
       layout.BucketedLayout.queries ++
       layout.ZOrderLayout.queries ++
       layout.PartitionedEventsLayout.queries ++
+      layout.IvfLayout.queries ++
       sources.JsonlIngest.queries ++
       streaming.EventStream.queries ++
       streaming.FunnelStream.queries ++
@@ -73,7 +78,9 @@ object SparkEntry {
       streaming.CmsStream.queries ++
       streaming.QuantileStream.queries ++
       streaming.CdcStream.queries ++
-      streaming.RouteStream.queries
+      streaming.RouteStream.queries ++
+      streaming.OutlierStream.queries ++
+      streaming.DriftStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -109,9 +116,14 @@ object SparkEntry {
       operators.Cdc.oracles ++
       operators.HllRollup.oracles ++
       operators.Curriculum.oracles ++
+      operators.Margin.oracles ++
+      operators.Outlier.oracles ++
+      operators.Mixture.oracles ++
+      operators.Drift.oracles ++
       layout.BucketedLayout.oracles ++
       layout.ZOrderLayout.oracles ++
       layout.PartitionedEventsLayout.oracles ++
+      layout.IvfLayout.oracles ++
       sources.JsonlIngest.oracles ++
       streaming.EventStream.oracles ++
       streaming.FunnelStream.oracles ++
@@ -129,5 +141,7 @@ object SparkEntry {
       streaming.CmsStream.oracles ++
       streaming.QuantileStream.oracles ++
       streaming.CdcStream.oracles ++
-      streaming.RouteStream.oracles
+      streaming.RouteStream.oracles ++
+      streaming.OutlierStream.oracles ++
+      streaming.DriftStream.oracles
 }

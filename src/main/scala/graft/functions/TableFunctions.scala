@@ -65,6 +65,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM cdc_apply() WHERE alive
   *   SELECT * FROM hll_rollup()
   *   SELECT * FROM curriculum_shards()
+  *   SELECT * FROM margin_pairs()
+  *   SELECT * FROM embedding_outliers() WHERE is_outlier
+  *   SELECT * FROM domain_reweight()
+  *   SELECT * FROM score_drift('documents_v1_edit', 'documents_v2')
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -727,6 +731,44 @@ object TableFunctions {
           plan(spark => graft.operators.Curriculum.shardsOver(spark.table("documents")))
         case _ => throw new IllegalArgumentException(
           "curriculum_shards expects no arguments")
+      }
+    },
+    "margin_pairs" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Margin.minedPairs(spark.table("embeddings")))
+        case _ => throw new IllegalArgumentException(
+          "margin_pairs expects no arguments")
+      }
+    },
+    "embedding_outliers" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Outlier.scoresOver(
+            spark.table("embeddings"),
+            spark.table("documents").select(
+              org.apache.spark.sql.functions.col("doc_id").as("vec_id"),
+              org.apache.spark.sql.functions.col("source"))))
+        case _ => throw new IllegalArgumentException(
+          "embedding_outliers expects no arguments")
+      }
+    },
+    "domain_reweight" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Mixture.reweightDocs(spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "domain_reweight expects no arguments")
+      }
+    },
+    "score_drift" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(v1, v2) =>
+          plan(spark => graft.operators.Drift.psiOver(
+            spark.table(string(v1, "score_drift(v1, v2)")),
+            spark.table(string(v2, "score_drift(v1, v2)"))))
+        case _ => throw new IllegalArgumentException(
+          "score_drift expects (v1 table, v2 table)")
       }
     })
 

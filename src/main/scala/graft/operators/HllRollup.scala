@@ -15,12 +15,17 @@ import graft.core.{Sessions, Tables}
   * shipped or merged later).
   *
   * The gate: per-event-type user sketches union-merged must estimate
-  * EXACTLY what the one-pass global sketch estimates (same coupon/
-  * register content by the bucket-max monoid — bit-equality of
-  * estimates, not closeness), and every estimate must sit within the
-  * q42 relative-error budget of its exact count. Sketch estimates are
-  * engine-local, so the oracle recomputes the EXACT counts and asserts
-  * the verdict booleans literally (the q42 convention).
+  * the global distinct count within the SAME q42 relative-error budget
+  * as the one-pass sketch — re-aggregability means the merged sketch
+  * loses nothing against the budget, NOT bit-equality: the registers
+  * merge by bucket-max exactly, but DataSketches estimates a directly-
+  * fed sketch with the HIP accumulator (merge-history dependent by
+  * design) and a union result with the composite estimator, so the two
+  * ESTIMATES legitimately differ once past coupon mode (observed from
+  * ~1.5k distincts; in coupon/list mode both are exact and equal).
+  * Sketch estimates are engine-local, so the oracle recomputes the
+  * EXACT counts and asserts the verdict booleans literally (the q42
+  * convention).
   *
   * Scale shape: one partial-agged pass builds the per-type sketches
   * (the shuffle carries one ≤1.5 KB sketch per type per partition);
@@ -52,7 +57,7 @@ object HllRollup {
       lit("ALL").as("scope"),
       col("n_exact"),
       within(col("est_direct"), col("n_exact")).as("est_within_bound"),
-      (col("est_merged") === col("est_direct")).as("merge_consistent"))
+      within(col("est_merged"), col("n_exact")).as("merge_consistent"))
     typeRows.union(globalRow).orderBy("scope")
   }
 

@@ -117,7 +117,7 @@ object IvfIndex {
 
   /** Cheap corpus signature over the embeddings table files — see
     * [[graft.core.TableVersion]] (Hadoop FS listing, scheme-agnostic). */
-  private[operators] def corpusVersion(spark: SparkSession, dir: String): String =
+  private[graft] def corpusVersion(spark: SparkSession, dir: String): String =
     graft.core.TableVersion.signature(spark, dir, "embeddings.parquet")
 
   /** Drop cached indexes (tests / corpus refresh). */

@@ -313,8 +313,17 @@ object Similarity {
       col("vec_id"), col("embedding"),
       explode(graft.functions.VectorFunctions.nearest_centroids(
         col("embedding"), centers, SpillAssign)).as("list_id"))
-    // probe→lists fan-out: nearest NumProbeLists centroids per probe,
-    // computed over the collected probe vectors (a fixed tiny set)
+    ivfScoreTail(assigned, ivfProbes(spark, emb, centers))
+  }
+
+  /** Probe → probed-list fan-out pairs: each probe vector's
+    * [[NumProbeLists]] nearest centroids, computed driver-side over
+    * the collected probe vectors (a fixed tiny set) — shared by the
+    * in-memory index ([[ivfTopK]]) and the partitioned-store serving
+    * path ([[graft.layout.IvfLayout]]), so the two can never probe
+    * different lists. */
+  private[graft] def probeListPairs(spark: SparkSession, emb: DataFrame,
+      centers: Array[Array[Double]]): Seq[(Long, Int)] = {
     val probeRows = emb.filter(col("vec_id") < NumProbes)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
@@ -323,16 +332,31 @@ object Similarity {
       while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
       s
     }
-    import spark.implicits._
-    val probeLists = probeRows.flatMap { case (pid, vec) =>
+    probeRows.toSeq.flatMap { case (pid, vec) =>
       centers.zipWithIndex
         .map { case (c, li) => (li, dist2(vec, c)) }
         .sortBy(_._2).take(NumProbeLists)
         .map { case (li, _) => (pid, li) }
-    }.toSeq.toDF("probe_id", "list_id")
-    val probes = emb.filter(col("vec_id") < NumProbes)
+    }
+  }
+
+  /** The (probe_id, probe_vec, list_id) probe frame of [[ivfTopK]]. */
+  private[graft] def ivfProbes(spark: SparkSession, emb: DataFrame,
+      centers: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val probeLists =
+      probeListPairs(spark, emb, centers).toDF("probe_id", "list_id")
+    emb.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
       .join(probeLists, Seq("probe_id"))
+  }
+
+  /** The bucketed scoring join + spill-dedup + rank tail over ANY
+    * (vec_id, embedding, list_id) candidate store — the in-memory
+    * index and the [[graft.layout.IvfLayout]] partitioned store serve
+    * through this SAME tail. */
+  private[graft] def ivfScoreTail(assigned: DataFrame,
+      probes: DataFrame): DataFrame = {
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(

@@ -41,7 +41,13 @@ object ScaleBench {
     * best) its candidate set is Θ(n²) BY CONSTRUCTION — it is the
     * recall/correctness baseline the q49 gate audits against, not a
     * production path, and sweeping it measured the adversarial regime
-    * (99.85× at 10× in r8), not the operator. */
+    * (99.85× at 10× in r8), not the operator.
+    *
+    * q191 (margin mining) is likewise NOT swept: its `queries` entry is
+    * the exact all-pairs mining gate (the q31 convention — the margin
+    * criterion's ground truth); the production regime rides the q43
+    * IVF candidate stream, whose scaling the q43/q143/q194 entries
+    * already sweep. */
   val Heavy: Seq[String] = Seq(
     "q26_ngram_jaccard", "q27_minhash_lsh", "q38_dedup_apply",
     "q49_prod_pairs", "q53_vocab_top",
@@ -142,7 +148,28 @@ object ScaleBench {
     "q34_stream_windows", "q48_stream_dedup", "q56_stream_dedup_bounded",
     "q79_stream_enrich", "q98_stream_funnel", "q108_stream_jsonl_ingest",
     "q135_stream_assign", "q141_stream_pq_encode", "q161_stream_anomaly",
-    "q166_stream_nb_train")
+    "q166_stream_nb_train",
+    // round-10 additions: the lexicon tagger + its streaming twin
+    // (map-only scoring — must ride the scan), CDC materialization
+    // batch + stream (keyed fold — must scale with the changelog),
+    // the HLL rollup (register-capped sketches), the DPP star join
+    // (the pruned fact scan must scale with the FOCUS window, and the
+    // swept time includes the per-version layout build amortization
+    // like q181), curriculum sharding (the range-partitioned global
+    // rank — must scale like a sort), the outlier audit + its
+    // streaming screen (tiny-centroid aggregate + map-only scoring),
+    // mixture reweighting (token-stage scan + domain-grain rounds),
+    // the IVF-partitioned serving gate (the pruned-store search plus
+    // the in-memory twin it audits against), and the PSI drift
+    // monitor (two map-only snapshot scans into 11 buckets)
+    "q184_topic_tag", "q185_cdc_apply", "q186_stream_cdc",
+    "q187_hll_rollup", "q188_dpp_join", "q189_curriculum_shards",
+    "q190_stream_topic_route", "q192_embedding_outliers",
+    "q193_domain_reweight", "q194_ivf_layout_serve",
+    "q195_stream_outlier_screen", "q196_score_drift_psi",
+    // the streaming PSI monitor: state hard-capped at 11 buckets —
+    // must ride the scan like q172
+    "q197_stream_score_drift")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

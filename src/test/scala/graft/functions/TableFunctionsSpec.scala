@@ -445,5 +445,23 @@ class TableFunctionsSpec extends SparkSpec {
     assert(rows(cur) == rows(graft.operators.Curriculum.q189CurriculumShards(spark, sf)))
     assert(cur.columns.toSeq ==
       Seq("shard", "n_docs", "rank_lo", "rank_hi", "q_max", "q_min"))
+    val mp = spark.sql("SELECT * FROM margin_pairs()")
+    assert(rows(mp) == rows(graft.operators.Margin.q191MarginMining(spark, sf)))
+    assert(mp.columns.toSeq == Seq("a_id", "b_id", "cos_micro", "margin_micro"))
+    val eo = spark.sql("SELECT * FROM embedding_outliers()")
+    assert(rows(eo) == rows(graft.operators.Outlier.q192EmbeddingOutliers(spark, sf)))
+    assert(eo.columns.toSeq ==
+      Seq("vec_id", "source", "centroid_cos_micro", "is_outlier"))
+    val dw = spark.sql("SELECT * FROM domain_reweight()")
+    assert(rows(dw) == rows(graft.operators.Mixture.q193DomainReweight(spark, sf)))
+    assert(dw.columns.toSeq == Seq("source", "loss_e4",
+      "w0_micro", "w1_micro", "w2_micro", "w3_micro"))
+    graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 =!= 0).createOrReplaceTempView("psi_v1")
+    val sd = spark.sql("SELECT * FROM score_drift('psi_v1', 'documents')")
+    assert(rows(sd) == rows(graft.operators.Drift.psiOver(
+      spark.table("psi_v1"), spark.table("documents"))))
+    assert(sd.columns.toSeq == Seq("bucket", "n_v1", "n_v2",
+      "share_v1_micro", "share_v2_micro", "psi_micro"))
   }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class MarginSpec extends SparkSpec {
+
+  private def vecs: Map[Long, Array[Float]] =
+    graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def cosMicro(a: Array[Float], b: Array[Float]): Long = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+    while (i < a.length) {
+      ab += a(i).toDouble * b(i).toDouble
+      aa += a(i).toDouble * a(i).toDouble
+      bb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    val y = 1e6 * ab / math.sqrt(aa * bb)
+    if (y >= 0) math.floor(y + 0.5).toLong else -math.floor(-y + 0.5).toLong
+  }
+
+  test("q191 equals a from-scratch driver replay of the margin criterion") {
+    val v = vecs
+    val as = v.keys.filter(_ % 2 == 0).toSeq.sorted
+    val bs = v.keys.filter(_ % 2 == 1).toSeq.sorted
+    val cm = (for { a <- as; b <- bs } yield (a, b) -> cosMicro(v(a), v(b)))
+      .toMap.filter(_._2 > 0)
+    def topSum(keyed: Map[Long, Seq[(Long, Long)]]): Map[Long, Long] =
+      keyed.map { case (k, cands) =>
+        k -> cands.sortBy { case (o, c) => (-c, o) }
+          .take(Margin.MarginK).map(_._2).sum
+      }
+    val fs = topSum(cm.toSeq.groupBy(_._1._1)
+      .map { case (a, xs) => a -> xs.map(x => (x._1._2, x._2)) })
+    val bsum = topSum(cm.toSeq.groupBy(_._1._2)
+      .map { case (b, xs) => b -> xs.map(x => (x._1._1, x._2)) })
+    val expect = cm.toSeq
+      .map { case ((a, b), c) =>
+        (a, b, c, 2 * c * 1000000L / (fs(a) + bsum(b))) }
+      .groupBy(_._1)
+      .flatMap { case (_, cands) =>
+        val best = cands.sortBy { case (_, b, _, m) => (-m, b) }.head
+        if (best._4 >= Margin.MarginTauMicro) Some(best) else None
+      }
+      .toSeq.sortBy(_._1)
+    val got = Margin.q191MarginMining(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty, "the miner must admit some pairs on the fixture")
+    assert(got == expect, "mined pairs must equal the driver replay")
+  }
+
+  test("mined pairs respect the split, the threshold and per-anchor uniqueness") {
+    val rows = Margin.q191MarginMining(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1,
+        "anchors from side A (even ids), partners from side B (odd ids)")
+      assert(r.getLong(2) > 0, "only positive-cosine candidates are minable")
+      assert(r.getLong(3) >= Margin.MarginTauMicro)
+    }
+    val anchors = rows.map(_.getLong(0))
+    assert(anchors.distinct.length == anchors.length,
+      "one best partner per anchor")
+  }
+
+  test("the miner is deterministic") {
+    def canon() = Margin.q191MarginMining(spark, sf).collect().map(_.toString).toSeq
+    assert(canon() == canon())
+  }
+}
