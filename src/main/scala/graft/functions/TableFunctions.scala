@@ -69,6 +69,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM embedding_outliers() WHERE is_outlier
   *   SELECT * FROM domain_reweight()
   *   SELECT * FROM score_drift('documents_v1_edit', 'documents_v2')
+  *   SELECT * FROM skew_report()
+  *   SELECT * FROM retrieval_eval()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -769,6 +771,23 @@ object TableFunctions {
             spark.table(string(v2, "score_drift(v1, v2)"))))
         case _ => throw new IllegalArgumentException(
           "score_drift expects (v1 table, v2 table)")
+      }
+    },
+    "skew_report" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Skew.skewReport(
+            spark.table("events"), "user_id"))
+        case _ => throw new IllegalArgumentException(
+          "skew_report expects no arguments")
+      }
+    },
+    "retrieval_eval" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Retrieval.evalDocs(spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "retrieval_eval expects no arguments")
       }
     })
 

@@ -250,10 +250,81 @@ object Retrieval {
       .orderBy("query_id", "rnk")
   }
 
+  /** q199 — RETRIEVAL EVALUATION (recall@k + reciprocal rank): the
+    * metrics harness every retrieval deployment runs against its
+    * index — here over the q70 BM25 ranking with a DETERMINISTIC
+    * relevance rule the oracle can replay: a document is relevant to a
+    * query iff it contains EVERY query term (boolean-AND containment —
+    * the standard binary-relevance proxy when no human judgments
+    * exist). Per query: the relevant-set size (a corpus fact),
+    * relevant hits inside the top-[[TopK]], recall@k and the
+    * reciprocal rank of the first relevant hit, both in integer
+    * micros (truncating division — no float ever crosses a metric
+    * boundary).
+    *
+    * Scale shape: relevance rides the SAME query-vocabulary-filtered
+    * token stream as the scoring (distinct (doc, term) matches,
+    * candidate-sized), the ranking is q70's own plan, and everything
+    * after is |queries|-grain. */
+  def q199RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    evalOver(spark,
+      q70Bm25(spark, dir).select(col("query_id"), col("rnk"), col("doc_id")),
+      TextOps.tokenStage(spark, dir)
+        .filter(col("token").isin(QuerySet.map(_._2).distinct: _*))
+        .select("doc_id", "token").distinct())
+  }
+
+  /** The harness over ANY (doc_id, text) frame (inline tokenize, the
+    * bm25-TVF convention) — the `retrieval_eval()` TVF body. */
+  private[graft] def evalDocs(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    evalOver(docs.sparkSession,
+      bm25TopK(docs, QuerySet, TopK)
+        .select(col("query_id"), col("rnk"), col("doc_id")),
+      docs.select(col("doc_id"), explode(toks).as("token"))
+        .filter(col("token").isin(QuerySet.map(_._2).distinct: _*))
+        .distinct())
+  }
+
+  /** Metrics tail over the ranking and the query-vocabulary (doc,
+    * token) match set. */
+  private def evalOver(spark: SparkSession, ranked: DataFrame,
+      matched: DataFrame): DataFrame = {
+    import spark.implicits._
+    val q = QuerySet.toDF("query_id", "term")
+    val nTerms = QuerySet.groupBy(_._1)
+      .map { case (id, xs) => (id, xs.map(_._2).distinct.size.toLong) }
+      .toSeq.toDF("query_id", "n_terms")
+    val rel = q.join(matched, q("term") === matched("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("nm"))
+      .join(broadcast(nTerms), Seq("query_id"))
+      .filter(col("nm") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+    val perQ = ranked.join(rel, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(coalesce(col("rel"), lit(0L))).as("hits_at_k"),
+        min(when(col("rel") === 1L, col("rnk"))).as("first_rel"))
+    nTerms
+      .join(nRel, Seq("query_id"), "left")
+      .join(perQ, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_relevant", "hits_at_k"))
+      .select(
+        col("query_id"), col("n_terms"), col("n_relevant"), col("hits_at_k"),
+        expr("(hits_at_k * 1000000) div greatest(n_relevant, 1)")
+          .as("recall_micro"),
+        coalesce(expr("1000000 div first_rel"), lit(0L)).as("rr_micro"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_bm25" -> (q70Bm25 _),
     "q113_hybrid_rrf" -> (q113HybridRrf _),
-    "q117_inverted_index" -> (q117InvertedIndex _))
+    "q117_inverted_index" -> (q117InvertedIndex _),
+    "q199_retrieval_eval" -> (q199RetrievalEval _))
 
   private val valuesSql =
     QuerySet.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
@@ -311,6 +382,67 @@ object Retrieval {
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
          |  doc_id, round(micro / 1000000.0, 4) AS score
          |FROM r WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+    // q199: the q70 ranking CTEs + the boolean-AND relevance rule and
+    // the integer recall/RR arithmetic, replayed value-for-value
+    "q199_retrieval_eval" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+         |stats AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n
+         |  FROM dd),
+         |q(query_id, term) AS (VALUES $valuesSql),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dd) u
+         |  WHERE token IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |contrib AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    CAST(round(
+         |      ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |        (tf.tf * $K1Plus1Lit) /
+         |        (tf.tf + $K1Lit * ($OneMinusBLit + $BLit * tf.dl / stats.avgdl)) *
+         |      1000000) AS BIGINT) AS contrib
+         |  FROM q JOIN tf ON q.term = tf.token JOIN df ON df.token = tf.token, stats),
+         |agg AS (
+         |  SELECT query_id, doc_id, sum(contrib) AS micro
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY micro DESC, doc_id) AS rnk
+         |  FROM agg),
+         |topk AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= $TopK),
+         |nterms AS (
+         |  SELECT query_id, count(DISTINCT term) AS n_terms FROM q GROUP BY query_id),
+         |mt AS (
+         |  SELECT DISTINCT doc_id, token FROM tf),
+         |rel AS (
+         |  SELECT qq.query_id, mt.doc_id
+         |  FROM (SELECT DISTINCT query_id, term FROM q) qq
+         |  JOIN mt ON qq.term = mt.token
+         |  GROUP BY qq.query_id, mt.doc_id
+         |  HAVING count(*) = (SELECT n_terms FROM nterms
+         |                     WHERE nterms.query_id = qq.query_id)),
+         |nrel AS (SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY query_id),
+         |hits AS (
+         |  SELECT t.query_id,
+         |    sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS hits_at_k,
+         |    min(CASE WHEN rel.doc_id IS NOT NULL THEN t.rnk END) AS first_rel
+         |  FROM topk t LEFT JOIN rel
+         |    ON t.query_id = rel.query_id AND t.doc_id = rel.doc_id
+         |  GROUP BY t.query_id)
+         |SELECT CAST(nterms.query_id AS BIGINT) AS query_id,
+         |  CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant,
+         |  CAST(coalesce(hits_at_k, 0) AS BIGINT) AS hits_at_k,
+         |  CAST((coalesce(hits_at_k, 0) * 1000000)
+         |    // greatest(coalesce(n_relevant, 0), 1) AS BIGINT) AS recall_micro,
+         |  CAST(coalesce(1000000 // first_rel, 0) AS BIGINT) AS rr_micro
+         |FROM nterms LEFT JOIN nrel USING (query_id) LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin,
     "q113_hybrid_rrf" ->
       s"""WITH d AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -87,8 +87,51 @@ object Skew {
       .orderBy("o_orderpriority")
   }
 
+  /** Heavy keys reported by the diagnostics (top-K by count). */
+  val ReportTopK = 5
+
+  /** q198 — JOIN-KEY SKEW DIAGNOSTICS: the measurement that sizes a
+    * [[saltedJoin]] — per-key frequency of the event log's join key
+    * (`user_id`), the top-[[ReportTopK]] heavy keys with their corpus
+    * share and a per-key salt recommendation. The doc on q52 says
+    * "size the salt factor to the observed hot-key fan-out, not
+    * higher"; this is the query that observes it. salt_rec =
+    * ⌈count / mean-per-key⌉ — how many average keys' worth of rows the
+    * hot key carries, i.e. the number of reducers it should spread
+    * over (1 for a balanced key).
+    *
+    * Scale shape: one map-side-combined count per key (the same
+    * shuffle any aggregation over the key pays), a 1-row summary
+    * attached by broadcast (the q78 convention), and the heavy-key
+    * tail rewrites to TakeOrderedAndProject — nothing key-cardinality-
+    * sized ever coalesces or sorts globally. Integer arithmetic
+    * throughout (truncating share, ceil-by-division salt). */
+  def q198SkewReport(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    skewReport(Tables.events(spark, dir), "user_id")
+  }
+
+  /** The diagnostics over ANY frame and key column — also the
+    * `skew_report()` TVF body. */
+  private[graft] def skewReport(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key).as("key")).agg(count(lit(1)).as("cnt"))
+    val summary = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(summary))
+      .select(
+        col("key"), col("cnt"),
+        col("n_keys"), col("total"),
+        expr("(cnt * 1000000) div total").as("share_micro"),
+        // mean-per-key = total div n_keys (≥ 1); salt_rec = ceil division
+        expr("(cnt + (total div n_keys) - 1) div (total div n_keys)")
+          .as("salt_rec"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(ReportTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q52_skew_join" -> (q52SkewJoin _))
+    "q52_skew_join" -> (q52SkewJoin _),
+    "q198_skew_report" -> (q198SkewReport _))
 
   val oracles: Map[String, String] = Map(
     // the UNSALTED join: salting must not change any value
@@ -97,5 +140,16 @@ object Skew {
         |  count(*) AS n_items,
         |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    // q198: the whole report replayed — counts, integer share, ceil salt
+    "q198_skew_report" ->
+      s"""WITH c AS (
+         |  SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id),
+         |s AS (SELECT count(*) AS n_keys, sum(cnt) AS total FROM c)
+         |SELECT key, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(n_keys AS BIGINT) AS n_keys, CAST(total AS BIGINT) AS total,
+         |  CAST((cnt * 1000000) // total AS BIGINT) AS share_micro,
+         |  CAST((cnt + (total // n_keys) - 1) // (total // n_keys) AS BIGINT)
+         |    AS salt_rec
+         |FROM c, s ORDER BY cnt DESC, key LIMIT $ReportTopK""".stripMargin)
 }

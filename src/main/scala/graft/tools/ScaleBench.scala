@@ -169,7 +169,11 @@ object ScaleBench {
     "q195_stream_outlier_screen", "q196_score_drift_psi",
     // the streaming PSI monitor: state hard-capped at 11 buckets —
     // must ride the scan like q172
-    "q197_stream_score_drift")
+    "q197_stream_score_drift",
+    // skew diagnostics (one keyed count + TakeOrdered top-5) and the
+    // retrieval-metrics harness (the q70 ranking + a candidate-sized
+    // relevance join — must scale like q70 itself)
+    "q198_skew_report", "q199_retrieval_eval")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

@@ -463,5 +463,13 @@ class TableFunctionsSpec extends SparkSpec {
       spark.table("psi_v1"), spark.table("documents"))))
     assert(sd.columns.toSeq == Seq("bucket", "n_v1", "n_v2",
       "share_v1_micro", "share_v2_micro", "psi_micro"))
+    val sr = spark.sql("SELECT * FROM skew_report()")
+    assert(rows(sr) == rows(graft.operators.Skew.q198SkewReport(spark, sf)))
+    assert(sr.columns.toSeq ==
+      Seq("key", "cnt", "n_keys", "total", "share_micro", "salt_rec"))
+    val re = spark.sql("SELECT * FROM retrieval_eval()")
+    assert(rows(re) == rows(graft.operators.Retrieval.q199RetrievalEval(spark, sf)))
+    assert(re.columns.toSeq == Seq("query_id", "n_terms", "n_relevant",
+      "hits_at_k", "recall_micro", "rr_micro"))
   }
 }

@@ -85,4 +85,54 @@ class RetrievalSpec extends SparkSpec {
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(got == Seq(("a", 2L, 3L, 0L, 10L), ("b", 2L, 2L, 0L, 5L)))
   }
+
+  test("q199 metrics equal a driver replay of the AND-containment relevance rule") {
+    val ranked = Retrieval.q70Bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docTokens = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSet).toMap
+    val byQuery = Retrieval.QuerySet.groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).distinct.toSet }
+    val got = Retrieval.q199RetrievalEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == byQuery.keySet)
+    byQuery.foreach { case (q, terms) =>
+      val rel = docTokens.filter { case (_, ts) => terms.subsetOf(ts) }.keySet
+      val top = ranked.filter(_._1 == q).sortBy(_._2).map(_._3)
+      val hits = top.count(rel)
+      val firstRel = top.zipWithIndex.collectFirst {
+        case (d, i) if rel(d) => i + 1L }
+      val (nT, nR, h, recall, rr) = got(q)
+      assert(nT == terms.size && nR == rel.size && h == hits)
+      assert(recall == hits * 1000000L / math.max(rel.size, 1))
+      assert(rr == firstRel.map(1000000L / _).getOrElse(0L))
+    }
+  }
+
+  test("q199 on a crafted corpus: perfect and partial retrieval score correctly") {
+    val docs = Seq(
+      (1L, "spark join fast"),          // relevant to query 1 (spark+join)
+      (2L, "spark join slow"),          // relevant to query 1
+      (3L, "spark only here"),          // not relevant (missing 'join')
+      (4L, "window merge x"),           // relevant to query 2
+      (5L, "nothing at all"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.evalDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    // query 1: 2 relevant docs, both must sit in the top-5 of a
+    // 5-document corpus → recall 1e6; first relevant at rank 1 or 2
+    val (nR1, h1, rec1, rr1) = got(1L)
+    assert(nR1 == 2L && h1 == 2L && rec1 == 1000000L)
+    assert(rr1 == 1000000L || rr1 == 500000L)
+    // query 2: exactly one relevant doc, found
+    val (nR2, h2, rec2, _) = got(2L)
+    assert(nR2 == 1L && h2 == 1L && rec2 == 1000000L)
+    // query 3 (customer+batch+query): nothing relevant in this corpus
+    val (nR3, h3, rec3, rr3) = got(3L)
+    assert(nR3 == 0L && h3 == 0L && rec3 == 0L && rr3 == 0L)
+  }
 }
