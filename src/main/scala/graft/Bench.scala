@@ -2,6 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // ambient load snapshot at PROCESS START — before our own warmup
+    // threads inflate the 1-minute average — so the loadavg retry
+    // trigger below sees EXTERNAL load, not our own work (r10 started
+    // its sweep at loadavg 4.96 with calibration self-reporting clean)
+    val loadavgStart =
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ")(0)).getOrElse("-1")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -108,11 +115,20 @@ object Bench {
     // mid-sweep are noise, and emitting them as BENCH_r*.json misreads as
     // a code regression. If the retry is contended too, emit it but say
     // so ("contended": true) instead of pretending the numbers are clean.
+    //
+    // round-10 verdict item 5: the calibration check missed ambient load
+    // that was real but mild (r10: loadavg 4.96 at start, calib within
+    // bounds, yet +9% drift on common queries) — so a high ambient load
+    // AT PROCESS START (before our own threads existed) now also
+    // triggers the one-shot retry, by which time the external spike has
+    // usually passed or the retry at least averages over different load.
+    val ambientHigh = scala.util.Try(loadavgStart.toDouble).toOption.exists(_ > 2.0)
     var sw = sweep()
     var retried = false
-    if (contended(sw)) {
+    if (contended(sw) || ambientHigh) {
       System.err.println(
-        s"[bench] contended sweep (calib ${sw.calibBefore} -> ${sw.calibAfter}); re-running once")
+        s"[bench] contended sweep (calib ${sw.calibBefore} -> ${sw.calibAfter}, " +
+          s"loadavg_start $loadavgStart); re-running once")
       retried = true
       sw = sweep()
     }
@@ -145,6 +161,7 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","calib_before":${sw.calibBefore},"calib_after":${sw.calibAfter}""" +
       s""","calib_idle_ref":$IdleCalibSec""" +
+      s""","loadavg_start":$loadavgStart""" +
       s""","loadavg_before":${sw.loadBefore},"loadavg_after":${sw.loadAfter}""" +
       s""","retried":$retried,"contended":${contended(sw)}}"""
     // emit on BOTH channels: a bare stdout line (build.sbt routes forked
@@ -161,13 +178,18 @@ object Bench {
     // construction (fixed fields + slowest-10), so the tail always
     // contains one complete, parseable JSON object.
     val allRows = sw.results ++ rocksRows
+    // explicit-locale formatting: the f-interpolator uses the JVM
+    // default locale, and a comma-decimal locale (de_DE …) would emit
+    // '0,123' — breaking the very parseability this line guarantees
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slowest = allRows.sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val streamCore = sw.results.filter(r => streamingNames.contains(r._1)).map(_._2).sum
     val grand = allRows.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${sw.results.size}""" +
       s""","grand_total":$grand,"n_rows":${allRows.size}""" +
-      f""","streaming_core_sec":$streamCore%.3f,"slowest":$slowest""" +
+      s""","streaming_core_sec":${f3(streamCore)},"slowest":$slowest""" +
       s""","sf":"$sfDir","retried":$retried,"contended":${contended(sw)}""" +
       s""","full_queries_in":"BENCH_LAST.json"}""")
     spark.stop()

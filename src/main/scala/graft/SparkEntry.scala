@@ -54,6 +54,10 @@ object SparkEntry {
       operators.HllRollup.queries ++
       operators.Curriculum.queries ++
       operators.Margin.queries ++
+      operators.Purge.queries ++
+      operators.WeakLabels.queries ++
+      operators.LangSegments.queries ++
+      operators.Trajectory.queries ++
       operators.Outlier.queries ++
       operators.Mixture.queries ++
       operators.Drift.queries ++
@@ -80,7 +84,9 @@ object SparkEntry {
       streaming.CdcStream.queries ++
       streaming.RouteStream.queries ++
       streaming.OutlierStream.queries ++
-      streaming.DriftStream.queries
+      streaming.DriftStream.queries ++
+      streaming.WeakLabelStream.queries ++
+      streaming.TrajectoryStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -117,6 +123,10 @@ object SparkEntry {
       operators.HllRollup.oracles ++
       operators.Curriculum.oracles ++
       operators.Margin.oracles ++
+      operators.Purge.oracles ++
+      operators.WeakLabels.oracles ++
+      operators.LangSegments.oracles ++
+      operators.Trajectory.oracles ++
       operators.Outlier.oracles ++
       operators.Mixture.oracles ++
       operators.Drift.oracles ++
@@ -143,5 +153,7 @@ object SparkEntry {
       streaming.CdcStream.oracles ++
       streaming.RouteStream.oracles ++
       streaming.OutlierStream.oracles ++
-      streaming.DriftStream.oracles
+      streaming.DriftStream.oracles ++
+      streaming.WeakLabelStream.oracles ++
+      streaming.TrajectoryStream.oracles
 }

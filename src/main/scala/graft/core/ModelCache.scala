@@ -29,13 +29,25 @@ object ModelCache {
   /** The artifact `key` for corpus `dir/table`, built by `build` on
     * first use per corpus version and replayed from cache after. */
   def perVersion[T](spark: org.apache.spark.sql.SparkSession,
-      dir: String, table: String, key: String)(build: => T): T = synchronized {
-    val version = TableVersion.signature(spark, dir, table)
-    cache.get((dir, table, key)) match {
+      dir: String, table: String, key: String)(build: => T): T =
+    perVersionMulti(spark, dir, Seq(table), key)(build)
+
+  /** [[perVersion]] over an artifact that depends on SEVERAL tables:
+    * the version key composes every table's signature, so a refresh of
+    * ANY input invalidates the entry. (The q195 centroid table depends
+    * on embeddings AND the vec_id→source mapping in documents — keyed
+    * on embeddings alone, a documents-only refresh served stale
+    * centroids.) */
+  def perVersionMulti[T](spark: org.apache.spark.sql.SparkSession,
+      dir: String, tables: Seq[String], key: String)(build: => T): T = synchronized {
+    val tableKey = tables.mkString("#")
+    val version =
+      tables.map(t => TableVersion.signature(spark, dir, t)).mkString("#")
+    cache.get((dir, tableKey, key)) match {
       case Some((v, value)) if v == version => value.asInstanceOf[T]
       case _ =>
         val value = build
-        cache((dir, table, key)) = (version, value)
+        cache((dir, tableKey, key)) = (version, value)
         value
     }
   }

@@ -304,7 +304,10 @@ object Retention {
     deleted.map(_.getFileName.toString)
   }
 
-  private[exec] def deleteRecursively(p: Path): Unit = {
+  // graft-wide: also used by the layout lifecycles (IvfLayout /
+  // PartitionedEventsLayout / ZOrderLayout) to drop superseded
+  // per-corpus-version copies
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val children = {
         val s = Files.list(p)

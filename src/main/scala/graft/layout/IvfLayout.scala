@@ -37,10 +37,19 @@ object IvfLayout {
   private val built = scala.collection.mutable.Map.empty[(String, String), String]
 
   /** Ensure the IVF-partitioned copy of `dir`'s embeddings; returns
-    * the layout root (`list_id=N/` Hive directories). */
+    * the layout root (`list_id=N/` Hive directories). A new corpus
+    * version REPLACES the previous one: the superseded layout directory
+    * is deleted and its map entry dropped — a long-lived driver over a
+    * refreshing corpus would otherwise leak one full store copy per
+    * version in the temp dir. */
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val version = IvfIndex.corpusVersion(spark, dir)
-    built.getOrElseUpdate((dir, version), {
+    built.getOrElse((dir, version), {
+      built.keys.filter(_._1 == dir).toSeq.foreach { k =>
+        val staleRoot = java.nio.file.Paths.get(built(k)).getParent
+        scala.util.Try(graft.exec.Retention.deleteRecursively(staleRoot))
+        built.remove(k)
+      }
       val out = java.nio.file.Files.createTempDirectory("graft-ivflayout").toString
       val emb = Tables.embeddings(spark, dir)
       val centers = IvfIndex.centroids(spark, dir, Similarity.NumLists)
@@ -49,6 +58,7 @@ object IvfLayout {
           explode(graft.functions.VectorFunctions.nearest_centroids(
             col("embedding"), centers, Similarity.SpillAssign)).as("list_id"))
         .write.partitionBy("list_id").parquet(s"$out/store")
+      built((dir, version)) = s"$out/store"
       s"$out/store"
     })
   }

@@ -41,7 +41,15 @@ object PartitionedEventsLayout {
     * `<root>/calendar` the dim). */
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val version = graft.core.TableVersion.signature(spark, dir, "events.parquet")
-    built.getOrElseUpdate((dir, version), {
+    built.getOrElse((dir, version), {
+      // a new corpus version replaces the old layout (delete + drop the
+      // map entry) — the IvfLayout convention; without it a long-lived
+      // driver over a refreshing corpus leaks one copy per version
+      built.keys.filter(_._1 == dir).toSeq.foreach { k =>
+        scala.util.Try(graft.exec.Retention.deleteRecursively(
+          java.nio.file.Paths.get(built(k))))
+        built.remove(k)
+      }
       val out = java.nio.file.Files.createTempDirectory("graft-partlayout").toString
       val ev = Tables.events(spark, dir).withColumn("event_date", to_date(col("ts")))
       ev.write.partitionBy("event_date").parquet(s"$out/events")
@@ -57,6 +65,7 @@ object PartitionedEventsLayout {
       ev.select(col("event_date")).distinct()
         .withColumn("day_off", datediff(col("event_date"), lit(mn)).cast("long"))
         .write.parquet(s"$out/calendar")
+      built((dir, version)) = out
       out
     })
   }

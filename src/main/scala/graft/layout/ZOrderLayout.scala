@@ -102,7 +102,15 @@ object ZOrderLayout {
     * interleave, ONE global sort by z, [[ZFiles]] files. */
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val version = graft.core.TableVersion.signature(spark, dir, "events.parquet")
-    built.getOrElseUpdate((dir, version), {
+    built.getOrElse((dir, version), {
+      // a new corpus version replaces the old copy (delete + drop the
+      // map entry) — the IvfLayout convention; without it a long-lived
+      // driver over a refreshing corpus leaks one copy per version
+      built.keys.filter(_._1 == dir).toSeq.foreach { k =>
+        scala.util.Try(graft.exec.Retention.deleteRecursively(
+          java.nio.file.Paths.get(built(k))))
+        built.remove(k)
+      }
       val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
       val ev = dims(Tables.events(spark, dir))
       val r = ev.agg(
@@ -118,6 +126,7 @@ object ZOrderLayout {
         .sortWithinPartitions("z")
         .drop("z")
         .write.mode("overwrite").parquet(out)
+      built((dir, version)) = out
       out
     })
   }

@@ -324,10 +324,18 @@ object Classify {
   }
 
   /** The decile reliability table over ANY (doc_id, hq, score_micro)
-    * scored frame — shared by q175 and the `nb_calibration()` TVF. */
+    * scored frame — shared by q175 and the `nb_calibration()` TVF.
+    *
+    * The scored frame is localCheckpointed (eager) FIRST — it is
+    * corpus-rows × 3 columns, and both the `count()` action and the
+    * [[withGlobalRank]] sort would otherwise each re-execute the full
+    * NB train+score pipeline behind it (measured: the double compute
+    * made q175 the slowest bench entry at 4.4 s; the q193/q168
+    * checkpoint pattern). */
   private[graft] def calibrationOf(scores: DataFrame): DataFrame = {
-    val n = scores.count()
-    withGlobalRank(scores, Seq(col("score_micro"), col("doc_id")), "rk")
+    val snap = scores.localCheckpoint(true)
+    val n = snap.count()
+    withGlobalRank(snap, Seq(col("score_micro"), col("doc_id")), "rk")
       .withColumn("decile", ntileOfRank(col("rk"), n, CalibBins))
       .groupBy("decile")
       .agg(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,6 +70,20 @@ object Margin {
         KMeans.halfAway(lit(1e6) *
           Similarity.cosine(col("va"), col("vb"))).as("cm"))
       .filter(col("cm") > 0)
+    marginRankTail(pairs)
+  }
+
+  /** The margin-and-rank tail over ANY (a_id, b_id, cm) candidate
+    * frame — shared verbatim by the exact miner ([[minedPairs]], whose
+    * candidate set is the full grid) and the production miner
+    * ([[ivfMinedPairs]], whose candidate set is the IVF-blocked
+    * stream): top-[[MarginK]] neighborhood sums on each side, the
+    * truncating-division margin, the best-per-anchor ranking and the
+    * [[MarginTauMicro]] threshold. Over a blocked candidate set the
+    * neighborhood sums are computed over the CANDIDATES (the
+    * denominator is an approximation whose recall the q200 gate
+    * bounds); over the full grid they are the exact LASER criterion. */
+  private[graft] def marginRankTail(pairs: DataFrame): DataFrame = {
     val wf = Window.partitionBy("a_id").orderBy(col("cm").desc, col("b_id"))
     val fwd = pairs.withColumn("rn", row_number().over(wf))
       .filter(col("rn") <= MarginK)
@@ -91,8 +105,124 @@ object Margin {
       .orderBy("a_id")
   }
 
+  /** Probed lists per anchor in the production miner. With the index
+    * spilled [[Similarity.SpillAssign]]× and candidates drawn from
+    * BOTH directions, the expected scan fraction per anchor is
+    * ≈ 2 · probe · spill / nlist — 2·4·2/16 = 100%-capped at the
+    * fixture floor (nlist = 16), shrinking to ~8% at nlist = 200
+    * (50k vectors) because nlist scales with the corpus
+    * ([[Similarity.semClustersFor]]). */
+  val MarginProbeLists = 4
+
+  /** Recall floor of the production miner vs the exact miner, gated by
+    * q200 (measured 1.00 at sf0.01 and sf0.1 — the fixture nlist floor
+    * scans most of the grid; the floor leaves room for the blocked
+    * regime at production nlist sizing). */
+  val MarginRecallFloor = 0.7
+
+  /** The IVF-candidate PRODUCTION miner (the q29→q43 relationship):
+    * the same [[marginRankTail]] run over the q43-style IVF candidate
+    * stream generated from BOTH sides — every anchor probes its
+    * [[MarginProbeLists]] nearest lists (a map-only
+    * [[graft.functions.NearestCentroids]] pass, never a driver
+    * collect: at mining scale EVERY vector is a probe) against the
+    * other side's spill-assigned inverted lists, and symmetrically.
+    * Candidate pairs therefore exist wherever EITHER endpoint's probe
+    * fan-out reaches the other — the union keeps the forward and
+    * backward neighborhoods the margin denominator needs.
+    *
+    * Scale shape: the quantizer trains once per corpus version on a
+    * bounded sample ([[IvfIndex]]); nlist scales with the corpus
+    * ([[Similarity.semClustersFor]]), so the candidate count is
+    * ≈ 2·probe·spill·target-cluster-size · n — LINEAR in the corpus
+    * where the exact grid is quadratic. Two list-keyed shuffle joins,
+    * one pair-keyed dedup, then the shared rank tail. */
+  private[graft] def ivfMinedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val k = Similarity.semClustersFor(emb.count())
+    val centers = IvfIndex.centroids(spark, dir, k)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    // forward: A probes × B's inverted lists; backward: B probes × A's
+    val aProbe = a.select(col("a_id"), col("va"),
+      explode(graft.functions.VectorFunctions.nearest_centroids(
+        col("va"), centers, MarginProbeLists)).as("list_id"))
+    val aIndex = a.select(col("a_id"), col("va"),
+      explode(graft.functions.VectorFunctions.nearest_centroids(
+        col("va"), centers, Similarity.SpillAssign)).as("list_id"))
+    val bProbe = b.select(col("b_id"), col("vb"),
+      explode(graft.functions.VectorFunctions.nearest_centroids(
+        col("vb"), centers, MarginProbeLists)).as("list_id"))
+    val bIndex = b.select(col("b_id"), col("vb"),
+      explode(graft.functions.VectorFunctions.nearest_centroids(
+        col("vb"), centers, Similarity.SpillAssign)).as("list_id"))
+    val fwd = aProbe.join(bIndex, Seq("list_id"))
+    val bwd = aIndex.join(bProbe, Seq("list_id"))
+    // a pair can arrive through several lists and both directions —
+    // collapse before the tail (cm is identical across duplicates, so
+    // a map-side-combining max dedups without a distinct over vectors)
+    val pairs = fwd.select(col("a_id"), col("b_id"),
+        KMeans.halfAway(lit(1e6) *
+          Similarity.cosine(col("va"), col("vb"))).as("cm"))
+      .union(bwd.select(col("a_id"), col("b_id"),
+        KMeans.halfAway(lit(1e6) *
+          Similarity.cosine(col("va"), col("vb"))).as("cm")))
+      .groupBy("a_id", "b_id").agg(max(col("cm")).as("cm"))
+      .filter(col("cm") > 0)
+    marginRankTail(pairs)
+  }
+
+  /** The deduped candidate-pair count of the production miner — the
+    * q200 gate's pruning fact (how much of the exact grid the blocked
+    * stream actually touches). */
+  private[graft] def ivfCandidateCount(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val k = Similarity.semClustersFor(emb.count())
+    val centers = IvfIndex.centroids(spark, dir, k)
+    def assign(side: Column, idCol: String, n: Int) =
+      emb.filter(col("vec_id") % 2 === side)
+        .select(col("vec_id").as(idCol),
+          explode(graft.functions.VectorFunctions.nearest_centroids(
+            col("embedding"), centers, n)).as("list_id"))
+    val fwd = assign(lit(0), "a_id", MarginProbeLists)
+      .join(assign(lit(1), "b_id", Similarity.SpillAssign), Seq("list_id"))
+    val bwd = assign(lit(0), "a_id", Similarity.SpillAssign)
+      .join(assign(lit(1), "b_id", MarginProbeLists), Seq("list_id"))
+    fwd.select("a_id", "b_id").union(bwd.select("a_id", "b_id"))
+      .distinct().agg(count(lit(1)).as("n_cand"))
+  }
+
+  /** q200 — the production-miner GATE (the q43 convention):
+    * [[ivfMinedPairs]] measured against the exact miner IN-PLAN.
+    * Emits the exact mined-pair count (a corpus fact the oracle
+    * recomputes with the full q191 arithmetic) plus two deterministic
+    * verdicts: recall of the exact mined set clears
+    * [[MarginRecallFloor]], and the blocked candidate stream is a
+    * strict subset of the exact grid (the pruning fact). Production
+    * callers use [[ivfMinedPairs]] directly. */
+  def q200MarginIvf(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val exact = minedPairs(Tables.embeddings(spark, dir)).select("a_id", "b_id")
+    val prod = ivfMinedPairs(spark, dir)
+      .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+    val emb = Tables.embeddings(spark, dir)
+    val grid = emb.filter(col("vec_id") % 2 === 0).count() *
+      emb.filter(col("vec_id") % 2 === 1).count()
+    val recallAgg = exact.join(prod, Seq("a_id", "b_id"), "left")
+      .agg(
+        count(lit(1)).as("n_exact_pairs"),
+        ((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+          >= MarginRecallFloor).as("recall_ok"))
+    recallAgg.crossJoin(broadcast(ivfCandidateCount(spark, dir)))
+      .select(col("n_exact_pairs"), col("recall_ok"),
+        (col("n_cand") < lit(grid)).as("candidates_pruned"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q191_margin_mining" -> (q191MarginMining _))
+    "q191_margin_mining" -> (q191MarginMining _),
+    "q200_margin_ivf"    -> (q200MarginIvf _))
 
   /** Full value oracle: the whole miner replayed — micro cosines, both
     * top-K neighborhood sums, the truncating-division margin, the
@@ -129,5 +259,40 @@ object Margin {
          |  CAST(margin_micro AS BIGINT) AS margin_micro
          |FROM m WHERE rn = 1 AND margin_micro >= $MarginTauMicro
          |ORDER BY a_id""".stripMargin
+    },
+    // q200: the q43 gate convention — the exact mined-pair count is a
+    // corpus fact the oracle recomputes with the full q191 arithmetic;
+    // the recall and pruning verdicts are deterministic in-plan
+    // booleans.
+    "q200_margin_ivf" -> {
+      val cos = "1000000.0 * list_dot_product(a.ve, b.ve) / " +
+        "sqrt(list_dot_product(a.ve, a.ve) * list_dot_product(b.ve, b.ve))"
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |p AS MATERIALIZED (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${KMeans.halfAwaySql(cos)} AS cm
+         |  FROM v a, v b
+         |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+         |pp AS MATERIALIZED (SELECT * FROM p WHERE cm > 0),
+         |fwd AS (
+         |  SELECT a_id, sum(cm) AS fs FROM (
+         |    SELECT a_id, cm, row_number() OVER (
+         |      PARTITION BY a_id ORDER BY cm DESC, b_id) AS rn FROM pp)
+         |  WHERE rn <= $MarginK GROUP BY a_id),
+         |bwd AS (
+         |  SELECT b_id, sum(cm) AS bs FROM (
+         |    SELECT b_id, cm, row_number() OVER (
+         |      PARTITION BY b_id ORDER BY cm DESC, a_id) AS rn FROM pp)
+         |  WHERE rn <= $MarginK GROUP BY b_id),
+         |m AS (
+         |  SELECT pp.a_id,
+         |    (2 * pp.cm * 1000000) // (fs + bs) AS margin_micro,
+         |    row_number() OVER (PARTITION BY pp.a_id
+         |      ORDER BY (2 * pp.cm * 1000000) // (fs + bs) DESC, pp.b_id) AS rn
+         |  FROM pp JOIN fwd USING (a_id) JOIN bwd USING (b_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+         |  TRUE AS recall_ok, TRUE AS candidates_pruned
+         |FROM m WHERE rn = 1 AND margin_micro >= $MarginTauMicro""".stripMargin
     })
 }

@@ -74,8 +74,13 @@ object Mixture {
           .cast("long"))
       .join(src, Seq("doc_id"))
       .groupBy("source")
+      // the loss accumulator sums in decimal(38,0), matching the
+      // oracle's HUGEINT sum: a 64-bit long wraps silently near ~1e11
+      // tokens × high surprisal (the 2·s in loss_e4 doubles the
+      // exposure) — at the 100 TB posture that is a reachable scale,
+      // and the parity claim is identical integer arithmetic end-to-end
       .agg(sum(col("tf")).as("n_tok"),
-        sum(col("micro_bits") * col("tf")).as("s"))
+        sum(col("micro_bits").cast("decimal(38,0)") * col("tf")).as("s"))
       .select(col("source"), col("n_tok"),
         expr("CAST(floor((2 * s + 100 * n_tok) / (200.0 * n_tok)) AS LONG)")
           .as("loss_e4"))

@@ -323,7 +323,8 @@ object Similarity {
     * path ([[graft.layout.IvfLayout]]), so the two can never probe
     * different lists. */
   private[graft] def probeListPairs(spark: SparkSession, emb: DataFrame,
-      centers: Array[Array[Double]]): Seq[(Long, Int)] = {
+      centers: Array[Array[Double]],
+      nprobe: Int = NumProbeLists): Seq[(Long, Int)] = {
     val probeRows = emb.filter(col("vec_id") < NumProbes)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
@@ -335,17 +336,18 @@ object Similarity {
     probeRows.toSeq.flatMap { case (pid, vec) =>
       centers.zipWithIndex
         .map { case (c, li) => (li, dist2(vec, c)) }
-        .sortBy(_._2).take(NumProbeLists)
+        .sortBy(_._2).take(nprobe)
         .map { case (li, _) => (pid, li) }
     }
   }
 
   /** The (probe_id, probe_vec, list_id) probe frame of [[ivfTopK]]. */
   private[graft] def ivfProbes(spark: SparkSession, emb: DataFrame,
-      centers: Array[Array[Double]]): DataFrame = {
+      centers: Array[Array[Double]],
+      nprobe: Int = NumProbeLists): DataFrame = {
     import spark.implicits._
     val probeLists =
-      probeListPairs(spark, emb, centers).toDF("probe_id", "list_id")
+      probeListPairs(spark, emb, centers, nprobe).toDF("probe_id", "list_id")
     emb.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
       .join(probeLists, Seq("probe_id"))
@@ -401,6 +403,124 @@ object Similarity {
         (sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1))).as("recall"))
       .select(col("n_probes"), col("n_exact_results"),
         (col("recall") >= IvfRecallFloor).as("recall_ok"))
+  }
+
+  /** Metadata predicate of the FILTERED-ANN family (q209): neighbors
+    * must come from this document source. A deployment passes any
+    * store-column predicate. */
+  val FilterSource = "src0"
+
+  /** Recall floor of the filtered IVF search vs the exact filtered
+    * twin. With selectivity-adaptive probing (see [[ivfFilteredTopK]])
+    * a 5%-selective fixture filter widens the probe to every list, so
+    * measured recall is exactly 1.0 at both driver SFs; the floor
+    * leaves room for the broad-filter regime where real IVF pruning
+    * (and q43-like ~0.85 recall) kicks back in. */
+  val FilteredRecallFloor = 0.8
+
+  /** The metadata-carrying vector store: each embedding travels with
+    * its document's `source` column — the join happens ONCE at
+    * index-build time (per corpus version, like the [[IvfIndex]]
+    * quantizer and the q194 layout write), so a query-time filter is a
+    * pushed-down column predicate on the store scan, never a
+    * data-sized join in the query path. This is how production vector
+    * stores do metadata filtering (Milvus/Qdrant/LanceDB segment-level
+    * prefilter). */
+  private[graft] def metaStore(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).join(
+      Tables.documents(spark, dir).select(
+        col("doc_id").as("vec_id"), col("source")),
+      Seq("vec_id"))
+
+  /** Exact filtered top-k — the brute-force twin over the
+    * predicate-matching corpus slice (the q29 shape + the filter). */
+  private[graft] def filteredExactTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val allowed = metaStore(spark, dir).filter(col("source") === FilterSource)
+    val probes = emb.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val scored = allowed.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("probe_vec"), col("embedding")).as("cos_raw"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("probe_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
+  /** PRODUCTION filtered ANN: the q43 IVF search with the metadata
+    * PREFILTER applied to the inverted lists before scoring — the
+    * store carries `source` as a column ([[metaStore]]), so the filter
+    * is a map-side predicate on the store scan (on the q194 layout it
+    * additionally rides partition pruning), then the SAME probe
+    * fan-out and scoring tail as every other IVF path. Prefiltering
+    * beats postfiltering here by construction: top-k is taken over
+    * candidates that already satisfy the predicate, so a selective
+    * filter can never starve the result set below k while matching
+    * vectors exist in the probed lists.
+    *
+    * SELECTIVITY-ADAPTIVE PROBING: a fixed nprobe under a narrow
+    * filter probes lists that are mostly empty of allowed vectors
+    * (measured: recall 0.6 at the fixture's 5% filter with the q43
+    * default) — so the probe fan-out widens by the filter's inverse
+    * selectivity, `nprobe = min(nlist, NumProbeLists · ⌈n/allowed⌉)`,
+    * degrading gracefully to a brute-force scan OF THE FILTERED SLICE
+    * when the filter is narrow (the candidate set stays ≤ spill ×
+    * slice — already pruned by the predicate). This is the
+    * cardinality-based prefilter/index switch production vector stores
+    * implement (Qdrant's payload-cardinality planner, Milvus' segment
+    * prefilter): IVF pruning pays off exactly when the filter does
+    * not. Both counts are per-corpus-version facts (the quantizer's
+    * cache key), never per-query work. */
+  private[graft] def ivfFilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val centers = IvfIndex.centroids(spark, dir, NumLists)
+    val store = metaStore(spark, dir).filter(col("source") === FilterSource)
+    val nVec = emb.count()
+    val nAllowed = math.max(store.count(), 1L)
+    val boost = (nVec + nAllowed - 1L) / nAllowed
+    val effNprobe =
+      math.min(NumLists.toLong, NumProbeLists.toLong * boost).toInt
+    val assigned = store.select(
+      col("vec_id"), col("embedding"),
+      explode(graft.functions.VectorFunctions.nearest_centroids(
+        col("embedding"), centers, SpillAssign)).as("list_id"))
+    ivfScoreTail(assigned, ivfProbes(spark, emb, centers, effNprobe))
+  }
+
+  /** q209 — the FILTERED-ANN gate (the q43 convention): the filtered
+    * IVF search measured against the exact filtered twin IN-PLAN, plus
+    * the filter facts — how many store vectors satisfy the predicate,
+    * and that the predicate actually prunes (strict subset of the
+    * corpus). Production callers use [[ivfFilteredTopK]] directly. */
+  def q209FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val exact = filteredExactTopK(spark, dir).select("probe_id", "neighbor_id")
+    val prod = ivfFilteredTopK(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val facts = metaStore(spark, dir)
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("source") === FilterSource, 1L).otherwise(0L))
+          .as("n_allowed"))
+    exact.join(prod, Seq("probe_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct(col("probe_id")).as("n_probes"),
+        count(lit(1)).as("n_exact_results"),
+        (sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+          .as("recall"))
+      .crossJoin(broadcast(facts))
+      .select(col("n_probes"), col("n_exact_results"), col("n_allowed"),
+        (col("recall") >= FilteredRecallFloor).as("recall_ok"),
+        (col("n_allowed") < col("n_vectors")).as("filter_selective"))
   }
 
   /** SemDeDup parameters: cluster count for the semantic-dedup pass and
@@ -858,6 +978,7 @@ object Similarity {
     "q30_ann_lsh"         -> (q30AnnLsh _),
     "q31_cosine_near_dup" -> (q31CosineNearDup _),
     "q43_ann_ivf"         -> (q43AnnIvf _),
+    "q209_filtered_ann"   -> (q209FilteredAnn _),
     "q49_near_dup_lsh"    -> (q49NearDupLsh _))
 
   val oracles: Map[String, String] = Map(
@@ -948,6 +1069,28 @@ object Similarity {
          |  CAST(count(*) * $TopK AS BIGINT) AS n_exact_results,
          |  TRUE AS recall_ok
          |FROM embeddings WHERE vec_id < $NumProbes""".stripMargin,
+    // q209: the q43 verdict convention under a metadata filter — probe
+    // and allowed-store counts are corpus facts (n_exact_results caps
+    // each probe's result list at k over the allowed slice, minus the
+    // probe itself when it is allowed); the verdicts are deterministic
+    // in-plan booleans.
+    "q209_filtered_ann" ->
+      s"""WITH a AS (
+         |  SELECT count(*) AS na
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE d.source = '$FilterSource'),
+         |p AS (
+         |  SELECT e.vec_id,
+         |    CASE WHEN d.source = '$FilterSource' THEN 1 ELSE 0 END AS self_allowed
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE e.vec_id < $NumProbes)
+         |SELECT
+         |  CAST(sum(CASE WHEN na - self_allowed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_probes,
+         |  CAST(sum(least($TopK, na - self_allowed)) AS BIGINT) AS n_exact_results,
+         |  CAST(na AS BIGINT) AS n_allowed,
+         |  TRUE AS recall_ok, TRUE AS filter_selective
+         |FROM p, a GROUP BY na""".stripMargin,
     // q30: same verdict shape as q43 at the sign-LSH recall floor.
     "q30_ann_lsh" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_probes,

@@ -77,8 +77,61 @@ object Taxonomy {
       .orderBy("source", "topic")
   }
 
+  /** Multi-token phrase lexicon of the q206 tagger, in output order.
+    * Fixture-calibrated two-token collocations; a deployment loads its
+    * real phrase list (entity names, banned phrases, domain terms). */
+  val PhraseLexicon: Seq[String] = Seq(
+    "big order", "customer join", "merge group",
+    "part filter", "slow key", "table hash")
+
+  /** q206 — PHRASE-LEXICON TAGGING: occurrence and document counts for
+    * each MULTI-TOKEN phrase in [[PhraseLexicon]] — the Aho-Corasick /
+    * FlashText job of a curation pipeline (entity inventories, banned-
+    * phrase screens, domain-term audits), which single-token lexicons
+    * ([[Lexicons]], q184) cannot express: "table hash" is a phrase
+    * fact, not an intersection of token facts.
+    *
+    * Matching contract: tokenized bigram equality at token positions —
+    * overlapping occurrences all count (`a a a` matches `a a` twice),
+    * phrases never match across document boundaries, and every count
+    * is a pure integer, so both engines agree exactly.
+    *
+    * Scale shape: bigrams are built row-locally (array `transform`,
+    * map-only), then matched by a BROADCAST join against the phrase
+    * list (requests-sized — even a 10⁵-phrase inventory broadcasts),
+    * partially aggregated before the |phrases|-sized shuffle; unmatched
+    * phrases are restored by a left join against the literal lexicon
+    * frame so the report is total. The firehose never shuffles at
+    * occurrence grain. */
+  def q206PhraseTags(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    import spark.implicits._
+    val docs = Tables.fanout(spark, Tables.documents(spark, dir))
+    val lex = PhraseLexicon.toDF("phrase")
+    val grams = docs
+      .select(col("doc_id"),
+        TextOps.tokens(coalesce(col("text"), lit(""))).as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"),
+        explode(when(col("n") >= 2,
+          transform(sequence(lit(0), col("n") - 2),
+            i => concat_ws(" ", col("w")(i), col("w")(i + 1))))
+          .otherwise(typedLit(Seq.empty[String]))).as("gram"))
+    val hits = grams
+      .join(broadcast(lex), col("gram") === col("phrase"))
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+    lex.join(hits, col("phrase") === col("gram"), "left")
+      .select(col("phrase"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"))
+      .orderBy("phrase")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q184_topic_tag" -> (q184TopicTag _))
+    "q184_topic_tag" -> (q184TopicTag _),
+    "q206_phrase_tags" -> (q206PhraseTags _))
 
   /** The per-document oracle CTEs (`h` with one h_<topic> column per
     * lexicon, plus the tie-chain CASE) — shared by the q184 report
@@ -109,7 +162,7 @@ object Taxonomy {
       val (hitCols, topicCase, great) = perDocOracleSql
       s"""WITH t AS (
          |  SELECT doc_id, source,
-         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
          |  FROM documents),
          |h AS (
          |  SELECT doc_id, source,
@@ -120,5 +173,29 @@ object Taxonomy {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(greatest($great)) AS BIGINT) AS sum_hits
          |FROM h GROUP BY 1, 2 ORDER BY source, topic""".stripMargin
+    },
+    // q206: bigram construction + phrase match + totalizing left join
+    // replayed; counts are pure integers.
+    "q206_phrase_tags" -> {
+      val lexList = PhraseLexicon.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+         |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END) AS gram
+         |  FROM t),
+         |hits AS (
+         |  SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    count(*) AS n_occurrences
+         |  FROM b WHERE list_contains($lexList, gram) GROUP BY gram),
+         |lex AS (SELECT unnest($lexList) AS phrase)
+         |SELECT phrase,
+         |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(n_occurrences, 0) AS BIGINT) AS n_occurrences
+         |FROM lex LEFT JOIN hits ON phrase = gram
+         |ORDER BY phrase""".stripMargin
     })
 }

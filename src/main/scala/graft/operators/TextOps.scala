@@ -91,8 +91,14 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "est"),
     "de" -> Seq("der", "die", "und", "das", "ist"))
 
-  def languageId(text: Column): Column = {
-    val toks = tokens(lower(text))
+  def languageId(text: Column): Column =
+    languageIdOfTokens(tokens(lower(text)))
+
+  /** The same argmax over an ALREADY-TOKENIZED (lowercased) array —
+    * shared by the doc-level [[languageId]] and the window-level
+    * segmentation ([[LangSegments]]), so a window can never score
+    * differently from a whole document with the same tokens. */
+  private[graft] def languageIdOfTokens(toks: Column): Column = {
     // score(lang) = #tokens in lang's stopword list
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
@@ -920,7 +926,55 @@ object TextOps {
         .as("intercept_ln"))
   }
 
+  /** Intra-doc self-repetition gram order (trigrams — the shortest
+    * window that separates templated spans from ordinary word reuse,
+    * whose per-doc FRACTIONS q68 already reports). */
+  val SelfGramN = 3
+
+  /** Result width of the template-span report. */
+  val TemplateSpanTopK = 20
+
+  /** q201 — TEMPLATE-SPAN MINING (SURVEY §2.9 text family): the
+    * top-[[TemplateSpanTopK]] [[SelfGramN]]-grams that repeat WITHIN
+    * individual documents, ranked by total internal repeat count —
+    * the actionable companion to q68's per-document duplicate-n-gram
+    * FRACTIONS (Rae et al. 2021 §A1.1): q68 says which documents are
+    * internally repetitive; this says which exact spans do the
+    * repeating, i.e. what boilerplate/template text a cleaning pass
+    * should strip corpus-wide. A span counts once per extra internal
+    * occurrence (`c − 1` per document with `c ≥ 2`), so ubiquitous
+    * but unrepeated collocations (q92's territory) score zero.
+    *
+    * Scale shape: grams are built per row with array `transform`
+    * (map-only, codegen'd), exploded to (doc, gram) occurrence grain,
+    * and partially aggregated before the gram-keyed shuffle — the
+    * exchange carries one row per distinct (doc, gram), the q26
+    * shingle-pipeline shape; the final per-gram roll-up is
+    * gram-vocabulary-sized and the result is a TakeOrdered top-k.
+    * Fan-out opted in ([[Tables.fanout]]) for the per-row gram work. */
+  def q201TemplateSpans(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val docs = Tables.fanout(spark, Tables.documents(spark, dir))
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"),
+        explode(when(col("n") >= SelfGramN,
+          transform(
+            sequence(lit(0), col("n") - SelfGramN),
+            i => concat_ws(" ", col("w")(i), col("w")(i + 1), col("w")(i + 2))))
+          .otherwise(typedLit(Seq.empty[String]))).as("gram"))
+    grams
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"), sum(col("c") - 1).as("n_repeats"))
+      .orderBy(col("n_repeats").desc, col("gram"))
+      .limit(TemplateSpanTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_template_spans" -> (q201TemplateSpans _),
     "q122_zipf_slope" -> (q122ZipfSlope _),
     "q118_bpe_merges" -> (q118BpeMerges _),
     "q119_vocab_coverage" -> (q119VocabCoverage _),
@@ -988,6 +1042,26 @@ object TextOps {
       .orderBy("lang")
 
   val oracles: Map[String, String] = Map(
+    // q201: the gram construction replayed with 1-based list slicing —
+    // DuckDB's range(1, len-1) enumerates exactly the Spark side's
+    // sequence(0, n-3) window starts; repeat counts are pure integers
+    // and the (n_repeats DESC, gram) order breaks every tie.
+    "q201_template_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= $SelfGramN THEN
+         |      list_transform(range(1, len(w) - 1),
+         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [] END) AS gram
+         |  FROM t),
+         |c AS (
+         |  SELECT doc_id, gram, count(*) AS c FROM g
+         |  GROUP BY doc_id, gram HAVING count(*) >= 2)
+         |SELECT gram, count(*) AS n_docs, CAST(sum(c - 1) AS BIGINT) AS n_repeats
+         |FROM c GROUP BY gram
+         |ORDER BY n_repeats DESC, gram LIMIT $TemplateSpanTopK""".stripMargin,
     "q138_token_fertility" ->
       """WITH t AS (
         |  SELECT lang,

@@ -30,8 +30,11 @@ object OutlierStream {
   /** q195 — streamed outlier screen over `dir`'s embeddings. */
   def q195StreamOutlierScreen(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val cents = graft.core.ModelCache.perVersion(
-      spark, dir, "embeddings.parquet", "outlierCentroids") {
+    // keyed on BOTH inputs: the centroids depend on embeddings AND the
+    // vec_id→source mapping in documents — a documents-only refresh
+    // must invalidate the artifact too
+    val cents = graft.core.ModelCache.perVersionMulti(
+      spark, dir, Seq("embeddings.parquet", "documents.parquet"), "outlierCentroids") {
       Outlier.sourceCentroids(spark, dir)
     }
     import spark.implicits._

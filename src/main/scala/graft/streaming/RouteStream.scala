@@ -42,7 +42,7 @@ object RouteStream {
       val (hitCols, topicCase, great) = Taxonomy.perDocOracleSql
       s"""WITH t AS (
          |  SELECT doc_id, source,
-         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
          |  FROM documents),
          |h AS (
          |  SELECT doc_id, source,

@@ -43,11 +43,12 @@ object ScaleBench {
     * production path, and sweeping it measured the adversarial regime
     * (99.85× at 10× in r8), not the operator.
     *
-    * q191 (margin mining) is likewise NOT swept: its `queries` entry is
-    * the exact all-pairs mining gate (the q31 convention — the margin
-    * criterion's ground truth); the production regime rides the q43
-    * IVF candidate stream, whose scaling the q43/q143/q194 entries
-    * already sweep. */
+    * q191 (margin mining) follows the same split: its `queries` entry
+    * is the exact all-pairs mining gate (the q31 convention — the
+    * margin criterion's ground truth, audited by q200), so the SWEPT
+    * entry is `q191_prod_pairs` — the IVF-candidate production miner
+    * ([[graft.operators.Margin.ivfMinedPairs]]), whose candidate
+    * count is ≈ 2·probe·spill·cluster-size·n, linear in the corpus. */
   val Heavy: Seq[String] = Seq(
     "q26_ngram_jaccard", "q27_minhash_lsh", "q38_dedup_apply",
     "q49_prod_pairs", "q53_vocab_top",
@@ -173,7 +174,25 @@ object ScaleBench {
     // skew diagnostics (one keyed count + TakeOrdered top-5) and the
     // retrieval-metrics harness (the q70 ranking + a candidate-sized
     // relevance join — must scale like q70 itself)
-    "q198_skew_report", "q199_retrieval_eval")
+    "q198_skew_report", "q199_retrieval_eval",
+    // round-11: the margin miner's PRODUCTION path (see the q191 note
+    // above) — two list-keyed shuffle joins + a pair-keyed dedup +
+    // the shared rank tail; must scale ~linearly where the exact grid
+    // is quadratic
+    "q191_prod_pairs",
+    // round-11 operator families: template-span mining (map-built
+    // grams + a (doc,gram)-grain shuffle — the q26 shingle shape),
+    // the purge-cascade audit (three broadcast anti/left joins — must
+    // ride the scans), the weak-label matrix + its ingest twin
+    // (map-only LF scoring), code-switch segmentation and phrase
+    // tagging (row-local array scoring), trajectory assembly batch +
+    // stream (ONE user-keyed shuffle, session-bounded state), and the
+    // filtered-ANN production scan (selectivity-adaptive probe over
+    // the prefiltered slice — must scale with the SLICE)
+    "q201_template_spans", "q202_purge_cascade", "q203_weak_label_matrix",
+    "q204_stream_weak_labels", "q205_code_switch_segments",
+    "q206_phrase_tags", "q207_session_trajectories",
+    "q208_stream_trajectories", "q209_prod_filtered")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */
@@ -206,7 +225,16 @@ object ScaleBench {
     // q154's gate joins the exact matrix in-plan (deliberately the
     // expensive audit); the sweep times the sketch alone
     "q154_sketch_est" -> ((s: SparkSession, d: String) =>
-      graft.operators.Dedup.sourceSketchEstOf(s, d)))
+      graft.operators.Dedup.sourceSketchEstOf(s, d)),
+    // q191's production miner: the q200 gate audits it against the
+    // exact grid; the sweep times the blocked IVF-candidate path alone
+    "q191_prod_pairs" -> ((s: SparkSession, d: String) =>
+      graft.operators.Margin.ivfMinedPairs(s, d)),
+    // q209's production filtered search: the gate computes the exact
+    // filtered twin for the recall audit; the sweep times the
+    // prefiltered adaptive-probe scan alone
+    "q209_prod_filtered" -> ((s: SparkSession, d: String) =>
+      graft.operators.Similarity.ivfFilteredTopK(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -247,15 +275,22 @@ object ScaleBench {
       val ratio = if (a > 0 && b > 0) b / a else -1.0
       (n, a, b, ratio)
     }
+    // explicit-locale formatting (comma-decimal locales would break the
+    // JSON), and the WRITTEN entry count printed so commit messages can
+    // quote the artifact instead of the intent (round-10 verdict item 8:
+    // a commit claimed 101 entries over a 98-entry file)
+    def fmt(v: Double, d: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
     val qs = rows.map { case (n, a, b, r) =>
-      f"""\"$n\":{\"sf01\":$a%.3f,\"sf1\":$b%.3f,\"ratio\":$r%.2f}"""
+      s"""\"$n\":{\"sf01\":${fmt(a, 3)},\"sf1\":${fmt(b, 3)},\"ratio\":${fmt(r, 2)}}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"sf1_sweep","scale_factor":10,"queries":$qs,""" +
-      s""""sf01_dir":"$sf01","sf1_dir":"$sf1"}"""
+    val line = s"""{"metric":"sf1_sweep","scale_factor":10,"n_entries":${rows.size},""" +
+      s""""queries":$qs,"sf01_dir":"$sf01","sf1_dir":"$sf1"}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SF1.json"), line + "\n")
     catch { case _: Throwable => () }
+    println(s"[scalebench] wrote BENCH_SF1.json with ${rows.size} entries")
     spark.stop()
   }
 }

@@ -3,12 +3,14 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Beyond-fixture validation of the flagship near-dup chain (round-9
-  * verdict item 6): run the PRODUCTION dedup pipeline end-to-end at the
-  * 10× [[ScaleDataGen]] tree — q27 (LSH-blocked, Jaccard-verified
+/** Beyond-fixture validation of the flagship production chains at the
+  * 10× [[ScaleDataGen]] tree. Two blocks:
+  *
+  * `text_dedup` (round-9 verdict item 6): the PRODUCTION dedup
+  * pipeline end-to-end — q27 (LSH-blocked, Jaccard-verified
   * pairs) → q38 (connected components + keeper election) → q171
   * (edit-distance verify tier), plus q49's IVF-bucketed embedding
-  * pairs — and assert the chain's own invariants hold at that scale:
+  * pairs — asserting the chain's own invariants hold at that scale:
   *
   *   - sub-quadratic blocking: the verified pair list stays ≪ n²/2 (a
   *     blown-up LSH regime shows here first);
@@ -22,6 +24,16 @@ import org.apache.spark.sql.functions._
   *   - embedding path: every IVF-bucketed pair clears the cosine
   *     threshold recomputed in-plan, and the pair list stays
   *     sub-quadratic in the vector count.
+  *
+  * `embedding_serving` (round-10 verdict item 6): the ANN serving
+  * chain — q43 (in-memory IVF gate: quantizer trained at this scale,
+  * recall vs the exact top-k verdict collected in-plan) → q194 (the
+  * IVF-PARTITIONED layout written at this scale, layout-served
+  * results row-identical to the in-memory index, probe batch pruned)
+  * → q162 (the nprobe sweep's recall/monotonicity/scan-bound verdicts
+  * per operating point) — plus the executed-plan fact that the
+  * serving scan carries `list_id` partition filters and reads no more
+  * partitions than the probed∩occupied list set.
   *
   * Emits one JSON line and writes `SCALE_VALIDATE.json`; exits nonzero
   * on any failed gate. Run after `ScaleDataGen`:
@@ -47,12 +59,20 @@ object ScaleValidate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val checks = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
-    val stats = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    def gate(name: String)(ok: Boolean): Unit = {
-      checks(name) = ok
-      if (!ok) System.err.println(s"[scalevalidate] GATE FAILED: $name")
+    class Block(val name: String) {
+      val checks = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+      val stats = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      def gate(g: String)(ok: Boolean): Unit = {
+        checks(g) = ok
+        if (!ok) System.err.println(s"[scalevalidate] GATE FAILED: $name/$g")
+      }
+      def json: String =
+        s""""$name":{"stats":{${stats.map { case (k, v) => s"\"$k\":$v" }.mkString(",")}},""" +
+          s""""gates":{${checks.map { case (k, v) => s"\"$k\":$v" }.mkString(",")}}}"""
     }
+    val dedup = new Block("text_dedup")
+    val serving = new Block("embedding_serving")
+    import dedup.{gate, stats}
 
     val nDocs = graft.core.Tables.documents(spark, sf1).count()
     stats("n_docs") = nDocs
@@ -117,11 +137,64 @@ object ScaleValidate {
       .count()
     gate("vec_pairs_clear_threshold")(below == 0)
 
-    val ok = checks.values.forall(identity)
+    // ---- block 2: the embedding-serving chain q43 → q194 → q162 ----
+    // q43: the in-memory IVF gate at this scale — quantizer trained on
+    // THIS corpus (per-version cache), recall-vs-exact verdict in-plan.
+    val q43row = graft.operators.Similarity.q43AnnIvf(spark, sf1).collect()(0)
+    serving.stats("n_probes") = q43row.getLong(0)
+    serving.stats("n_exact_results") = q43row.getLong(1)
+    serving.gate("ivf_recall_ok")(q43row.getBoolean(2))
+
+    // q194: the IVF-partitioned layout written at this scale; served
+    // results must equal the in-memory index row-for-row and the probe
+    // batch must prune.
+    val q194row = graft.layout.IvfLayout.q194IvfLayoutServe(spark, sf1).collect()(0)
+    serving.gate("layout_results_match")(q194row.getBoolean(1))
+    serving.gate("layout_pruned")(q194row.getBoolean(2))
+    serving.gate("layout_scan_bounded")(q194row.getBoolean(3))
+
+    // executed-plan fact (the IvfLayoutSpec check, at 10×): the serving
+    // scan carries list_id partition filters and reads no more
+    // partitions than the probed∩occupied list set
+    val servedDf = graft.layout.IvfLayout.servedTopK(spark, sf1)
+    servedDf.collect()
+    val planStr = servedDf.queryExecution.executedPlan.toString
+    serving.gate("scan_has_partition_filters")(
+      planStr.contains("PartitionFilters") && planStr.contains("list_id"))
+    val probedLists = graft.layout.IvfLayout.probedLists(spark, sf1).toSet
+    val layoutRoot = graft.layout.IvfLayout.ensure(spark, sf1)
+    val occupied = Option(new java.io.File(layoutRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+      .map(_.getName.stripPrefix("list_id=").toInt).toSet
+    val scannedParts = servedDf.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics.get("numPartitions").map(_.value)
+      }.flatten
+    serving.stats("n_lists_probed") = probedLists.size.toLong
+    serving.stats("n_lists_occupied") = occupied.size.toLong
+    scannedParts.foreach(p => serving.stats("n_partitions_scanned") = p)
+    serving.gate("scan_reads_only_probed")(
+      scannedParts.forall(_ <= (probedLists & occupied).size))
+
+    // q162: every operating point's recall / monotonicity / scan-bound
+    // verdicts hold at this scale
+    val sweepRows = graft.operators.Similarity.q162NprobeSweep(spark, sf1).collect()
+    serving.stats("n_sweep_points") = sweepRows.length.toLong
+    serving.gate("sweep_all_verdicts")(sweepRows.nonEmpty && sweepRows.forall { r =>
+      r.getBoolean(r.fieldIndex("recall_ok")) &&
+        r.getBoolean(r.fieldIndex("monotone_ok")) &&
+        r.getBoolean(r.fieldIndex("scan_bounded_ok"))
+    })
+
+    val blocks = Seq(dedup, serving)
+    val ok = blocks.forall(_.checks.values.forall(identity))
     val line =
       s"""{"metric":"scale_validate","ok":$ok,"sf1_dir":"$sf1",""" +
         s""""stats":{${stats.map { case (k, v) => s"\"$k\":$v" }.mkString(",")}},""" +
-        s""""gates":{${checks.map { case (k, v) => s"\"$k\":$v" }.mkString(",")}}}"""
+        s""""gates":{${dedup.checks.map { case (k, v) => s"\"$k\":$v" }.mkString(",")}},""" +
+        s""""blocks":{${blocks.map(_.json).mkString(",")}}}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALE_VALIDATE.json"), line + "\n")

@@ -68,4 +68,23 @@ class MarginSpec extends SparkSpec {
     def canon() = Margin.q191MarginMining(spark, sf).collect().map(_.toString).toSeq
     assert(canon() == canon())
   }
+
+  test("q200: the production miner's candidates prune and its recall clears the floor") {
+    val r = Margin.q200MarginIvf(spark, sf).collect()(0)
+    assert(r.getLong(0) == Margin.q191MarginMining(spark, sf).count(),
+      "the exact-pair fact must match the exact miner")
+    assert(r.getBoolean(1), "recall of the exact mined set must clear the floor")
+    assert(r.getBoolean(2), "the blocked candidate stream must prune the grid")
+  }
+
+  test("production mined pairs keep the exact miner's per-pair invariants") {
+    val rows = Margin.ivfMinedPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1)
+      assert(r.getLong(2) > 0 && r.getLong(3) >= Margin.MarginTauMicro)
+    }
+    val anchors = rows.map(_.getLong(0))
+    assert(anchors.distinct.length == anchors.length)
+  }
 }

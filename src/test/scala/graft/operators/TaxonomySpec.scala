@@ -35,6 +35,23 @@ class TaxonomySpec extends SparkSpec {
     assert(got(5L) == ("none", 0L))
   }
 
+  test("q206 counts overlapping phrase occurrences and keeps zero-hit phrases") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+    Seq(
+      (1L, "table hash table hash x", "en", "s", 0L),
+      (2L, "hash table hash table hash", "en", "s", 0L), // 'table hash' twice, overlapping chain
+      (3L, "nothing here", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Taxonomy.q206PhraseTags(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("table hash") == ((2L, 4L)),
+      "both docs hit; 2 + 2 overlapping-position occurrences")
+    assert(got("big order") == ((0L, 0L)), "zero-hit phrases stay in the report")
+    assert(got.size == Taxonomy.PhraseLexicon.size)
+  }
+
   test("q184 is map-only up to the report aggregate: one shuffle plus the output sort") {
     val df = Taxonomy.q184TopicTag(spark, sf)
     df.collect()

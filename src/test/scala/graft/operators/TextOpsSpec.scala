@@ -407,4 +407,19 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(declared == corpus)
   }
+
+  test("q201 counts per-document internal trigram repeats, not cross-doc reuse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-span").toString
+    Seq(
+      (1L, "a b c x a b c", "en", "s", 0L),  // 'a b c' twice IN one doc -> 1 repeat
+      (2L, "a b c y z", "en", "s", 0L),      // same gram once -> no repeat
+      (3L, "q q q q", "en", "s", 0L))        // 'q q q' twice in one doc
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.q201TemplateSpans(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a b c" -> ((1L, 1L)), "q q q" -> ((1L, 1L))),
+      "only internally-repeated grams appear; doc 2's single use is invisible")
+  }
 }
