@@ -789,6 +789,72 @@ object TableFunctions {
         case _ => throw new IllegalArgumentException(
           "retrieval_eval expects no arguments")
       }
+    },
+    "template_spans" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.TextOps.templateSpansOver(
+            spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "template_spans expects no arguments")
+      }
+    },
+    "purge_audit" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Purge.auditOver(
+            spark, spark.table("documents"), spark.table("embeddings")))
+        case _ => throw new IllegalArgumentException(
+          "purge_audit expects no arguments")
+      }
+    },
+    "weak_labels" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.WeakLabels.labeled(spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "weak_labels expects no arguments")
+      }
+    },
+    "weak_label_matrix" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.WeakLabels.matrixOver(
+            spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "weak_label_matrix expects no arguments")
+      }
+    },
+    "code_switch" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.LangSegments.segmentsOver(
+            spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "code_switch expects no arguments")
+      }
+    },
+    "phrase_tags" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Taxonomy.phraseTagsOver(
+            spark, spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "phrase_tags expects no arguments")
+      }
+    },
+    "trajectories" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Trajectory.assembled(
+            spark.table("events").select(
+              org.apache.spark.sql.functions.col("user_id"),
+              org.apache.spark.sql.functions.col("ts"),
+              org.apache.spark.sql.functions.col("event_id"),
+              org.apache.spark.sql.functions.col("event_type"))))
+        case _ => throw new IllegalArgumentException(
+          "trajectories expects no arguments")
+      }
     })
 
   /** Build the operator frame against the session resolving the query

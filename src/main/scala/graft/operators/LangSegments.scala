@@ -37,9 +37,14 @@ object LangSegments {
   /** q205 — per-document language-mixing profile. */
   def q205CodeSwitchSegments(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
+    segmentsOver(Tables.fanout(spark, Tables.documents(spark, dir)))
+  }
+
+  /** The profile over ANY (doc_id, text) frame — also the
+    * `code_switch()` TVF body. */
+  private[graft] def segmentsOver(docs: DataFrame): DataFrame = {
     val W = SegWindowTokens
     val langCodes = TextOps.stopwords.keys.toSeq.sorted
-    val docs = Tables.fanout(spark, Tables.documents(spark, dir))
     docs
       .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("w"))
       .withColumn("n", size(col("w")))

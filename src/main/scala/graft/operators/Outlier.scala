@@ -54,27 +54,33 @@ object Outlier {
         .select(col("doc_id").as("vec_id"), col("source")))
   }
 
+  /** Codegen'd double dot over bigint arrays
+    * ([[graft.functions.DotProductLong]] — one fold, same
+    * left-to-right accumulation as the interpreted
+    * `aggregate(zip_with(...))` chain it replaced, which re-ran the
+    * whole fold per lambda call). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_long(a, b)
 
   /** The per-vector score: cosine of the quantized vector against its
     * source's Σ-vector centroid, half-away micros — ONE column
     * expression shared by the batch audit and the streaming screen
-    * (q195), so the two can never drift. */
+    * (q195), so the two can never drift. The double grouping
+    * `(1e6·dot)/sqrt(dotA·dotB)` is exactly the oracle's. */
   private[graft] def centroidCosMicro(qv: Column, cv: Column): Column =
     KMeans.halfAway(lit(1e6) * dot(qv, cv) /
       sqrt(dot(qv, qv) * dot(cv, cv)))
 
   /** (vec_id, qv) unit-milli quantization of an embedding column — the
-    * same map the batch audit applies, exposed for the stream. */
-  private[graft] def quantizeCols(df: DataFrame): DataFrame = {
-    val nrm = sqrt(dot(col("embedding"), col("embedding")))
-    df.withColumn("qv", transform(
-      col("embedding"),
-      x => KMeans.halfAway(lit(Similarity.DivQuant) * x.cast("double") / nrm)))
-  }
+    * same map the batch audit applies, exposed for the stream. One
+    * codegen'd pass ([[graft.functions.UnitQuantize]]): the composable
+    * `transform(v, x -> …/nrm)` form re-evaluated the norm fold PER
+    * ELEMENT (no CSE inside Catalyst lambdas) — O(dim²) interpreted
+    * work that dominated q192's cost (measured 17.7 s → sub-second at
+    * the 10× tree). */
+  private[graft] def quantizeCols(df: DataFrame): DataFrame =
+    df.withColumn("qv", graft.functions.VectorFunctions.unit_quantize(
+      col("embedding"), Similarity.DivQuant))
 
   /** The audit over ANY (vec_id, embedding) + (vec_id, source) frames —
     * also the `embedding_outliers()` TVF body and the batch tail the
@@ -126,13 +132,86 @@ object Outlier {
       .collect().toSeq
       .map(r => r.getString(0) -> r.getSeq[Long](1))
 
+  /** q212 — VECTOR HYGIENE REPORT: the pre-indexing validation pass
+    * every embedding store runs before vectors reach an index or a
+    * training mix — corpus-level counts of NULL embeddings, zero-norm
+    * vectors (un-normalizable: they poison cosine math with NaN),
+    * non-finite components (NaN/±Inf — upstream encoder bugs), and
+    * dimension consistency (a mixed-dim store breaks every dot
+    * product), plus the norm distribution in half-away milli units.
+    * One map-only scan into a 1-row aggregate; nothing corpus-sized
+    * shuffles. Parity: counts are integers; norm stats are halfAway
+    * milli; the avg is one truncating division. */
+  def q212VectorHygiene(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val nf = size(filter(col("embedding"),
+      x => isnan(x) || abs(x) === lit(Float.PositiveInfinity)))
+    // per-row norm: one double fold (evaluated once per row — cheap;
+    // the q192 per-ELEMENT pathology does not apply outside lambdas).
+    // Defined ONLY for finite vectors: a NaN norm would silently cast
+    // to 0 on Spark and ERROR the BIGINT cast on DuckDB — so the
+    // non-finite rows are counted separately and excluded from every
+    // norm statistic on both engines.
+    val trueNorm = sqrt(aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val nm = when(col("embedding").isNotNull && nf === 0,
+      KMeans.halfAway(lit(1000.0) * trueNorm))
+    emb.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("embedding").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(nm === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(when(col("embedding").isNotNull && nf > 0, 1L).otherwise(0L))
+          .as("n_nonfinite"),
+        min(size(col("embedding"))).cast("long").as("min_dim"),
+        max(size(col("embedding"))).cast("long").as("max_dim"),
+        min(nm).as("min_norm_milli"),
+        max(nm).as("max_norm_milli"),
+        sum(nm).as("sum_norm_milli"),
+        sum(when(nm.isNotNull, 1L).otherwise(0L)).as("n_scored"))
+      .withColumn("avg_norm_milli",
+        expr("sum_norm_milli div greatest(n_scored, 1)"))
+      .withColumn("dims_consistent", col("min_dim") === col("max_dim"))
+      .drop("sum_norm_milli", "n_scored")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q192_embedding_outliers" -> (q192EmbeddingOutliers _))
+    "q192_embedding_outliers" -> (q192EmbeddingOutliers _),
+    "q212_vector_hygiene" -> (q212VectorHygiene _))
 
   /** Full value oracle: quantize → Σ-vector per source → the same
     * double cosine over integers, micro half-away — replayed
     * value-for-value (the q157 arithmetic at per-vector grain). */
   val oracles: Map[String, String] = Map(
+    // q212: the hygiene counts + halfAway-milli norm stats replayed;
+    // the avg is one truncating division of non-negative integers.
+    "q212_vector_hygiene" -> {
+      val nmSql = KMeans.halfAwaySql(
+        "1000.0 * sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+          "CAST(embedding AS DOUBLE[])))")
+      s"""WITH f AS (
+         |  SELECT embedding, len(embedding) AS dim,
+         |    len(list_filter(embedding, x -> isnan(x) OR isinf(x))) AS nf
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT embedding, dim, nf,
+         |    CASE WHEN embedding IS NOT NULL AND nf = 0 THEN $nmSql END AS nm
+         |  FROM f)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(sum(CASE WHEN nm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+         |  CAST(sum(CASE WHEN embedding IS NOT NULL AND nf > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_nonfinite,
+         |  CAST(min(dim) AS BIGINT) AS min_dim,
+         |  CAST(max(dim) AS BIGINT) AS max_dim,
+         |  CAST(min(nm) AS BIGINT) AS min_norm_milli,
+         |  CAST(max(nm) AS BIGINT) AS max_norm_milli,
+         |  CAST(sum(nm) // greatest(count(nm), 1) AS BIGINT) AS avg_norm_milli,
+         |  min(dim) = max(dim) AS dims_consistent
+         |FROM n""".stripMargin
+    },
     "q192_embedding_outliers" -> {
       val nrm = "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
       val qd = "list_transform(q.qv, x -> CAST(x AS DOUBLE))"

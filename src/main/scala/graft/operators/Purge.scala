@@ -51,13 +51,18 @@ object Purge {
     * convention). */
   private def auditRow(name: String, df: DataFrame, key: Column,
       tomb: DataFrame): DataFrame = {
+    // coalesce: `sum` over an EMPTY surface is NULL — an empty table
+    // audits as (0, 0, 0, clean), not a NULL row
     val counted = df.join(broadcast(tomb), key === col("t_id"), "left")
       .agg(
         count(lit(1)).as("n_before"),
-        sum(when(col("t_id").isNotNull, 1L).otherwise(0L)).as("n_tombstoned"))
+        coalesce(sum(when(col("t_id").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_tombstoned"))
     val residual = purged(df, key, tomb)
       .join(broadcast(tomb), key === col("t_id"), "left")
-      .agg(sum(when(col("t_id").isNotNull, 1L).otherwise(0L)).as("n_residual"))
+      .agg(coalesce(
+        sum(when(col("t_id").isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_residual"))
     counted.crossJoin(broadcast(residual))
       .select(
         lit(name).as("surface"),
@@ -69,14 +74,20 @@ object Purge {
   /** q202 — the purge-cascade audit over the three derived surfaces. */
   def q202PurgeCascade(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val tomb = tombstones(spark, dir)
-    val docs = Tables.documents(spark, dir)
+    auditOver(spark, Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+  }
+
+  /** The audit over ANY (documents, embeddings) frame pair — also the
+    * `purge_audit()` TVF body. */
+  private[graft] def auditOver(spark: SparkSession, docs: DataFrame,
+      emb: DataFrame): DataFrame = {
+    val tomb = docs.filter(col("doc_id") % TombstoneMod === 0)
+      .select(col("doc_id").as("t_id"))
     val chunks = TextOps.chunkOverlap(
       Tables.fanout(spark, docs), TextOps.ChunkSize, TextOps.ChunkStride)
     auditRow("chunks", chunks, col("doc_id"), tomb)
       .unionAll(auditRow("documents", docs, col("doc_id"), tomb))
-      .unionAll(auditRow("embeddings",
-        Tables.embeddings(spark, dir), col("vec_id"), tomb))
+      .unionAll(auditRow("embeddings", emb, col("vec_id"), tomb))
       .orderBy("surface")
   }
 

@@ -63,10 +63,12 @@ object Retrieval {
       stats, queries, k)
   }
 
-  /** Scoring core over a pre-tokenized occurrence stream
-    * `(doc_id, dl, token)` + a 1-row `(avgdl, n)` stats frame. */
-  private def bm25Core(tok: DataFrame, stats: DataFrame,
-      queries: Seq[(Long, String)], k: Int): DataFrame = {
+  /** The full candidate-scored frame `(query_id, doc_id, dl, micro)`
+    * over a pre-tokenized occurrence stream — shared by the ranking
+    * tail ([[bm25Core]]) and the context packer (q211), which needs
+    * EVERY candidate plus its document length, not a top-k. */
+  private def bm25Scores(tok: DataFrame, stats: DataFrame,
+      queries: Seq[(Long, String)]): DataFrame = {
     val spark = tok.sparkSession
     import spark.implicits._
     val terms = queries.map(_._2).distinct
@@ -86,15 +88,22 @@ object Retrieval {
       .join(tfdf, q("term") === tfdf("token"))
       .crossJoin(broadcast(stats))
       .select(
-        col("query_id"), col("doc_id"),
+        col("query_id"), col("doc_id"), col("dl"),
         round(
           log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
             (col("tf") * lit(K1Plus1Lit.toDouble)) /
             (col("tf") + lit(K1Lit.toDouble) *
               (lit(OneMinusBLit.toDouble) + lit(BLit.toDouble) * col("dl") / col("avgdl"))) *
             lit(1000000)).cast("long").as("contrib"))
-    val agg = contrib.groupBy("query_id", "doc_id")
-      .agg(sum(col("contrib")).as("micro"))
+    contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("micro"), max(col("dl")).as("dl"))
+  }
+
+  /** Scoring core over a pre-tokenized occurrence stream
+    * `(doc_id, dl, token)` + a 1-row `(avgdl, n)` stats frame. */
+  private def bm25Core(tok: DataFrame, stats: DataFrame,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val agg = bm25Scores(tok, stats, queries)
     val w = Window.partitionBy("query_id").orderBy(col("micro").desc, col("doc_id"))
     agg
       .withColumn("rnk", row_number().over(w))
@@ -320,11 +329,61 @@ object Retrieval {
       .orderBy("query_id")
   }
 
+  /** Context-window token budget of the q211 packer (a deployment
+    * passes its model's window minus prompt overhead). */
+  val ContextBudgetTokens = 512L
+
+  /** q211 — RAG CONTEXT PACKING: for each query, greedily fill a
+    * [[ContextBudgetTokens]]-token context window with the BM25-ranked
+    * candidate documents — the retrieval-to-prompt assembly step of a
+    * RAG serving path (rank, then take the ranked prefix whose
+    * cumulative length fits the window). q70 answers "what ranks";
+    * this answers "what actually SHIPS to the model" — the distinction
+    * that decides chunk sizing and window budgets.
+    *
+    * Greedy-prefix contract (deterministic on both engines): candidates
+    * in (micro DESC, doc_id) order; a document is packed iff the
+    * cumulative token count THROUGH IT stays ≤ the budget — one
+    * over-budget document stops the prefix (no skip-and-continue
+    * knapsack, which is order-fragile and buys little at serving time).
+    *
+    * Scale shape: the scored frame is candidates-sized (query-vocab
+    * filter before the shuffle, the q70 plan); the pack is one
+    * per-query window cumsum over it and a |queries|-row report. */
+  def q211ContextPack(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val stage = TextOps.tokenStage(spark, dir)
+    val perDoc = stage.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+    val stats = perDoc.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n"))
+    val scores = bm25Scores(
+      stage.filter(col("token").isNotNull)
+        .select(col("doc_id"), col("dl"), col("token")),
+      stats, QuerySet)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("micro").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scores
+      .withColumn("cum", sum(col("dl")).over(w))
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("cum") <= ContextBudgetTokens, 1L).otherwise(0L))
+          .as("n_docs_packed"),
+        coalesce(max(when(col("cum") <= ContextBudgetTokens, col("cum"))),
+          lit(0L)).as("tokens_packed"))
+      .withColumn("fill_micro",
+        expr(s"(1000000 * tokens_packed) div $ContextBudgetTokens"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_bm25" -> (q70Bm25 _),
     "q113_hybrid_rrf" -> (q113HybridRrf _),
     "q117_inverted_index" -> (q117InvertedIndex _),
-    "q199_retrieval_eval" -> (q199RetrievalEval _))
+    "q199_retrieval_eval" -> (q199RetrievalEval _),
+    "q211_context_pack" -> (q211ContextPack _))
 
   private val valuesSql =
     QuerySet.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
@@ -497,5 +556,47 @@ object Retrieval {
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
          |  CAST(rrf_micro AS BIGINT) AS rrf_micro,
          |  CAST(bm25_rnk AS BIGINT) AS bm25_rnk, CAST(cos_rnk AS BIGINT) AS cos_rnk
-         |FROM r WHERE rnk <= $RrfTopK ORDER BY query_id, rnk""".stripMargin)
+         |FROM r WHERE rnk <= $RrfTopK ORDER BY query_id, rnk""".stripMargin,
+    // q211: the q70 scoring CTEs + the greedy-prefix pack — cumulative
+    // dl in (micro DESC, doc_id) order, packed iff cum ≤ budget.
+    "q211_context_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+         |stats AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n
+         |  FROM dd),
+         |q(query_id, term) AS (VALUES $valuesSql),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dd) u
+         |  WHERE token IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |contrib AS (
+         |  SELECT q.query_id, tf.doc_id, tf.dl,
+         |    CAST(round(
+         |      ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |        (tf.tf * $K1Plus1Lit) /
+         |        (tf.tf + $K1Lit * ($OneMinusBLit + $BLit * tf.dl / stats.avgdl)) *
+         |      1000000) AS BIGINT) AS contrib
+         |  FROM q JOIN tf ON q.term = tf.token JOIN df ON df.token = tf.token, stats),
+         |agg AS (
+         |  SELECT query_id, doc_id, sum(contrib) AS micro, max(dl) AS dl
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |c AS (
+         |  SELECT query_id, dl,
+         |    sum(dl) OVER (PARTITION BY query_id ORDER BY micro DESC, doc_id
+         |                  ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM agg)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN cum <= $ContextBudgetTokens THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_packed,
+         |  CAST(coalesce(max(CASE WHEN cum <= $ContextBudgetTokens THEN cum END), 0)
+         |    AS BIGINT) AS tokens_packed,
+         |  CAST((1000000 * coalesce(max(CASE WHEN cum <= $ContextBudgetTokens THEN cum END), 0))
+         |    // $ContextBudgetTokens AS BIGINT) AS fill_micro
+         |FROM c GROUP BY query_id ORDER BY query_id""".stripMargin)
 }

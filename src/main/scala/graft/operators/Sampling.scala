@@ -591,7 +591,65 @@ object Sampling {
           .as("delta_micro"))
   }
 
+  /** q210 epoch-plan knobs: the budget is [[RepeatFactor]]× the corpus
+    * (data-constrained training plans more tokens than it has), and no
+    * source repeats past [[MaxEpochsMicro]] (4 epochs — the
+    * diminishing-returns cliff of Muennighoff et al. 2023 "Scaling
+    * Data-Constrained Language Models": up to ~4 epochs repeated data
+    * is nearly as good as fresh; beyond it, returns decay to zero). */
+  val RepeatFactor = 2L
+  val MaxEpochsMicro = 4000000L
+
+  /** q210 — EPOCH / REPEAT-CAP PLANNING: allocate a token budget of
+    * [[RepeatFactor]]× the corpus across sources in proportion to a
+    * per-source diversity weight (distinct-token share in micros —
+    * richer vocabulary earns more repetition), then cap every source at
+    * [[MaxEpochsMicro]] so no slice is over-repeated. The output is the
+    * per-source epoch schedule a data-constrained training run executes
+    * — the planning step BEFORE q64's temperature mix / q121's budget
+    * enforcement, answering "how many times may each source repeat".
+    *
+    * Parity/overflow contract: weights normalize to per-mille FIRST
+    * (`(1000·w) div Σw`), so the biggest product is B·1000 — exact in
+    * int64 to B ≈ 9·10¹⁵ tokens; `alloc = (n·epochs_micro) div 10⁶`
+    * is exact to ~2.3·10¹² tokens per source (the documented bound,
+    * the ZOrderLayout.MaxRankSpan convention). All divisions truncate
+    * on both engines.
+    *
+    * Scale shape: one pass over the shared token stage into a
+    * |sources|-grain aggregate (the stage is bucketed by token, so the
+    * distinct-count shuffle carries (source, token) partials); the plan
+    * arithmetic after that is |sources|-sized with two broadcast
+    * scalars. */
+  def q210EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val occ = TextOps.tokenStream(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+    val perSource = occ.groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_distinct"))
+      .withColumn("weight_micro",
+        expr("(1000000 * n_distinct) div greatest(n_tokens, 1)"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("weight_micro")).as("sum_w"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("wshare_mille",
+        expr("(1000 * weight_micro) div greatest(sum_w, 1)"))
+      .withColumn("target_tokens",
+        expr(s"($RepeatFactor * total_tokens * wshare_mille) div 1000"))
+      .withColumn("epochs_micro",
+        expr(s"least($MaxEpochsMicro, (1000000 * target_tokens) div greatest(n_tokens, 1))"))
+      .withColumn("alloc_tokens",
+        expr("(n_tokens * epochs_micro) div 1000000"))
+      .select(col("source"), col("n_tokens"), col("weight_micro"),
+        col("target_tokens"), col("epochs_micro"), col("alloc_tokens"),
+        (col("epochs_micro") === MaxEpochsMicro).as("capped"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_epoch_plan" -> (q210EpochPlan _),
     "q129_dsir_select" -> (q129DsirSelect _),
     "q128_shard_manifest" -> (q128ShardManifest _),
     "q121_token_budget" -> (q121TokenBudget _),
@@ -620,6 +678,41 @@ object Sampling {
     }.mkString("(", " +\n ", ")")
 
   val oracles: Map[String, String] = Map(
+    // q210: per-source token/distinct counts, per-mille weight shares
+    // and the capped epoch arithmetic replayed as truncating integer
+    // divisions (HUGEINT intermediates cast at the output).
+    "q210_epoch_plan" ->
+      s"""WITH occ AS (
+         |  SELECT d.source, unnest(list_filter(string_split(d.text, ' '),
+         |    x -> x <> '')) AS token
+         |  FROM documents d),
+         |ps AS (
+         |  SELECT source, count(*) AS n_tokens,
+         |    count(DISTINCT token) AS n_distinct,
+         |    (1000000 * count(DISTINCT token)) // greatest(count(*), 1)
+         |      AS weight_micro
+         |  FROM occ GROUP BY source),
+         |t AS (SELECT sum(n_tokens) AS total_tokens, sum(weight_micro) AS sum_w
+         |      FROM ps),
+         |plan_ AS (
+         |  SELECT ps.source, ps.n_tokens, ps.weight_micro,
+         |    (1000 * ps.weight_micro) // greatest(t.sum_w, 1) AS wshare_mille
+         |  FROM ps, t),
+         |tgt AS (
+         |  SELECT p.source, p.n_tokens, p.weight_micro,
+         |    ($RepeatFactor * t.total_tokens * p.wshare_mille) // 1000 AS target_tokens
+         |  FROM plan_ p, t),
+         |ep AS (
+         |  SELECT *, least($MaxEpochsMicro,
+         |      (1000000 * target_tokens) // greatest(n_tokens, 1)) AS epochs_micro
+         |  FROM tgt)
+         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(weight_micro AS BIGINT) AS weight_micro,
+         |  CAST(target_tokens AS BIGINT) AS target_tokens,
+         |  CAST(epochs_micro AS BIGINT) AS epochs_micro,
+         |  CAST((n_tokens * epochs_micro) // 1000000 AS BIGINT) AS alloc_tokens,
+         |  epochs_micro = $MaxEpochsMicro AS capped
+         |FROM ep ORDER BY source""".stripMargin,
     // hashed features, add-1 class models and per-bucket micro-bit
     // log-ratios replayed exactly; the only doubles are the two log2
     // calls, each rounded to micros at the same point as the plan

@@ -840,9 +840,10 @@ object Similarity {
   /** The audit over ANY (vec_id, embedding) + (vec_id, source) frames —
     * also the `embedding_diversity()` TVF body. */
   private[graft] def embeddingDiversity(emb: DataFrame, src: DataFrame): DataFrame = {
-    val nrm = sqrt(dot(col("embedding"), col("embedding")))
-    val qv = transform(col("embedding"),
-      x => KMeans.halfAway(lit(DivQuant) * x.cast("double") / nrm))
+    // one codegen'd normalize+quantize pass (UnitQuantize) — the
+    // composable transform form re-ran the norm fold per element
+    val qv = graft.functions.VectorFunctions.unit_quantize(
+      col("embedding"), DivQuant)
     // ONE pass: quantize once, explode to (source, dim, q), and take all
     // three statistics from a single two-level aggregate — per (source,
     // dim): Σq, Σq², row count (= the source's vector count, identical

@@ -105,8 +105,13 @@ object Taxonomy {
     * occurrence grain. */
   def q206PhraseTags(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
+    phraseTagsOver(spark, Tables.fanout(spark, Tables.documents(spark, dir)))
+  }
+
+  /** The phrase report over ANY (doc_id, text) frame — also the
+    * `phrase_tags()` TVF body. */
+  private[graft] def phraseTagsOver(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val docs = Tables.fanout(spark, Tables.documents(spark, dir))
     val lex = PhraseLexicon.toDF("phrase")
     val grams = docs
       .select(col("doc_id"),

@@ -954,7 +954,12 @@ object TextOps {
     * Fan-out opted in ([[Tables.fanout]]) for the per-row gram work. */
   def q201TemplateSpans(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val docs = Tables.fanout(spark, Tables.documents(spark, dir))
+    templateSpansOver(Tables.fanout(spark, Tables.documents(spark, dir)))
+  }
+
+  /** The miner over ANY (doc_id, text) frame — also the
+    * `template_spans()` TVF body. */
+  private[graft] def templateSpansOver(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .withColumn("n", size(col("w")))

@@ -84,7 +84,13 @@ object WeakLabels {
     * decided). */
   def q203WeakLabelMatrix(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val l = labeled(Tables.fanout(spark, Tables.documents(spark, dir)))
+    matrixOver(Tables.fanout(spark, Tables.documents(spark, dir)))
+  }
+
+  /** The matrix over ANY (doc_id, text) frame — also the
+    * `weak_label_matrix()` TVF body. */
+  private[graft] def matrixOver(docs: DataFrame): DataFrame = {
+    val l = labeled(docs)
     val stacked = l.select(col("vote"), explode(array(
         struct(lit("filler").as("lf"), col("lf_filler").as("v")),
         struct(lit("length").as("lf"), col("lf_length").as("v")),

@@ -178,7 +178,13 @@ object ScaleBench {
     // round-11: the margin miner's PRODUCTION path (see the q191 note
     // above) — two list-keyed shuffle joins + a pair-keyed dedup +
     // the shared rank tail; must scale ~linearly where the exact grid
-    // is quadratic
+    // is quadratic. NOTE on its ratio (~10 at this SF pair): the sf0.1
+    // fixture sits at the nlist FLOOR (semClustersFor caps k at 16 for
+    // 2k vectors), where the probe fan-out covers ~100% of a small
+    // grid; at sf1 the quantizer scales to k=80 and the candidate
+    // stream is ~20% of a 100× grid — candidates grow 20× while time
+    // grows ~10×, i.e. per-candidate cost IMPROVES; beyond the floor
+    // regime candidate count (and time) grow linearly in n.
     "q191_prod_pairs",
     // round-11 operator families: template-span mining (map-built
     // grams + a (doc,gram)-grain shuffle — the q26 shingle shape),
@@ -192,7 +198,12 @@ object ScaleBench {
     "q201_template_spans", "q202_purge_cascade", "q203_weak_label_matrix",
     "q204_stream_weak_labels", "q205_code_switch_segments",
     "q206_phrase_tags", "q207_session_trajectories",
-    "q208_stream_trajectories", "q209_prod_filtered")
+    "q208_stream_trajectories", "q209_prod_filtered",
+    // the epoch planner (token-stage scan into a |sources|-grain
+    // aggregate), the RAG context packer (candidates-sized q70 scoring
+    // + a per-query cumsum), and the vector hygiene report (one
+    // map-only scan into a 1-row aggregate)
+    "q210_epoch_plan", "q211_context_pack", "q212_vector_hygiene")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

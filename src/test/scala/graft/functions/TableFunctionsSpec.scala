@@ -472,4 +472,33 @@ class TableFunctionsSpec extends SparkSpec {
     assert(re.columns.toSeq == Seq("query_id", "n_terms", "n_relevant",
       "hits_at_k", "recall_micro", "rr_micro"))
   }
+
+  test("round-11 TVFs match their Scala twins") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val ts = spark.sql("SELECT * FROM template_spans()")
+    assert(rows(ts) == rows(graft.operators.TextOps.q201TemplateSpans(spark, sf)))
+    assert(ts.columns.toSeq == Seq("gram", "n_docs", "n_repeats"))
+    val pa = spark.sql("SELECT * FROM purge_audit()")
+    assert(rows(pa) == rows(graft.operators.Purge.q202PurgeCascade(spark, sf)))
+    assert(pa.columns.toSeq == Seq("surface", "n_before", "n_tombstoned",
+      "n_after", "residual_clean"))
+    val wl = spark.sql("SELECT * FROM weak_labels()")
+    assert(rows(wl) == rows(graft.operators.WeakLabels.labeled(
+      graft.core.Tables.documents(spark, sf))))
+    assert(wl.columns.toSeq ==
+      Seq("doc_id", "lf_length", "lf_ttr", "lf_filler", "vote"))
+    val wm = spark.sql("SELECT * FROM weak_label_matrix()")
+    assert(rows(wm) == rows(graft.operators.WeakLabels.q203WeakLabelMatrix(spark, sf)))
+    val cs = spark.sql("SELECT * FROM code_switch()")
+    assert(rows(cs) == rows(graft.operators.LangSegments.q205CodeSwitchSegments(spark, sf)))
+    assert(cs.columns.toSeq == Seq("doc_id", "n_windows", "n_switches",
+      "dominant_lang", "dominant_share_micro"))
+    val pt = spark.sql("SELECT * FROM phrase_tags()")
+    assert(rows(pt) == rows(graft.operators.Taxonomy.q206PhraseTags(spark, sf)))
+    val tr = spark.sql("SELECT * FROM trajectories()")
+    assert(rows(tr) == rows(graft.operators.Trajectory.q207SessionTrajectories(spark, sf)))
+    assert(tr.columns.toSeq ==
+      Seq("user_id", "session_start", "n_events", "trajectory"))
+  }
 }
