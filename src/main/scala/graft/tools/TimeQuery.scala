@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: wall-clock one or more queries in a warmed session —
+  * three runs each, median reported (the Bench measurement shape
+  * without the full sweep).
+  *
+  *   sbt "runMain graft.tools.TimeQuery <sfDir> <queryName> [...]"
+  */
+object TimeQuery {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[timequery] $name: median ${samples(1)}%.3f s " +
+        f"(min ${samples.head}%.3f, max ${samples.last}%.3f)")
+    }
+    spark.stop()
+  }
+}
