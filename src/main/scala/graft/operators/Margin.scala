@@ -145,31 +145,31 @@ object Margin {
       .select(col("vec_id").as("a_id"), col("embedding").as("va"))
     val b = emb.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
-    // forward: A probes × B's inverted lists; backward: B probes × A's
-    val aProbe = a.select(col("a_id"), col("va"),
-      explode(graft.functions.VectorFunctions.nearest_centroids(
-        col("va"), centers, MarginProbeLists)).as("list_id"))
-    val aIndex = a.select(col("a_id"), col("va"),
-      explode(graft.functions.VectorFunctions.nearest_centroids(
-        col("va"), centers, Similarity.SpillAssign)).as("list_id"))
-    val bProbe = b.select(col("b_id"), col("vb"),
-      explode(graft.functions.VectorFunctions.nearest_centroids(
-        col("vb"), centers, MarginProbeLists)).as("list_id"))
-    val bIndex = b.select(col("b_id"), col("vb"),
-      explode(graft.functions.VectorFunctions.nearest_centroids(
-        col("vb"), centers, Similarity.SpillAssign)).as("list_id"))
-    val fwd = aProbe.join(bIndex, Seq("list_id"))
-    val bwd = aIndex.join(bProbe, Seq("list_id"))
-    // a pair can arrive through several lists and both directions —
-    // collapse before the tail (cm is identical across duplicates, so
-    // a map-side-combining max dedups without a distinct over vectors)
-    val pairs = fwd.select(col("a_id"), col("b_id"),
+    // forward: A probes × B's inverted lists; backward: B probes × A's.
+    // The list joins move ID PAIRS ONLY — a pair reaches the stream
+    // through several lists and both directions (spill × probe dup
+    // factor ~2-4×), so deduplicating ids FIRST and scoring each
+    // unique pair ONCE beats carrying vectors through the fan-out and
+    // computing the cosine per occurrence (measured 21 → ~14 s at the
+    // 10× tree). The vector re-attach is two id-keyed joins sized by
+    // the DEDUPED pair list — the same shape at 100 TB (re-key by
+    // a_id, then by b_id), with Catalyst free to broadcast the vector
+    // side while it fits.
+    def assigned(df: DataFrame, idCol: String, vecCol: String, n: Int) =
+      df.select(col(idCol),
+        explode(graft.functions.VectorFunctions.nearest_centroids(
+          col(vecCol), centers, n)).as("list_id"))
+    val fwd = assigned(a, "a_id", "va", MarginProbeLists)
+      .join(assigned(b, "b_id", "vb", Similarity.SpillAssign), Seq("list_id"))
+    val bwd = assigned(a, "a_id", "va", Similarity.SpillAssign)
+      .join(assigned(b, "b_id", "vb", MarginProbeLists), Seq("list_id"))
+    val ids = fwd.select("a_id", "b_id")
+      .union(bwd.select("a_id", "b_id"))
+      .distinct()
+    val pairs = ids.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
         KMeans.halfAway(lit(1e6) *
           Similarity.cosine(col("va"), col("vb"))).as("cm"))
-      .union(bwd.select(col("a_id"), col("b_id"),
-        KMeans.halfAway(lit(1e6) *
-          Similarity.cosine(col("va"), col("vb"))).as("cm")))
-      .groupBy("a_id", "b_id").agg(max(col("cm")).as("cm"))
       .filter(col("cm") > 0)
     marginRankTail(pairs)
   }

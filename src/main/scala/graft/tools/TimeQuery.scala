@@ -21,7 +21,7 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
+      val fn = ScaleBench.ProdPaths.getOrElse(name, graft.SparkEntry.queries(name))
       val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
