@@ -61,6 +61,8 @@ object SparkEntry {
       operators.Outlier.queries ++
       operators.Mixture.queries ++
       operators.Drift.queries ++
+      operators.Linkage.queries ++
+      operators.RandomProjection.queries ++
       layout.BucketedLayout.queries ++
       layout.ZOrderLayout.queries ++
       layout.PartitionedEventsLayout.queries ++
@@ -130,6 +132,8 @@ object SparkEntry {
       operators.Outlier.oracles ++
       operators.Mixture.oracles ++
       operators.Drift.oracles ++
+      operators.Linkage.oracles ++
+      operators.RandomProjection.oracles ++
       layout.BucketedLayout.oracles ++
       layout.ZOrderLayout.oracles ++
       layout.PartitionedEventsLayout.oracles ++

@@ -786,11 +786,16 @@ object Dedup {
     * the two needed columns; the election is one window over groups. */
   def q131QualityKeeper(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    import org.apache.spark.sql.expressions.Window
     val labels = minLabelComponents(spark, verifiedPairs(spark, dir).select("d1", "d2"))
       .select(col("doc_id"), col("keeper").as("grp"))
+    electKeepers(labels, qualityMicroOf(Tables.documents(spark, dir)))
+  }
+
+  /** The single-rounded q23 quality score as (doc_id, q_micro), shared
+    * by the q131 election and the q215 preference-pair extraction. */
+  private[graft] def qualityMicroOf(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val quality = Tables.documents(spark, dir)
+    docs
       // zero-token docs are excluded EXPLICITLY to mirror the oracle's
       // `len(w) > 0` (without this, Spark would keep the row with a
       // null 0/0 q_micro — nulls-last in the desc window — while the
@@ -801,7 +806,100 @@ object Dedup {
         round((least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.5 +
           size(array_distinct(toks)).cast("double") / size(toks) * 0.5) * 10000)
           .cast("long").as("q_micro"))
-    electKeepers(labels, quality)
+  }
+
+  /** q215 — PREFERENCE PAIRS from duplicate groups: for every near-dup
+    * group (the q38 closure), emit its best member as `chosen` and its
+    * worst as `rejected` under the q131 quality score — the
+    * (chosen, rejected, margin) triple a reward-model / DPO data
+    * pipeline harvests from duplicate clusters, where near-identical
+    * content with a quality gap is exactly a labeled preference. Groups
+    * whose scored members collapse to one doc (the rest zero-token)
+    * emit nothing; `margin_micro` = 0 rows (equal-quality mirrors) are
+    * kept with `informative = false` so the consumer decides.
+    *
+    * Election rules are window ranks with opposed tie-breaks — chosen =
+    * rank 1 of (q DESC, id ASC), rejected = rank 1 of (q ASC, id DESC)
+    * — so a ≥2-member group can never elect the same doc twice. Scale
+    * shape: everything after the pair closure is pair-graph-sized; the
+    * two elections are windows over the same grouped frame. */
+  def q215PrefPairs(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val labels = minLabelComponents(spark, verifiedPairs(spark, dir).select("d1", "d2"))
+      .select(col("doc_id"), col("keeper").as("grp"))
+    prefPairsOver(labels, qualityMicroOf(Tables.documents(spark, dir)))
+  }
+
+  /** The extraction over ANY (doc_id, grp) label frame + (doc_id,
+    * q_micro) score frame (also the `pref_pairs()` TVF body). */
+  private[graft] def prefPairsOver(labels: DataFrame, quality: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = labels.join(quality, Seq("doc_id"))
+    val byGrp = Window.partitionBy("grp")
+    val ranked = scored
+      .withColumn("rk_best", row_number().over(byGrp.orderBy(desc("q_micro"), col("doc_id"))))
+      .withColumn("rk_worst", row_number().over(byGrp.orderBy(col("q_micro"), desc("doc_id"))))
+      .withColumn("n_scored", count(lit(1)).over(byGrp))
+      .filter(col("n_scored") >= 2)
+    val best = ranked.filter(col("rk_best") === 1)
+      .select(col("grp"), col("doc_id").as("chosen_id"), col("q_micro").as("q_chosen"))
+    val worst = ranked.filter(col("rk_worst") === 1)
+      .select(col("grp"), col("doc_id").as("rejected_id"), col("q_micro").as("q_rejected"),
+        col("n_scored").cast("long").as("cluster_size"))
+    best.join(worst, Seq("grp"))
+      .select(col("grp"), col("chosen_id"), col("rejected_id"),
+        (col("q_chosen") - col("q_rejected")).as("margin_micro"),
+        col("cluster_size"),
+        (col("q_chosen") > col("q_rejected")).as("informative"))
+      .orderBy("grp")
+  }
+
+  /** q216 — DUPLICATE-AWARE SOFT WEIGHTS: instead of dropping
+    * duplicates, weight every document by 1/|its duplicate group| and
+    * report the per-source EFFECTIVE token count — the soft-dedup
+    * accounting used when hard dedup is too aggressive (repetition is
+    * downweighted in the sampler, not deleted) and the number a mixture
+    * planner (q125/q193) should consume instead of raw token counts.
+    * Singletons (docs in no near-dup pair) carry weight 1.
+    *
+    * Parity: weight is integer micros (`1e6 div cluster_size`); the
+    * weighted token sum accumulates in decimal(38,0) (the q193 width
+    * contract) and lands as ONE integer division back to whole tokens.
+    * Scale shape: cluster sizes are pair-graph-sized; the corpus-wide
+    * pass is one map (token count) + the source-grain aggregate; the
+    * label attach is a left join where the label side is the sparse
+    * pair-graph membership — broadcast at any realistic dup rate. */
+  def q216SoftDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val labels = minLabelComponents(spark, verifiedPairs(spark, dir).select("d1", "d2"))
+    softWeightsOver(labels, Tables.documents(spark, dir))
+  }
+
+  /** The report over ANY (doc_id, keeper) label frame + documents frame
+    * (also the `dedup_weights()` TVF body). */
+  private[graft] def softWeightsOver(labels: DataFrame, docs: DataFrame): DataFrame = {
+    val sizes = labels.groupBy("keeper").agg(count(lit(1)).as("cluster_size"))
+    val weights = labels.join(sizes, Seq("keeper"))
+      .select(col("doc_id"), col("cluster_size"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .join(weights, Seq("doc_id"), "left")
+      .withColumn("w_micro", expr("1000000 div coalesce(cluster_size, 1)"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        // accumulate in decimal(38,0) (the q193 width contract): the
+        // per-row product is bounded but the SUM is corpus-sized
+        sum((col("n_tok") * col("w_micro")).cast("decimal(38,0)")).as("eff_e6"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("CAST(eff_e6 div 1000000 AS BIGINT)").as("eff_tokens"),
+        // greatest(…, 1): an all-empty source divides by zero as error
+        // on DuckDB but null on Spark (the q171 guard convention)
+        expr("(1000000 * (n_tokens - CAST(eff_e6 div 1000000 AS BIGINT))) div greatest(n_tokens, 1)")
+          .as("dup_tax_micro"))
+      .orderBy("source")
   }
 
   /** The election over ANY (doc_id, grp) label frame + (doc_id, q_micro)
@@ -1229,6 +1327,8 @@ object Dedup {
     "q123_split_leakage" -> (q123SplitLeakage _),
     "q126_cluster_histogram" -> (q126ClusterHistogram _),
     "q131_quality_keeper" -> (q131QualityKeeper _),
+    "q215_pref_pairs" -> (q215PrefPairs _),
+    "q216_soft_dedup_weights" -> (q216SoftDedupWeights _),
     "q27_minhash_lsh"   -> (q27MinhashLsh _),
     "q28_simhash"       -> (q28Simhash _),
     "q38_dedup_apply"   -> (q38DedupApply _),
@@ -1528,6 +1628,56 @@ object Dedup {
          |  CAST(e.keeper AS BIGINT) AS keeper,
          |  j.doc_id = e.keeper AS is_keeper, j.q_micro
          |FROM j JOIN e USING (grp) ORDER BY j.doc_id""".stripMargin,
+    // same closure + the q131 quality CTE; the two opposed-tie-break
+    // elections replayed as row_number windows
+    "q215_pref_pairs" ->
+      s"""$reachCtes,
+         |lab AS (SELECT id, min(r) AS grp FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(round((least(len(w) / 100.0, 1.0) * 0.5 +
+         |      len(list_distinct(w)) * 1.0 / len(w) * 0.5) * 10000) AS BIGINT)
+         |      AS q_micro
+         |  FROM toks WHERE len(w) > 0),
+         |j AS (SELECT lab.id AS doc_id, lab.grp, q.q_micro
+         |      FROM lab JOIN q ON lab.id = q.doc_id),
+         |g AS (SELECT grp FROM j GROUP BY grp HAVING count(*) >= 2),
+         |rb AS (SELECT grp, doc_id AS chosen_id, q_micro AS q_chosen FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY grp
+         |          ORDER BY q_micro DESC, doc_id) AS rk FROM j) WHERE rk = 1),
+         |rw AS (SELECT grp, doc_id AS rejected_id, q_micro AS q_rejected FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY grp
+         |          ORDER BY q_micro, doc_id DESC) AS rk FROM j) WHERE rk = 1),
+         |cs AS (SELECT grp, CAST(count(*) AS BIGINT) AS cluster_size FROM j GROUP BY grp)
+         |SELECT CAST(g.grp AS BIGINT) AS grp, CAST(chosen_id AS BIGINT) AS chosen_id,
+         |  CAST(rejected_id AS BIGINT) AS rejected_id,
+         |  q_chosen - q_rejected AS margin_micro, cluster_size,
+         |  q_chosen > q_rejected AS informative
+         |FROM g JOIN rb USING (grp) JOIN rw USING (grp) JOIN cs USING (grp)
+         |ORDER BY grp""".stripMargin,
+    // same closure; weights integer-micro, the weighted sum in HUGEINT
+    // (matching Spark's decimal(38,0) accumulator), one integer division
+    "q216_soft_dedup_weights" ->
+      s"""$reachCtes,
+         |lab AS (SELECT id, min(r) AS grp FROM reach GROUP BY id),
+         |cs AS (SELECT grp, count(*) AS cluster_size FROM lab GROUP BY grp),
+         |w AS (SELECT lab.id AS doc_id, 1000000 // cs.cluster_size AS w_micro
+         |      FROM lab JOIN cs USING (grp)),
+         |d AS (
+         |  SELECT t.doc_id, dd.source, len(t.w) AS n_tok,
+         |    coalesce(w.w_micro, 1000000) AS w_micro
+         |  FROM toks t JOIN documents dd ON t.doc_id = dd.doc_id
+         |  LEFT JOIN w ON t.doc_id = w.doc_id),
+         |a AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    sum(CAST(n_tok AS HUGEINT) * w_micro) AS eff_e6
+         |  FROM d GROUP BY source)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(eff_e6 // 1000000 AS BIGINT) AS eff_tokens,
+         |  CAST((1000000 * (n_tokens - CAST(eff_e6 // 1000000 AS BIGINT)))
+         |    // greatest(n_tokens, 1) AS BIGINT) AS dup_tax_micro
+         |FROM a ORDER BY source""".stripMargin,
     // duplicate groups = the same transitive closure; histogram at
     // group-size grain
     "q126_cluster_histogram" ->

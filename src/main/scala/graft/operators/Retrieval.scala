@@ -378,7 +378,60 @@ object Retrieval {
       .orderBy("query_id")
   }
 
+  /** Phrase count for [[q214PhraseSearch]] — the top slice of the q92
+    * collocation ranking. */
+  val PhraseTopK = 5
+
+  /** q214 — POSITIONAL PHRASE SEARCH: exact-order multi-token matching,
+    * the capability a bag-of-words index (q70 BM25, q117 postings)
+    * cannot express — "hash join" must match those two tokens ADJACENT
+    * and IN ORDER, not co-present. The phrase set is the top
+    * [[PhraseTopK]] of the q92 PMI collocation ranking (same stage,
+    * same scoring — the phrases a vocabulary pipeline would actually
+    * promote), and each hit row reports per-(phrase, doc) occurrence
+    * count and first position — the positional-postings answer shape.
+    *
+    * Scale shape: bigram occurrences are built ROW-LOCALLY from the
+    * token array (one transform + explode, no window shuffle — the
+    * within-doc adjacency never leaves the row), then semi-joined
+    * against the broadcast phrase list BEFORE the only aggregation, so
+    * the shuffle carries hit occurrences only — never the corpus bigram
+    * stream. At a 100 TB corpus the phrase list is the tiny side by
+    * construction (a query, not a table).
+    *
+    * Parity: positions are 0-based integers; counts and min-position
+    * are integer aggregates; the phrase list is deterministic (integer
+    * micro-PMI, bigram tie-break). */
+  def q214PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val phrases = TextOps.pmiScored(spark, dir)
+      .orderBy(desc("pmi_micro"), col("bigram"))
+      .limit(PhraseTopK)
+      .select(col("bigram").as("phrase"))
+    phraseHits(Tables.fanout(spark, Tables.documents(spark, dir)), phrases)
+  }
+
+  /** Positional hits of `phrases` (a 1-column `phrase` frame of
+    * space-joined bigrams) over ANY documents frame (also the
+    * `phrase_search()` TVF body). */
+  private[graft] def phraseHits(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val w = col("w")
+    val occ = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(w) - 2),
+        i => struct(
+          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)).as("phrase"),
+          i.cast("long").as("pos")))).as("e"))
+      .select(col("doc_id"), col("e.phrase").as("phrase"), col("e.pos").as("pos"))
+    occ.join(broadcast(phrases), Seq("phrase"))
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+      .orderBy("phrase", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_phrase_search" -> (q214PhraseSearch _),
     "q70_bm25" -> (q70Bm25 _),
     "q113_hybrid_rrf" -> (q113HybridRrf _),
     "q117_inverted_index" -> (q117InvertedIndex _),
@@ -391,6 +444,41 @@ object Retrieval {
   private val queryIdsSql = QuerySet.map(_._1).distinct.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // q214: the q92 PMI CTEs re-ranked to the top-5 phrase list, then
+    // 0-based bigram positions replayed per occurrence
+    "q214_phrase_search" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |d2 AS (SELECT doc_id, t FROM d WHERE len(t) >= 2),
+         |uc AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(t) AS w FROM d2) GROUP BY w),
+         |bc AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS cb
+         |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+         |          i -> t[i] || ' ' || t[i + 1])) AS bg FROM d2)
+         |  GROUP BY bg),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_u,
+         |         (SELECT CAST(sum(cb) AS BIGINT) FROM bc) AS n_b),
+         |ph AS (
+         |  SELECT bg AS phrase FROM bc
+         |  CROSS JOIN tot
+         |  JOIN uc u1 ON u1.w = string_split(bg, ' ')[1]
+         |  JOIN uc u2 ON u2.w = string_split(bg, ' ')[2]
+         |  WHERE cb >= ${TextOps.PmiMinPair}
+         |  ORDER BY CAST(round(log2((CAST(cb AS DOUBLE) * n_u * n_u)
+         |    / (CAST(n_b AS DOUBLE) * u1.c * u2.c)) * 1000000) AS BIGINT) DESC, bg
+         |  LIMIT $PhraseTopK),
+         |e AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM d2),
+         |occ AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |        t[i] || ' ' || t[i + 1] AS bg FROM e)
+         |SELECT ph.phrase, occ.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |  min(occ.pos) AS first_pos
+         |FROM occ JOIN ph ON occ.bg = ph.phrase
+         |GROUP BY 1, 2
+         |ORDER BY phrase, doc_id""".stripMargin,
     // the postings fingerprint is replayed occurrence for occurrence:
     // a dropped posting, a shifted position or a merged document changes
     // the integer sum

@@ -687,6 +687,15 @@ object TextOps {
     * ordering and the gate are ulp-proof. */
   def q92PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
+    pmiScored(spark, dir)
+      .orderBy(desc("pmi_micro"), col("bigram"))
+      .limit(30)
+  }
+
+  /** The unranked PMI-scored bigram frame behind q92, shared with the
+    * q214 phrase-search phrase list (same stage, same scoring — a
+    * phrase query can never disagree with the collocation report). */
+  private[operators] def pmiScored(spark: SparkSession, dir: String): DataFrame = {
     // unigram + bigram counts as their own corpus-keyed stage — the
     // n-gram count table a collocation pipeline materializes once and
     // queries many times. Built from the shared token stage (adjacency =
@@ -735,8 +744,6 @@ object TextOps {
       .select(col("bigram"), col("n_pair"),
         col("c1").as("n_first"), col("c2").as("n_second"),
         round(log2(ratio) * lit(1e6)).cast("long").as("pmi_micro"))
-      .orderBy(desc("pmi_micro"), col("bigram"))
-      .limit(30)
   }
 
   /** Fractional support floor for [[q109Cooccurrence]] — scale-free, the

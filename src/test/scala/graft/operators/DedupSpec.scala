@@ -727,4 +727,47 @@ class DedupSpec extends SparkSpec {
     assert(q171High.subsetOf(gotUnordered),
       s"SN missed LSH pairs: ${(q171High -- gotUnordered).take(3)}")
   }
+
+  test("q215: opposed tie-breaks never elect the same doc; margins non-negative") {
+    import spark.implicits._
+    // group A: clear winner/loser; group B: all tied (chosen must still
+    // differ from rejected); group C: one scored member only → dropped
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (7L, 7L), (8L, 7L), (9L, 7L), (20L, 20L)).toDF("doc_id", "grp")
+    val quality = Seq((1L, 4000L), (2L, 9000L), (3L, 5000L),
+      (7L, 6000L), (8L, 6000L), (9L, 6000L), (20L, 1000L)).toDF("doc_id", "q_micro")
+    val out = Dedup.prefPairsOver(labels, quality).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((2L, 1L, 5000L, 3L, true)),
+      "group A: best doc 2 chosen, worst doc 1 rejected, margin 5000")
+    assert(out(7L) == ((7L, 9L, 0L, 3L, false)),
+      "all-tied group: chosen = lowest id, rejected = highest id, uninformative")
+    assert(!out.contains(20L), "single-member groups emit no pair")
+    val corpus = Dedup.q215PrefPairs(spark, sf).collect()
+    assert(corpus.forall(r => r.getLong(1) != r.getLong(2)),
+      "chosen and rejected must differ in every corpus pair")
+    assert(corpus.forall(_.getLong(3) >= 0L), "margins are non-negative")
+  }
+
+  test("q216: soft weights downweight clusters; singletons keep full weight") {
+    import spark.implicits._
+    // docs 1,2 form a 2-cluster (weight 0.5 each); doc 3 is a singleton
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "keeper")
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c e", "s1"), (3L, "x y", "s1"),
+      (4L, "p q r s t u", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.softWeightsOver(labels, docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // s1: 4·0.5 + 4·0.5 + 2·1 = 6 effective of 10 raw → tax 400000µ
+    assert(out("s1") == ((3L, 10L, 6L, 400000L)), s"got ${out("s1")}")
+    // s2: untouched source — effective == raw, tax 0
+    assert(out("s2") == ((1L, 6L, 6L, 0L)))
+    // corpus-level conservation: effective ≤ raw per source, and equal
+    // wherever the source has no pair-graph member
+    val corpus = Dedup.q216SoftDedupWeights(spark, sf).collect()
+    assert(corpus.forall(r => r.getLong(3) <= r.getLong(2)))
+  }
 }

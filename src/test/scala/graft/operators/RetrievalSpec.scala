@@ -135,4 +135,37 @@ class RetrievalSpec extends SparkSpec {
     val (nR3, h3, rec3, rr3) = got(3L)
     assert(nR3 == 0L && h3 == 0L && rec3 == 0L && rr3 == 0L)
   }
+
+  test("q214: phrase hits are adjacency-and-order exact, positions 0-based") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),      // 'a b' at 0 and 2; 'b a' at 1 and 3
+      (2L, "b a c a b"),      // 'b a' at 0; 'a b' at 3
+      (3L, "a c b"),          // co-present but never adjacent: no hits
+      (4L, "a"))              // single token: no bigrams
+      .toDF("doc_id", "text")
+    val phrases = Seq("a b", "b a").toDF("phrase")
+    val got = Retrieval.phraseHits(docs, phrases).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("a b", 1L)) == ((2L, 0L)), "overlapping occurrences both count")
+    assert(got(("b a", 1L)) == ((2L, 1L)))
+    assert(got(("a b", 2L)) == ((1L, 3L)))
+    assert(got(("b a", 2L)) == ((1L, 0L)))
+    assert(!got.contains(("a b", 3L)), "co-presence without adjacency is not a hit")
+    assert(got.size == 4)
+  }
+
+  test("q214 on the corpus: every hit doc really contains its phrase") {
+    val hits = Retrieval.q214PhraseSearch(spark, sf).collect()
+    assert(hits.nonEmpty, "top-PMI phrases must occur somewhere (cb >= PmiMinPair)")
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    hits.foreach { r =>
+      val (phrase, doc) = (r.getString(0), r.getLong(1))
+      val toks = docs(doc).split(" ").filter(_.nonEmpty)
+      val found = toks.sliding(2).exists(_.mkString(" ") == phrase)
+      assert(found, s"doc $doc reported for '$phrase' but has no adjacent occurrence")
+    }
+  }
 }
