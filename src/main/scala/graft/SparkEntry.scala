@@ -63,6 +63,8 @@ object SparkEntry {
       operators.Drift.queries ++
       operators.Linkage.queries ++
       operators.RandomProjection.queries ++
+      operators.ScoreNorm.queries ++
+      operators.Sharding.queries ++
       layout.BucketedLayout.queries ++
       layout.ZOrderLayout.queries ++
       layout.PartitionedEventsLayout.queries ++
@@ -88,7 +90,9 @@ object SparkEntry {
       streaming.OutlierStream.queries ++
       streaming.DriftStream.queries ++
       streaming.WeakLabelStream.queries ++
-      streaming.TrajectoryStream.queries
+      streaming.TrajectoryStream.queries ++
+      streaming.JlEncodeStream.queries ++
+      streaming.PercentileStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -134,6 +138,8 @@ object SparkEntry {
       operators.Drift.oracles ++
       operators.Linkage.oracles ++
       operators.RandomProjection.oracles ++
+      operators.ScoreNorm.oracles ++
+      operators.Sharding.oracles ++
       layout.BucketedLayout.oracles ++
       layout.ZOrderLayout.oracles ++
       layout.PartitionedEventsLayout.oracles ++
@@ -159,5 +165,7 @@ object SparkEntry {
       streaming.OutlierStream.oracles ++
       streaming.DriftStream.oracles ++
       streaming.WeakLabelStream.oracles ++
-      streaming.TrajectoryStream.oracles
+      streaming.TrajectoryStream.oracles ++
+      streaming.JlEncodeStream.oracles ++
+      streaming.PercentileStream.oracles
 }

@@ -71,6 +71,18 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM score_drift('documents_v1_edit', 'documents_v2')
   *   SELECT * FROM skew_report()
   *   SELECT * FROM retrieval_eval()
+  *   SELECT * FROM record_link('documents_v1', 'documents')
+  *   SELECT * FROM phrase_search('hash join')
+  *   SELECT * FROM pref_pairs(0.6) WHERE informative
+  *   SELECT * FROM dedup_weights(0.6)
+  *   SELECT * FROM jl_distortion()
+  *   SELECT * FROM score_percentiles() WHERE pct_micro > 900000
+  *   SELECT * FROM score_ks('documents_v1', 'documents') WHERE drifted
+  *   SELECT * FROM tiered_link('documents_v1', 'documents')
+  *   SELECT * FROM shard_rebalance()
+  *   SELECT * FROM lf_agreement() WHERE kappa_micro > 400000
+  *   SELECT * FROM l_diversity(3) WHERE at_risk
+  *   SELECT * FROM source_ablation() WHERE delta_e4 < 0
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -854,6 +866,155 @@ object TableFunctions {
               org.apache.spark.sql.functions.col("event_type"))))
         case _ => throw new IllegalArgumentException(
           "trajectories expects no arguments")
+      }
+    },
+    "record_link" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(reg, crawl) =>
+          plan(spark => graft.operators.Linkage.linkTables(
+            spark.table(string(reg, "record_link(registry, crawl)")),
+            spark.table(string(crawl, "record_link(registry, crawl)"))))
+        case _ => throw new IllegalArgumentException(
+          "record_link expects (registry table, crawl table)")
+      }
+    },
+    "phrase_search" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(p) =>
+          plan { spark =>
+            import spark.implicits._
+            val phrase = string(p, "phrase_search(phrase)")
+            require(phrase.trim.split("\\s+").length == 2,
+              "phrase_search expects a two-word phrase")
+            graft.operators.Retrieval.phraseHits(
+              spark.table("documents"), Seq(phrase).toDF("phrase"))
+          }
+        case _ => throw new IllegalArgumentException(
+          "phrase_search expects (two-word phrase)")
+      }
+    },
+    "pref_pairs" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(thr) =>
+          plan { spark =>
+            import org.apache.spark.sql.functions.col
+            val docs = spark.table("documents")
+            val pairs = graft.operators.Dedup.jaccardPairs(
+              graft.operators.Dedup.sigsOf(docs),
+              dbl(thr, "pref_pairs(threshold)")).select("d1", "d2")
+            graft.operators.Dedup.prefPairsOver(
+              graft.operators.Dedup.minLabelComponents(spark, pairs)
+                .select(col("doc_id"), col("keeper").as("grp")),
+              graft.operators.Dedup.qualityMicroOf(docs))
+          }
+        case _ => throw new IllegalArgumentException("pref_pairs expects (threshold)")
+      }
+    },
+    "dedup_weights" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(thr) =>
+          plan { spark =>
+            val docs = spark.table("documents")
+            val pairs = graft.operators.Dedup.jaccardPairs(
+              graft.operators.Dedup.sigsOf(docs),
+              dbl(thr, "dedup_weights(threshold)")).select("d1", "d2")
+            graft.operators.Dedup.softWeightsOver(
+              graft.operators.Dedup.minLabelComponents(spark, pairs), docs)
+          }
+        case _ => throw new IllegalArgumentException("dedup_weights expects (threshold)")
+      }
+    },
+    "jl_distortion" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.RandomProjection.distortionOver(
+            spark.table("embeddings")))
+        case _ => throw new IllegalArgumentException(
+          "jl_distortion expects no arguments")
+      }
+    },
+    "score_percentiles" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.ScoreNorm.percentilesOver(
+            spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "score_percentiles expects no arguments")
+      }
+    },
+    "score_ks" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(v1, v2) =>
+          plan(spark => graft.operators.ScoreNorm.ksOver(
+            spark.table(string(v1, "score_ks(v1, v2)")),
+            spark.table(string(v2, "score_ks(v1, v2)"))))
+        case _ => throw new IllegalArgumentException(
+          "score_ks expects (v1 table, v2 table)")
+      }
+    },
+    "tiered_link" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(reg, crawl) =>
+          plan { spark =>
+            import org.apache.spark.sql.functions.col
+            graft.operators.Linkage.tieredLink(
+              spark.table(string(reg, "tiered_link(registry, crawl)"))
+                .select(col("doc_id").as("old_id"), col("text")),
+              spark.table(string(crawl, "tiered_link(registry, crawl)"))
+                .select(col("doc_id").as("new_id"), col("text")))
+          }
+        case _ => throw new IllegalArgumentException(
+          "tiered_link expects (registry table, crawl table)")
+      }
+    },
+    "shard_rebalance" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Sharding.rebalanceOver(
+            spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "shard_rebalance expects no arguments")
+      }
+    },
+    "lf_agreement" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.WeakLabels.agreementOver(
+            spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "lf_agreement expects no arguments")
+      }
+    },
+    "l_diversity" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(l) =>
+          plan { spark =>
+            import org.apache.spark.sql.functions.{col, expr}
+            graft.operators.Privacy.lDiversity(
+              spark.table("customer").join(spark.table("nation"),
+                col("c_nationkey") === col("n_nationkey")),
+              Seq("c_mktsegment", "n_name"),
+              expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000"),
+              long(l, "l_diversity(l)"))
+          }
+        case _ => throw new IllegalArgumentException("l_diversity expects (l)")
+      }
+    },
+    "source_ablation" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan { spark =>
+            import org.apache.spark.sql.functions._
+            val docs = spark.table("documents")
+            val toks = graft.operators.TextOps.tokens(col("text"))
+            graft.operators.Mixture.ablationOver(graft.operators.Mixture.sourceLoss(
+              docs.select(col("doc_id"), explode(toks).as("token"))
+                .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
+              docs.agg(sum(size(toks)).cast("long").as("n_total")),
+              docs.select("doc_id", "source")))
+          }
+        case _ => throw new IllegalArgumentException(
+          "source_ablation expects no arguments")
       }
     })
 

@@ -113,6 +113,45 @@ object Privacy {
       Seq("c_mktsegment", "n_name"), KAnonThreshold)
   }
 
+  /** l-diversity threshold for [[q225LDiversity]]: a quasi-identifier
+    * cell whose sensitive attribute takes fewer than this many distinct
+    * values is open to a homogeneity attack even when k-anonymous. */
+  val LDiversityThreshold = 3L
+
+  /** l-diversity audit over ANY frame, QI column set and sensitive
+    * column (Machanavajjhala et al. 2006: k-anonymity protects
+    * membership, l-diversity protects the VALUE — a k=50 cell whose 50
+    * members all share one account-balance band still leaks it). Same
+    * cell-grain shape as [[kAnonymity]]: one partial-agged shuffle, the
+    * cell frame bounds everything after. */
+  def lDiversity(rows: DataFrame, qi: Seq[String], sensitive: Column,
+      l: Long): DataFrame = {
+    require(qi.nonEmpty, "l-diversity needs at least one quasi-identifier column")
+    rows
+      .groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("k"),
+        countDistinct(sensitive).as("l_distinct"))
+      .select(qi.map(col) ++ Seq(col("k"), col("l_distinct"),
+        (col("l_distinct") < l).as("at_risk")): _*)
+      .orderBy(qi.map(col): _*)
+  }
+
+  /** q225 — l-diversity over the q101 quasi-identifier with the
+    * account-balance BAND as the sensitive attribute. Band arithmetic
+    * is exact integer cents (the tie-proof convention), SHIFTED
+    * non-negative before the integer division — negative-operand `div`
+    * rounding is engine-defined, and acctbal goes to −999.99. */
+  def q225LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    lDiversity(
+      Tables.customer(spark, dir)
+        .join(Tables.nation(spark, dir),
+          col("c_nationkey") === col("n_nationkey")),
+      Seq("c_mktsegment", "n_name"),
+      expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000"),
+      LDiversityThreshold)
+  }
+
   /** q178 release parameters: ε = 1 (micro-units) and the release-run
     * salt that seeds the noise draw. Sensitivity of a per-source doc
     * count under add/remove-one-document neighbors is 1. */
@@ -173,6 +212,7 @@ object Privacy {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_k_anonymity" -> (q101KAnonymity _),
+    "q225_l_diversity" -> (q225LDiversity _),
     "q67_pii_redact" -> (q67PiiRedact _),
     "q178_dp_release" -> (q178DpRelease _))
 
@@ -207,6 +247,16 @@ object Privacy {
     "q101_k_anonymity" ->
       s"""SELECT c_mktsegment, n_name, count(*) AS k,
          |  count(*) < $KAnonThreshold AS at_risk
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY c_mktsegment, n_name
+         |ORDER BY c_mktsegment, n_name""".stripMargin,
+    // q225: the same QI cells; sensitive band = exact shifted cents
+    "q225_l_diversity" ->
+      s"""SELECT c_mktsegment, n_name, count(*) AS k,
+         |  CAST(count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT) + 100000)
+         |    // 100000) AS BIGINT) AS l_distinct,
+         |  count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT) + 100000)
+         |    // 100000) < $LDiversityThreshold AS at_risk
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY c_mktsegment, n_name
          |ORDER BY c_mktsegment, n_name""".stripMargin,

@@ -110,8 +110,69 @@ object WeakLabels {
       .orderBy("lf")
   }
 
+  /** q223 — PAIRWISE LF AGREEMENT (Cohen's kappa): chance-corrected
+    * agreement between each pair of labeling functions over the full
+    * {−1, 0, +1} label domain — the diagnostic that tells a
+    * weak-supervision pipeline whether two LFs are independent signals
+    * or the same rule twice (high kappa → drop one; the q203 matrix
+    * measures each LF against the VOTE, which cannot see pairwise
+    * redundancy because the vote already mixes all three).
+    *
+    * Exact-integer kappa: with a = agreement count, n = docs and
+    * s = Σ_c mᴬ_c·mᴮ_c (marginal products), κ = (a·n − s)/(n² − s) —
+    * one integer division to micros, no floating intermediate. The
+    * degenerate n² = s case (both LFs constant) is guarded to κ = 0.
+    *
+    * Scale shape: ONE corpus pass — all three agreement counts and all
+    * nine marginals are conditional sums in a single 1-row aggregate;
+    * the three output rows are driver-free literal pivots of it. */
+  def q223LfAgreement(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    agreementOver(Tables.fanout(spark, Tables.documents(spark, dir)))
+  }
+
+  /** The pairwise-kappa report over ANY (doc_id, text) frame (also the
+    * `lf_agreement()` TVF body). */
+  private[graft] def agreementOver(docs: DataFrame): DataFrame = {
+    val l = labeled(docs)
+    def m(c: String, v: Int) = sum(when(col(c) === v, 1L).otherwise(0L))
+    val wide = l.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("lf_length") === col("lf_ttr"), 1L).otherwise(0L)).as("a_lt"),
+      sum(when(col("lf_length") === col("lf_filler"), 1L).otherwise(0L)).as("a_lf"),
+      sum(when(col("lf_ttr") === col("lf_filler"), 1L).otherwise(0L)).as("a_tf"),
+      m("lf_length", -1).as("ln"), m("lf_length", 0).as("lz"), m("lf_length", 1).as("lp"),
+      m("lf_ttr", -1).as("tn"), m("lf_ttr", 0).as("tz"), m("lf_ttr", 1).as("tp"),
+      m("lf_filler", -1).as("fn"), m("lf_filler", 0).as("fz"), m("lf_filler", 1).as("fp"))
+    wide.select(explode(array(
+        struct(lit("length").as("lf_a"), lit("ttr").as("lf_b"), col("n"),
+          col("a_lt").as("agree"),
+          (col("ln") * col("tn") + col("lz") * col("tz") + col("lp") * col("tp")).as("s")),
+        struct(lit("length").as("lf_a"), lit("filler").as("lf_b"), col("n"),
+          col("a_lf").as("agree"),
+          (col("ln") * col("fn") + col("lz") * col("fz") + col("lp") * col("fp")).as("s")),
+        struct(lit("ttr").as("lf_a"), lit("filler").as("lf_b"), col("n"),
+          col("a_tf").as("agree"),
+          (col("tn") * col("fn") + col("tz") * col("fz") + col("tp") * col("fp")).as("s"))))
+        .as("e"))
+      .select(col("e.lf_a").as("lf_a"), col("e.lf_b").as("lf_b"),
+        col("e.n").as("n"), col("e.agree").as("agree"),
+        // κ can be NEGATIVE (worse-than-chance) and integer-division
+        // rounding on negatives is engine-defined — so divide the
+        // ABSOLUTE numerator and re-apply the sign (identical on both
+        // engines by construction)
+        expr("""CASE WHEN e.agree * e.n - e.s < 0
+                THEN -((1000000 * (e.s - e.agree * e.n))
+                       div greatest(e.n * e.n - e.s, 1))
+                ELSE (1000000 * (e.agree * e.n - e.s))
+                     div greatest(e.n * e.n - e.s, 1) END""")
+          .as("kappa_micro"))
+      .orderBy("lf_a", "lf_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q203_weak_label_matrix" -> (q203WeakLabelMatrix _))
+    "q203_weak_label_matrix" -> (q203WeakLabelMatrix _),
+    "q223_lf_agreement" -> (q223LfAgreement _))
 
   /** The shared per-document LF CTE chain (also the q204 stream
     * oracle's body). */
@@ -160,5 +221,45 @@ object WeakLabels {
          |  CAST((1000000 * sum(CASE WHEN v <> 0 AND vote <> 0 AND v = vote THEN 1 ELSE 0 END))
          |    // greatest(sum(CASE WHEN v <> 0 AND vote <> 0 THEN 1 ELSE 0 END), 1)
          |    AS BIGINT) AS agreement_micro
-         |FROM s GROUP BY lf ORDER BY lf""".stripMargin)
+         |FROM s GROUP BY lf ORDER BY lf""".stripMargin,
+    // q223: the same per-doc CTEs into ONE wide aggregate, then three
+    // literal pivots; κ via the sign-stable absolute-numerator division
+    "q223_lf_agreement" -> {
+      def kappa(a: String, s: String) =
+        s"""CAST(CASE WHEN $a * n - $s < 0
+           |  THEN -((1000000 * ($s - $a * n)) // greatest(n * n - $s, 1))
+           |  ELSE (1000000 * ($a * n - $s)) // greatest(n * n - $s, 1)
+           |  END AS BIGINT)""".stripMargin
+      val sLt = "(ln * tn + lz * tz + lp * tp)"
+      val sLf = "(ln * fn + lz * fz + lp * fp)"
+      val sTf = "(tn * fn + tz * fz + tp * fp)"
+      s"""WITH $perDocOracleSql,
+         |w AS (
+         |  SELECT count(*) AS n,
+         |    sum(CASE WHEN lf_length = lf_ttr THEN 1 ELSE 0 END) AS a_lt,
+         |    sum(CASE WHEN lf_length = lf_filler THEN 1 ELSE 0 END) AS a_lf,
+         |    sum(CASE WHEN lf_ttr = lf_filler THEN 1 ELSE 0 END) AS a_tf,
+         |    sum(CASE WHEN lf_length = -1 THEN 1 ELSE 0 END) AS ln,
+         |    sum(CASE WHEN lf_length = 0 THEN 1 ELSE 0 END) AS lz,
+         |    sum(CASE WHEN lf_length = 1 THEN 1 ELSE 0 END) AS lp,
+         |    sum(CASE WHEN lf_ttr = -1 THEN 1 ELSE 0 END) AS tn,
+         |    sum(CASE WHEN lf_ttr = 0 THEN 1 ELSE 0 END) AS tz,
+         |    sum(CASE WHEN lf_ttr = 1 THEN 1 ELSE 0 END) AS tp,
+         |    sum(CASE WHEN lf_filler = -1 THEN 1 ELSE 0 END) AS fn,
+         |    sum(CASE WHEN lf_filler = 0 THEN 1 ELSE 0 END) AS fz,
+         |    sum(CASE WHEN lf_filler = 1 THEN 1 ELSE 0 END) AS fp
+         |  FROM v)
+         |SELECT 'length' AS lf_a, 'ttr' AS lf_b, CAST(n AS BIGINT) AS n,
+         |  CAST(a_lt AS BIGINT) AS agree, ${kappa("a_lt", sLt)} AS kappa_micro
+         |FROM w
+         |UNION ALL
+         |SELECT 'length', 'filler', CAST(n AS BIGINT), CAST(a_lf AS BIGINT),
+         |  ${kappa("a_lf", sLf)}
+         |FROM w
+         |UNION ALL
+         |SELECT 'ttr', 'filler', CAST(n AS BIGINT), CAST(a_tf AS BIGINT),
+         |  ${kappa("a_tf", sTf)}
+         |FROM w
+         |ORDER BY lf_a, lf_b""".stripMargin
+    })
 }

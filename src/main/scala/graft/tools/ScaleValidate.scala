@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Beyond-fixture validation of the flagship production chains at the
-  * 10× [[ScaleDataGen]] tree. Two blocks:
+  * 10× [[ScaleDataGen]] tree. Three blocks:
   *
   * `text_dedup` (round-9 verdict item 6): the PRODUCTION dedup
   * pipeline end-to-end — q27 (LSH-blocked, Jaccard-verified
@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   * per operating point) — plus the executed-plan fact that the
   * serving scan carries `list_id` partition filters and reads no more
   * partitions than the probed∩occupied list set.
+  *
+  * `record_linkage` (round 11): the q220 tiered recrawl linker at
+  * 10× — one link per crawl doc, the exact tier absorbing ≥90% (the
+  * md5 join, not the shingle join, pays for the unchanged mass), the
+  * fuzzy tier bounded by the churn rate, and ≥90% of links true
+  * against the held-out id ground truth.
   *
   * Emits one JSON line and writes `SCALE_VALIDATE.json`; exits nonzero
   * on any failed gate. Run after `ScaleDataGen`:
@@ -188,7 +194,45 @@ object ScaleValidate {
         r.getBoolean(r.fieldIndex("scan_bounded_ok"))
     })
 
-    val blocks = Seq(dedup, serving)
+    // ---- block 3: the record-linkage chain q220 at 10× ----
+    // the tiered linker against the snapshot registry at this scale:
+    // the exact tier must absorb the unchanged mass, the fuzzy tier
+    // must ride the churn, and the held-out ground truth bounds
+    // precision — the invariants that make linkage affordable at a
+    // 100 TB recrawl.
+    val linkage = new Block("record_linkage")
+    locally {
+      import graft.operators.Corpus._
+      val docs = graft.core.Tables.documents(spark, sf1)
+      val nShared = docs.filter(
+        col("doc_id") % RemovedInV2Mod =!= RemovedInV2Rem &&
+          col("doc_id") % DroppedFromV1Mod =!= DroppedFromV1Rem).count()
+      val nCrawl = docs.filter(
+        col("doc_id") % DroppedFromV1Mod =!= DroppedFromV1Rem).count()
+      linkage.stats("n_crawl") = nCrawl
+      linkage.stats("n_shared") = nShared
+      val linked = graft.operators.Linkage.q220TieredLinkage(spark, sf1).cache()
+      val nLinked = linked.count()
+      val nExact = linked.filter(col("tier") === "exact").count()
+      val nFuzzy = nLinked - nExact
+      val nTrue = linked.filter(col("is_true")).count()
+      linkage.stats("n_linked") = nLinked
+      linkage.stats("n_exact") = nExact
+      linkage.stats("n_fuzzy") = nFuzzy
+      linkage.gate("one_link_per_doc")(
+        linked.select("new_id").distinct().count() == nLinked)
+      // every shared doc has an identical registry twin → must link
+      linkage.gate("links_cover_shared")(nLinked >= nShared)
+      // the exact tier absorbs the unchanged mass; fuzzy rides churn
+      // (shared-changed ≈ 1/17 of shared, plus births)
+      linkage.gate("exact_tier_dominant")(nExact * 10 >= nLinked * 9)
+      linkage.gate("fuzzy_rides_churn")(nFuzzy * 10 <= nCrawl)
+      // content-only precision against the held-out id ground truth
+      linkage.gate("precision_floor_0.9")(nTrue * 10 >= nLinked * 9)
+      linked.unpersist()
+    }
+
+    val blocks = Seq(dedup, serving, linkage)
     val ok = blocks.forall(_.checks.values.forall(identity))
     val line =
       s"""{"metric":"scale_validate","ok":$ok,"sf1_dir":"$sf1",""" +

@@ -501,4 +501,68 @@ class TableFunctionsSpec extends SparkSpec {
     assert(tr.columns.toSeq ==
       Seq("user_id", "session_start", "n_events", "trajectory"))
   }
+
+  test("batch-3 TVFs match their Scala twins") {
+    import graft.operators.{Dedup, Linkage, RandomProjection, Retrieval}
+    Tables.registerAll(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 10 =!= 0).createOrReplaceTempView("link_v1")
+
+    val rl = spark.sql("SELECT * FROM record_link('link_v1', 'documents')")
+    assert(rows(rl) == rows(Linkage.linkTables(
+      docs.filter(col("doc_id") % 10 =!= 0), docs)))
+    assert(rl.columns.toSeq == Seq("new_id", "old_id", "jac_micro", "n_candidates"))
+
+    val ph = spark.sql("SELECT * FROM phrase_search('hash join')")
+    assert(ph.columns.toSeq == Seq("phrase", "doc_id", "n_hits", "first_pos"))
+    import spark.implicits._
+    assert(rows(ph) == rows(Retrieval.phraseHits(
+      docs, Seq("hash join").toDF("phrase"))))
+
+    val pairs = Dedup.jaccardPairs(Dedup.sigsOf(docs), 0.6).select("d1", "d2")
+    val labels = Dedup.minLabelComponents(spark, pairs)
+    val pp = spark.sql("SELECT * FROM pref_pairs(0.6)")
+    assert(rows(pp) == rows(Dedup.prefPairsOver(
+      labels.select(col("doc_id"), col("keeper").as("grp")),
+      Dedup.qualityMicroOf(docs))))
+    val dw = spark.sql("SELECT * FROM dedup_weights(0.6)")
+    assert(rows(dw) == rows(Dedup.softWeightsOver(labels, docs)))
+
+    val jl = spark.sql("SELECT * FROM jl_distortion()")
+    assert(rows(jl) == rows(RandomProjection.distortionOver(
+      Tables.embeddings(spark, sf))))
+    assert(jl.columns.toSeq ==
+      Seq("v1", "v2", "d2_orig_micro", "d2_proj_micro", "ratio_micro"))
+
+    val sp = spark.sql("SELECT * FROM score_percentiles() WHERE pct_micro > 900000")
+    val spScala = graft.operators.ScoreNorm.percentilesOver(docs)
+      .filter(col("pct_micro") > 900000)
+    assert(rows(sp) == rows(spScala))
+    assert(sp.columns.toSeq == Seq("doc_id", "source", "q_micro", "pct_micro"))
+
+    val ks = spark.sql("SELECT * FROM score_ks('link_v1', 'documents')")
+    assert(rows(ks) == rows(graft.operators.ScoreNorm.ksOver(
+      docs.filter(col("doc_id") % 10 =!= 0), docs)))
+    assert(ks.columns.toSeq == Seq("source", "n1", "n2", "ks_micro", "drifted"))
+
+    val tl = spark.sql("SELECT * FROM tiered_link('link_v1', 'documents')")
+    assert(rows(tl) == rows(graft.operators.Linkage.tieredLink(
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("old_id"), col("text")),
+      docs.select(col("doc_id").as("new_id"), col("text")))))
+    assert(tl.columns.toSeq == Seq("new_id", "old_id", "jac_micro", "tier"))
+
+    val sr = spark.sql("SELECT * FROM shard_rebalance()")
+    assert(rows(sr) == rows(graft.operators.Sharding.rebalanceOver(docs)))
+    val lf = spark.sql("SELECT * FROM lf_agreement()")
+    assert(rows(lf) == rows(graft.operators.WeakLabels.agreementOver(docs)))
+    assert(lf.columns.toSeq == Seq("lf_a", "lf_b", "n", "agree", "kappa_micro"))
+
+    val ld = spark.sql("SELECT * FROM l_diversity(3)")
+    assert(rows(ld) == rows(graft.operators.Privacy.q225LDiversity(spark, sf)))
+    val sa = spark.sql("SELECT * FROM source_ablation()")
+    assert(rows(sa) == rows(graft.operators.Mixture.q226SourceAblation(spark, sf)))
+    assert(sa.columns.toSeq == Seq("source", "n_tok", "loss_e4",
+      "corpus_loss_e4", "loss_without_e4", "delta_e4"))
+  }
 }

@@ -83,4 +83,43 @@ class LinkageSpec extends SparkSpec {
     }
     assert(pruned == plain, "prefix filtering changed the link set")
   }
+
+  test("tieredLink: exact copies resolve in tier 1, edits in tier 2, births nowhere") {
+    import spark.implicits._
+    val reg = Seq(
+      (10L, "one two three four five six seven eight nine ten"),
+      (11L, "other registry content entirely different words appear here now"))
+      .toDF("old_id", "text")
+    val crawl = Seq(
+      (20L, "one two three four five six seven eight nine ten"),   // exact
+      (21L, "other registry content entirely different words appear here now updated"), // edit
+      (22L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq"))            // birth
+      .toDF("new_id", "text")
+    val got = Linkage.tieredLink(reg, crawl).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(20L) == ((10L, 1000000L, "exact")))
+    assert(got(21L)._1 == 11L && got(21L)._3 == "fuzzy" &&
+      got(21L)._2 >= Linkage.LinkTauMicro)
+    assert(!got.contains(22L))
+  }
+
+  test("q220 reconciles with q213: same assignments, cheaper route for exact rows") {
+    val tiered = Linkage.q220TieredLinkage(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val flat = Linkage.q213RecordLinkage(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(tiered.keySet == flat.keySet,
+      "tiering must not change WHICH docs link")
+    tiered.foreach { case (newId, (oldId, jac, tier)) =>
+      val (fOld, fJac) = flat(newId)
+      if (tier == "fuzzy")
+        assert((fOld, fJac) == ((oldId, jac)),
+          s"fuzzy tier diverged from flat linkage for $newId")
+      else {
+        assert(jac == 1000000L)
+        assert(fJac == 1000000L && fOld == oldId,
+          s"exact tier elected $oldId but flat linkage elected $fOld for $newId")
+      }
+    }
+  }
 }

@@ -53,4 +53,41 @@ class MixtureSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(canon() == canon())
   }
+
+  test("q226 ablation equals an exact driver replay of the loss frame") {
+    import org.apache.spark.sql.functions._
+    val docTok = TextOps.tokenStream(spark, sf)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val total = TextOps.tokenStage(spark, sf)
+      .agg(count(col("token")).cast("long").as("n_total"))
+    val src = graft.core.Tables.documents(spark, sf).select("doc_id", "source")
+    val loss = Mixture.sourceLoss(docTok, total, src)
+    val rows = loss.collect().map(r => (r.getString(0), r.getLong(1),
+      BigInt(r.getDecimal(2).toBigInteger), r.getLong(3)))
+    val nt = rows.map(_._2).sum
+    val st = rows.map(_._3).sum
+    // mirror the engines' arithmetic exactly: integer numerator cast to
+    // double (round-to-nearest), ONE double division, floor
+    def lossE4(s: BigInt, n: Long): Long = {
+      val num = (2 * s + BigInt(100) * BigInt(n)).toDouble
+      math.floor(num / (200.0 * math.max(n, 1L))).toLong
+    }
+    val expect = rows.map { case (source, n, s, le4) =>
+      source -> ((n, le4, lossE4(st, nt), lossE4(st - s, nt - n)))
+    }.toMap
+    val got = Mixture.q226SourceAblation(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (sName, (n, le4, corpus, without)) =>
+      val (en, ele4, ecorpus, ewithout) = expect(sName)
+      assert(n == en && le4 == ele4, s"$sName: per-source loss mismatch")
+      assert(corpus == ecorpus, s"$sName: corpus loss $corpus vs $ecorpus")
+      assert(without == ewithout, s"$sName: ablated loss $without vs $ewithout")
+    }
+    // the delta column is exactly the difference of the two published losses
+    Mixture.q226SourceAblation(spark, sf).collect().foreach { r =>
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(3))
+    }
+  }
 }

@@ -98,4 +98,33 @@ class PrivacySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(4)))
     assert(again.toSeq == rows.map(r => (r._1, r._5)).toSeq)
   }
+
+  test("l-diversity flags homogeneous cells that k-anonymity passes") {
+    import spark.implicits._
+    // cell A: 6 members (k-anonymous at k=5) but ONE sensitive value —
+    // the homogeneity attack l-diversity exists to catch; cell B: 6
+    // members, 3 values — safe under both
+    val rows = (1 to 6).map(i => ("A", "x", 100L)) ++
+      (1 to 6).map(i => ("B", "x", (i % 3).toLong * 100))
+    val df = rows.toDF("seg", "nat", "band")
+    val got = Privacy.lDiversity(df, Seq("seg", "nat"),
+        org.apache.spark.sql.functions.col("band"), 3L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(got("A") == ((6L, 1L, true)),
+      "k-anonymous but homogeneous: l-diversity must flag it")
+    assert(got("B") == ((6L, 3L, false)))
+  }
+
+  test("q225 shares q101's cell grain and k counts exactly") {
+    val k = Privacy.q101KAnonymity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val l = Privacy.q225LDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(k.keySet == l.keySet, "same quasi-identifier cells")
+    l.foreach { case (cell, (lk, dist)) =>
+      assert(lk == k(cell), s"cell $cell: k differs between q101 and q225")
+      assert(dist >= 1 && dist <= lk, s"cell $cell: distinct bands out of range")
+    }
+  }
 }

@@ -43,4 +43,19 @@ class RandomProjectionSpec extends SparkSpec {
     assert(mean > 600000 && mean < 1500000,
       s"mean distortion ratio $mean outside the JL band")
   }
+
+  test("q219 stream sketches equal the batch projection row-for-row") {
+    import graft.streaming.JlEncodeStream
+    val streamed = JlEncodeStream.q219StreamJlEncode(spark, sf).collect()
+      .map(_.toString).sorted
+    val batch = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        RandomProjection.jlProject(col("embedding"), RandomProjection.JlDim).as("p"))
+      .select(col("vec_id"), posexplode(col("p")).as(Seq("dim", "pv")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("pv") * lit(1e6) + lit(0.5)).cast("long").as("proj_micro"))
+      .collect().map(_.toString).sorted
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      "stream encode diverged from the batch projection")
+  }
 }

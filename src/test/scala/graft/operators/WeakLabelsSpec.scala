@@ -48,4 +48,26 @@ class WeakLabelsSpec extends SparkSpec {
       assert(r.getLong(6) == 1000000L * agree / math.max(dec, 1L))
     }
   }
+
+  test("q223 kappa equals an exact driver replay of the per-doc LF frame") {
+    val lfs = WeakLabels.labeled(graft.core.Tables.documents(spark, sf))
+      .select("lf_length", "lf_ttr", "lf_filler").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    val n = lfs.length.toLong
+    def kappa(a: ((Int, Int, Int)) => Int, b: ((Int, Int, Int)) => Int): Long = {
+      val agree = lfs.count(t => a(t) == b(t)).toLong
+      val s = Seq(-1, 0, 1).map(c =>
+        lfs.count(t => a(t) == c).toLong * lfs.count(t => b(t) == c)).sum
+      val num = agree * n - s
+      val den = math.max(n * n - s, 1L)
+      if (num < 0) -((1000000L * -num) / den) else (1000000L * num) / den
+    }
+    val expect = Map(
+      ("length", "ttr") -> kappa(_._1, _._2),
+      ("length", "filler") -> kappa(_._1, _._3),
+      ("ttr", "filler") -> kappa(_._2, _._3))
+    val got = WeakLabels.q223LfAgreement(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(got == expect, s"engine $got vs replay $expect")
+  }
 }
