@@ -462,6 +462,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("doc_id", "source", "q_micro", "pct_micro"))
   }
 
+  test("KS drift runs on value-grain CDFs, never a corpus sort (q221)") {
+    val (_, plan) = executed("q221_score_ks_drift")
+    val finalSec = plan.split(raw"== Initial Plan ==").head
+    // the windows (two cumulative CDFs + the per-source totals) run
+    // over the post-aggregation full-outer grain — a corpus-sized
+    // window would appear as a Window whose child is a scan, and the
+    // value-grain design bounds the whole frame at ≤ 10001 rows/source
+    assert(!finalSec.contains("CartesianProduct"), s"q221\n$finalSec")
+    val docScans = documentsScansInFinal(plan)
+    assert(docScans == 0,
+      s"q221 reads the SNAPSHOT tables, not documents — got $docScans\n$plan")
+  }
+
+  test("shard rebalance is one map pass: no join anywhere in the plan (q222)") {
+    val (_, plan) = executed("q222_shard_rebalance")
+    val finalSec = plan.split(raw"== Initial Plan ==").head
+    // the ring is literal metadata and placement is row-local: the only
+    // admissible join is the 1-row broadcast attach of the balance
+    // aggregate — never a shuffled or cartesian pairing of data rows
+    assert(!finalSec.contains("CartesianProduct") &&
+      !finalSec.contains("SortMergeJoin") &&
+      !finalSec.contains("ShuffledHashJoin"),
+      s"q222: ring placement must be row-local\n$finalSec")
+  }
+
   test("tiered linkage: the exact tier is hash-join + partial agg, fuzzy rides the residue (q220)") {
     val (df, plan) = executed("q220_tiered_linkage")
     val finalSec = plan.split(raw"== Initial Plan ==").head
