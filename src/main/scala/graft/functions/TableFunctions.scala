@@ -83,6 +83,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM lf_agreement() WHERE kappa_micro > 400000
   *   SELECT * FROM l_diversity(3) WHERE at_risk
   *   SELECT * FROM source_ablation() WHERE delta_e4 < 0
+  *   SELECT * FROM bootstrap_ci() WHERE replicate >= 0
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -998,6 +999,15 @@ object TableFunctions {
               long(l, "l_diversity(l)"))
           }
         case _ => throw new IllegalArgumentException("l_diversity expects (l)")
+      }
+    },
+    "bootstrap_ci" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Sampling.bootstrapCi(
+            spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "bootstrap_ci expects no arguments")
       }
     },
     "source_ablation" -> { exprs: Seq[Expression] =>

@@ -322,6 +322,82 @@ object Sampling {
     weightedSample(Tables.documents(spark, dir), WeightedSampleK)
   }
 
+  /** Bootstrap replicate count for [[q227BootstrapCi]]. */
+  val BootstrapReplicates = 16
+
+  /** Poisson(1) CDF thresholds scaled to 2²⁴, k = 0…4 (draws ≥ the last
+    * threshold cap at weight 5; the truncated tail holds <0.1% of the
+    * mass). FIXED literals — both engines interpolate these exact
+    * integers, so no exp()/factorial is ever computed at query time. */
+  val PoissonCdf24: Seq[Long] =
+    Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L)
+
+  /** q227 — POISSON-BOOTSTRAP CONFIDENCE INTERVALS for a corpus
+    * statistic (Chamandy et al. 2012, "Estimating Uncertainty for
+    * Massive Data Streams" — the Google one-pass bootstrap): every
+    * document draws an independent Poisson(1) weight PER REPLICATE from
+    * its own content hash, so R resampled means materialize as R pairs
+    * of conditional sums inside ONE aggregate over ONE corpus scan — no
+    * explode, no shuffle of R copies, no second pass. This is how a
+    * 100 TB pipeline puts an error bar on "mean quality score" without
+    * resampling 100 TB R times: the replicate spread IS the sampling
+    * distribution of the mean.
+    *
+    * Output: one row per replicate (n_eff, mean_score_micro) plus the
+    * unresampled baseline as replicate −1 — the consumer computes
+    * whatever interval it wants from the 16 replicate means; the spread
+    * itself stays exact-integer all the way here.
+    *
+    * Parity: draws are 24-bit md5 uniforms (the q64 convention) cut by
+    * the fixed [[PoissonCdf24]] thresholds; weighted sums accumulate in
+    * decimal(38,0) (the q193 width contract) and each mean is ONE
+    * integer division. */
+  def q227BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    bootstrapCi(Tables.fanout(spark, Tables.documents(spark, dir)))
+  }
+
+  /** The replicate table over ANY documents-shaped frame (also the
+    * `bootstrap_ci()` TVF body). */
+  private[graft] def bootstrapCi(docs: DataFrame): DataFrame = {
+    val R = BootstrapReplicates
+    val toks = TextOps.tokens(col("text"))
+    val scored = docs
+      .filter(size(toks) > 0)
+      .select(
+        round((least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.5 +
+          size(array_distinct(toks)).cast("double") / size(toks) * 0.5) * 10000)
+          .cast("long").as("q"),
+        trim(col("text")).as("t"))
+    def weight(r: Int): Column = {
+      val u = conv(substring(md5(concat(col("t"), lit(s":bs$r"))), 1, 6), 16, 10)
+        .cast("long")
+      PoissonCdf24.zipWithIndex.foldRight(lit(PoissonCdf24.length.toLong)) {
+        case ((thr, k), rest) => when(u < thr, k.toLong).otherwise(rest)
+      }
+    }
+    val aggs =
+      Seq(count(lit(1)).as("n_base"),
+        sum(col("q").cast("decimal(38,0)")).as("s_base")) ++
+      (0 until R).flatMap { r =>
+        val w = weight(r)
+        Seq(sum(w).as(s"n_$r"),
+          sum((col("q") * w).cast("decimal(38,0)")).as(s"s_$r"))
+      }
+    val wide = scored.agg(aggs.head, aggs.tail: _*)
+    val pivots = struct(lit(-1L).as("replicate"), col("n_base").as("n_eff"),
+      expr("CAST((100 * s_base) div greatest(n_base, 1) AS BIGINT)")
+        .as("mean_score_micro")) +:
+      (0 until R).map(r => struct(lit(r.toLong).as("replicate"),
+        col(s"n_$r").as("n_eff"),
+        expr(s"CAST((100 * s_$r) div greatest(n_$r, 1) AS BIGINT)")
+          .as("mean_score_micro")))
+    wide.select(explode(array(pivots: _*)).as("e"))
+      .select(col("e.replicate").as("replicate"), col("e.n_eff").as("n_eff"),
+        col("e.mean_score_micro").as("mean_score_micro"))
+      .orderBy("replicate")
+  }
+
   /** Fixture budget for [[q121TokenBudget]] — a deployment passes the
     * real per-source token budget. */
   val TokenBudgetPerSource = 150L
@@ -655,6 +731,7 @@ object Sampling {
     "q121_token_budget" -> (q121TokenBudget _),
     "q125_mix_manifest" -> (q125MixManifest _),
     "q106_weighted_sample" -> (q106WeightedSample _),
+    "q227_bootstrap_ci" -> (q227BootstrapCi _),
     "q58_split_assign"  -> (q58SplitAssign _),
     "q59_source_cap"    -> (q59SourceCap _),
     "q60_quality_sample" -> (q60QualitySample _),
@@ -803,6 +880,44 @@ object Sampling {
          |  FROM tok)
          |SELECT doc_id, source, n_tok, CAST(cum AS BIGINT) AS cum_tokens
          |FROM c WHERE cum <= $TokenBudgetPerSource ORDER BY doc_id""".stripMargin,
+    // q227: the 16 Poisson draws replayed from the same md5 uniforms
+    // and fixed CDF thresholds, all 34 sums in ONE aggregate, literal
+    // pivots per replicate
+    "q227_bootstrap_ci" -> {
+      def wSql(r: Int): String = {
+        val u = hex6Sql(s"md5(t || ':bs$r')", 1)
+        PoissonCdf24.zipWithIndex
+          .map { case (thr, k) => s"WHEN $u < $thr THEN $k" }
+          .mkString("CASE ", " ", s" ELSE ${PoissonCdf24.length} END")
+      }
+      val repSums = (0 until BootstrapReplicates).map { r =>
+        s"sum(${wSql(r)}) AS n_$r, sum(q * ${wSql(r)}) AS s_$r"
+      }.mkString(",\n    ")
+      val repRows = (0 until BootstrapReplicates).map { r =>
+        s"""SELECT $r AS replicate, CAST(n_$r AS BIGINT) AS n_eff,
+           |  CAST((100 * s_$r) // greatest(n_$r, 1) AS BIGINT) AS mean_score_micro
+           |FROM w""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (
+         |  SELECT
+         |    CAST(round((least(len(wd) / 100.0, 1.0) * 0.5 +
+         |      len(list_distinct(wd)) * 1.0 / len(wd) * 0.5) * 10000) AS BIGINT) AS q,
+         |    trim(text) AS t
+         |  FROM (SELECT text,
+         |          list_filter(string_split(text, ' '), x -> x <> '') AS wd
+         |        FROM documents)
+         |  WHERE len(wd) > 0),
+         |w AS (
+         |  SELECT count(*) AS n_base, sum(q) AS s_base,
+         |    $repSums
+         |  FROM s)
+         |SELECT -1 AS replicate, CAST(n_base AS BIGINT) AS n_eff,
+         |  CAST((100 * s_base) // greatest(n_base, 1) AS BIGINT) AS mean_score_micro
+         |FROM w
+         |UNION ALL
+         |$repRows
+         |ORDER BY replicate""".stripMargin
+    },
     "q106_weighted_sample" ->
       s"""WITH s AS (
          |  SELECT doc_id, n_chars,

@@ -560,6 +560,9 @@ class TableFunctionsSpec extends SparkSpec {
 
     val ld = spark.sql("SELECT * FROM l_diversity(3)")
     assert(rows(ld) == rows(graft.operators.Privacy.q225LDiversity(spark, sf)))
+    val bc = spark.sql("SELECT * FROM bootstrap_ci()")
+    assert(rows(bc) == rows(graft.operators.Sampling.bootstrapCi(docs)))
+    assert(bc.columns.toSeq == Seq("replicate", "n_eff", "mean_score_micro"))
     val sa = spark.sql("SELECT * FROM source_ablation()")
     assert(rows(sa) == rows(graft.operators.Mixture.q226SourceAblation(spark, sf)))
     assert(sa.columns.toSeq == Seq("source", "n_tok", "loss_e4",

@@ -315,4 +315,42 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(pct - (ns * 1000000L / nd) / 10000.0) < 1e-9)
     }
   }
+
+  test("q227: replicate 0 equals an exact driver replay of the Poisson draws") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val toks = TextOps.tokens(col("text"))
+    val scored = docs.filter(size(toks) > 0)
+      .select(
+        round((least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.5 +
+          size(array_distinct(toks)).cast("double") / size(toks) * 0.5) * 10000)
+          .cast("long").as("q"),
+        trim(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def draw(t: String, r: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$t:bs$r".getBytes("UTF-8"))
+      val u = java.lang.Long.parseLong(d.take(3).map("%02x".format(_)).mkString, 16)
+      val k = Sampling.PoissonCdf24.indexWhere(u < _)
+      if (k < 0) Sampling.PoissonCdf24.length.toLong else k.toLong
+    }
+    val ws = scored.map { case (q, t) => (q, draw(t, 0)) }
+    val nEff = ws.map(_._2).sum
+    val mean = (BigInt(100) * ws.map { case (q, w) => BigInt(q * w) }.sum /
+      BigInt(math.max(nEff, 1L))).toLong
+    val got = Sampling.q227BootstrapCi(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L) == ((nEff, mean)),
+      s"replicate 0: engine ${got(0L)} vs driver replay ($nEff, $mean)")
+    // statistical sanity: Poisson(1) weights resample to ~the corpus
+    // size, and the baseline sits inside the replicate spread
+    val reps = got.filter(_._1 >= 0).values.toSeq
+    val n = got(-1L)._1
+    assert(reps.forall { case (ne, _) => ne > n / 2 && ne < n * 2 })
+    val means = reps.map(_._2.toDouble)
+    val mu = means.sum / means.length
+    val sd = math.sqrt(means.map(m => (m - mu) * (m - mu)).sum / (means.length - 1))
+    assert(math.abs(got(-1L)._2 - mu) <= 4 * math.max(sd, 1.0),
+      "baseline mean outside the replicate spread")
+  }
 }
