@@ -130,7 +130,7 @@ object TableFunctions {
 
   /** The builders, exposed for [[GraftExtensions]] to inject
     * config-driven (`spark.sql.extensions`) with identical semantics. */
-  private[functions] val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+  private[graft] val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "bm25" -> { exprs: Seq[Expression] =>
       exprs match {
         case Seq(q, k) =>
@@ -884,11 +884,15 @@ object TableFunctions {
         case Seq(p) =>
           plan { spark =>
             import spark.implicits._
-            val phrase = string(p, "phrase_search(phrase)")
-            require(phrase.trim.split("\\s+").length == 2,
+            // normalize BEFORE joining: the bigram table is built with
+            // single-space concat_ws, so a phrase with a double space or
+            // stray edge whitespace would pass the two-word validation
+            // yet silently return zero hits
+            val norm = string(p, "phrase_search(phrase)").trim.split("\\s+")
+            require(norm.length == 2,
               "phrase_search expects a two-word phrase")
             graft.operators.Retrieval.phraseHits(
-              spark.table("documents"), Seq(phrase).toDF("phrase"))
+              spark.table("documents"), Seq(norm.mkString(" ")).toDF("phrase"))
           }
         case _ => throw new IllegalArgumentException(
           "phrase_search expects (two-word phrase)")

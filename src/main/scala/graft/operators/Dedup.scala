@@ -896,8 +896,12 @@ object Dedup {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         expr("CAST(eff_e6 div 1000000 AS BIGINT)").as("eff_tokens"),
         // greatest(…, 1): an all-empty source divides by zero as error
-        // on DuckDB but null on Spark (the q171 guard convention)
-        expr("(1000000 * (n_tokens - CAST(eff_e6 div 1000000 AS BIGINT))) div greatest(n_tokens, 1)")
+        // on DuckDB but null on Spark (the q171 guard convention).
+        // The tax numerator rides the same decimal(38,0) width contract
+        // as eff_e6: in BIGINT, a source beyond ~9.2e12 duplicated
+        // tokens (inside this operator's own 100 TB posture) wraps
+        // silently on Spark with ANSI off while DuckDB errors.
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * (n_tokens - CAST(eff_e6 div 1000000 AS BIGINT))) div greatest(n_tokens, 1)")
           .as("dup_tax_micro"))
       .orderBy("source")
   }
@@ -1675,7 +1679,7 @@ object Dedup {
          |  FROM d GROUP BY source)
          |SELECT source, n_docs, n_tokens,
          |  CAST(eff_e6 // 1000000 AS BIGINT) AS eff_tokens,
-         |  CAST((1000000 * (n_tokens - CAST(eff_e6 // 1000000 AS BIGINT)))
+         |  CAST((CAST(1000000 AS HUGEINT) * (n_tokens - CAST(eff_e6 // 1000000 AS BIGINT)))
          |    // greatest(n_tokens, 1) AS BIGINT) AS dup_tax_micro
          |FROM a ORDER BY source""".stripMargin,
     // duplicate groups = the same transitive closure; histogram at
@@ -1733,7 +1737,7 @@ object Dedup {
       |  WHERE round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) >= 0.6),
       |edges AS MATERIALIZED (SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs)""".stripMargin
 
-  private lazy val reachCtes =
+  private[operators] lazy val reachCtes =
     s"""$pairGraphCtes,
       |reach(id, r) AS (
       |  SELECT DISTINCT s, s FROM edges

@@ -368,9 +368,17 @@ object Sampling {
         round((least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.5 +
           size(array_distinct(toks)).cast("double") / size(toks) * 0.5) * 10000)
           .cast("long").as("q"),
-        trim(col("text")).as("t"))
+        col("doc_id"))
+    // per-replicate draws seed from doc_id (the q222 sharding
+    // convention), NOT the text: byte-identical documents — which this
+    // corpus plants by design — would otherwise draw identical weights
+    // in every replicate and resample as a block, understating exactly
+    // the variance the CI estimates. doc_id is equally deterministic
+    // and engine-portable, and i.i.d. per RECORD as the Poisson
+    // bootstrap assumes.
     def weight(r: Int): Column = {
-      val u = conv(substring(md5(concat(col("t"), lit(s":bs$r"))), 1, 6), 16, 10)
+      val u = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(s":bs$r"))), 1, 6), 16, 10)
         .cast("long")
       PoissonCdf24.zipWithIndex.foldRight(lit(PoissonCdf24.length.toLong)) {
         case ((thr, k), rest) => when(u < thr, k.toLong).otherwise(rest)
@@ -748,7 +756,7 @@ object Sampling {
        | (strpos('0123456789abcdef', substr($hx, ${pos + 3}, 1)) - 1))""".stripMargin
 
   /** 24-bit variant of [[hex4Sql]] — matches [[hexFrac]]'s numerator. */
-  private def hex6Sql(hx: String, pos: Int): String =
+  private[operators] def hex6Sql(hx: String, pos: Int): String =
     (0 until 6).map { i =>
       val mult = 1L << (4 * (5 - i))
       s"(strpos('0123456789abcdef', substr($hx, ${pos + i}, 1)) - 1) * $mult"
@@ -885,7 +893,7 @@ object Sampling {
     // pivots per replicate
     "q227_bootstrap_ci" -> {
       def wSql(r: Int): String = {
-        val u = hex6Sql(s"md5(t || ':bs$r')", 1)
+        val u = hex6Sql(s"md5(CAST(doc_id AS VARCHAR) || ':bs$r')", 1)
         PoissonCdf24.zipWithIndex
           .map { case (thr, k) => s"WHEN $u < $thr THEN $k" }
           .mkString("CASE ", " ", s" ELSE ${PoissonCdf24.length} END")
@@ -902,8 +910,8 @@ object Sampling {
          |  SELECT
          |    CAST(round((least(len(wd) / 100.0, 1.0) * 0.5 +
          |      len(list_distinct(wd)) * 1.0 / len(wd) * 0.5) * 10000) AS BIGINT) AS q,
-         |    trim(text) AS t
-         |  FROM (SELECT text,
+         |    doc_id
+         |  FROM (SELECT doc_id, text,
          |          list_filter(string_split(text, ' '), x -> x <> '') AS wd
          |        FROM documents)
          |  WHERE len(wd) > 0),

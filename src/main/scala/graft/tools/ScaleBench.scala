@@ -311,23 +311,30 @@ object ScaleBench {
     // fed one slow-mode sample reads as superlinear scaling when the
     // plan is linear — min-of-2, applied IDENTICALLY to both trees, is
     // the sustained-throughput estimator the gate actually means.
-    def warm(name: String, dir: String): Double = {
+    // returns (min, max) of the two timed runs: the MIN is the recorded
+    // sustained-throughput estimator (above), but min-alone also
+    // systematically discards GC pauses a query's OWN allocation
+    // pattern causes — so the discarded max rides along in the JSON,
+    // making a persistent min/max gap (a genuinely GC-bound plan)
+    // visible instead of silently dropped (round-11 advisor item).
+    def warm(name: String, dir: String): (Double, Double) = {
       time(name, dir)
       // measurement hygiene: 100+ prior queries leave the old gen full
       // of humongous allocations (video/audio byte arrays), and a timed
       // run that inherits that heap pays collection pauses the plan
       // didn't cause — collect BETWEEN entries, outside the timed region
       System.gc()
-      math.min(time(name, dir), time(name, dir))
+      val (t1, t2) = (time(name, dir), time(name, dir))
+      (math.min(t1, t2), math.max(t1, t2))
     }
 
     // warm both trees' file indexes + codegen outside the timed region
     Heavy.foreach { n => time(n, sf01) }
     val rows0 = Heavy.map { n =>
-      val a = warm(n, sf01)
-      val b = warm(n, sf1)
+      val (a, aHi) = warm(n, sf01)
+      val (b, bHi) = warm(n, sf1)
       val ratio = if (a > 0 && b > 0) b / a else -1.0
-      (n, a, b, ratio)
+      (n, a, b, ratio, aHi, bHi)
     }
     // targeted re-measure: the byte-heavy decode families are bimodal
     // under JVM heap modes (one sweep run lands q112 at 14 s, the next
@@ -337,7 +344,7 @@ object ScaleBench {
     // retry is logged, and a plan that is GENUINELY superlinear stays
     // superlinear under it (retries never raise a measurement — min).
     val rows = rows0.map {
-      case r @ (n, a, b, ratio) if ratio > 10.0 =>
+      case (n, a, b, ratio, aHi, bHi) if ratio > 10.0 =>
         System.gc()
         val a2 = math.min(a, Seq.fill(3)(time(n, sf01)).min)
         System.gc()
@@ -345,7 +352,7 @@ object ScaleBench {
         val r2 = if (a2 > 0 && b2 > 0) b2 / a2 else -1.0
         System.err.println(
           f"[scalebench] re-measured $n: ratio $ratio%.2f -> $r2%.2f")
-        (n, a2, b2, r2)
+        (n, a2, b2, r2, aHi, bHi)
       case r => r
     }
     // explicit-locale formatting (comma-decimal locales would break the
@@ -354,8 +361,9 @@ object ScaleBench {
     // a commit claimed 101 entries over a 98-entry file)
     def fmt(v: Double, d: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
-    val qs = rows.map { case (n, a, b, r) =>
-      s"""\"$n\":{\"sf01\":${fmt(a, 3)},\"sf1\":${fmt(b, 3)},\"ratio\":${fmt(r, 2)}}"""
+    val qs = rows.map { case (n, a, b, r, aHi, bHi) =>
+      s"""\"$n\":{\"sf01\":${fmt(a, 3)},\"sf1\":${fmt(b, 3)},\"ratio\":${fmt(r, 2)},""" +
+        s"""\"sf01_hi\":${fmt(aHi, 3)},\"sf1_hi\":${fmt(bHi, 3)}}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"sf1_sweep","scale_factor":10,"n_entries":${rows.size},""" +
       s""""queries":$qs,"sf01_dir":"$sf01","sf1_dir":"$sf1"}"""

@@ -320,21 +320,23 @@ class SamplingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sf)
     val toks = TextOps.tokens(col("text"))
+    // the draw seeds from doc_id (round-11 advisor item: text-seeded
+    // draws make byte-identical duplicates resample as a block)
     val scored = docs.filter(size(toks) > 0)
       .select(
         round((least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.5 +
           size(array_distinct(toks)).cast("double") / size(toks) * 0.5) * 10000)
           .cast("long").as("q"),
-        trim(col("text")).as("t"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    def draw(t: String, r: Int): Long = {
+        col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def draw(docId: Long, r: Int): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$t:bs$r".getBytes("UTF-8"))
+        .digest(s"$docId:bs$r".getBytes("UTF-8"))
       val u = java.lang.Long.parseLong(d.take(3).map("%02x".format(_)).mkString, 16)
       val k = Sampling.PoissonCdf24.indexWhere(u < _)
       if (k < 0) Sampling.PoissonCdf24.length.toLong else k.toLong
     }
-    val ws = scored.map { case (q, t) => (q, draw(t, 0)) }
+    val ws = scored.map { case (q, id) => (q, draw(id, 0)) }
     val nEff = ws.map(_._2).sum
     val mean = (BigInt(100) * ws.map { case (q, w) => BigInt(q * w) }.sum /
       BigInt(math.max(nEff, 1L))).toLong

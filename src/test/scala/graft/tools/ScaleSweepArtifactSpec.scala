@@ -59,7 +59,9 @@ class ScaleSweepArtifactSpec extends AnyFunSuite {
     // factors (override above where candidate growth between the two
     // fixture trees is documented-faster); -1 marks a failed run,
     // equally a gate failure
-    val bad = """"(q[0-9]+[a-zA-Z0-9_]*)":\{"sf01":[0-9.]+,"sf1":[0-9.-]+,"ratio":(-?[0-9.]+)\}""".r
+    // `[,}]` after ratio: round-12 artifacts append the discarded-max
+    // fields (sf01_hi/sf1_hi); the gate reads the recorded min either way
+    val bad = """"(q[0-9]+[a-zA-Z0-9_]*)":\{"sf01":[0-9.]+,"sf1":[0-9.-]+,"ratio":(-?[0-9.]+)[,}]""".r
       .findAllMatchIn(artifact)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .filter { case (q, r) => r < 0 || r > RatioBoundOverrides.getOrElse(q, 12.0) }
