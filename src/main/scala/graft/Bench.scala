@@ -44,10 +44,14 @@ object Bench {
     // varies run to run and shifts JIT/cache warmup between queries,
     // making cross-round comparisons noisy
     //
-    // median-of-N per query: a single timing is hostage to background-load
-    // spikes on a shared machine (round-2 recorded phantom 3-9x regressions
-    // that an idle re-run disproved). The median of three back-to-back runs
-    // survives one contended sample per query.
+    // MIN-of-N per query (round-11 verdict item 6, was median-of-3): a
+    // single timing is hostage to background-load spikes on a shared
+    // machine (round-2 recorded phantom 3-9x regressions an idle re-run
+    // disproved; r10/r11 both ran on loaded boxes), and even the median
+    // keeps one contended sample's bias when two of three samples hit a
+    // burst. The min of three back-to-back runs is the
+    // sustained-throughput estimator the per-query 2x gate actually
+    // means — the same estimator ScaleBench adopted in r11.
     // malformed env value degrades to the default instead of aborting the bench
     val reps = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_REPS").trim.toInt)
       .toOption.getOrElse(3).max(1)
@@ -87,8 +91,8 @@ object Bench {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
-        }.sorted
-        name -> samples(samples.length / 2)
+        }
+        name -> samples.min
       }
       Sweep(res, cb, calibrate(), lb, loadavg())
     }
@@ -110,26 +114,41 @@ object Bench {
         math.max(1e-9, math.min(sw.calibBefore, sw.calibAfter))
       ratio > 2.0 || math.min(sw.calibBefore, sw.calibAfter) > 2.0 * IdleCalibSec
     }
-    // self-healing (round-5 verdict item 3): a contended first pass
-    // re-runs ONCE — timings from a machine whose background load shifted
-    // mid-sweep are noise, and emitting them as BENCH_r*.json misreads as
-    // a code regression. If the retry is contended too, emit it but say
-    // so ("contended": true) instead of pretending the numbers are clean.
+    // shared-artifact attribution (round-11 verdict item 2): build every
+    // per-corpus cached stage at the BENCH SF before the timed sweep and
+    // record each build as its own `cache_<name>` row. Without this,
+    // whichever query sorts first into a cold stage pays the whole
+    // build (r11: q168 carried the shingle+MinHash+verify build and
+    // read as a 2.2x regression) and regressions become un-attributable.
+    val cacheRows: Seq[(String, Double)] =
+      graft.operators.SharedStages.builds.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir) catch { case _: Throwable => () }
+        ("cache_" + name) -> (System.nanoTime() - t0) / 1e9
+      }
+    // self-healing, ESCALATED (round-11 verdict item 1; was one-shot in
+    // r5): a contended pass re-runs up to three times until the
+    // calibration bracket is clean — timings from a machine whose
+    // background load shifted mid-sweep are noise, and r11 shipped a
+    // still-contended artifact after its single retry, costing three
+    // verdict-level `weak` rows. If every retry is contended too, emit
+    // the last sweep but say so ("contended": true) instead of
+    // pretending the numbers are clean.
     //
     // round-10 verdict item 5: the calibration check missed ambient load
     // that was real but mild (r10: loadavg 4.96 at start, calib within
     // bounds, yet +9% drift on common queries) — so a high ambient load
-    // AT PROCESS START (before our own threads existed) now also
-    // triggers the one-shot retry, by which time the external spike has
-    // usually passed or the retry at least averages over different load.
+    // AT PROCESS START (before our own threads existed) also triggers
+    // a retry, by which time the external spike has usually passed.
     val ambientHigh = scala.util.Try(loadavgStart.toDouble).toOption.exists(_ > 2.0)
+    val MaxRetries = 3
     var sw = sweep()
-    var retried = false
-    if (contended(sw) || ambientHigh) {
+    var retried = 0
+    while ((contended(sw) || (retried == 0 && ambientHigh)) && retried < MaxRetries) {
       System.err.println(
         s"[bench] contended sweep (calib ${sw.calibBefore} -> ${sw.calibAfter}, " +
-          s"loadavg_start $loadavgStart); re-running once")
-      retried = true
+          s"loadavg_start $loadavgStart); retry ${retried + 1}/$MaxRetries")
+      retried += 1
       sw = sweep()
     }
     // state-store twin rows (round-5 verdict item 6, widened to ALL
@@ -152,10 +171,11 @@ object Bench {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
-        }.sorted
-        (name + "_rocksdb") -> samples(samples.length / 2)
+        }
+        (name + "_rocksdb") -> samples.min
       } finally spark.conf.unset("spark.graft.streaming.stateStoreProvider")
-    val qs = (sw.results ++ rocksRows).map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (sw.results ++ rocksRows ++ cacheRows)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = sw.results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
@@ -163,7 +183,7 @@ object Bench {
       s""","calib_idle_ref":$IdleCalibSec""" +
       s""","loadavg_start":$loadavgStart""" +
       s""","loadavg_before":${sw.loadBefore},"loadavg_after":${sw.loadAfter}""" +
-      s""","retried":$retried,"contended":${contended(sw)}}"""
+      s""","retried":$retried,"contended":${contended(sw)},"estimator":"min_of_$reps"}"""
     // emit on BOTH channels: a bare stdout line (build.sbt routes forked
     // run output straight to stdout, un-prefixed) and a file — so the
     // driver's parser never has to fish the metric out of sbt log noise
@@ -177,7 +197,7 @@ object Bench {
     // survived solely in BENCH_LAST.json. This line is < 1 KB by
     // construction (fixed fields + slowest-10), so the tail always
     // contains one complete, parseable JSON object.
-    val allRows = sw.results ++ rocksRows
+    val allRows = sw.results ++ rocksRows ++ cacheRows
     // explicit-locale formatting: the f-interpolator uses the JVM
     // default locale, and a comma-decimal locale (de_DE …) would emit
     // '0,123' — breaking the very parseability this line guarantees
@@ -186,9 +206,13 @@ object Bench {
     val slowest = allRows.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val streamCore = sw.results.filter(r => streamingNames.contains(r._1)).map(_._2).sum
-    val grand = allRows.map(_._2).sum
+    // grand_total keeps its cross-round semantics (queries + rocksdb
+    // twins); the attributed cache builds are summed separately
+    val grand = (sw.results ++ rocksRows).map(_._2).sum
+    val cacheTotal = cacheRows.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${sw.results.size}""" +
       s""","grand_total":$grand,"n_rows":${allRows.size}""" +
+      s""","cache_build_sec":${f3(cacheTotal)}""" +
       s""","streaming_core_sec":${f3(streamCore)},"slowest":$slowest""" +
       s""","sf":"$sfDir","retried":$retried,"contended":${contended(sw)}""" +
       s""","full_queries_in":"BENCH_LAST.json"}""")
