@@ -65,6 +65,7 @@ object SparkEntry {
       operators.RandomProjection.queries ++
       operators.ScoreNorm.queries ++
       operators.Sharding.queries ++
+      operators.Curation.queries ++
       layout.BucketedLayout.queries ++
       layout.ZOrderLayout.queries ++
       layout.PartitionedEventsLayout.queries ++
@@ -140,6 +141,7 @@ object SparkEntry {
       operators.RandomProjection.oracles ++
       operators.ScoreNorm.oracles ++
       operators.Sharding.oracles ++
+      operators.Curation.oracles ++
       layout.BucketedLayout.oracles ++
       layout.ZOrderLayout.oracles ++
       layout.PartitionedEventsLayout.oracles ++

@@ -232,7 +232,38 @@ object ScaleValidate {
       linked.unpersist()
     }
 
-    val blocks = Seq(dedup, serving, linkage)
+    // ---- block 4: the composed curation pipeline (q228) at 10× ----
+    // the end-to-end chain a real run executes; the gates are the
+    // manifest's own invariants — chain consistency, drop accounting,
+    // non-trivial dedup, mix mass conservation, pack coverage — which
+    // is what "the pipeline still works at 10×" means operationally.
+    val curation = new Block("curation_pipeline")
+    locally {
+      val rows = graft.operators.Curation.q228CurationManifest(spark, sf1).collect()
+      def st(n: String) = rows.find(_.getString(1) == n).get
+      curation.stats("n_docs_in") = st("ingest").getLong(3)
+      curation.stats("n_kept_docs") = st("mix_reweight").getLong(3)
+      curation.stats("n_weighted_out") = st("mix_reweight").getLong(4)
+      curation.stats("n_sequences") = st("pack").getLong(4)
+      curation.stats("n_dropped_total") = rows.take(5).map(_.getLong(7)).sum
+      curation.gate("chain_consistent")((1 until 6).forall(i =>
+        rows(i).getLong(3) == rows(i - 1).getLong(4) &&
+          rows(i).getLong(5) == rows(i - 1).getLong(6)))
+      curation.gate("drop_accounting")(rows.take(5).forall(r =>
+        r.getLong(7) == r.getLong(3) - r.getLong(4) &&
+          r.getLong(4) <= r.getLong(3) && r.getLong(6) <= r.getLong(5)))
+      curation.gate("nonempty_output")(
+        st("mix_reweight").getLong(4) > 0 && st("pack").getLong(4) > 0)
+      curation.gate("dedup_dropped_something")(
+        st("exact_dedup").getLong(7) + st("near_dedup").getLong(7) > 0)
+      curation.gate("mix_conserves_mass")(
+        math.abs(st("mix_reweight").getLong(4) - st("mix_reweight").getLong(3))
+          <= st("mix_reweight").getLong(3) / 10)
+      curation.gate("pack_covers_tokens")(
+        st("pack").getLong(6) >= st("pack").getLong(5))
+    }
+
+    val blocks = Seq(dedup, serving, linkage, curation)
     val ok = blocks.forall(_.checks.values.forall(identity))
     val line =
       s"""{"metric":"scale_validate","ok":$ok,"sf1_dir":"$sf1",""" +
