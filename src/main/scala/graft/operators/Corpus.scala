@@ -477,7 +477,51 @@ object Corpus {
       .orderBy("stage_idx")
   }
 
+  /** q231 — PER-SOURCE CONTENT DRIFT between corpus versions: each
+    * source's 5-shingle-set Jaccard across the two materialized
+    * snapshots (v1_edit vs v2) — the recrawl monitor that says how much
+    * of each source's CONTENT actually changed, one level below q71
+    * (which watches the source/lang COUNT mix) and orthogonal to q66
+    * (doc-grain diff): a source can keep its document count while its
+    * text churns completely, and only the shingle-set view sees it.
+    * Emits both set sizes, the intersection, the Jaccard and the drift
+    * (1 − J) in micros — all integer once the sets are counted.
+    *
+    * Scale shape: two snapshot scans reduced to DISTINCT
+    * (source, shingle-hash) grain — the q120 posture across versions —
+    * then |sources|-sized aggregates and one hash-keyed intersection
+    * join; nothing is ever pairwise in documents. The engine keys on
+    * xxhash64 shingles, the oracle on the strings (the accepted q26/
+    * q120 collision convention). */
+  def q231VersionContentDrift(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    import org.apache.spark.sql.functions.xxhash64
+    def srcShingles(df: DataFrame): DataFrame =
+      Tables.fanout(spark, df)
+        .select(col("source"),
+          explode(Dedup.shingleArray(coalesce(col("text"), lit("")))).as("s"))
+        .select(col("source"), xxhash64(col("s")).as("h"))
+        .distinct()
+    val a = srcShingles(SnapshotFixture.table(spark, dir, "documents_v1_edit"))
+    val b = srcShingles(SnapshotFixture.table(spark, dir, "documents_v2"))
+    val na = a.groupBy("source").agg(count(lit(1)).as("n_sh_v1"))
+    val nb = b.groupBy("source").agg(count(lit(1)).as("n_sh_v2"))
+    val inter = a.join(b, Seq("source", "h"))
+      .groupBy("source").agg(count(lit(1)).as("n_shared"))
+    na.join(nb, Seq("source"), "full_outer")
+      .join(inter, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_sh_v1"), lit(0L)).as("n_sh_v1"),
+        coalesce(col("n_sh_v2"), lit(0L)).as("n_sh_v2"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("jaccard_micro", expr(
+        "(n_shared * 1000000) div greatest(n_sh_v1 + n_sh_v2 - n_shared, 1)"))
+      .withColumn("drift_micro", lit(1000000L) - col("jaccard_micro"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_version_content_drift" -> (q231VersionContentDrift _),
     "q127_attrition" -> (q127AttritionReport _),
     "q115_corpus_datasheet" -> (q115CorpusDatasheet _),
     "q116_incremental_tokens" -> (q116IncrementalTokens _),
@@ -489,6 +533,48 @@ object Corpus {
     "q86_scd2_merge" -> (q86Scd2Merge _))
 
   val oracles: Map[String, String] = Map(
+    // both snapshots reconstructed from the derivation rules (the
+    // q66/q94 convention — agreement proves the materialized files are
+    // faithful), reduced to distinct (source, shingle) sets
+    "q231_version_content_drift" ->
+      s"""WITH v1 AS (
+         |  SELECT source, CASE WHEN doc_id % $ChangedMod = 0
+         |    THEN upper(text) ELSE text END AS text
+         |  FROM documents WHERE doc_id % $RemovedInV2Mod <> $RemovedInV2Rem),
+         |v2 AS (
+         |  SELECT source, text FROM documents
+         |  WHERE doc_id % $DroppedFromV1Mod <> $DroppedFromV1Rem),
+         |s1 AS (
+         |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(w) - 4, 1) + 1),
+         |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER),
+         |      CAST(i AS INTEGER) + 4), ' ')))) AS s
+         |  FROM (SELECT source, list_filter(string_split(coalesce(text, ''), ' '),
+         |          x -> x <> '') AS w FROM v1)),
+         |s2 AS (
+         |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(w) - 4, 1) + 1),
+         |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER),
+         |      CAST(i AS INTEGER) + 4), ' ')))) AS s
+         |  FROM (SELECT source, list_filter(string_split(coalesce(text, ''), ' '),
+         |          x -> x <> '') AS w FROM v2)),
+         |n1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh_v1 FROM s1 GROUP BY source),
+         |n2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh_v2 FROM s2 GROUP BY source),
+         |i AS (SELECT s1.source, CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM s1 JOIN s2 ON s1.source = s2.source AND s1.s = s2.s
+         |      GROUP BY s1.source),
+         |g AS (
+         |  SELECT coalesce(n1.source, n2.source) AS source,
+         |    coalesce(n_sh_v1, 0) AS n_sh_v1, coalesce(n_sh_v2, 0) AS n_sh_v2,
+         |    coalesce(n_shared, 0) AS n_shared
+         |  FROM n1 FULL OUTER JOIN n2 ON n1.source = n2.source
+         |  LEFT JOIN i ON coalesce(n1.source, n2.source) = i.source)
+         |SELECT source, n_sh_v1, n_sh_v2, n_shared,
+         |  CAST((n_shared * 1000000) // greatest(n_sh_v1 + n_sh_v2 - n_shared, 1) AS BIGINT)
+         |    AS jaccard_micro,
+         |  CAST(1000000 - (n_shared * 1000000) // greatest(n_sh_v1 + n_sh_v2 - n_shared, 1) AS BIGINT)
+         |    AS drift_micro
+         |FROM g ORDER BY source""".stripMargin,
     // the full funnel replayed: q23 quality arithmetic, fingerprint
     // keeper election among quality survivors, q26 shingle-Jaccard
     // pairs restricted to survivors, recursive-CTE closure (the q38

@@ -1316,7 +1316,42 @@ object Dedup {
       .orderBy("threshold")
   }
 
+  /** q230 — CROSS-SOURCE DUPLICATE-MASS MATRIX: for every non-keeper in
+    * the near-dup closure (the q38 groups), attribute its dropped mass
+    * to the directional (keeper's source → duplicate's source) cell —
+    * the curation table that says WHICH sources are mirrors of which
+    * (and how many tokens each relationship costs), one level below
+    * q120's symmetric shingle-overlap matrix: q120 measures shared
+    * VOCABULARY between sources; this measures the actual documents the
+    * dedup election removes and who wins them. The diagonal is
+    * within-source duplication (template spam); heavy off-diagonal
+    * cells are syndication/mirror relationships a mixing step should
+    * know before weighting sources independently.
+    *
+    * Scale shape: everything after the shared pair closure is
+    * pair-graph-sized — two doc-grain joins attach the two source
+    * labels and one token count, then a |sources|²-bounded aggregate.
+    * The corpus scan contributes only (doc_id, source) and the
+    * non-keepers' token counts. */
+  def q230CrossSourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val labels = minLabelComponents(spark, verifiedPairs(spark, dir).select("d1", "d2"))
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    val toks = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    labels.filter(col("doc_id") =!= col("keeper"))
+      .join(src.select(col("doc_id").as("keeper"), col("source").as("keeper_source")),
+        Seq("keeper"))
+      .join(src.select(col("doc_id"), col("source").as("dup_source")), Seq("doc_id"))
+      .join(toks, Seq("doc_id"))
+      .groupBy("keeper_source", "dup_source")
+      .agg(count(lit(1)).as("n_dups"), sum(col("n_tok")).as("tokens_lost"))
+      .orderBy("keeper_source", "dup_source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_cross_source_dup_matrix" -> (q230CrossSourceDupMatrix _),
     "q142_containment" -> (q142Containment _),
     "q147_dedup_sensitivity" -> (q147DedupSensitivity _),
     "q120_source_overlap" -> (q120SourceOverlap _),
@@ -1682,6 +1717,25 @@ object Dedup {
          |  CAST((CAST(1000000 AS HUGEINT) * (n_tokens - CAST(eff_e6 // 1000000 AS BIGINT)))
          |    // greatest(n_tokens, 1) AS BIGINT) AS dup_tax_micro
          |FROM a ORDER BY source""".stripMargin,
+    // same closure; non-keepers joined to both source labels and their
+    // token counts, aggregated at the (keeper_source, dup_source) grain
+    "q230_cross_source_dup_matrix" ->
+      s"""$reachCtes,
+         |lab AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+         |d AS (
+         |  SELECT lab.id AS doc_id, lab.keeper,
+         |    ks.source AS keeper_source, ds.source AS dup_source,
+         |    CAST(len(t.w) AS BIGINT) AS n_tok
+         |  FROM lab
+         |  JOIN documents ks ON lab.keeper = ks.doc_id
+         |  JOIN documents ds ON lab.id = ds.doc_id
+         |  JOIN toks t ON lab.id = t.doc_id
+         |  WHERE lab.id <> lab.keeper)
+         |SELECT keeper_source, dup_source,
+         |  CAST(count(*) AS BIGINT) AS n_dups,
+         |  CAST(sum(n_tok) AS BIGINT) AS tokens_lost
+         |FROM d GROUP BY 1, 2
+         |ORDER BY keeper_source, dup_source""".stripMargin,
     // duplicate groups = the same transitive closure; histogram at
     // group-size grain
     "q126_cluster_histogram" ->

@@ -291,4 +291,21 @@ class CorpusSpec extends SparkSpec {
     assert(got("exact_dedup") == 3)   // doc 2 out (doc 1 kept: min id)
     assert(got("near_dedup") == 2)    // doc 4 out; pair (2,5) inert
   }
+
+  test("q231: per-source content drift sees the planted v1 edits") {
+    val rows = Corpus.q231VersionContentDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n1, n2, shared) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (j, d) = (r.getLong(4), r.getLong(5))
+      assert(shared <= math.min(n1, n2), s"${r.getString(0)}: |∩| > |set|")
+      assert(j + d == 1000000L, "jaccard and drift must complement")
+      assert(j >= 0 && j <= 1000000L)
+    }
+    // the fixtures PLANT drift (uppercased 17-mod docs in v1, births and
+    // deaths across versions), so no source can be at Jaccard 1
+    assert(rows.forall(_.getLong(5) > 0), "a source shows zero drift")
+    // and the versions still overlap heavily (only ~1/17 of docs edit)
+    assert(rows.exists(_.getLong(4) > 500000L), "drift implausibly total")
+  }
 }

@@ -770,4 +770,24 @@ class DedupSpec extends SparkSpec {
     val corpus = Dedup.q216SoftDedupWeights(spark, sf).collect()
     assert(corpus.forall(r => r.getLong(3) <= r.getLong(2)))
   }
+
+  test("q230: duplicate-mass matrix reconciles with the q38 closure") {
+    val labels = Dedup.q38DedupApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nonKeepers = labels.count { case (d, k) => d != k }
+    val cells = Dedup.q230CrossSourceDupMatrix(spark, sf).collect()
+    // every dropped doc lands in exactly one cell; token mass positive
+    assert(cells.map(_.getLong(2)).sum == nonKeepers)
+    assert(cells.forall(r => r.getLong(2) >= 1 && r.getLong(3) >= r.getLong(2)),
+      "a cell with docs but implausible token mass")
+    // the keeper side of every cell is a real keeper's source
+    val srcOf = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = labels.toSeq.filter { case (d, k) => d != k }
+      .groupBy { case (d, k) => (srcOf(k), srcOf(d)) }
+      .view.mapValues(_.size.toLong).toMap
+    val got = cells.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, "cell counts diverge from a driver replay")
+  }
 }
