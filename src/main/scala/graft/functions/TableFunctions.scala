@@ -915,6 +915,29 @@ object TableFunctions {
         case _ => throw new IllegalArgumentException("pref_pairs expects (threshold)")
       }
     },
+    "curation_manifest" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan { spark =>
+            graft.operators.Curation.manifestOver(
+              graft.operators.Curation.tableLedger(spark, spark.table("documents"))
+                .localCheckpoint())
+          }
+        case _ => throw new IllegalArgumentException(
+          "curation_manifest expects no arguments")
+      }
+    },
+    "curation_ledger" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan { spark =>
+            graft.operators.Curation.ledgerOutcomes(
+              graft.operators.Curation.tableLedger(spark, spark.table("documents")))
+          }
+        case _ => throw new IllegalArgumentException(
+          "curation_ledger expects no arguments")
+      }
+    },
     "dedup_weights" -> { exprs: Seq[Expression] =>
       exprs match {
         case Seq(thr) =>

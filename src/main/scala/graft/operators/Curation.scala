@@ -51,21 +51,34 @@ object Curation {
     * (consumed by [[manifest]], [[q229CurationLedger]] and
     * `jobs.CurationPipeline`): doc_id, source, text (null-coalesced),
     * n_tok, q_micro, alive1..alive5, n_copies. */
-  private[graft] def ledger(spark: SparkSession, dir: String): DataFrame = {
-    val labels = Dedup.minLabelComponents(
-        spark, Dedup.verifiedPairs(spark, dir).select("d1", "d2"))
-      .select(col("doc_id"), col("keeper").as("grp"))
-    // q62's contamination verdict over the shared signature stages:
-    // train = non-eval docs, eval = the held-out slice; membership is
-    // all the pipeline needs
-    val contaminated = Dedup.decontaminateExploded(spark,
+  private[graft] def ledger(spark: SparkSession, dir: String): DataFrame =
+    ledgerOver(spark,
+      Tables.fanout(spark, Tables.documents(spark, dir)),
+      Dedup.verifiedPairs(spark, dir).select("d1", "d2"),
+      // q62's contamination verdict over the shared signature stages:
+      // train = non-eval docs, eval = the held-out slice; membership is
+      // all the pipeline needs
+      Dedup.decontaminateExploded(spark,
         Dedup.shingleHashes(spark, dir)
           .filter(col("doc_id") % Dedup.EvalDocModulus =!= 0),
         Dedup.shingleSigs(spark, dir)
           .filter(col("doc_id") % Dedup.EvalDocModulus === 0))
+        .select("doc_id"))
+
+  /** The ledger over ANY documents-shaped frame with a supplied
+    * verified near-dup pair list and contaminated-id set — the generic
+    * body the `curation_manifest()`/`curation_ledger()` TVFs resolve
+    * (computing both inputs from the session table, the `dedup_apply`
+    * TVF convention) and the dir-based [[ledger]] wraps with the
+    * cached [[SignatureStage]] artifacts. */
+  private[graft] def ledgerOver(spark: SparkSession, documents: DataFrame,
+      pairs: DataFrame, contaminatedIds: DataFrame): DataFrame = {
+    val labels = Dedup.minLabelComponents(spark, pairs)
+      .select(col("doc_id"), col("keeper").as("grp"))
+    val contaminated = contaminatedIds
       .select(col("doc_id"), lit(true).as("contam"))
     val toks = graft.operators.TextOps.tokens(col("text"))
-    val base = Tables.fanout(spark, Tables.documents(spark, dir))
+    val base = documents
       // NULL text is coalesced to '' on BOTH engines (the q184/q190
       // convention) — unreachable with current fixtures, but the
       // pipeline must not hash-diverge on the first null that appears
@@ -117,6 +130,34 @@ object Curation {
       .select("doc_id", "source", "text", "n_tok", "q_micro",
         "alive1", "alive2", "alive3", "alive4", "alive5", "n_copies")
   }
+
+  /** [[ledgerOver]] with both inputs computed from the given table —
+    * the `curation_manifest()`/`curation_ledger()` TVF body: pairs via
+    * the exact-verified Jaccard join at the q27 threshold (the
+    * `dedup_apply` TVF convention), contamination via the bounded
+    * decontaminate over the same signature frame. */
+  private[graft] def tableLedger(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val sigs = Dedup.sigsOf(docs)
+    val isEval = col("doc_id") % Dedup.EvalDocModulus === 0
+    ledgerOver(spark, docs,
+      Dedup.jaccardPairs(sigs, 0.6).select("d1", "d2"),
+      Dedup.decontaminate(spark, sigs.filter(!isEval), sigs.filter(isEval))
+        .select("doc_id"))
+  }
+
+  /** The q229 outcome projection over a ledger frame (shared with the
+    * `curation_ledger()` TVF). */
+  private[graft] def ledgerOutcomes(led: DataFrame): DataFrame =
+    led.select(col("doc_id"),
+      when(!col("alive1"), "empty_text")
+        .when(!col("alive2"), "low_quality")
+        .when(!col("alive3"), "exact_duplicate")
+        .when(!col("alive4"), "near_duplicate")
+        .when(!col("alive5"), "eval_leak")
+        .when(col("n_copies") === 0, "mix_thinned")
+        .otherwise("kept").as("outcome"),
+      col("n_tok").as("n_tokens"), col("q_micro"), col("n_copies"))
+    .orderBy("doc_id")
 
   private def stageRow(ord: Long, stage: String, unit: String,
       nIn: Column, nOut: Column, tIn: Column, tOut: Column,
@@ -194,17 +235,7 @@ object Curation {
     * set". */
   def q229CurationLedger(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    ledger(spark, dir)
-      .select(col("doc_id"),
-        when(!col("alive1"), "empty_text")
-          .when(!col("alive2"), "low_quality")
-          .when(!col("alive3"), "exact_duplicate")
-          .when(!col("alive4"), "near_duplicate")
-          .when(!col("alive5"), "eval_leak")
-          .when(col("n_copies") === 0, "mix_thinned")
-          .otherwise("kept").as("outcome"),
-        col("n_tok").as("n_tokens"), col("q_micro"), col("n_copies"))
-      .orderBy("doc_id")
+    ledgerOutcomes(ledger(spark, dir))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -233,7 +233,17 @@ object ScaleBench {
     // cell audit (one QI-keyed shuffle) and the closed-form source
     // ablation (the q193 loss frame + a scalar attach)
     "q224_stream_percentile_screen", "q225_l_diversity",
-    "q226_source_ablation")
+    "q226_source_ablation",
+    // round-12: the composed curation pipeline (manifest + per-doc
+    // ledger — the chain is pair-graph joins + one fp window + one
+    // survivors-sized mix aggregate over ONE ledger materialization;
+    // must scale like its dedup/decontaminate stages, which are all
+    // swept individually above), the duplicate-mass matrix
+    // (pair-graph-sized tails over the shared closure) and the
+    // cross-version content drift (distinct (source, shingle) grain —
+    // the q120 shape across snapshots)
+    "q228_curation_manifest", "q229_curation_ledger",
+    "q230_cross_source_dup_matrix", "q231_version_content_drift")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

@@ -568,4 +568,24 @@ class TableFunctionsSpec extends SparkSpec {
     assert(sa.columns.toSeq == Seq("source", "n_tok", "loss_e4",
       "corpus_loss_e4", "loss_without_e4", "delta_e4"))
   }
+
+  test("curation TVFs match their Scala twins") {
+    import graft.operators.Curation
+    Tables.registerAll(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val cm = spark.sql("SELECT * FROM curation_manifest()")
+    assert(cm.columns.toSeq == Seq("stage_ord", "stage", "unit", "n_in",
+      "n_out", "tokens_in", "tokens_out", "n_dropped", "drop_reason"))
+    assert(rows(cm) == rows(Curation.manifestOver(
+      Curation.tableLedger(spark, docs).localCheckpoint())))
+    val cl = spark.sql("SELECT * FROM curation_ledger()")
+    assert(cl.columns.toSeq ==
+      Seq("doc_id", "outcome", "n_tokens", "q_micro", "n_copies"))
+    assert(rows(cl) == rows(Curation.q229CurationLedger(spark, sf)),
+      "table-derived ledger diverges from the dir-based q229 twin")
+    // the TVF ledger reconciles with the TVF manifest's stage counts
+    val byOutcome = cl.collect().groupBy(_.getString(1)).view.mapValues(_.length.toLong)
+    val ingest = cm.collect().find(_.getString(1) == "ingest").get
+    assert(byOutcome.values.sum == ingest.getLong(3))
+  }
 }
