@@ -43,7 +43,10 @@ class ScaleSweepArtifactSpec extends AnyFunSuite {
     * these trees by construction (see the `ScaleBench.Heavy` note), so
     * superlinearity for it starts beyond ~2× that. */
   private val RatioBoundOverrides: Map[String, Double] = Map(
-    "q191_prod_pairs" -> 24.0,
+    // q191's override (24.0 through r11 — the nlist-floor candidate
+    // growth argument) is RETIRED: with the r12 materialized assignment
+    // store the measured ratio is 4.07, comfortably inside the default
+    // bound even with the floor-regime candidate growth.
     // q112 decodes ~full-length video payloads: its in-sweep timing is
     // GC-mode bimodal (the same warm plan measured 3 s and 14 s at the
     // sf1 tree) because the 32-thread decode allocates humongous byte
