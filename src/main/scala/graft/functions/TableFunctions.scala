@@ -921,7 +921,7 @@ object TableFunctions {
           plan { spark =>
             graft.operators.Curation.manifestOver(
               graft.operators.Curation.tableLedger(spark, spark.table("documents"))
-                .localCheckpoint())
+                .drop("text").localCheckpoint())
           }
         case _ => throw new IllegalArgumentException(
           "curation_manifest expects no arguments")

@@ -127,7 +127,7 @@ object Curation {
       .select(col("doc_id"), col("n_copies"))
     f5.join(mixed, Seq("doc_id"), "left")
       .withColumn("n_copies", coalesce(col("n_copies"), lit(0L)))
-      .select("doc_id", "source", "text", "n_tok", "q_micro",
+      .select("doc_id", "source", "text", "fp", "n_tok", "q_micro",
         "alive1", "alive2", "alive3", "alive4", "alive5", "n_copies")
   }
 
@@ -185,16 +185,20 @@ object Curation {
       sum(when(col("alive5"), col("n_copies") * col("n_tok")).otherwise(0L)).as("t6"),
       sum(when(col("alive5") && col("n_copies") === 0, 1L).otherwise(0L)).as("thinned"))
     // q63's budget arithmetic over the post-mix multiset: per pack
-    // shard, ceil(token mass / budget) sequences
+    // shard, ceil(token mass / budget) sequences. Both shard draws
+    // derive from the ledger's fp column (= md5(trim(text)), exactly
+    // hexBucket's inner hash), so the text column never has to survive
+    // into the manifest's checkpointed frame.
+    def fpBucket(pos: Int): Column =
+      conv(substring(col("fp"), pos, 4), 16, 10).cast("long")
     val pk = led.filter(col("alive5") && col("n_copies") > 0)
-      .groupBy((Sampling.hexBucket(col("text"), 5) % Sampling.PackShards).as("shard"))
+      .groupBy((fpBucket(5) % Sampling.PackShards).as("shard"))
       .agg(sum(col("n_copies") * col("n_tok")).as("tot"))
       .agg(coalesce(
         sum(expr(s"(tot + ${Sampling.SeqBudget - 1}) div ${Sampling.SeqBudget}")),
         lit(0L)).as("n_seq"))
     val sh = led.filter(col("alive5") && col("n_copies") > 0)
-      .agg(countDistinct(
-        Sampling.hexBucket(col("text"), 15) % Sampling.ExportShards).as("n_shards"))
+      .agg(countDistinct(fpBucket(15) % Sampling.ExportShards).as("n_shards"))
     a.crossJoin(pk).crossJoin(sh)
       .select(explode(array(
         stageRow(1L, "ingest", "docs", col("n0"), col("n1"), col("t0"), col("t1"),
@@ -225,7 +229,10 @@ object Curation {
     * manifest aggregate (the q175 double-compute lesson). */
   def q228CurationManifest(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    manifestOver(ledger(spark, dir).localCheckpoint())
+    // text dropped before the checkpoint: the manifest's aggregates and
+    // shard draws ride fp/n_tok, and materializing corpus text three
+    // aggregates never read was most of the q228 checkpoint cost
+    manifestOver(ledger(spark, dir).drop("text").localCheckpoint())
   }
 
   /** q229 — the per-document curation ledger: each document's OUTCOME

@@ -428,6 +428,27 @@ class PlanAuditSpec extends SparkSpec {
       s"q169 must scan the corpus exactly once — got $docScans\n$plan")
   }
 
+  test("the curation ledger chains without a cross product and broadcasts its tiny sides (q228/q229)") {
+    // the LEDGER (q229) is the corpus-sized chain: pair-graph labels,
+    // contamination ids, mix rates — all equi-joins; a cross product or
+    // nested-loop join anywhere means a stage degraded. The tiny sides
+    // (labels at fixture scale, mix rates always) must broadcast.
+    val (_, ledgerPlan) = executed("q229_curation_ledger")
+    val ledgerFinal = ledgerPlan.split(raw"== Initial Plan ==").head
+    assert(!ledgerFinal.contains("CartesianProduct") &&
+      !ledgerFinal.contains("BroadcastNestedLoopJoin"),
+      s"q229: the curation chain must be equi-joins only\n$ledgerFinal")
+    assert(ledgerFinal.contains("BroadcastHashJoin"),
+      s"q229: expected broadcast joins for the tiny sides\n$ledgerFinal")
+    // the MANIFEST additionally combines three 1-ROW aggregate frames —
+    // those legitimately plan as broadcast nested-loop crosses; only a
+    // real CartesianProduct (non-broadcast) is a degradation
+    val (_, plan) = executed("q228_curation_manifest")
+    val finalSec = plan.split(raw"== Initial Plan ==").head
+    assert(!finalSec.contains("CartesianProduct"),
+      s"q228: non-broadcast cross product in the manifest\n$finalSec")
+  }
+
   test("record linkage is blocked + pair-local, never a cross product (q213)") {
     val (_, plan) = executed("q213_record_linkage")
     val finalSec = plan.split(raw"== Initial Plan ==").head

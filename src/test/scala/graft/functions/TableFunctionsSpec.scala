@@ -577,7 +577,7 @@ class TableFunctionsSpec extends SparkSpec {
     assert(cm.columns.toSeq == Seq("stage_ord", "stage", "unit", "n_in",
       "n_out", "tokens_in", "tokens_out", "n_dropped", "drop_reason"))
     assert(rows(cm) == rows(Curation.manifestOver(
-      Curation.tableLedger(spark, docs).localCheckpoint())))
+      Curation.tableLedger(spark, docs).drop("text").localCheckpoint())))
     val cl = spark.sql("SELECT * FROM curation_ledger()")
     assert(cl.columns.toSeq ==
       Seq("doc_id", "outcome", "n_tokens", "q_micro", "n_copies"))
