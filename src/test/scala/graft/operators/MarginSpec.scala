@@ -87,4 +87,36 @@ class MarginSpec extends SparkSpec {
     val anchors = rows.map(_.getLong(0))
     assert(anchors.distinct.length == anchors.length)
   }
+
+  test("the assignment store is rank-prefix-faithful and the miner reads ids only") {
+    import org.apache.spark.sql.functions._
+    // prefix fidelity: rank<n over the maxN store must reproduce the
+    // n-wide in-memory assignment EXACTLY (the sorted insert's
+    // prefix-stability claim the q200 hash relies on)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val k = Similarity.semClustersFor(emb.count())
+    val centers = IvfIndex.centroids(spark, sf, k)
+    val store = spark.read.parquet(Margin.assignStore(spark, sf))
+    val n = Similarity.SpillAssign
+    val fromStore = store.filter(col("rank") < n)
+      .select(col("vec_id"), col("list_id").cast("int").as("list_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val direct = emb.select(col("vec_id"),
+        explode(graft.functions.VectorFunctions.nearest_centroids(
+          col("embedding"), centers, n)).as("list_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(fromStore == direct,
+      "rank-filtered store diverges from the direct n-wide assignment")
+    // the candidate-generation scans read ONLY ids from the store —
+    // never re-materializing vectors through the list fan-out
+    val df = Margin.ivfMinedPairs(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val storeSchemas = raw"ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+      .filter(_.contains("rank"))
+    assert(storeSchemas.nonEmpty, s"no store scans found in\n$plan")
+    assert(storeSchemas.forall(s => !s.contains("embedding")),
+      s"a store scan reads vectors through the fan-out:\n$storeSchemas")
+  }
 }
