@@ -307,6 +307,21 @@ object TableFunctions {
           "decontaminate expects (eval_table name)")
       }
     },
+    "eval_leak" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(evalTable) =>
+          plan { spark =>
+            import org.apache.spark.sql.functions.{col, explode}
+            val sigs = graft.operators.Dedup.sigsOf _
+            graft.operators.Dedup.evalLeakOver(
+              sigs(spark.table(string(evalTable, "eval_leak(eval_table)"))),
+              sigs(spark.table("documents"))
+                .select(col("doc_id"), explode(col("hs")).as("h")))
+          }
+        case _ => throw new IllegalArgumentException(
+          "eval_leak expects (eval_table name)")
+      }
+    },
     "corpus_diff" -> { exprs: Seq[Expression] =>
       exprs match {
         case Seq(v1, v2) =>

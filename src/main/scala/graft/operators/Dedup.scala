@@ -1350,8 +1350,54 @@ object Dedup {
       .orderBy("keeper_source", "dup_source")
   }
 
+  /** q232 — EVAL-LEAK REPORT, the q62 transpose: q62 answers "which
+    * TRAIN docs are contaminated"; this answers the benchmark owner's
+    * question — per EVAL doc, how much of it leaks into the training
+    * corpus: the distinct train docs sharing ≥1 shingle, the distinct
+    * shingles of the eval doc seen anywhere in train, and the leaked
+    * fraction of its shingle set (integer micros). An eval item at
+    * leak_frac ≈ 1e6 is memorizable verbatim and must be retired; a
+    * handful of shared 5-grams is noise — the triage q62's per-train
+    * counts can't express.
+    *
+    * Scale shape: the SAME hash-grain shingle join as q62 (train side
+    * from the bucketed [[shingleHashes]] stage, eval side the
+    * benchmark-sized slice), aggregated at eval-doc grain; output is
+    * eval-sized. The totalizing left join keeps zero-leak eval docs —
+    * "nothing leaked" is the report's success row, not an absence. */
+  def q232EvalLeakReport(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val isEval = col("doc_id") % EvalDocModulus === 0
+    evalLeakOver(
+      shingleSigs(spark, dir).filter(isEval),
+      shingleHashes(spark, dir).filter(!isEval))
+  }
+
+  /** The leak report over ANY eval-side [[sigsOf]] frame and train-side
+    * exploded (doc_id, h) frame — also the `eval_leak()` TVF body (the
+    * `decontaminate` TVF's transpose). */
+  private[graft] def evalLeakOver(evalSigs: DataFrame, trainH: DataFrame): DataFrame = {
+    val evalH = evalSigs
+      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+    val leaks = evalH
+      .join(trainH.select(col("doc_id").as("train_id"), col("h")), Seq("h"))
+      .groupBy("eval_id")
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        countDistinct(col("h")).as("n_shared_shingles"))
+    evalSigs.select(col("doc_id").as("eval_id"), col("n_sh").cast("long").as("n_shingles"))
+      .join(leaks, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        col("n_shingles"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"))
+      .withColumn("leak_frac_micro",
+        expr("(n_shared_shingles * 1000000) div greatest(n_shingles, 1)"))
+      .orderBy("eval_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_cross_source_dup_matrix" -> (q230CrossSourceDupMatrix _),
+    "q232_eval_leak_report" -> (q232EvalLeakReport _),
     "q142_containment" -> (q142Containment _),
     "q147_dedup_sensitivity" -> (q147DedupSensitivity _),
     "q120_source_overlap" -> (q120SourceOverlap _),
@@ -1717,6 +1763,31 @@ object Dedup {
          |  CAST((CAST(1000000 AS HUGEINT) * (n_tokens - CAST(eff_e6 // 1000000 AS BIGINT)))
          |    // greatest(n_tokens, 1) AS BIGINT) AS dup_tax_micro
          |FROM a ORDER BY source""".stripMargin,
+    // the q62 shingle join transposed to eval-doc grain, with the
+    // totalizing left join for zero-leak rows (string-shingle
+    // recomputation of the hash-grain sets — the q26/q62 convention)
+    "q232_eval_leak_report" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |sh AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+         |    i -> array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 4), ' ')))) AS s
+         |  FROM toks),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % $EvalDocModulus = 0),
+         |evn AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_shingles FROM ev GROUP BY eval_id),
+         |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % $EvalDocModulus <> 0),
+         |j AS (
+         |  SELECT eval_id, CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs,
+         |    CAST(count(DISTINCT ev.s) AS BIGINT) AS n_shared_shingles
+         |  FROM ev JOIN tr USING (s) GROUP BY eval_id)
+         |SELECT evn.eval_id, evn.n_shingles,
+         |  coalesce(n_train_docs, 0) AS n_train_docs,
+         |  coalesce(n_shared_shingles, 0) AS n_shared_shingles,
+         |  CAST((coalesce(n_shared_shingles, 0) * 1000000)
+         |    // greatest(evn.n_shingles, 1) AS BIGINT) AS leak_frac_micro
+         |FROM evn LEFT JOIN j USING (eval_id)
+         |ORDER BY evn.eval_id""".stripMargin,
     // same closure; non-keepers joined to both source labels and their
     // token counts, aggregated at the (keeper_source, dup_source) grain
     "q230_cross_source_dup_matrix" ->

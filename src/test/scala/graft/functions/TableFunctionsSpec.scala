@@ -569,6 +569,20 @@ class TableFunctionsSpec extends SparkSpec {
       "corpus_loss_e4", "loss_without_e4", "delta_e4"))
   }
 
+  test("eval_leak TVF matches its Scala twin") {
+    import org.apache.spark.sql.functions.{col, explode}
+    Tables.registerAll(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 7 === 0).createOrReplaceTempView("leak_eval")
+    val tv = spark.sql("SELECT * FROM eval_leak('leak_eval')")
+    assert(tv.columns.toSeq == Seq("eval_id", "n_shingles", "n_train_docs",
+      "n_shared_shingles", "leak_frac_micro"))
+    val sigs = graft.operators.Dedup.sigsOf _
+    assert(rows(tv) == rows(graft.operators.Dedup.evalLeakOver(
+      sigs(docs.filter(col("doc_id") % 7 === 0)),
+      sigs(docs).select(col("doc_id"), explode(col("hs")).as("h")))))
+  }
+
   test("curation TVFs match their Scala twins") {
     import graft.operators.Curation
     Tables.registerAll(spark, sf)

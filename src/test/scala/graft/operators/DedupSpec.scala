@@ -771,6 +771,26 @@ class DedupSpec extends SparkSpec {
     assert(corpus.forall(r => r.getLong(3) <= r.getLong(2)))
   }
 
+  test("q232: eval-leak report is total, bounded, and the q62 transpose") {
+    val report = Dedup.q232EvalLeakReport(spark, sf).collect()
+    val nEval = graft.core.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id")
+        % Dedup.EvalDocModulus === 0).count()
+    // total: one row per eval doc, including zero-leak rows
+    assert(report.length == nEval)
+    assert(report.map(_.getLong(0)).distinct.length == report.length)
+    report.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "shared shingles exceed the doc's set")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+      // a doc can't share shingles with zero train docs and vice versa
+      assert((r.getLong(2) == 0) == (r.getLong(3) == 0))
+    }
+    // transpose identity: q62 sees contaminated TRAIN docs iff the
+    // report sees leaking EVAL docs (both ride the same shingle join)
+    val q62n = Dedup.q62Decontaminate(spark, sf).count()
+    assert((q62n > 0) == report.exists(_.getLong(2) > 0))
+  }
+
   test("q230: duplicate-mass matrix reconciles with the q38 closure") {
     val labels = Dedup.q38DedupApply(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
