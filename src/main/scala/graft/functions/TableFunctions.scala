@@ -930,6 +930,20 @@ object TableFunctions {
         case _ => throw new IllegalArgumentException("pref_pairs expects (threshold)")
       }
     },
+    "cluster_safe_split" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(thr) =>
+          plan { spark =>
+            val docs = spark.table("documents")
+            graft.operators.Sampling.clusterSafeSplitOver(spark, docs,
+              graft.operators.Dedup.jaccardPairs(
+                graft.operators.Dedup.sigsOf(docs),
+                dbl(thr, "cluster_safe_split(threshold)")).select("d1", "d2"))
+          }
+        case _ => throw new IllegalArgumentException(
+          "cluster_safe_split expects (threshold)")
+      }
+    },
     "curation_manifest" -> { exprs: Seq[Expression] =>
       exprs match {
         case Seq() =>

@@ -47,6 +47,48 @@ object Sampling {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** q233 — CLUSTER-SAFE SPLIT assignment, the FIX for what q123
+    * measures: the naive q58 content-hash split puts near-duplicate
+    * documents in different splits (different bytes → independent
+    * draws), leaking training content into val/test and inflating
+    * held-out metrics. Here the split is drawn ONCE per near-dup
+    * CLUSTER (the q38 closure) from the group keeper's content hash,
+    * so every member of a cluster lands in the same split — cross-split
+    * near-dup leakage is ZERO BY CONSTRUCTION (a ≥0.6-Jaccard pair is
+    * an edge of the closure, hence same group, hence same split; the
+    * spec proves it by running the q123 audit over this assignment).
+    * Docs outside the pair graph keep their own draw, so the q58 rule
+    * is a strict refinement, not a replacement.
+    *
+    * Scale shape: the split table is ONE [[splitAssign]] map pass; the
+    * group attach is a pair-graph-sized left join; the keeper-split
+    * attach joins on grp against the doc-grain split frame (AQE
+    * broadcasts the sparse side at fixture scale; at 100 TB both are
+    * hash joins on uniform keys). */
+  def q233ClusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    clusterSafeSplitOver(spark, Tables.documents(spark, dir),
+      Dedup.verifiedPairs(spark, dir).select("d1", "d2"))
+  }
+
+  /** The assignment over ANY (doc_id, text) frame and verified pair
+    * list — also the `cluster_safe_split(threshold)` TVF body. */
+  private[graft] def clusterSafeSplitOver(spark: SparkSession,
+      docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = Dedup.minLabelComponents(spark, pairs)
+      .select(col("doc_id"), col("keeper"))
+    // every doc's OWN q58 draw, re-keyed as the group-representative
+    // split: joining on grp picks exactly the keeper's draw
+    val repSplit = splitAssign(docs)
+      .select(col("doc_id").as("grp"), col("split"))
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("keeper"), col("doc_id")))
+      .join(repSplit, Seq("grp"))
+      .select(col("doc_id"), col("grp"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source document cap for domain balancing. */
   val SourceCap = 50
 
@@ -745,6 +787,7 @@ object Sampling {
     "q60_quality_sample" -> (q60QualitySample _),
     "q63_sequence_pack" -> (q63SequencePack _),
     "q146_packing_sweep" -> (q146PackingSweep _),
+    "q233_cluster_safe_split" -> (q233ClusterSafeSplit _),
     "q64_temperature_mix" -> (q64TemperatureMix _))
 
   /** DuckDB nibble arithmetic reproducing `conv(substr(hx, pos, 4), 16,
@@ -762,7 +805,11 @@ object Sampling {
       s"(strpos('0123456789abcdef', substr($hx, ${pos + i}, 1)) - 1) * $mult"
     }.mkString("(", " +\n ", ")")
 
-  val oracles: Map[String, String] = Map(
+  // LAZY: the q233 oracle embeds Dedup.reachCtes while Dedup's own
+  // init calls back into this object's hex helpers — eager init on
+  // both sides is a clinit cycle (Sampling → Dedup → Sampling.MODULE$
+  // still null → NPE); deferring this side breaks it
+  lazy val oracles: Map[String, String] = Map(
     // q210: per-source token/distinct counts, per-mille weight shares
     // and the capped epoch arithmetic replayed as truncating integer
     // divisions (HUGEINT intermediates cast at the output).
@@ -999,6 +1046,23 @@ object Sampling {
          |  CAST(floor(rep) + CASE WHEN b / 16777216.0 < rep - floor(rep)
          |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
          |FROM h ORDER BY doc_id""".stripMargin,
+    // the q38 reachability closure + the q58 split rule drawn at the
+    // group-keeper grain (the doc-grain split frame joined on grp)
+    "q233_cluster_safe_split" ->
+      s"""${Dedup.reachCtes},
+         |lab AS (SELECT id, min(r) AS grp FROM reach GROUP BY id),
+         |g AS (SELECT d.doc_id, coalesce(lab.grp, d.doc_id) AS grp
+         |      FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
+         |sp AS (
+         |  SELECT doc_id AS grp,
+         |    CASE WHEN bkt < $TrainPct THEN 'train'
+         |         WHEN bkt < ${TrainPct + ValPct} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${hex4Sql("md5(trim(text))", 1)} % 100 AS bkt
+         |        FROM documents))
+         |SELECT g.doc_id, CAST(g.grp AS BIGINT) AS grp, sp.split
+         |FROM g JOIN sp USING (grp)
+         |ORDER BY g.doc_id""".stripMargin,
     // nibble arithmetic reproduces conv(hex,16,10) exactly (md5 is
     // lowercase hex in both engines)
     "q58_split_assign" ->

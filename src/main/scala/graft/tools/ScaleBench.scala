@@ -243,7 +243,11 @@ object ScaleBench {
     // cross-version content drift (distinct (source, shingle) grain —
     // the q120 shape across snapshots)
     "q228_curation_manifest", "q229_curation_ledger",
-    "q230_cross_source_dup_matrix", "q231_version_content_drift")
+    "q230_cross_source_dup_matrix", "q231_version_content_drift",
+    // the q62-transpose leak report (same shingle join, eval-doc grain)
+    // and the cluster-safe split (one split map pass + pair-graph-sized
+    // group attach — must ride the q58/q38 shapes it composes)
+    "q232_eval_leak_report", "q233_cluster_safe_split")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

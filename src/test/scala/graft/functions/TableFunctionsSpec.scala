@@ -569,6 +569,17 @@ class TableFunctionsSpec extends SparkSpec {
       "corpus_loss_e4", "loss_without_e4", "delta_e4"))
   }
 
+  test("cluster_safe_split TVF matches its Scala twin") {
+    Tables.registerAll(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val tv = spark.sql("SELECT * FROM cluster_safe_split(0.6)")
+    assert(tv.columns.toSeq == Seq("doc_id", "grp", "split"))
+    assert(rows(tv) == rows(graft.operators.Sampling.clusterSafeSplitOver(
+      spark, docs,
+      graft.operators.Dedup.jaccardPairs(
+        graft.operators.Dedup.sigsOf(docs), 0.6).select("d1", "d2"))))
+  }
+
   test("eval_leak TVF matches its Scala twin") {
     import org.apache.spark.sql.functions.{col, explode}
     Tables.registerAll(spark, sf)

@@ -316,6 +316,36 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("q233: cluster-safe split is group-consistent, leak-free, and a strict q58 refinement") {
+    import org.apache.spark.sql.functions.col
+    val assigned = Sampling.q233ClusterSafeSplit(spark, sf)
+    val rows = assigned.collect()
+    // one split per group — the defining property
+    rows.groupBy(_.getLong(1)).foreach { case (g, members) =>
+      assert(members.map(_.getString(2)).distinct.length == 1,
+        s"group $g straddles splits")
+    }
+    // ZERO cross-split near-dup leakage: the q123 audit over THIS
+    // assignment must be empty (a >=0.6 pair is an edge of the closure
+    // the split is drawn on)
+    val leaks = Dedup.splitLeakage(
+      Dedup.q27MinhashLsh(spark, sf),
+      assigned.select(col("doc_id"), col("split")))
+    assert(leaks.count() == 0, "cluster-safe split leaked a near-dup pair")
+    // strict refinement: docs outside the pair graph keep their q58 draw
+    val naive = Sampling.q58SplitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val inGraph = Dedup.q38DedupApply(spark, sf).collect().map(_.getLong(0)).toSet
+    rows.filterNot(r => inGraph(r.getLong(0))).foreach { r =>
+      assert(r.getString(2) == naive(r.getLong(0)),
+        s"non-graph doc ${r.getLong(0)} changed split")
+    }
+    // and the distribution stays roughly 90/5/5
+    val n = rows.length.toDouble
+    val train = rows.count(_.getString(2) == "train") / n
+    assert(train > 0.8 && train < 0.97, s"train share $train implausible")
+  }
+
   test("q227: replicate 0 equals an exact driver replay of the Poisson draws") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sf)
