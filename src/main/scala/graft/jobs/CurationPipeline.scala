@@ -30,7 +30,12 @@ object CurationPipeline {
       .appName("graft-curation-pipeline")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, dir, out)
+    spark.stop()
+  }
 
+  /** The job body over an existing session (spec-drivable). */
+  def run(spark: SparkSession, dir: String, out: String): Unit = {
     // one materialization of the ledger feeds the corpus export, the
     // ledger dump and the manifest aggregation (the q175 lesson)
     val led = graft.operators.Curation.ledger(spark, dir).localCheckpoint()
@@ -54,6 +59,5 @@ object CurationPipeline {
           if (r.getString(8).nonEmpty) s" (${r.getString(8)})" else ""}")
     }
     println(s"[curation] wrote $out/{corpus,ledger,manifest}")
-    spark.stop()
   }
 }
