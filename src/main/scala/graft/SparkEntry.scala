@@ -66,6 +66,7 @@ object SparkEntry {
       operators.ScoreNorm.queries ++
       operators.Sharding.queries ++
       operators.Curation.queries ++
+      operators.Admission.queries ++
       layout.BucketedLayout.queries ++
       layout.ZOrderLayout.queries ++
       layout.PartitionedEventsLayout.queries ++
@@ -93,7 +94,8 @@ object SparkEntry {
       streaming.WeakLabelStream.queries ++
       streaming.TrajectoryStream.queries ++
       streaming.JlEncodeStream.queries ++
-      streaming.PercentileStream.queries
+      streaming.PercentileStream.queries ++
+      streaming.AdmissionStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -142,6 +144,7 @@ object SparkEntry {
       operators.ScoreNorm.oracles ++
       operators.Sharding.oracles ++
       operators.Curation.oracles ++
+      operators.Admission.oracles ++
       layout.BucketedLayout.oracles ++
       layout.ZOrderLayout.oracles ++
       layout.PartitionedEventsLayout.oracles ++
@@ -169,5 +172,6 @@ object SparkEntry {
       streaming.WeakLabelStream.oracles ++
       streaming.TrajectoryStream.oracles ++
       streaming.JlEncodeStream.oracles ++
-      streaming.PercentileStream.oracles
+      streaming.PercentileStream.oracles ++
+      streaming.AdmissionStream.oracles
 }

@@ -321,38 +321,37 @@ object Dedup {
     * recall on mega-clusters for a hard bound on join fan-out). */
   val MaxBucket = 1000
 
-  /** MinHash signatures over a [[sigsOf]]-shaped table: one row per doc,
-    * 24 min-hash columns, computed ROW-LOCALLY — the document's hashed
-    * shingles are already in its row, so ALL permutation minima come from
-    * one traversal of the codegen'd [[graft.functions.MinhashSigs]]
-    * expression. No explode, no shuffle, no aggregation: a map-only
-    * stage over the cached signature table. (The explode+groupBy
-    * formulation shuffles |docs|×|shingles| rows — at 100 TB that shuffle
-    * IS the job; this formulation deletes it.) */
-  private[operators] def minhashSignatures(sigs: DataFrame): DataFrame = {
-    val withSig = sigs.select(
-      col("doc_id"),
-      graft.functions.VectorFunctions.minhash_sigs(col("hs"), NumPerm).as("sig"))
-    withSig.select(
-      col("doc_id") +: (0 until NumPerm).map(i => col("sig").getItem(i).as(s"h$i")): _*)
-  }
+  /** Row-local (band, bucket) struct array over an ALREADY-minhashed
+    * 24-element signature array column: band b's bucket is the xxhash64
+    * of its 3 signature rows. Exposed as a single column expression so
+    * a caller that must RETAIN its own columns alongside the buckets
+    * (the streaming admission screen, which carries quality/fingerprint
+    * columns through the same projection) computes the identical bucket
+    * ids [[bandBucketsOf]] computes — the batch path below rides this
+    * same expression, so the two can never diverge. */
+  private[graft] def bandStructsOfSig(sig: Column): Column =
+    array((0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => sig.getItem(b * RowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
+    }: _*)
 
   /** Banded MinHash bucket ids over a [[sigsOf]]-shaped frame:
     * (doc_id, band, bucket), one row per document per band. Stateless
-    * per-row work (signatures + band hashes are row-local, the explode is
-    * band-count-sized), so the SAME definition serves the batch pipeline
-    * and the streaming screen ([[graft.streaming.DedupStream]]) — twin
-    * equality is by construction, not by parallel reimplementation. */
-  private[graft] def bandBucketsOf(sigs: DataFrame): DataFrame = {
-    val withSig = minhashSignatures(sigs)
-    val bandCols = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
-    }
-    withSig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    * per-row work — ALL 24 permutation minima come from one traversal of
+    * the codegen'd [[graft.functions.MinhashSigs]] expression over the
+    * row's own shingle hashes (no explode+groupBy: that formulation
+    * shuffles |docs|×|shingles| rows, and at 100 TB that shuffle IS the
+    * job), and the explode here is band-count-sized. The SAME definition
+    * serves the batch pipeline and the streaming screens
+    * ([[graft.streaming.DedupStream]],
+    * [[graft.streaming.AdmissionStream]]) — twin equality is by
+    * construction, not by parallel reimplementation. */
+  private[graft] def bandBucketsOf(sigs: DataFrame): DataFrame =
+    sigs
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minhash_sigs(col("hs"), NumPerm).as("sig"))
+      .select(col("doc_id"), explode(bandStructsOfSig(col("sig"))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
 
   /** Distinct LSH candidate pairs for the corpus at `dir` — banded
     * MinHash buckets, self-joined per (band, bucket) with the degenerate-

@@ -41,35 +41,39 @@ import graft.operators.Dedup
   */
 object DecontaminateStream {
 
-  /** q167 — at-ingest contamination screen over `dir`'s documents. */
-  def q167StreamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    Sessions.prepare(spark)
+  /** The eval slice's sorted shingle-hash probe array: built from the
+    * batch signature stage (one corpus pass, already cached per corpus
+    * version), bounded by the SAME limit the batch join's broadcast
+    * decision uses, and cached per CORPUS VERSION (ModelCache) — the
+    * probe set is the shipped artifact of an offline job in production,
+    * so rebuilding the explode+distinct+sort per drain was fixture-only
+    * overhead. Shared with [[AdmissionStream]], whose contamination
+    * screen is this same probe. */
+  private[streaming] def evalProbe(spark: SparkSession, dir: String): Array[Long] = {
     import spark.implicits._
     val isEval = col("doc_id") % Dedup.EvalDocModulus === 0
-    // the eval shingle-hash set: built from the batch signature stage
-    // (one corpus pass, already cached per corpus version), bounded by
-    // the SAME limit the batch join's broadcast decision uses
     val limit = math.min(
       spark.conf.getOption("spark.graft.decontam.broadcastShingleLimit")
         .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
         .getOrElse(Dedup.BroadcastShingleLimit),
       Int.MaxValue - 1L).toInt
-    // built once per CORPUS VERSION (ModelCache): the probe set is the
-    // shipped artifact of an offline job in production — rebuilding the
-    // explode+distinct+sort per drain was fixture-only overhead
-    val evalHashes: Array[Long] =
-      graft.core.ModelCache.perVersion(spark, dir, "documents.parquet",
-          s"decontamProbe-$limit") {
-        val hs = Dedup.shingleSigs(spark, dir).filter(isEval)
-          .select(explode(col("hs")).as("h")).distinct()
-          .as[Long].limit(limit + 1).collect()
-        require(hs.length <= limit,
-          s"eval shingle set exceeds the $limit-hash broadcast guard — " +
-            "use the batch path (q62) for an eval set this large")
-        java.util.Arrays.sort(hs)
-        hs
-      }
-    val evalBc = spark.sparkContext.broadcast(evalHashes)
+    graft.core.ModelCache.perVersion(spark, dir, "documents.parquet",
+        s"decontamProbe-$limit") {
+      val hs = Dedup.shingleSigs(spark, dir).filter(isEval)
+        .select(explode(col("hs")).as("h")).distinct()
+        .as[Long].limit(limit + 1).collect()
+      require(hs.length <= limit,
+        s"eval shingle set exceeds the $limit-hash broadcast guard — " +
+          "use the batch path (q62) for an eval set this large")
+      java.util.Arrays.sort(hs)
+      hs
+    }
+  }
+
+  /** q167 — at-ingest contamination screen over `dir`'s documents. */
+  def q167StreamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val evalBc = spark.sparkContext.broadcast(evalProbe(spark, dir))
     val stream = spark.readStream
       .schema(DedupStream.docSchema)
       .option("pathGlobFilter", "documents.parquet")

@@ -523,4 +523,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(exact.toDouble / n > 0.9,
       s"q220: the exact tier should absorb the unchanged mass ($exact of $n)")
   }
+
+  test("incremental admission probes are equi-joins with broadcast tiny sides (q234)") {
+    val (_, plan) = executed("q234_incremental_admission")
+    val finalSec = plan.split(raw"== Initial Plan ==").head
+    // every probe (fingerprint index, near-hit ids, contamination ids)
+    // keys on fp or doc_id — a cross product anywhere means a screen
+    // degraded to all-pairs against the store
+    assert(!finalSec.contains("CartesianProduct") &&
+      !finalSec.contains("BroadcastNestedLoopJoin"),
+      s"q234: admission probes must be equi-joins\n$finalSec")
+    // the arriving batch is small by definition; its probe results
+    // (near-hit / contamination id lists) must come back as broadcasts
+    assert(finalSec.contains("BroadcastHashJoin"),
+      s"q234: expected broadcast probe joins\n$finalSec")
+    // the keeper election windows over fp, never a single partition
+    assert(!raw"Window.*SinglePartition".r.findFirstIn(finalSec).isDefined,
+      s"q234: keeper election must partition by fingerprint\n$finalSec")
+  }
 }
