@@ -236,9 +236,50 @@ object KMeans {
       .orderBy("cluster")
   }
 
+  /** Per-cluster keep budget for [[q237ClusterPrune]] — sized so the
+    * fixture's 8 clusters (~62 members each) land in both regimes
+    * (every cluster prunes, none empties); a deployment sizes it to its
+    * target kept fraction. */
+  val PruneCap = 32L
+
+  /** q237 — CLUSTER-CAPPED DATA PRUNING (Sorscher et al. 2022, "Beyond
+    * neural scaling laws": past the power-law regime, pruning the EASY,
+    * prototypical examples — the ones closest to their cluster
+    * centroid — beats random downsampling): every vector is assigned to
+    * the trained quantizer's cluster, ranked within its cluster by
+    * difficulty (distance to centroid, DESCENDING — hardest first,
+    * vec_id tie-break), and kept iff its rank fits the per-cluster
+    * budget ([[PruneCap]]). Capping per CLUSTER rather than globally
+    * also flattens density: a mode that dominates the corpus cannot
+    * dominate the kept set (the q59 source-cap idea at embedding-space
+    * grain).
+    *
+    * Scale shape: assignment is the q135 map-only posture (centroids
+    * ride as literals). The per-cluster rank is WINDOW-FREE: with k
+    * clusters a cluster-partitioned window is k giant partitions at
+    * 100 TB, so the rank is ONE range-partitioned global sort over
+    * (cluster, d DESC, vec_id) ([[Classify.withGlobalRank]], the q175
+    * contract) and the within-cluster rank is the global rank minus the
+    * cluster's start offset — a k-row aggregate broadcast back. Output
+    * is per-vector (vec_id, cluster, d, prune_rank, kept). */
+  def q237ClusterPrune(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val a = assigned(quantized(spark, dir), trainedCentroids(spark, dir))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("d"))
+    val ranked = Classify.withGlobalRank(a,
+      Seq(col("cluster"), col("d").desc, col("vec_id")), "grk")
+    val offsets = ranked.groupBy("cluster").agg(min(col("grk")).as("base"))
+    ranked.join(broadcast(offsets), Seq("cluster"))
+      .withColumn("prune_rank", col("grk") - col("base") + 1)
+      .select(col("vec_id"), col("cluster"), col("d"), col("prune_rank"),
+        (col("prune_rank") <= PruneCap).as("kept"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_kmeans_refine" -> (q130KmeansRefine _),
-    "q177_silhouette" -> (q177Silhouette _))
+    "q177_silhouette" -> (q177Silhouette _),
+    "q237_cluster_prune" -> (q237ClusterPrune _))
 
   /** The full trajectory unrolled round-by-round in SQL — generated by
     * the same [[Iters]]/[[K]] constants the plan uses, so the two
@@ -266,7 +307,31 @@ object KMeans {
          |  CAST(sum((db - da) * 1000000 // greatest(db, 1)) // count(*) AS BIGINT)
          |    AS mean_s_micro,
          |  CAST(min((db - da) * 1000000 // greatest(db, 1)) AS BIGINT) AS min_s_micro
-         |FROM ab GROUP BY cluster ORDER BY cluster""".stripMargin)
+         |FROM ab GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // q237: the q135 assignment replay, then the within-cluster
+    // difficulty rank as a window (the oracle side is allowed the
+    // window the distributed path avoids) — same (d DESC, vec_id)
+    // order as the engine's global sort
+    "q237_cluster_prune" ->
+      s"""WITH $commonCtes,
+         |df AS (
+         |  SELECT e.vec_id, c.j,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (e.em[i] - c.c[i]) * (e.em[i] - c.c[i]))) AS d
+         |  FROM e, c$Iters c),
+         |asg AS (
+         |  SELECT vec_id, j AS cluster, d
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+         |        FROM df) WHERE rk = 1),
+         |pr AS (
+         |  SELECT vec_id, cluster, d,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY d DESC, vec_id)
+         |      AS prune_rank
+         |  FROM asg)
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, CAST(d AS BIGINT) AS d,
+         |  CAST(prune_rank AS BIGINT) AS prune_rank,
+         |  prune_rank <= $PruneCap AS kept
+         |FROM pr ORDER BY vec_id""".stripMargin)
 
   /** Entry + seed + all [[Iters]] Lloyd rounds as SQL CTE text — shared
     * verbatim by the q130 oracle and q135's

@@ -774,8 +774,78 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Waterfill redistribution rounds — fixed like q193's tilt rounds so
+    * the oracle replays the trajectory as chained CTEs. */
+  val WaterfillRounds = 3
+
+  /** q236 — CAPPED WEIGHTED WATERFILL: allocate a token budget across
+    * sources by target weight, where each source's grant is CAPPED by
+    * its available tokens and the surplus a saturated source cannot
+    * absorb is REDISTRIBUTED among the unsaturated ones — the
+    * allocation mechanic q210's epoch plan stops short of (there, a
+    * capped source's unused budget simply evaporates; here it flows to
+    * the sources that can still take it, the water-filling rule of the
+    * data-constrained scaling setting, Muennighoff et al. 2023). Three
+    * fixed rounds of: weight-proportional share of the remaining budget
+    * to each unsaturated source, clipped at capacity.
+    *
+    * The target weight is an externally-assigned source priority — the
+    * input a real run feeds from its mixing policy; the fixture rule is
+    * a deterministic 1..4 draw from the source name's md5 (the engine's
+    * standard hash-draw convention), which makes high-weight sources
+    * OVERSUBSCRIBED (offered ~1.9× their capacity under the 90% budget)
+    * and low-weight ones the spill absorbers — both regimes fire at
+    * every SF, unlike a uniform split over this corpus's near-uniform
+    * sources. All arithmetic is truncating int64 division
+    * (`(remaining·w) div Σw_active`), so the per-round trajectory
+    * (g1..g3) replays exactly; the small residual a truncating split
+    * leaves after the last round stays unallocated by design (a
+    * fixed-round protocol, not a fixpoint).
+    *
+    * Scale shape: ONE corpus map pass into the |sources|-grain
+    * capacity frame, localCheckpointed (the q193 lesson — three tiny
+    * rounds must not re-scan the corpus); each round is a 1-row global
+    * aggregate broadcast back onto the sources frame. Nothing after
+    * the first aggregate is corpus-sized. */
+  def q236BudgetWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val toks = TextOps.tokens(coalesce(col("text"), lit("")))
+    val perSource = Tables.fanout(spark, Tables.documents(spark, dir))
+      .select(col("source"), size(toks).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum(col("n_tok")).as("avail_tokens"))
+      .withColumn("w",
+        conv(substring(md5(col("source")), 1, 4), 16, 10).cast("long") % 4 + 1)
+      .localCheckpoint()
+    // integer arithmetic throughout (col./ is double division — a
+    // 2^53+ corpus would round; div stays exact at any scale)
+    val budget = perSource
+      .agg(sum(col("avail_tokens")).as("t"))
+      .select(expr("(t * 9) div 10").as("budget"))
+    var cur = perSource.crossJoin(broadcast(budget))
+      .withColumn("g", lit(0L))
+    (1 to WaterfillRounds).foreach { r =>
+      val state = cur.agg(
+        sum(when(col("g") < col("avail_tokens"), col("w")).otherwise(0L))
+          .as("w_active"),
+        (first(col("budget")) - sum(col("g"))).as("remaining"))
+      cur = cur.crossJoin(broadcast(state))
+        .withColumn("g",
+          col("g") + when(col("g") < col("avail_tokens"),
+            least(expr("(remaining * w) div greatest(w_active, 1)"),
+              col("avail_tokens") - col("g"))).otherwise(lit(0L)))
+        .withColumn(s"g$r", col("g"))
+        .drop("w_active", "remaining")
+    }
+    cur.select(col("source"), col("avail_tokens"), col("w"), col("g1"),
+        col("g2"), col("g3").as("grant_tokens"),
+        (col("g3") === col("avail_tokens")).as("saturated"),
+        expr("(1000000 * g3) div greatest(avail_tokens, 1)").as("fill_micro"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_epoch_plan" -> (q210EpochPlan _),
+    "q236_budget_waterfill" -> (q236BudgetWaterfill _),
     "q129_dsir_select" -> (q129DsirSelect _),
     "q128_shard_manifest" -> (q128ShardManifest _),
     "q121_token_budget" -> (q121TokenBudget _),
@@ -810,6 +880,44 @@ object Sampling {
   // both sides is a clinit cycle (Sampling → Dedup → Sampling.MODULE$
   // still null → NPE); deferring this side breaks it
   lazy val oracles: Map[String, String] = Map(
+    // q236: the three waterfill rounds replayed as chained CTEs — each
+    // round is a 1-row (n_active, remaining) aggregate over the prior
+    // round's grants, then the clipped equal-share update; all `//`
+    // divisions on non-negatives, so truncation agrees with Spark's div.
+    "q236_budget_waterfill" -> {
+      def round(prev: String, r: Int): String =
+        s"""a$r AS (
+           |  SELECT sum(CASE WHEN g < avail THEN w ELSE 0 END) AS w_active,
+           |    max(budget) - sum(g) AS remaining
+           |  FROM $prev),
+           |r$r AS (
+           |  SELECT source, avail, w, budget,
+           |    g + CASE WHEN g < avail THEN
+           |      least((remaining * w) // greatest(w_active, 1), avail - g)
+           |    ELSE 0 END AS g
+           |  FROM $prev, a$r)""".stripMargin
+      s"""WITH ps AS (
+         |  SELECT source,
+         |    sum(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |      x -> x <> ''))) AS avail,
+         |    ${hex4Sql("md5(source)", 1)} % 4 + 1 AS w
+         |  FROM documents GROUP BY source),
+         |b AS (SELECT (sum(avail) * 9) // 10 AS budget FROM ps),
+         |r0 AS (SELECT source, avail, w, budget, 0 AS g FROM ps, b),
+         |${round("r0", 1)},
+         |${round("r1", 2)},
+         |${round("r2", 3)}
+         |SELECT r3.source, CAST(r3.avail AS BIGINT) AS avail_tokens,
+         |  CAST(r3.w AS BIGINT) AS w,
+         |  CAST(r1.g AS BIGINT) AS g1, CAST(r2.g AS BIGINT) AS g2,
+         |  CAST(r3.g AS BIGINT) AS grant_tokens,
+         |  r3.g = r3.avail AS saturated,
+         |  CAST((1000000 * r3.g) // greatest(r3.avail, 1) AS BIGINT) AS fill_micro
+         |FROM r3
+         |JOIN r1 ON r1.source = r3.source
+         |JOIN r2 ON r2.source = r3.source
+         |ORDER BY r3.source""".stripMargin
+    },
     // q210: per-source token/distinct counts, per-mille weight shares
     // and the capped epoch arithmetic replayed as truncating integer
     // divisions (HUGEINT intermediates cast at the output).

@@ -77,4 +77,26 @@ class KMeansSpec extends SparkSpec {
       assert(mn >= 0L && mean >= mn && mean < 1000000L)
     }
   }
+
+  test("q237: per-cluster prune keeps exactly the hardest PruneCap members (driver replay)") {
+    val rows = KMeans.q237ClusterPrune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    assert(rows.length.toLong == n, "one row per vector")
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      // ranks are a contiguous 1..|cluster| permutation
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length.toLong).toSeq, s"cluster $c ranks")
+      // kept = rank within budget, i.e. exactly min(cap, size) members
+      assert(rs.count(_._5).toLong == math.min(KMeans.PruneCap, rs.length.toLong), s"cluster $c kept")
+      // replay: sort by (d DESC, vec_id ASC) and compare rank-for-rank
+      val replay = rs.sortBy(r => (-r._3, r._1)).zipWithIndex
+        .map { case (r, i) => r._1 -> (i + 1L) }.toMap
+      rs.foreach(r => assert(r._4 == replay(r._1), s"vec ${r._1} rank"))
+    }
+    // deterministic across runs (the range-partitioned rank must not
+    // shift with partitioning noise)
+    val again = KMeans.q237ClusterPrune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }

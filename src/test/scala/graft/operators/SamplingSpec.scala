@@ -385,4 +385,42 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(got(-1L)._2 - mu) <= 4 * math.max(sd, 1.0),
       "baseline mean outside the replicate spread")
   }
+
+  test("q236: waterfill grants are monotone, capped, conserved, and replay driver-side") {
+    val rows = Sampling.q236BudgetWaterfill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getLong(7)))
+    // per-source invariants: rounds only add, nothing exceeds capacity,
+    // the saturated flag is exactly grant = capacity
+    rows.foreach { case (src, avail, _, g1, g2, g3, sat, fill) =>
+      assert(0L <= g1 && g1 <= g2 && g2 <= g3 && g3 <= avail, src)
+      assert(sat === (g3 == avail), src)
+      assert(fill === 1000000L * g3 / math.max(avail, 1L), src)
+    }
+    // both regimes fire on the fixture (the reason the weights exist)
+    assert(rows.exists(_._7) && rows.exists(!_._7),
+      "fixture must exercise saturation AND spill absorption")
+    // conservation: the budget is never exceeded
+    val total = rows.map(_._2).sum
+    val budget = total * 9 / 10
+    assert(rows.map(_._6).sum <= budget)
+    // from-scratch driver replay of the three rounds
+    var g = rows.map(r => (r._1, 0L)).toMap
+    val avail = rows.map(r => r._1 -> r._2).toMap
+    val w = rows.map(r => r._1 -> r._3).toMap
+    val traj = (1 to Sampling.WaterfillRounds).map { _ =>
+      val wActive = rows.collect { case r if g(r._1) < avail(r._1) => w(r._1) }.sum
+      val remaining = budget - g.values.sum
+      g = g.map { case (s, cur) =>
+        val add = if (cur < avail(s))
+          math.min(remaining * w(s) / math.max(wActive, 1L), avail(s) - cur)
+        else 0L
+        s -> (cur + add)
+      }
+      g
+    }
+    rows.foreach { case (src, _, _, g1, g2, g3, _, _) =>
+      assert((g1, g2, g3) === ((traj(0)(src), traj(1)(src), traj(2)(src))), src)
+    }
+  }
 }
