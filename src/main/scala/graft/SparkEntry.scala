@@ -95,7 +95,8 @@ object SparkEntry {
       streaming.TrajectoryStream.queries ++
       streaming.JlEncodeStream.queries ++
       streaming.PercentileStream.queries ++
-      streaming.AdmissionStream.queries
+      streaming.AdmissionStream.queries ++
+      streaming.PurgeStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -173,5 +174,6 @@ object SparkEntry {
       streaming.TrajectoryStream.oracles ++
       streaming.JlEncodeStream.oracles ++
       streaming.PercentileStream.oracles ++
-      streaming.AdmissionStream.oracles
+      streaming.AdmissionStream.oracles ++
+      streaming.PurgeStream.oracles
 }

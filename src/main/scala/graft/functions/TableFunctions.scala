@@ -84,6 +84,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM l_diversity(3) WHERE at_risk
   *   SELECT * FROM source_ablation() WHERE delta_e4 < 0
   *   SELECT * FROM bootstrap_ci() WHERE replicate >= 0
+  *   SELECT * FROM incremental_admission() WHERE verdict <> 'admitted'
+  *   SELECT * FROM budget_waterfill() WHERE saturated
+  *   SELECT * FROM cluster_prune() WHERE kept
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -1064,6 +1067,35 @@ object TableFunctions {
             spark.table("documents")))
         case _ => throw new IllegalArgumentException(
           "bootstrap_ci expects no arguments")
+      }
+    },
+    "incremental_admission" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Admission.tableVerdicts(
+            spark, spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "incremental_admission expects no arguments")
+      }
+    },
+    "budget_waterfill" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Sampling.waterfillOver(
+            spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "budget_waterfill expects no arguments")
+      }
+    },
+    "cluster_prune" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan { spark =>
+            val q = graft.operators.KMeans.quantizedOf(spark.table("embeddings"))
+            graft.operators.KMeans.pruneOver(q, graft.operators.KMeans.trainOn(q))
+          }
+        case _ => throw new IllegalArgumentException(
+          "cluster_prune expects no arguments")
       }
     },
     "source_ablation" -> { exprs: Seq[Expression] =>

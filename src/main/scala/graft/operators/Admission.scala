@@ -127,6 +127,30 @@ object Admission {
       .select(col("doc_id"), col("source"), col("n_tok").as("n_tokens"),
         col("q_micro"), verdictExpr.as("verdict"))
 
+  /** The screen over ANY documents-shaped frame with both probe inputs
+    * computed from the frame itself — the `incremental_admission()` TVF
+    * body (the [[Curation.tableLedger]] convention): pairs via the
+    * exact-verified Jaccard join at the q27 threshold, contamination
+    * via the bounded decontaminate over the same signature frame. */
+  private[graft] def tableVerdicts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val base = screenCols(docs)
+    val sigs = Dedup.sigsOf(docs)
+    val pairs = Dedup.jaccardPairs(sigs, 0.6).select("d1", "d2")
+    val nearHitIds = pairs
+      .select(col("d1").as("doc_id"), col("d2").as("other"))
+      .unionAll(pairs.select(col("d2").as("doc_id"), col("d1").as("other")))
+      .filter(col("doc_id") % ArrivingMod === ArrivingRem &&
+        col("other") % ArrivingMod =!= ArrivingRem)
+      .select("doc_id").distinct()
+    val isEval = col("doc_id") % Dedup.EvalDocModulus === 0
+    val contamIds = Dedup.decontaminate(spark,
+        sigs.filter(isArriving && !isEval), sigs.filter(isEval))
+      .select("doc_id")
+    verdictsOver(base.filter(isArriving),
+      base.filter(!isArriving).select("fp").distinct(), nearHitIds, contamIds)
+      .orderBy("doc_id")
+  }
+
   /** q234 — admission verdicts for the arriving batch against the
     * store: one row per arriving document with its first-failing screen
     * (or `admitted`). The near-dup screen rides the corpus's cached

@@ -264,7 +264,15 @@ object KMeans {
     * is per-vector (vec_id, cluster, d, prune_rank, kept). */
   def q237ClusterPrune(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val a = assigned(quantized(spark, dir), trainedCentroids(spark, dir))
+    pruneOver(quantized(spark, dir), trainedCentroids(spark, dir))
+  }
+
+  /** The prune over ANY quantized (vec_id, em) frame against given
+    * centroids — also the `cluster_prune()` TVF body (which trains via
+    * [[trainOn]] at resolution time, the `sem_dedup` convention). */
+  private[graft] def pruneOver(q: DataFrame,
+      cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val a = assigned(q, cents)
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("d"))
     val ranked = Classify.withGlobalRank(a,
       Seq(col("cluster"), col("d").desc, col("vec_id")), "grk")

@@ -809,8 +809,14 @@ object Sampling {
     * the first aggregate is corpus-sized. */
   def q236BudgetWaterfill(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
+    waterfillOver(Tables.fanout(spark, Tables.documents(spark, dir)))
+  }
+
+  /** The waterfill over ANY documents-shaped frame — also the
+    * `budget_waterfill()` TVF body. */
+  private[graft] def waterfillOver(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(coalesce(col("text"), lit("")))
-    val perSource = Tables.fanout(spark, Tables.documents(spark, dir))
+    val perSource = docs
       .select(col("source"), size(toks).cast("long").as("n_tok"))
       .groupBy("source").agg(sum(col("n_tok")).as("avail_tokens"))
       .withColumn("w",

@@ -613,4 +613,23 @@ class TableFunctionsSpec extends SparkSpec {
     val ingest = cm.collect().find(_.getString(1) == "ingest").get
     assert(byOutcome.values.sum == ingest.getLong(3))
   }
+
+  test("incremental_admission / budget_waterfill / cluster_prune TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    val ia = spark.sql("SELECT * FROM incremental_admission()")
+    assert(ia.columns.toSeq ==
+      Seq("doc_id", "source", "n_tokens", "q_micro", "verdict"))
+    // the dir-based q234 rides the cached LSH-verified pair stage; the
+    // TVF derives pairs from the table exactly — same verdicts
+    assert(rows(ia) ==
+      rows(graft.operators.Admission.q234IncrementalAdmission(spark, sf)),
+      "table-derived admission diverges from the dir-based q234 twin")
+    val bw = spark.sql("SELECT * FROM budget_waterfill() WHERE saturated")
+    assert(bw.columns.toSeq == Seq("source", "avail_tokens", "w", "g1", "g2",
+      "grant_tokens", "saturated", "fill_micro"))
+    assert(bw.count() > 0)
+    val cp = spark.sql("SELECT * FROM cluster_prune()")
+    assert(rows(cp) == rows(graft.operators.KMeans.q237ClusterPrune(spark, sf)),
+      "TVF-trained prune diverges from the dir-based q237 twin")
+  }
 }

@@ -40,25 +40,11 @@ class AdmissionSpec extends SparkSpec {
     (91L, "a", block("k"))) // arriving: admitted
     .toDF("doc_id", "source", "text")
 
-  private lazy val verdicts: Map[Long, String] = {
-    val base = Admission.screenCols(docs)
-    val arrive = base.filter(Admission.isArriving)
-    val storeFps = base.filter(!Admission.isArriving).select("fp").distinct()
-    val pairs = Dedup.jaccardPairs(Dedup.sigsOf(docs), 0.6).select("d1", "d2")
-    val nearHitIds = pairs
-      .select(col("d1").as("doc_id"), col("d2").as("other"))
-      .unionAll(pairs.select(col("d2").as("doc_id"), col("d1").as("other")))
-      .filter(col("doc_id") % Admission.ArrivingMod === Admission.ArrivingRem &&
-        col("other") % Admission.ArrivingMod =!= Admission.ArrivingRem)
-      .select("doc_id").distinct()
-    val sigs = Dedup.sigsOf(docs)
-    val isEval = col("doc_id") % Dedup.EvalDocModulus === 0
-    val contamIds = Dedup.decontaminate(spark,
-        sigs.filter(Admission.isArriving && !isEval), sigs.filter(isEval))
-      .select("doc_id")
-    Admission.verdictsOver(arrive, storeFps, nearHitIds, contamIds)
+  // the planted corpus through the TVF body (table-derived probes):
+  // exactly the wiring `incremental_admission()` resolves
+  private lazy val verdicts: Map[Long, String] =
+    Admission.tableVerdicts(spark, docs)
       .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
-  }
 
   test("every verdict class fires on its planted document") {
     assert(verdicts === Map(
