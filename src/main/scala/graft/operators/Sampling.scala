@@ -845,7 +845,11 @@ object Sampling {
     cur.select(col("source"), col("avail_tokens"), col("w"), col("g1"),
         col("g2"), col("g3").as("grant_tokens"),
         (col("g3") === col("avail_tokens")).as("saturated"),
-        expr("(1000000 * g3) div greatest(avail_tokens, 1)").as("fill_micro"))
+        // DECIMAL(38,0) numerator (the q216 width contract): in BIGINT
+        // a grant beyond ~9.2e12 tokens would wrap silently while the
+        // oracle's HUGEINT errors
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * g3) div greatest(avail_tokens, 1) AS BIGINT)")
+          .as("fill_micro"))
       .orderBy("source")
   }
 
@@ -918,7 +922,8 @@ object Sampling {
          |  CAST(r1.g AS BIGINT) AS g1, CAST(r2.g AS BIGINT) AS g2,
          |  CAST(r3.g AS BIGINT) AS grant_tokens,
          |  r3.g = r3.avail AS saturated,
-         |  CAST((1000000 * r3.g) // greatest(r3.avail, 1) AS BIGINT) AS fill_micro
+         |  CAST((CAST(1000000 AS HUGEINT) * r3.g) // greatest(r3.avail, 1) AS BIGINT)
+         |    AS fill_micro
          |FROM r3
          |JOIN r1 ON r1.source = r3.source
          |JOIN r2 ON r2.source = r3.source

@@ -247,7 +247,16 @@ object ScaleBench {
     // the q62-transpose leak report (same shingle join, eval-doc grain)
     // and the cluster-safe split (one split map pass + pair-graph-sized
     // group attach — must ride the q58/q38 shapes it composes)
-    "q232_eval_leak_report", "q233_cluster_safe_split")
+    "q232_eval_leak_report", "q233_cluster_safe_split",
+    // round-12 part 2: the admission screens (batch = arriving-sized
+    // probes against store indexes; stream = the same screens
+    // stateless at ingest — both must ride the arriving slice, never
+    // the store), the waterfill (one corpus map pass + 1-row rounds),
+    // the cluster prune (map-only assignment + ONE range-partitioned
+    // sort — must scale like the sort), and the at-ingest purge
+    // (stateless broadcast probe — must ride the scan)
+    "q234_incremental_admission", "q235_stream_admission",
+    "q236_budget_waterfill", "q237_cluster_prune", "q238_stream_purge")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

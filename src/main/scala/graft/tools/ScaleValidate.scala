@@ -263,7 +263,44 @@ object ScaleValidate {
         st("pack").getLong(6) >= st("pack").getLong(5))
     }
 
-    val blocks = Seq(dedup, serving, linkage, curation)
+    // ---- block 5: incremental admission (q234/q235) at 10× ----
+    // the continuous-ingest front door against the 10× store: the
+    // gates re-screen the ADMITTED set in-plan (nothing admitted is a
+    // store duplicate / eval doc / sub-floor document) and prove the
+    // at-ingest stream twin drains row-identical at this scale.
+    val admission = new Block("incremental_ingest")
+    locally {
+      import graft.operators.{Admission, Curation, Dedup}
+      val docs = graft.core.Tables.documents(spark, sf1)
+      val batch = Admission.q234IncrementalAdmission(spark, sf1).localCheckpoint()
+      val nArr = docs.filter(Admission.isArriving).count()
+      val byV = batch.groupBy("verdict").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      admission.stats("n_arriving") = nArr
+      admission.stats("n_admitted") = byV.getOrElse("admitted", 0L)
+      admission.stats("n_near_dup") = byV.getOrElse("near_duplicate", 0L)
+      admission.stats("n_contaminated") = byV.getOrElse("contaminated", 0L)
+      admission.gate("totality")(batch.count() == nArr)
+      admission.gate("closed_verdict_set")(byV.keySet.subsetOf(Set(
+        "empty_text", "low_quality", "exact_duplicate", "batch_duplicate",
+        "near_duplicate", "eval_reserved", "contaminated", "admitted")))
+      val base = Admission.screenCols(docs)
+      val admitted = batch.filter(col("verdict") === "admitted").select("doc_id")
+      val aBase = base.join(admitted, Seq("doc_id"))
+      admission.gate("admitted_above_floor")(aBase.filter(
+        col("q_micro") < Curation.QualityFloorMicro || col("n_tok") === 0)
+        .count() == 0)
+      admission.gate("admitted_non_eval")(admitted.filter(
+        col("doc_id") % Dedup.EvalDocModulus === 0).count() == 0)
+      admission.gate("admitted_not_in_store")(aBase.join(
+        base.filter(!Admission.isArriving).select("fp").distinct(),
+        Seq("fp"), "left_semi").count() == 0)
+      val stream = graft.streaming.AdmissionStream.q235StreamAdmission(spark, sf1)
+      admission.gate("stream_matches_batch")(
+        stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+    }
+
+    val blocks = Seq(dedup, serving, linkage, curation, admission)
     val ok = blocks.forall(_.checks.values.forall(identity))
     val line =
       s"""{"metric":"scale_validate","ok":$ok,"sf1_dir":"$sf1",""" +
