@@ -96,7 +96,8 @@ object SparkEntry {
       streaming.JlEncodeStream.queries ++
       streaming.PercentileStream.queries ++
       streaming.AdmissionStream.queries ++
-      streaming.PurgeStream.queries
+      streaming.PurgeStream.queries ++
+      streaming.TransitionStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -175,5 +176,6 @@ object SparkEntry {
       streaming.JlEncodeStream.oracles ++
       streaming.PercentileStream.oracles ++
       streaming.AdmissionStream.oracles ++
-      streaming.PurgeStream.oracles
+      streaming.PurgeStream.oracles ++
+      streaming.TransitionStream.oracles
 }

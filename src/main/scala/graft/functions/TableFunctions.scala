@@ -87,6 +87,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM incremental_admission() WHERE verdict <> 'admitted'
   *   SELECT * FROM budget_waterfill() WHERE saturated
   *   SELECT * FROM cluster_prune() WHERE kept
+  *   SELECT * FROM transition_matrix() WHERE p_micro > 500000
+  *   SELECT * FROM flow_mining()
+  *   SELECT * FROM rare_transitions()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -1096,6 +1099,36 @@ object TableFunctions {
           }
         case _ => throw new IllegalArgumentException(
           "cluster_prune expects no arguments")
+      }
+    },
+    "transition_matrix" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Trajectory.transitionsOver(
+            spark.table("events")
+              .select("user_id", "ts", "event_id", "event_type")))
+        case _ => throw new IllegalArgumentException(
+          "transition_matrix expects no arguments")
+      }
+    },
+    "flow_mining" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Trajectory.flowsOver(
+            spark.table("events")
+              .select("user_id", "ts", "event_id", "event_type")))
+        case _ => throw new IllegalArgumentException(
+          "flow_mining expects no arguments")
+      }
+    },
+    "rare_transitions" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Trajectory.rareOver(
+            spark.table("events")
+              .select("user_id", "ts", "event_id", "event_type")))
+        case _ => throw new IllegalArgumentException(
+          "rare_transitions expects no arguments")
       }
     },
     "source_ablation" -> { exprs: Seq[Expression] =>

@@ -256,7 +256,15 @@ object ScaleBench {
     // sort — must scale like the sort), and the at-ingest purge
     // (stateless broadcast probe — must ride the scan)
     "q234_incremental_admission", "q235_stream_admission",
-    "q236_budget_waterfill", "q237_cluster_prune", "q238_stream_purge")
+    "q236_budget_waterfill", "q237_cluster_prune", "q238_stream_purge",
+    // the transition matrix and flow miner ride q207's single
+    // user-keyed exchange; their aggregates are |types|²- and
+    // flow-vocabulary-bounded — both must scale like q207 itself
+    "q239_transition_matrix", "q240_flow_mining",
+    // the rare-transition audit (matrix + pairs share one reused
+    // exchange, flags are output-sized) and its at-ingest screen
+    // (one record of state per user, model broadcast)
+    "q241_rare_transitions", "q242_stream_transition_screen")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

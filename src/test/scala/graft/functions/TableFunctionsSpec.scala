@@ -632,4 +632,15 @@ class TableFunctionsSpec extends SparkSpec {
     assert(rows(cp) == rows(graft.operators.KMeans.q237ClusterPrune(spark, sf)),
       "TVF-trained prune diverges from the dir-based q237 twin")
   }
+
+  test("transition_matrix / flow_mining TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    val tm = spark.sql("SELECT * FROM transition_matrix()")
+    assert(tm.columns.toSeq == Seq("from_type", "to_type", "n", "n_from", "p_micro"))
+    assert(rows(tm) == rows(graft.operators.Trajectory.q239TransitionMatrix(spark, sf)))
+    val fm = spark.sql("SELECT * FROM flow_mining()")
+    assert(rows(fm) == rows(graft.operators.Trajectory.q240FlowMining(spark, sf)))
+    val rt = spark.sql("SELECT * FROM rare_transitions()")
+    assert(rows(rt) == rows(graft.operators.Trajectory.q241RareTransitions(spark, sf)))
+  }
 }
