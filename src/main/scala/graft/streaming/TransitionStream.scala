@@ -39,20 +39,12 @@ object TransitionStream {
       user_id: Long, event_id: Long, from_type: String, to_type: String,
       p_micro: Long)
 
-  /** q242 — the q241 flagged-transition rows produced at ingest. */
-  def q242StreamTransitionScreen(spark: SparkSession, dir: String): DataFrame = {
-    Sessions.prepare(spark)
+  /** The screen over ANY streaming (user_id, ts, event_id, event_type)
+    * frame against a frozen model — shared by q242 and the
+    * crash-recovery spec (which re-points it at a multi-file source). */
+  private[streaming] def screened(spark: SparkSession, evStream: DataFrame,
+      model: Map[String, Long]): DataFrame = {
     import spark.implicits._
-    // the frozen model: |types|²-bounded by construction, cached per
-    // corpus version, shipped as one broadcast
-    val model: Map[String, Long] =
-      graft.core.ModelCache.perVersion(spark, dir, "events.parquet",
-          "transitionModel") {
-        Trajectory.q239TransitionMatrix(spark, dir)
-          .select("from_type", "to_type", "p_micro").collect()
-          .map(r => s"${r.getString(0)}>${r.getString(1)}" -> r.getLong(2))
-          .toMap
-      }
     val bc = spark.sparkContext.broadcast(model)
     val gapUs = Trajectory.TrajectoryGapMin * 60L * 1000000L
     val floor = Trajectory.RareMicro
@@ -75,13 +67,29 @@ object TransitionStream {
         last.foreach(state.update)
         out.result().iterator
       }
-    val flagged = EventStream.eventsStream(spark, dir)
+    evStream
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(screen)
       .toDF()
+  }
+
+  /** q242 — the q241 flagged-transition rows produced at ingest. */
+  def q242StreamTransitionScreen(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    // the frozen model: |types|²-bounded by construction, cached per
+    // corpus version, shipped as one broadcast
+    val model: Map[String, Long] =
+      graft.core.ModelCache.perVersion(spark, dir, "events.parquet",
+          "transitionModel") {
+        Trajectory.q239TransitionMatrix(spark, dir)
+          .select("from_type", "to_type", "p_micro").collect()
+          .map(r => s"${r.getString(0)}>${r.getString(1)}" -> r.getLong(2))
+          .toMap
+      }
+    val flagged = screened(spark, EventStream.eventsStream(spark, dir), model)
     EventStream.drainToFiles(spark, flagged).orderBy("user_id", "event_id")
   }
 

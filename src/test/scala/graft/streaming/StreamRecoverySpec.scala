@@ -148,4 +148,79 @@ class StreamRecoverySpec extends SparkSpec {
   test("killed drain resumes from checkpoint equivalently (rocksdb state store)") {
     recoveryRoundTrip("rocksdb")
   }
+
+  // ---- the same round-trip for an ORDER-DEPENDENT fold (q242) ----
+  // q172's CMS state is a monoid (order-independent), so its recovery
+  // equivalence would hold even under batch reordering; the transition
+  // screen's per-user last-event state is NOT — it carries sequence
+  // position across batches, which is precisely the state a checkpoint
+  // must reconstruct exactly. The file source lists the same files in
+  // the same order for both runs, so killed ≡ clean is the checkpoint
+  // property itself, not an order accident.
+
+  /** Four-file copy of the fixture events (ts NORMALIZED through the
+    * shared loader so the physical timestamp layout never matters). */
+  private lazy val evSrcDir: String = {
+    val out = Files.createTempDirectory("graft-recovery-ev").toString
+    graft.core.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$out/events")
+    s"$out/events"
+  }
+
+  private def transitionStream(model: Map[String, Long]): DataFrame = {
+    val schema = spark.read.parquet(evSrcDir).schema
+    TransitionStream.screened(spark,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(evSrcDir),
+      model)
+  }
+
+  private def flaggedRows(root: String): Seq[(Long, Long, String, String, Long)] =
+    spark.read.parquet(s"$root/data")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+      .toSeq.sorted
+
+  test("killed transition screen resumes with exact per-user sequence state (q242)") {
+    // the frozen model, from the copy itself (the q242 convention)
+    val model = graft.operators.Trajectory.transitionsOver(
+        spark.read.parquet(evSrcDir))
+      .select("from_type", "to_type", "p_micro").collect()
+      .map(r => s"${r.getString(0)}>${r.getString(1)}" -> r.getLong(2)).toMap
+    val base = Files.createTempDirectory("graft-recovery-q242").toString
+    def drain(root: String, kill: Boolean): Unit =
+      EventStream.withStreamStatePartitions(spark) {
+        try {
+          val q = transitionStream(model).writeStream
+            .outputMode("append").format("parquet")
+            .option("path", s"$root/data")
+            .option("checkpointLocation", s"$root/checkpoint")
+            .trigger(if (kill) Trigger.ProcessingTime(0L) else Trigger.AvailableNow())
+            .start()
+          if (kill) {
+            val deadline = System.currentTimeMillis() + 120000
+            while (q.recentProgress.map(_.numInputRows).sum < 1 &&
+                System.currentTimeMillis() < deadline) Thread.sleep(25)
+            q.stop()
+            val q2 = transitionStream(model).writeStream
+              .outputMode("append").format("parquet")
+              .option("path", s"$root/data")
+              .option("checkpointLocation", s"$root/checkpoint")
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q2.awaitTermination()
+          } else q.awaitTermination()
+        } finally org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      }
+    drain(s"$base/killed", kill = true)
+    drain(s"$base/clean", kill = false)
+    val killed = flaggedRows(s"$base/killed")
+    val clean = flaggedRows(s"$base/clean")
+    assert(killed.nonEmpty, "screen flagged nothing — the fixture floor regressed")
+    assert(killed == clean,
+      s"recovered screen diverged: ${killed.size} rows vs ${clean.size} clean")
+  }
 }
