@@ -73,10 +73,11 @@ object Admission {
     col("doc_id") % ArrivingMod === ArrivingRem
 
   /** Row-local screen columns over a (doc_id, source, text) frame: token
-    * count, distinct-token count, q23's single-rounded quality score in
-    * ten-thousandths (the [[Curation.ledgerOver]] arithmetic, verbatim)
-    * and the content fingerprint. Pure map work — the SAME projection
-    * serves the batch path and the streaming screen. */
+    * count, distinct-token count, q23's quality score via the SHARED
+    * [[Curation.qMicro]] expression (one definition for the admission
+    * floor and the curation ledger — they cannot desync) and the
+    * content fingerprint. Pure map work — the SAME projection serves
+    * the batch path and the streaming screen. */
   private[graft] def screenCols(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     docs
@@ -85,12 +86,7 @@ object Admission {
       .select(col("doc_id"), col("source"), col("text"),
         size(toks).cast("long").as("n_tok"),
         size(array_distinct(toks)).cast("long").as("n_dis"))
-      .withColumn("q_micro",
-        when(col("n_tok") > 0,
-          round((least(col("n_tok").cast("double") / 100.0, lit(1.0)) * 0.5 +
-            col("n_dis").cast("double") / col("n_tok") * 0.5) * 10000)
-            .cast("long"))
-          .otherwise(lit(0L)))
+      .withColumn("q_micro", Curation.qMicro(col("n_tok"), col("n_dis")))
       .withColumn("fp", md5(trim(col("text"))))
   }
 

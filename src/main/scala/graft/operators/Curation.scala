@@ -46,6 +46,21 @@ object Curation {
     * (score < 0.4) — the screen drops exactly the docs q23 tiers low. */
   val QualityFloorMicro = 4000L
 
+  /** q23's single-rounded quality score in ten-thousandths over token /
+    * distinct-token counts — THE ONE quality arithmetic of the pipeline.
+    * Shared by [[ledgerOver]] (the stage-2 screen) and
+    * [[Admission.screenCols]] (the admission floor): a future edit to
+    * the score changes both sides together, so the admission verdict
+    * stays diffable 1:1 against the from-scratch ledger by
+    * construction. Zero-token docs carry the placeholder 0 (they are
+    * dead at stage 1, so it never decides anything). */
+  private[graft] def qMicro(nTok: Column, nDis: Column): Column =
+    when(nTok > 0,
+      round((least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5 +
+        nDis.cast("double") / nTok * 0.5) * 10000)
+        .cast("long"))
+      .otherwise(lit(0L))
+
   /** The per-document lineage ledger: every stage's survival flag plus
     * the mix copy count, one row per corpus document. Column contract
     * (consumed by [[manifest]], [[q229CurationLedger]] and
@@ -87,14 +102,8 @@ object Curation {
       .select(col("doc_id"), col("source"), col("text"),
         size(toks).cast("long").as("n_tok"),
         size(array_distinct(toks)).cast("long").as("n_dis"))
-      // the q23/q131 single-rounded quality score (zero-token docs are
-      // dead at stage 1, so their placeholder 0 never decides anything)
-      .withColumn("q_micro",
-        when(col("n_tok") > 0,
-          round((least(col("n_tok").cast("double") / 100.0, lit(1.0)) * 0.5 +
-            col("n_dis").cast("double") / col("n_tok") * 0.5) * 10000)
-            .cast("long"))
-          .otherwise(lit(0L)))
+      // the q23/q131 single-rounded quality score — the shared [[qMicro]]
+      .withColumn("q_micro", qMicro(col("n_tok"), col("n_dis")))
       .withColumn("alive1", col("n_tok") > 0)
       .withColumn("alive2", col("alive1") && col("q_micro") >= QualityFloorMicro)
       .withColumn("fp", md5(trim(col("text"))))

@@ -842,14 +842,20 @@ object Sampling {
         .withColumn(s"g$r", col("g"))
         .drop("w_active", "remaining")
     }
-    cur.select(col("source"), col("avail_tokens"), col("w"), col("g1"),
-        col("g2"), col("g3").as("grant_tokens"),
-        (col("g3") === col("avail_tokens")).as("saturated"),
+    // trajectory columns g1..g(R-1) + the final round as grant_tokens —
+    // generated from WaterfillRounds so retuning the constant cannot
+    // desync this select from the round columns built above (the
+    // oracle's chained CTEs are generated from the same constant)
+    val gR = s"g$WaterfillRounds"
+    val trajectory = (1 until WaterfillRounds).map(r => col(s"g$r"))
+    cur.select(Seq(col("source"), col("avail_tokens"), col("w")) ++ trajectory ++ Seq(
+        col(gR).as("grant_tokens"),
+        (col(gR) === col("avail_tokens")).as("saturated"),
         // DECIMAL(38,0) numerator (the q216 width contract): in BIGINT
         // a grant beyond ~9.2e12 tokens would wrap silently while the
         // oracle's HUGEINT errors
-        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * g3) div greatest(avail_tokens, 1) AS BIGINT)")
-          .as("fill_micro"))
+        expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * $gR) div greatest(avail_tokens, 1) AS BIGINT)")
+          .as("fill_micro")): _*)
       .orderBy("source")
   }
 
@@ -906,6 +912,14 @@ object Sampling {
            |      least((remaining * w) // greatest(w_active, 1), avail - g)
            |    ELSE 0 END AS g
            |  FROM $prev, a$r)""".stripMargin
+      // rounds and trajectory columns generated from WaterfillRounds —
+      // the same constant that generates the engine select's g$r columns
+      val R = WaterfillRounds
+      val rounds = (1 to R).map(r => round(s"r${r - 1}", r)).mkString(",\n")
+      val gCols = (1 until R)
+        .map(r => s"CAST(r$r.g AS BIGINT) AS g$r").mkString(",\n  ")
+      val gJoins = (1 until R)
+        .map(r => s"JOIN r$r ON r$r.source = r$R.source").mkString("\n")
       s"""WITH ps AS (
          |  SELECT source,
          |    sum(len(list_filter(string_split(coalesce(text, ''), ' '),
@@ -914,20 +928,17 @@ object Sampling {
          |  FROM documents GROUP BY source),
          |b AS (SELECT (sum(avail) * 9) // 10 AS budget FROM ps),
          |r0 AS (SELECT source, avail, w, budget, 0 AS g FROM ps, b),
-         |${round("r0", 1)},
-         |${round("r1", 2)},
-         |${round("r2", 3)}
-         |SELECT r3.source, CAST(r3.avail AS BIGINT) AS avail_tokens,
-         |  CAST(r3.w AS BIGINT) AS w,
-         |  CAST(r1.g AS BIGINT) AS g1, CAST(r2.g AS BIGINT) AS g2,
-         |  CAST(r3.g AS BIGINT) AS grant_tokens,
-         |  r3.g = r3.avail AS saturated,
-         |  CAST((CAST(1000000 AS HUGEINT) * r3.g) // greatest(r3.avail, 1) AS BIGINT)
+         |$rounds
+         |SELECT r$R.source, CAST(r$R.avail AS BIGINT) AS avail_tokens,
+         |  CAST(r$R.w AS BIGINT) AS w,
+         |  $gCols,
+         |  CAST(r$R.g AS BIGINT) AS grant_tokens,
+         |  r$R.g = r$R.avail AS saturated,
+         |  CAST((CAST(1000000 AS HUGEINT) * r$R.g) // greatest(r$R.avail, 1) AS BIGINT)
          |    AS fill_micro
-         |FROM r3
-         |JOIN r1 ON r1.source = r3.source
-         |JOIN r2 ON r2.source = r3.source
-         |ORDER BY r3.source""".stripMargin
+         |FROM r$R
+         |$gJoins
+         |ORDER BY r$R.source""".stripMargin
     },
     // q210: per-source token/distinct counts, per-mille weight shares
     // and the capped epoch arithmetic replayed as truncating integer

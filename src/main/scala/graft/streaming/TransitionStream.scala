@@ -20,11 +20,20 @@ import graft.operators.Trajectory
   * one; a session gap suppresses the transition check but still
   * advances the state (the q239 break-is-not-a-transition rule).
   * Within a micro-batch a user's events fold in (ts, event_id) order;
-  * ACROSS batches the screen assumes per-user in-order arrival (the
+  * ACROSS batches the screen requires per-user in-order arrival (the
   * partition-ordered posture of a keyed event bus — same contract as
   * the q44/q34 session machinery's append path; the fixture source
   * drains in order by construction, and the batch twin is the
-  * definition either way).
+  * definition either way). The contract is ENFORCED, not assumed: a
+  * cross-batch event older than the user's stored state throws
+  * instead of silently counting an inverted from/to transition that
+  * the q241 batch oracle would never produce.
+  *
+  * Heap bound: the per-user sort below materializes one user's events
+  * OF ONE MICRO-BATCH on the heap — bounded by the source's batch
+  * admission (`maxFilesPerTrigger`/rate limits in a deployment), not
+  * by the user's lifetime history; the cross-batch state stays one
+  * record per user regardless.
   *
   * Stream ≡ batch: the model lookup, gap rule and floor are shared
   * constants/definitions with [[Trajectory.rareOver]], so both gate on
@@ -54,6 +63,15 @@ object TransitionStream {
         var last = if (state.exists) Option(state.get) else None
         rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
           last.foreach { l =>
+            // in-order contract: within a batch the sort guarantees
+            // e.ts_us >= l.ts_us; across batches a violation means the
+            // source is not per-user ordered — fail loudly rather than
+            // flag an inverted transition the batch twin cannot produce
+            if (e.ts_us < l.ts_us)
+              throw new IllegalStateException(
+                s"out-of-order arrival for user $uid: event ${e.event_id} at " +
+                  s"${e.ts_us}us after state at ${l.ts_us}us — the transition " +
+                  "screen requires per-user in-order delivery")
             if (e.ts_us - l.ts_us <= gapUs) {
               // every observed same-corpus transition exists in the
               // model; 0 covers a cold-start pair (trivially rare)

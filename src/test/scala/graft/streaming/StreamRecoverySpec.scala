@@ -158,15 +158,40 @@ class StreamRecoverySpec extends SparkSpec {
   // the same order for both runs, so killed ≡ clean is the checkpoint
   // property itself, not an order accident.
 
-  /** Four-file copy of the fixture events (ts NORMALIZED through the
-    * shared loader so the physical timestamp layout never matters). */
+  /** Four TIME-SLICED files of the fixture events (ts NORMALIZED through
+    * the shared loader so the physical timestamp layout never matters),
+    * written oldest-slice-first so the one-file-per-trigger drain below
+    * replays a per-user IN-ORDER feed — the screen's documented bus
+    * contract, which it now enforces by throwing on out-of-order
+    * arrival (an arbitrary `repartition(4)` copy violates it by
+    * construction). The slices still split every user's sequence
+    * across micro-batch boundaries, so the cross-batch state is
+    * genuinely exercised. */
   private lazy val evSrcDir: String = {
+    import org.apache.spark.sql.expressions.Window
     val out = Files.createTempDirectory("graft-recovery-ev").toString
-    graft.core.Tables.events(spark, sf)
+    val evDir = new java.io.File(out, "events")
+    require(evDir.mkdirs())
+    val sliced = graft.core.Tables.events(spark, sf)
       .select("user_id", "ts", "event_id", "event_type")
-      .repartition(4)
-      .write.mode("overwrite").parquet(s"$out/events")
-    s"$out/events"
+      .withColumn("slice", ntile(4).over(Window.orderBy("ts", "event_id")))
+      .cache()
+    (1 to 4).foreach { i =>
+      val tmp = Files.createTempDirectory(s"graft-recovery-slice$i").toString
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file written for slice $i"))
+      val dst = new java.io.File(evDir, f"slice-$i%02d.parquet")
+      require(part.renameTo(dst))
+      // the file source orders its initial listing by modification time
+      // (ties by path): pin strictly-increasing mtimes so slice order is
+      // explicit rather than an artifact of write latency
+      require(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    sliced.unpersist()
+    evDir.getPath
   }
 
   private def transitionStream(model: Map[String, Long]): DataFrame = {
