@@ -487,6 +487,72 @@ object Relational {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** q243 — the EXISTS family through Catalyst's SUBQUERY path (SURVEY
+    * §2.6 note: q13/q14 build the semi/anti plans directly with the
+    * Dataset API; an Athena/Presto user writes them as subqueries, and
+    * this query proves the SQL surface plans them identically). Three
+    * forms in one statement: `EXISTS` in WHERE (decorrelates to a left
+    * SEMI join), `NOT EXISTS` in WHERE (left ANTI join), and `EXISTS`
+    * in SELECT (an ExistenceJoin carrying the boolean). Scale shape:
+    * `RewritePredicateSubquery` turns every arm into a hash join keyed
+    * on custkey — no per-row subplan, no nested loop; the plan gate in
+    * `PlanAuditSpec` asserts it stays that way. Reference behavior
+    * studied: freddiemo/data-pipeline-python-aws-cdk
+    * `sql/sample_athena_queries.sql:113-119` (the duplicate check an
+    * Athena user would equally phrase with EXISTS). */
+  def q243ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c.c_custkey, c.c_name,
+        |  EXISTS (SELECT 1 FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_totalprice > 100000) AS has_big_order
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  /** q244 — IN / NOT IN subqueries: membership against one subquery
+    * (semi join) and NON-membership against another (Spark's NULL-AWARE
+    * anti join — the plan that makes `NOT IN` correct when the subquery
+    * side could carry nulls). Both decorrelate to key-hashed joins; the
+    * plan gate asserts no nested loop survives. */
+  def q244InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q245 — CORRELATED SCALAR subqueries: each customer's most expensive
+    * order, with the customer's order count attached by a second scalar
+    * subquery in the SELECT list. `RewriteCorrelatedScalarSubquery`
+    * decorrelates both into ONE per-custkey aggregate joined back —
+    * never a per-row subplan (at 100 TB a re-executed subquery per row
+    * IS the difference between a join and a full second scan per row).
+    * All-integer/exact comparisons (max equality, count) so the filter
+    * cannot flip on float summation order across engines. */
+  def q245ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+        |  (SELECT count(*) FROM orders o2
+        |   WHERE o2.o_custkey = o.o_custkey) AS n_cust_orders
+        |FROM orders o
+        |WHERE o.o_totalprice = (SELECT max(o3.o_totalprice) FROM orders o3
+        |                        WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
   /** q103 — the complete ranking-window family in one plan: row_number,
     * rank, dense_rank, ntile, percent_rank, cume_dist over the same
     * per-priority price ordering (row_number alone appears in q15; the
@@ -591,6 +657,9 @@ object Relational {
     "q103_window_family"    -> (q103WindowFamily _),
     "q104_set_ops"          -> (q104SetOps _),
     "q91_grouping_sets"     -> (q91GroupingSets _),
+    "q243_exists_subquery"  -> (q243ExistsSubquery _),
+    "q244_in_subquery"      -> (q244InSubquery _),
+    "q245_scalar_subquery"  -> (q245ScalarSubquery _),
     "q74_json_extract"      -> (q74JsonExtract _),
     "q75_rollup"            -> (q75Rollup _),
     "q81_cube"              -> (q81Cube _),
@@ -675,6 +744,35 @@ object Relational {
         |SELECT 'rich_only', custkey FROM (
         |  SELECT custkey FROM rich EXCEPT SELECT custkey FROM urgent)
         |ORDER BY op, custkey""".stripMargin,
+    // q243-q245: the engine side runs the SAME statements through
+    // spark.sql — the value of the gate is that Catalyst's subquery
+    // rewrite (semi/anti/existence joins, scalar decorrelation) lands on
+    // the answer the reference's Presto engine computes directly
+    "q243_exists_subquery" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  EXISTS (SELECT 1 FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_totalprice > 100000) AS has_big_order
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c.c_custkey""".stripMargin,
+    "q244_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q245_scalar_subquery" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+        |  (SELECT count(*) FROM orders o2
+        |   WHERE o2.o_custkey = o.o_custkey) AS n_cust_orders
+        |FROM orders o
+        |WHERE o.o_totalprice = (SELECT max(o3.o_totalprice) FROM orders o3
+        |                        WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q91_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -524,6 +524,38 @@ class PlanAuditSpec extends SparkSpec {
       s"q220: the exact tier should absorb the unchanged mass ($exact of $n)")
   }
 
+  test("EXISTS / NOT EXISTS / IN subqueries decorrelate to hash joins (q243, q244)") {
+    // the whole point of the subquery family: Catalyst's
+    // RewritePredicateSubquery must land on the same semi/anti hash
+    // joins q13/q14 build directly — a CartesianProduct or nested-loop
+    // join anywhere means a per-row subplan survived, which at 100 TB
+    // is a full second scan per probe row
+    Seq("q243_exists_subquery", "q244_in_subquery").foreach { q =>
+      val (_, plan) = executed(q)
+      val finalSec = plan.split(raw"== Initial Plan ==").head
+      assert(!finalSec.contains("CartesianProduct") &&
+        !finalSec.contains("BroadcastNestedLoopJoin"),
+        s"$q: subquery did not decorrelate to a hash join\n$finalSec")
+      assert(finalSec.contains("Semi"), s"$q: no semi join in plan\n$finalSec")
+      assert(finalSec.contains("Anti"), s"$q: no anti join in plan\n$finalSec")
+    }
+  }
+
+  test("correlated scalar subqueries decorrelate to one aggregate + join (q245)") {
+    val (_, plan) = executed("q245_scalar_subquery")
+    val finalSec = plan.split(raw"== Initial Plan ==").head
+    assert(!finalSec.contains("CartesianProduct") &&
+      !finalSec.contains("BroadcastNestedLoopJoin"),
+      s"q245: scalar subquery did not decorrelate\n$finalSec")
+    // RewriteCorrelatedScalarSubquery: per-custkey max/count become
+    // aggregates joined back on the correlation key
+    assert(finalSec.contains("HashAggregate"),
+      s"q245: expected decorrelated per-key aggregates\n$finalSec")
+    assert(raw"Join|ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin".r
+      .findFirstIn(finalSec).isDefined,
+      s"q245: expected the aggregate joined back on the correlation key\n$finalSec")
+  }
+
   test("incremental admission probes are equi-joins with broadcast tiny sides (q234)") {
     val (_, plan) = executed("q234_incremental_admission")
     val finalSec = plan.split(raw"== Initial Plan ==").head
