@@ -34,14 +34,18 @@ import graft.operators.{Admission, Dedup}
   *    re-plan.
   *
   * No watermark, no state store, zero streaming state: the only
-  * cross-ROW decision in the whole screen — the within-batch keeper
-  * election — runs on the DRAINED frame (batch data, one
-  * fingerprint-keyed window over the day's batch), the
-  * [[DedupStream.streamScreen]] convention of aggregating after the
-  * drain rather than riding a stateful operator for a batch-sized
-  * step. Verdict assembly is [[Admission.verdictsOver]] — the shared
-  * expression, so stream ≡ batch by construction and both gate on the
-  * same full-value oracle.
+  * cross-ROW decisions in the whole screen — the fingerprint keeper
+  * window and the within-batch NEAR-DUP election — run on the DRAINED
+  * frame (batch data: one fp-keyed window, then the batch-internal LSH
+  * self-join → exact verify → q38 closure over the day's batch only),
+  * the [[DedupStream.streamScreen]] convention of aggregating after
+  * the drain rather than riding a stateful operator for a batch-sized
+  * step. The drained rows carry each document's shingle hashes ONCE
+  * (band-0 rows only — the bucket fan-out must not multiply the hash
+  * volume) so the election re-derives its band buckets row-locally
+  * from the same shared expressions. Verdict assembly is
+  * [[Admission.verdictsOver]] — the shared expression, so stream ≡
+  * batch by construction and both gate on the same full-value oracle.
   */
 object AdmissionStream {
 
@@ -68,6 +72,7 @@ object AdmissionStream {
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= Dedup.MaxBucket)
       .select("band", "bucket")
+      .localCheckpoint()
     val storeBuckets = buckets
       .join(guarded, Seq("band", "bucket"), "left_semi")
       .filter(!Admission.isArriving)
@@ -109,22 +114,54 @@ object AdmissionStream {
         col("sdoc").isNotNull &&
           round(col("inter").cast("double") /
             (col("n_sh") + col("s_n") - col("inter")), 4) >= 0.6)
+      // the shingle hashes ride to the drain ONCE per document (band-0
+      // rows), not once per emitted bucket row — at deployment scale the
+      // drain's write volume is 1× the shingle table, not bands×
       .select(col("doc_id"), col("source"), col("n_tok"), col("q_micro"),
-        col("fp"), col("contam_n"), col("verified"))
+        col("fp"), col("contam_n"), col("verified"),
+        when(col("band") === 0, col("hs")).as("hs_once"), col("n_sh"))
 
     // drained frame is batch data: collapse the bucket fan-out to one
-    // row per document, then run the keeper election + shared verdict
+    // row per document, then run the two elections + shared verdict
     val perDoc = EventStream.drainToFiles(spark, screened)
       .groupBy("doc_id")
       .agg(first(col("source")).as("source"), first(col("n_tok")).as("n_tok"),
         first(col("q_micro")).as("q_micro"), first(col("fp")).as("fp"),
-        max(col("contam_n")).as("contam_n"), max(col("verified")).as("near_hit"))
+        max(col("contam_n")).as("contam_n"), max(col("verified")).as("near_hit"),
+        first(col("hs_once"), ignoreNulls = true).as("hs"),
+        first(col("n_sh")).as("n_sh"))
+      .localCheckpoint()
+    // within-batch near-dup pairs, batch-side only: band buckets
+    // re-derived row-locally from the carried hashes (the SAME shared
+    // expressions as the batch path), whole-corpus bucket guard applied,
+    // self-join d1<d2, exact Jaccard verify at the q27 threshold
+    val bb = perDoc
+      .select(col("doc_id"),
+        explode(Dedup.bandStructsOfSig(
+          VectorFunctions.minhash_sigs(col("hs"), Dedup.NumPerm))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .join(guarded, Seq("band", "bucket"), "left_semi")
+    val cand = bb.select(col("band"), col("bucket"), col("doc_id").as("d1"))
+      .join(bb.select(col("band"), col("bucket"), col("doc_id").as("d2")),
+        Seq("band", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val batchPairs = cand
+      .join(perDoc.select(col("doc_id").as("d1"), col("hs").as("h1"),
+        col("n_sh").as("n1")), Seq("d1"))
+      .join(perDoc.select(col("doc_id").as("d2"), col("hs").as("h2"),
+        col("n_sh").as("n2")), Seq("d2"))
+      .withColumn("inter2", size(array_intersect(col("h1"), col("h2"))).cast("long"))
+      .filter(round(col("inter2").cast("double") /
+        (col("n1") + col("n2") - col("inter2")), 4) >= 0.6)
+      .select("d1", "d2")
     Admission.verdictsOver(
         perDoc.select("doc_id", "source", "n_tok", "q_micro", "fp"),
         storeFps,
         perDoc.filter(col("near_hit")).select("doc_id"),
         perDoc.filter(col("contam_n") > 0 &&
-          col("doc_id") % Dedup.EvalDocModulus =!= 0).select("doc_id"))
+          col("doc_id") % Dedup.EvalDocModulus =!= 0).select("doc_id"),
+        Admission.batchLabelsOf(spark, batchPairs))
       .orderBy("doc_id")
   }
 

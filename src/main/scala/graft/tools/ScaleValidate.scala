@@ -279,11 +279,13 @@ object ScaleValidate {
       admission.stats("n_arriving") = nArr
       admission.stats("n_admitted") = byV.getOrElse("admitted", 0L)
       admission.stats("n_near_dup") = byV.getOrElse("near_duplicate", 0L)
+      admission.stats("n_batch_near_dup") = byV.getOrElse("batch_near_duplicate", 0L)
       admission.stats("n_contaminated") = byV.getOrElse("contaminated", 0L)
       admission.gate("totality")(batch.count() == nArr)
       admission.gate("closed_verdict_set")(byV.keySet.subsetOf(Set(
         "empty_text", "low_quality", "exact_duplicate", "batch_duplicate",
-        "near_duplicate", "eval_reserved", "contaminated", "admitted")))
+        "near_duplicate", "batch_near_duplicate", "eval_reserved",
+        "contaminated", "admitted")))
       val base = Admission.screenCols(docs)
       val admitted = batch.filter(col("verdict") === "admitted").select("doc_id")
       val aBase = base.join(admitted, Seq("doc_id"))
@@ -295,6 +297,13 @@ object ScaleValidate {
       admission.gate("admitted_not_in_store")(aBase.join(
         base.filter(!Admission.isArriving).select("fp").distinct(),
         Seq("fp"), "left_semi").count() == 0)
+      // near-dup-free by construction: no verified pair (store-cross OR
+      // batch-internal) survives with both endpoints admitted
+      val vp = graft.operators.Dedup.q27MinhashLsh(spark, sf1)
+      admission.gate("admitted_near_dup_free")(vp
+        .join(admitted.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+        .join(admitted.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+        .count() == 0)
       val stream = graft.streaming.AdmissionStream.q235StreamAdmission(spark, sf1)
       admission.gate("stream_matches_batch")(
         stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
