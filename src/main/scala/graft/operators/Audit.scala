@@ -190,9 +190,97 @@ object Audit {
       .orderBy("filter_a", "filter_b")
   }
 
+  // ---------------------------------------------------------------------
+  // q246 — cross-modal linkage audit
+  // ---------------------------------------------------------------------
+
+  /** Planted caption↔asset fixture rules (the [[Corpus]] snapshot
+    * convention: deterministic id rules an oracle replays exactly).
+    * Every document references the asset with its own id (the image
+    * family's 1:1 convention); the asset store is missing the
+    * `% 13 = 5` slice and carries unreferenced extras (doc_id +
+    * [[OrphanOffset]]) for the `% 17 = 2` slice. */
+  val MissingAssetMod = 13L
+  val MissingAssetRem = 5L
+  val OrphanAssetMod = 17L
+  val OrphanAssetRem = 2L
+  val OrphanOffset = 1000000000L
+
+  /** q246 — CROSS-MODAL LINKAGE AUDIT: q72's referential integrity
+    * extended across modalities. The engine fingerprints text (q24/q27),
+    * images (q139), audio (q153) and video (q158) separately; a real
+    * multimodal corpus additionally needs the LINK between a document
+    * and its media asset audited. Three issue classes, one (issue, n)
+    * row each:
+    *
+    *   - `doc_missing_asset` — documents whose referenced asset is
+    *     absent from the store (id-projected anti join);
+    *   - `asset_orphan` — assets no document references (the transpose
+    *     anti join);
+    *   - `dup_image_distinct_caption` — cluster members whose image is
+    *     perceptually identical to their cluster keeper's (q139's exact
+    *     dHash through the REAL codec chain) but whose caption is
+    *     neither an exact copy (q24 fingerprint) nor a verified near-dup
+    *     (q27 pair) of the keeper's — the "same image, different story"
+    *     signal a curation review chases.
+    *
+    * Scale shape: the referential checks are 8-byte-id anti joins; the
+    * caption check is CLUSTER-KEEPER grain — each member compares to
+    * its group keeper only (Σ|cluster| rows, the q38 election
+    * convention), never the Σ|cluster|² within-cluster pair grid (these
+    * low-entropy fixture gradients produce thousand-member clusters, and
+    * a real corpus's screenshot/logo classes do the same). The near-dup
+    * caption exclusion rides the cached verified-pair artifact
+    * pair-locally. */
+  def q246CrossModalAudit(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val docs = Tables.documents(spark, dir)
+    val docIds = docs.select("doc_id")
+    val presentIds = docIds
+      .filter(col("doc_id") % MissingAssetMod =!= MissingAssetRem)
+      .select(col("doc_id").as("asset_id"))
+    val assetIds = presentIds.unionAll(
+      docIds.filter(col("doc_id") % OrphanAssetMod === OrphanAssetRem)
+        .select((col("doc_id") + OrphanOffset).as("asset_id")))
+    val missing = docIds
+      .join(assetIds, docIds("doc_id") === assetIds("asset_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("doc_missing_asset").as("issue"), col("n"))
+    val orphan = assetIds
+      .join(docIds, docIds("doc_id") === assetIds("asset_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("asset_orphan").as("issue"), col("n"))
+    // perceptual clusters over the PRESENT referenced assets — the real
+    // encode→decode→dHash chain, restricted by the store rule
+    val dh = Multimodal.dHashImages(
+      Multimodal.imageAssets(spark, dir)
+        .filter(col("doc_id") % MissingAssetMod =!= MissingAssetRem)).toDF()
+    val clusters = dh.groupBy("h_hi", "h_lo")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_img"))
+      .filter(col("n_img") >= 2)
+    val members = dh.join(clusters, Seq("h_hi", "h_lo"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("keeper"), col("doc_id").as("m"))
+    val fps = docs.select(col("doc_id"),
+      md5(trim(coalesce(col("text"), lit("")))).as("fp"))
+    val dupImage = members
+      .join(fps.select(col("doc_id").as("m"), col("fp").as("m_fp")), Seq("m"))
+      .join(fps.select(col("doc_id").as("keeper"), col("fp").as("k_fp")),
+        Seq("keeper"))
+      .filter(col("m_fp") =!= col("k_fp"))
+      // keeper < m by the election rule, matching the pair list's d1 < d2
+      .join(Dedup.verifiedPairs(spark, dir)
+        .select(col("d1").as("keeper"), col("d2").as("m")),
+        Seq("keeper", "m"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("dup_image_distinct_caption").as("issue"), col("n"))
+    missing.unionAll(orphan).unionAll(dupImage).orderBy("issue")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_integrity_audit" -> (q72IntegrityAudit _),
     "q163_filter_correlation" -> (q163FilterCorrelation _),
+    "q246_cross_modal_audit" -> (q246CrossModalAudit _),
     "q150_curation_dashboard" -> (q150CurationDashboard _))
 
   val oracles: Map[String, String] = Map(
@@ -288,6 +376,48 @@ object Audit {
          |LEFT JOIN dc ON d.doc_id = dc.doc_id
          |LEFT JOIN sd ON d.doc_id = sd.v
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // q246: the planted link rules replayed directly; the caption check
+    // through the shared dHash pixel replay (present slice only), the
+    // keeper election, the md5 caption fingerprints and the q26
+    // exact-Jaccard pair exclusion at the keeper-member grain.
+    "q246_cross_modal_audit" -> {
+      val (mm, mr) = (MissingAssetMod, MissingAssetRem)
+      val (om, or) = (OrphanAssetMod, OrphanAssetRem)
+      s"""${Dedup.jaccardCtes},
+         |jp AS (
+         |  SELECT p.d1, p.d2
+         |  FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / (n1.n_sh + n2.n_sh - inter), 4) >= 0.6),
+         |a AS (
+         |  SELECT doc_id, 8 + (n_chars % 8) AS w, 8 + (n_chars % 6) AS h
+         |  FROM documents WHERE doc_id % $mm <> $mr),
+         |b AS (
+         |${Multimodal.dhashReplaySelect}
+         |  FROM a),
+         |c AS (
+         |  SELECT h_hi, h_lo, min(doc_id) AS keeper FROM b
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |mem AS (
+         |  SELECT b.doc_id AS m, c.keeper
+         |  FROM b JOIN c USING (h_hi, h_lo) WHERE b.doc_id <> c.keeper),
+         |fps AS (SELECT doc_id, md5(trim(coalesce(text, ''))) AS fp FROM documents),
+         |x AS (
+         |  SELECT count(*) AS n FROM mem
+         |  JOIN fps fm ON mem.m = fm.doc_id
+         |  JOIN fps fk ON mem.keeper = fk.doc_id
+         |  WHERE fm.fp <> fk.fp
+         |    AND NOT EXISTS (SELECT 1 FROM jp
+         |                    WHERE jp.d1 = mem.keeper AND jp.d2 = mem.m))
+         |SELECT issue, n FROM (
+         |  SELECT 'doc_missing_asset' AS issue,
+         |    CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id % $mm = $mr
+         |  UNION ALL
+         |  SELECT 'asset_orphan',
+         |    CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % $om = $or
+         |  UNION ALL
+         |  SELECT 'dup_image_distinct_caption', CAST(x.n AS BIGINT) FROM x)
+         |ORDER BY issue""".stripMargin
+    },
     "q72_integrity_audit" ->
       s"""SELECT issue, n FROM (
          |  SELECT 'empty_text' AS issue,

@@ -708,6 +708,26 @@ object Multimodal {
     "q51_frame_sample"    -> (q51FrameSample _),
     "q112_video_frames"   -> (q112VideoFrames _))
 
+  /** The dHash bit replay as a SQL SELECT body over a relation carrying
+    * (doc_id, w, h): the pixel formula through the identical 9×8
+    * floor-sample + gradient + 32-bit-half bit packing — shared by the
+    * q139/q149 oracles and [[Audit]]'s q246 cross-modal audit so the
+    * three replays cannot drift apart. */
+  private[operators] val dhashReplaySelect: String =
+    """SELECT doc_id,
+      |  CAST(list_sum(flatten(list_transform(range(4, 8), y ->
+      |    list_transform(range(0, 8), x ->
+      |      CASE WHEN (31 * doc_id + 7 * (((x + 1) * w) // 9) + 13 * ((y * h) // 8)) % 256
+      |              >  (31 * doc_id + 7 * ((x * w) // 9)       + 13 * ((y * h) // 8)) % 256
+      |           THEN CAST(1 AS BIGINT) << CAST((y - 4) * 8 + x AS INTEGER)
+      |           ELSE CAST(0 AS BIGINT) END)))) AS BIGINT) AS h_hi,
+      |  CAST(list_sum(flatten(list_transform(range(0, 4), y ->
+      |    list_transform(range(0, 8), x ->
+      |      CASE WHEN (31 * doc_id + 7 * (((x + 1) * w) // 9) + 13 * ((y * h) // 8)) % 256
+      |              >  (31 * doc_id + 7 * ((x * w) // 9)       + 13 * ((y * h) // 8)) % 256
+      |           THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER)
+      |           ELSE CAST(0 AS BIGINT) END)))) AS BIGINT) AS h_lo""".stripMargin
+
   // The q33/q50/q51 oracles replay ImageFixture.pixel over the derived
   // dimensions — verifying the real encode→decode round trip end-to-end:
   // the engine's numbers come from ImageIO-decoded rasters, the oracle's
@@ -745,44 +765,20 @@ object Multimodal {
          |  SELECT doc_id, 8 + (length(text) % 8) AS w, 8 + (length(text) % 6) AS h
          |  FROM documents
          |  WHERE doc_id % ${Corpus.DroppedFromV1Mod} <> ${Corpus.DroppedFromV1Rem})
-         |SELECT doc_id,
-         |  CAST(list_sum(flatten(list_transform(range(4, 8), y ->
-         |    list_transform(range(0, 8), x ->
-         |      CASE WHEN (31 * doc_id + 7 * (((x + 1) * w) // 9) + 13 * ((y * h) // 8)) % 256
-         |              >  (31 * doc_id + 7 * ((x * w) // 9)       + 13 * ((y * h) // 8)) % 256
-         |           THEN CAST(1 AS BIGINT) << CAST((y - 4) * 8 + x AS INTEGER)
-         |           ELSE CAST(0 AS BIGINT) END)))) AS BIGINT) AS h_hi,
-         |  CAST(list_sum(flatten(list_transform(range(0, 4), y ->
-         |    list_transform(range(0, 8), x ->
-         |      CASE WHEN (31 * doc_id + 7 * (((x + 1) * w) // 9) + 13 * ((y * h) // 8)) % 256
-         |              >  (31 * doc_id + 7 * ((x * w) // 9)       + 13 * ((y * h) // 8)) % 256
-         |           THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER)
-         |           ELSE CAST(0 AS BIGINT) END)))) AS BIGINT) AS h_lo
+         |$dhashReplaySelect
          |FROM a ORDER BY doc_id""".stripMargin,
     // q139: the dHash bits replayed from the pixel formula through the
     // identical 9×8 floor-sample + gradient + 32-bit-half bit packing.
     "q139_image_dhash" ->
-      """WITH a AS (
-        |  SELECT doc_id, 8 + (n_chars % 8) AS w, 8 + (n_chars % 6) AS h
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum(flatten(list_transform(range(4, 8), y ->
-        |      list_transform(range(0, 8), x ->
-        |        CASE WHEN (31 * doc_id + 7 * (((x + 1) * w) // 9) + 13 * ((y * h) // 8)) % 256
-        |                >  (31 * doc_id + 7 * ((x * w) // 9)       + 13 * ((y * h) // 8)) % 256
-        |             THEN CAST(1 AS BIGINT) << CAST((y - 4) * 8 + x AS INTEGER)
-        |             ELSE CAST(0 AS BIGINT) END)))) AS BIGINT) AS h_hi,
-        |    CAST(list_sum(flatten(list_transform(range(0, 4), y ->
-        |      list_transform(range(0, 8), x ->
-        |        CASE WHEN (31 * doc_id + 7 * (((x + 1) * w) // 9) + 13 * ((y * h) // 8)) % 256
-        |                >  (31 * doc_id + 7 * ((x * w) // 9)       + 13 * ((y * h) // 8)) % 256
-        |             THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER)
-        |             ELSE CAST(0 AS BIGINT) END)))) AS BIGINT) AS h_lo
-        |  FROM a)
-        |SELECT h_hi, h_lo, count(*) AS n_images, min(doc_id) AS keeper_doc
-        |FROM b GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY h_hi, h_lo""".stripMargin,
+      s"""WITH a AS (
+         |  SELECT doc_id, 8 + (n_chars % 8) AS w, 8 + (n_chars % 6) AS h
+         |  FROM documents),
+         |b AS (
+         |$dhashReplaySelect
+         |  FROM a)
+         |SELECT h_hi, h_lo, count(*) AS n_images, min(doc_id) AS keeper_doc
+         |FROM b GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY h_hi, h_lo""".stripMargin,
     "q32_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,

@@ -120,4 +120,44 @@ class AuditSpec extends SparkSpec {
       assert(Seq(a, b, c, d).forall(f => f >= 0 && f <= n))
     }
   }
+
+  test("q246: planted missing assets and orphans are counted exactly") {
+    val out = graft.operators.Audit.q246CrossModalAudit(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val expMissing = docs.filter(
+      col("doc_id") % graft.operators.Audit.MissingAssetMod ===
+        graft.operators.Audit.MissingAssetRem).count()
+    val expOrphan = docs.filter(
+      col("doc_id") % graft.operators.Audit.OrphanAssetMod ===
+        graft.operators.Audit.OrphanAssetRem).count()
+    assert(expMissing > 0 && expOrphan > 0, "planted rules must fire at every SF")
+    assert(out("doc_missing_asset") === expMissing)
+    assert(out("asset_orphan") === expOrphan)
+    assert(out.keySet === Set(
+      "doc_missing_asset", "asset_orphan", "dup_image_distinct_caption"))
+  }
+
+  test("q246: distinct-caption count rides the keeper grain of the real dHash clusters") {
+    val out = graft.operators.Audit.q246CrossModalAudit(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.functions._
+    // independent recount: clusters via the REAL codec chain on the
+    // present slice; the flagged count can never exceed the non-keeper
+    // member count, and on this fixture (distinct texts per doc) it
+    // must flag at least one member
+    val dh = graft.operators.Multimodal.dHashImages(
+      graft.operators.Multimodal.imageAssets(spark, sf)
+        .filter(col("doc_id") % graft.operators.Audit.MissingAssetMod =!=
+          graft.operators.Audit.MissingAssetRem)).toDF()
+    val nonKeepers = dh.groupBy("h_hi", "h_lo")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .agg(sum(col("n") - 1)).collect()(0).getLong(0)
+    val flagged = out("dup_image_distinct_caption")
+    assert(flagged > 0, "fixture clusters carry distinct captions by construction")
+    assert(flagged <= nonKeepers,
+      s"flagged $flagged exceeds the $nonKeepers non-keeper members")
+  }
 }
