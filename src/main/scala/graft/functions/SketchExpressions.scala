@@ -119,3 +119,80 @@ case class SortedLongSetCount(
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** EXACT keyed weight sum of an `array<bigint>` column against a SORTED
+  * broadcast key array with an ALIGNED weight array: Σ weights[i] over
+  * the row's elements found in the key set (binary search per element —
+  * O(|array| · log |keys|), zero allocation).
+  *
+  * Why a custom expression: the linear-model serving shape
+  * `aggregate(transform(toks, t -> element_at(modelMap, t)), ...)` over
+  * a LITERAL map pays a linear scan of the map per element (Catalyst's
+  * `GetMapValue` has no sorted/hashed fast path for literal maps), i.e.
+  * O(|doc| · K) string comparisons per document — measured as the
+  * dominant cost of the q152 at-ingest scorer. Hashing the model keys
+  * once at build time (with the ENGINE's own xxhash64, so the stream
+  * side's `transform(toks, xxhash64)` agrees by construction) turns
+  * every probe into a long binary search inside whole-stage codegen.
+  * Like [[SortedLongSetCount]] both arrays ride Broadcast handles —
+  * shipped once per executor, resolved once per generated class. */
+case class SortedKeyWeightSum(
+    child: Expression,
+    keysBc: Broadcast[Array[Long]],
+    weightsBc: Broadcast[Array[Long]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_weight_sum"
+
+  @transient private lazy val keys: Array[Long] = keysBc.value
+  @transient private lazy val weights: Array[Long] = weightsBc.value
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    var i = 0
+    var s = 0L
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val idx = java.util.Arrays.binarySearch(keys, arr.getLong(i))
+        if (idx >= 0) s += weights(idx)
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("sortedKeysBc", keysBc,
+      classOf[Broadcast[_]].getName)
+    val wRef = ctx.addReferenceObj("alignedWeightsBc", weightsBc,
+      classOf[Broadcast[_]].getName)
+    val kVar = ctx.addMutableState("long[]", "sortedKeys",
+      v => s"$v = (long[]) $kRef.value();")
+    val wVar = ctx.addMutableState("long[]", "alignedWeights",
+      v => s"$v = (long[]) $wRef.value();")
+    val sum = ctx.freshName("sum")
+    val i = ctx.freshName("i")
+    val idx = ctx.freshName("idx")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""long $sum = 0L;
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    int $idx = java.util.Arrays.binarySearch($kVar, $c.getLong($i));
+         |    if ($idx >= 0) $sum += $wVar[$idx];
+         |  }
+         |}
+         |${ev.value} = $sum;""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

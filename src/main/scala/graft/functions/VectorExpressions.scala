@@ -607,4 +607,13 @@ object VectorFunctions {
   def sorted_set_count(hashes: Column,
       sortedSetBc: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     GraftBridge.column(SortedLongSetCount(GraftBridge.expression(hashes), sortedSetBc))
+
+  /** `sorted_weight_sum(hashArray)` — Σ of the aligned weights for each
+    * element found in the sorted broadcast key array (binary search per
+    * element; the map-only linear-model scorer for at-ingest screens). */
+  def sorted_weight_sum(hashes: Column,
+      keysBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      weightsBc: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftBridge.column(SortedKeyWeightSum(
+      GraftBridge.expression(hashes), keysBc, weightsBc))
 }

@@ -26,20 +26,39 @@ import graft.operators.{Classify, TextOps}
   * documents (score ≥ 0, the same decision line as q151's `pred_hq`). */
 object ClassifyStream {
 
-  /** q152 — streamed admission over `dir`'s documents table. */
+  /** q152 — streamed admission over `dir`'s documents table.
+    *
+    * Serving shape: the truncated model ships as a SORTED xxhash64 key
+    * array + aligned weight array (hashed at build time with the
+    * engine's own `xxhash64` column function, so the stream side's
+    * `transform(toks, xxhash64)` probes the identical key space), and
+    * scoring is one [[graft.functions.SortedKeyWeightSum]] probe —
+    * O(log K) long compares per token occurrence inside whole-stage
+    * codegen. The previous literal-map form
+    * (`element_at(typedLit(map), t)`) paid a linear O(K) string scan
+    * per occurrence (Catalyst's GetMapValue has no literal fast path),
+    * which the 10× sweep surfaced as this drain's dominant cost. */
   def q152StreamNbQuality(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     // batch-train, truncate to the K largest-|w| tokens (bounded collect
-    // by construction), ship both the weights and the prior as literals.
-    // Trained once per CORPUS VERSION (ModelCache) — the production
-    // model lifetime; re-training per drain was fixture-only overhead.
-    val (topW: Map[String, Long], prior: Long) =
-      graft.core.ModelCache.perVersion(spark, dir, "documents.parquet", "nbTruncated") {
-        (Classify.truncatedModel(spark, dir)
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
-          Classify.priorMicroOf(spark, dir))
+    // by construction), ship hashed keys + weights + prior. Trained once
+    // per CORPUS VERSION (ModelCache) — the production model lifetime;
+    // re-training per drain was fixture-only overhead.
+    val (keys: Array[Long], weights: Array[Long], prior: Long) =
+      graft.core.ModelCache.perVersion(spark, dir, "documents.parquet",
+          "nbTruncatedHashed") {
+        val kw = Classify.truncatedModel(spark, dir)
+          .select(xxhash64(col("token")).as("k"), col("w_micro"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        // a key collision would silently merge two model tokens — with
+        // K=256 over 64-bit hashes it cannot realistically happen, but
+        // the build is the one place it is checkable for free
+        require(kw.iterator.map(_._1).toSet.size == kw.length,
+          "xxhash64 collision among truncated-model tokens")
+        (kw.map(_._1), kw.map(_._2), Classify.priorMicroOf(spark, dir))
       }
-    val modelLit = typedLit(topW)
+    val keysBc = spark.sparkContext.broadcast(keys)
+    val weightsBc = spark.sparkContext.broadcast(weights)
     val stream = spark.readStream
       .schema(DedupStream.docSchema)
       .option("pathGlobFilter", "documents.parquet")
@@ -48,9 +67,8 @@ object ClassifyStream {
     val scored = graft.core.Tables.fanout(spark, stream).select(
       col("doc_id"), col("source"),
       size(toks).cast("long").as("n_tokens"),
-      (lit(prior) + aggregate(
-        transform(toks, t => coalesce(element_at(modelLit, t), lit(0L))),
-        lit(0L), (acc, x) => acc + x)).as("score_micro"))
+      (lit(prior) + graft.functions.VectorFunctions.sorted_weight_sum(
+        transform(toks, t => xxhash64(t)), keysBc, weightsBc)).as("score_micro"))
       .filter(col("score_micro") >= 0)
     EventStream.drainToFiles(spark, scored).orderBy("doc_id")
   }
