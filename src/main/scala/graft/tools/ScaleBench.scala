@@ -264,7 +264,56 @@ object ScaleBench {
     // the rare-transition audit (matrix + pairs share one reused
     // exchange, flags are output-sized) and its at-ingest screen
     // (one record of state per user, model broadcast)
-    "q241_rare_transitions", "q242_stream_transition_screen")
+    "q241_rare_transitions", "q242_stream_transition_screen",
+    // round-13: the sweep extends to the FULL query surface (round-12
+    // verdict item 4 — the sweep is the driver's only empirical scale
+    // record; plan gates argue shape, the sweep measures it). Three
+    // deliberately-quadratic exact-gate baselines stay excluded, with
+    // their production twins swept instead: q29/q31 (all-pairs cosine —
+    // twins q30/q43 and q49_prod_pairs), q200 (the margin-miner gate
+    // joins the exact grid in-plan — twin q191_prod_pairs), and q150
+    // (its sem-dup column is the q31 exact join by design; its other
+    // columns' families are swept individually).
+    // The relational/SQL surface: scans, joins, windows, grouping sets,
+    // set ops, subqueries — each one scan + bounded shuffles
+    "q01_count", "q02_proj_filter_limit", "q03_group_topk",
+    "q04_pricing_summary", "q05_expr_group", "q06_filter_like",
+    "q07_case_agg", "q08_minmax", "q09_having_dup", "q10_completeness",
+    "q11_join_region", "q12_revenue_nation", "q13_semi_join",
+    "q14_anti_join", "q15_window_top", "q16_distinct", "q17_top_orders",
+    "q18_string_agg", "q19_event_windows", "q20_json_extract",
+    "q35_computed_proj", "q36_geo_group", "q37_date_buckets",
+    "q41_percentiles", "q74_json_extract", "q75_rollup", "q81_cube",
+    "q83_pivot", "q91_grouping_sets", "q93_revenue_trend",
+    "q103_window_family", "q104_set_ops", "q105_approx_percentile",
+    "q243_exists_subquery", "q244_in_subquery", "q245_scalar_subquery",
+    // temporal/event analytics: sessionize, as-of, funnels, cohorts,
+    // moving averages, SCD2 — per-key windows over one keyed exchange
+    "q39_asof_join", "q40_sessionize", "q84_funnel", "q85_moving_avg",
+    "q86_scd2_merge", "q97_funnel_bucketed", "q102_cohort_retention",
+    // layout / join-strategy operators: skew salting, co-located
+    // bucketed join, range join, bloom semi join
+    "q52_skew_join", "q55_colocated_join", "q57_range_join",
+    "q87_bloom_semi_join",
+    // text/corpus per-doc map passes + small-grain aggregates
+    "q22_lang_profile", "q23_quality_score", "q25_dedup_counts",
+    "q28_simhash", "q46_rolling_fp", "q61_compress_ratio",
+    "q65_chunk_overlap", "q66_corpus_diff", "q71_composition_drift",
+    "q76_incremental_stats", "q95_norm_audit", "q96_value_outliers",
+    "q100_incremental_sigs", "q115_corpus_datasheet",
+    "q116_incremental_tokens", "q119_vocab_coverage", "q121_token_budget",
+    "q122_zipf_slope", "q131_quality_keeper", "q138_token_fertility",
+    // sampling / mixing / packing / sharding
+    "q58_split_assign", "q59_source_cap", "q60_quality_sample",
+    "q63_sequence_pack", "q64_temperature_mix", "q106_weighted_sample",
+    "q128_shard_manifest", "q146_packing_sweep", "q227_bootstrap_ci",
+    // embedding-adjacent map passes and audits
+    "q82_centroid_drift", "q88_quantize_error", "q89_winsorized",
+    "q134_all_but_top", "q72_integrity_audit", "q101_k_anonymity",
+    "q107_jsonl_ingest",
+    // the round-13 cross-modal audit (two id anti joins + the real-codec
+    // dHash pass at cluster-keeper grain — must scale like q139)
+    "q246_cross_modal_audit")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

@@ -4,7 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Beyond-fixture validation of the flagship production chains at the
-  * 10× [[ScaleDataGen]] tree. Three blocks:
+  * 10× [[ScaleDataGen]] tree. Six blocks — `text_dedup`,
+  * `embedding_serving`, `record_linkage`, `curation_pipeline`,
+  * `incremental_ingest` (q234/q235 against the 10× store, now including
+  * the within-batch near-dup gate), and `compaction_lifecycle` (a real
+  * watermarked drain fragmented across 8 micro-batches, then surveyed,
+  * compacted, and re-scanned). The first three in detail:
   *
   * `text_dedup` (round-9 verdict item 6): the PRODUCTION dedup
   * pipeline end-to-end — q27 (LSH-blocked, Jaccard-verified
@@ -309,7 +314,101 @@ object ScaleValidate {
         stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
     }
 
-    val blocks = Seq(dedup, serving, linkage, curation, admission)
+    // ---- block 6: compaction after a streaming drain at 10× ----
+    // streaming drains + partitioned appends are what fragment a 100 TB
+    // store: run a REAL watermarked drain in 8 micro-batches (8
+    // time-sliced source files, one per trigger), survey() the drained
+    // leaf, compact it, and assert row-identity, the target file count,
+    // and that a subsequent query's scan reads exactly the compacted
+    // files — the full small-files lifecycle, not the Compactor spec's
+    // standalone fixture.
+    val compaction = new Block("compaction_lifecycle")
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-compaction").toString
+      val srcDir = new java.io.File(base, "src")
+      require(srcDir.mkdirs())
+      // normalize ts to TIMESTAMP (the fixture tree may carry NTZ, which
+      // watermarks reject) — the Tables.events convention, applied to
+      // the slice copy so the streamed schema is watermarkable
+      val ev = spark.read.parquet(s"$sf1/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val sliced = ev
+        .withColumn("slice", ntile(8).over(Window.orderBy("ts", "event_id")))
+        .cache()
+      (1 to 8).foreach { i =>
+        val tmp = s"$base/slice$i"
+        sliced.filter(col("slice") === i).drop("slice")
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file for slice $i"))
+        val dst = new java.io.File(srcDir, f"slice-$i%02d.parquet")
+        require(part.renameTo(dst))
+        require(dst.setLastModified(1700000000000L + i * 60000L))
+      }
+      sliced.unpersist()
+      val drainDir = s"$base/drain"
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.getPath)
+          .withWatermark("ts", "1 minute")
+          .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"), col("total_value"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", drainDir)
+          .option("checkpointLocation", s"$base/checkpoint")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+      def dataFiles(d: String): Array[java.io.File] =
+        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val filesBefore = dataFiles(drainDir).length
+      compaction.stats("n_files_drained") = filesBefore.toLong
+      compaction.gate("drain_fragmented")(filesBefore > 1)
+      val leaf = graft.layout.Compactor.survey(spark, drainDir).collect()
+        .find(_.getString(0) == drainDir)
+      compaction.gate("survey_flags_leaf")(leaf.exists(_.getBoolean(3)))
+      // decimal(38,0) accumulator: a bigint sum of full-range xxhash64
+      // values overflows Long, which ANSI mode turns into a job error
+      val hashCols = xxhash64(
+        Seq("window_start", "event_type", "n", "total_value").map(col): _*)
+        .cast("decimal(38,0)")
+      val before = spark.read.parquet(drainDir)
+      val nBefore = before.count()
+      val hashBefore = before.agg(sum(hashCols)).collect()(0).getDecimal(0)
+      compaction.stats("n_rows_drained") = nBefore
+      val report = graft.layout.Compactor.compact(spark, drainDir)
+      compaction.stats("n_files_after") = report.filesAfter.toLong
+      compaction.gate("compacted")(report.compacted)
+      val want = math.max(1, math.ceil(report.bytesBefore.toDouble /
+        graft.layout.Compactor.DefaultTargetBytes).toInt)
+      compaction.gate("file_count_at_target")(report.filesAfter == want)
+      val after = spark.read.parquet(drainDir)
+      compaction.gate("rows_identical")(after.count() == nBefore &&
+        after.agg(sum(hashCols)).collect()(0).getDecimal(0) == hashBefore)
+      // a subsequent query's scan must read exactly the compacted files
+      val post = spark.read.parquet(drainDir).filter(col("n") >= 0)
+      post.collect()
+      val scannedFiles = post.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics.get("numFiles").map(_.value)
+        }.flatten
+      scannedFiles.foreach(n => compaction.stats("n_files_scanned") = n)
+      compaction.gate("scan_reads_compacted")(
+        scannedFiles.contains(report.filesAfter.toLong))
+    }
+
+    val blocks = Seq(dedup, serving, linkage, curation, admission, compaction)
     val ok = blocks.forall(_.checks.values.forall(identity))
     val line =
       s"""{"metric":"scale_validate","ok":$ok,"sf1_dir":"$sf1",""" +
