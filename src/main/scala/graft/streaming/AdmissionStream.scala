@@ -135,26 +135,27 @@ object AdmissionStream {
     // re-derived row-locally from the carried hashes (the SAME shared
     // expressions as the batch path), whole-corpus bucket guard applied,
     // self-join d1<d2, exact Jaccard verify at the q27 threshold
+    // the bucket rows carry their own signature columns, so ONE
+    // (band, bucket) self-join yields verify-ready pairs — the
+    // pair-local verify runs per colliding band (≤ bands× duplicated
+    // cheap array work) and the distinct collapses to the pair grain
     val bb = perDoc
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("hs"), col("n_sh"),
         explode(Dedup.bandStructsOfSig(
           VectorFunctions.minhash_sigs(col("hs"), Dedup.NumPerm))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), col("hs"), col("n_sh"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .join(guarded, Seq("band", "bucket"), "left_semi")
-    val cand = bb.select(col("band"), col("bucket"), col("doc_id").as("d1"))
-      .join(bb.select(col("band"), col("bucket"), col("doc_id").as("d2")),
-        Seq("band", "bucket"))
+    val batchPairs = bb
+      .select(col("band"), col("bucket"), col("doc_id").as("d1"),
+        col("hs").as("h1"), col("n_sh").as("n1"))
+      .join(bb.select(col("band"), col("bucket"), col("doc_id").as("d2"),
+        col("hs").as("h2"), col("n_sh").as("n2")), Seq("band", "bucket"))
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    val batchPairs = cand
-      .join(perDoc.select(col("doc_id").as("d1"), col("hs").as("h1"),
-        col("n_sh").as("n1")), Seq("d1"))
-      .join(perDoc.select(col("doc_id").as("d2"), col("hs").as("h2"),
-        col("n_sh").as("n2")), Seq("d2"))
       .withColumn("inter2", size(array_intersect(col("h1"), col("h2"))).cast("long"))
       .filter(round(col("inter2").cast("double") /
         (col("n1") + col("n2") - col("inter2")), 4) >= 0.6)
-      .select("d1", "d2")
+      .select("d1", "d2").distinct()
     Admission.verdictsOver(
         perDoc.select("doc_id", "source", "n_tok", "q_micro", "fp"),
         storeFps,

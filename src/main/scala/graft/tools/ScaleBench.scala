@@ -313,7 +313,10 @@ object ScaleBench {
     "q107_jsonl_ingest",
     // the round-13 cross-modal audit (two id anti joins + the real-codec
     // dHash pass at cluster-keeper grain — must scale like q139)
-    "q246_cross_modal_audit")
+    "q246_cross_modal_audit",
+    // the remaining multimodal map passes: metadata projection, real
+    // decode + resize, frame sampling — per-row codec CPU, the q33 class
+    "q32_multimodal_meta", "q50_resize", "q51_frame_sample")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

@@ -162,10 +162,14 @@ object ScaleDataGen {
       (srcVal + (h - 500L).cast("float") / lit(33333.0f) * abs(srcVal))
         .cast("float")
     })
+    // label rides along unchanged (copies keep the source class balance)
+    // — q88/q95 consume it, and dropping it silently broke their sweep
+    // entries until round 13 widened the sweep to the full surface
     write(emb.select(col("*"), copies)
       .withColumn("embedding",
         when(col("c") === 0, col("embedding")).otherwise(rotatedEmb))
-      .select((col("vec_id") + col("c") * vecSpan).as("vec_id"), col("embedding")),
+      .select((col("vec_id") + col("c") * vecSpan).as("vec_id"),
+        col("embedding"), col("label")),
       "embeddings")
 
     println(s"[datagen] sf1 tree written to $out")
