@@ -90,6 +90,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM transition_matrix() WHERE p_micro > 500000
   *   SELECT * FROM flow_mining()
   *   SELECT * FROM rare_transitions()
+  *   SELECT * FROM cross_modal_audit()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -1079,6 +1080,15 @@ object TableFunctions {
             spark, spark.table("documents")))
         case _ => throw new IllegalArgumentException(
           "incremental_admission expects no arguments")
+      }
+    },
+    "cross_modal_audit" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Audit.tableCrossModal(
+            spark, spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "cross_modal_audit expects no arguments")
       }
     },
     "budget_waterfill" -> { exprs: Seq[Expression] =>

@@ -235,6 +235,21 @@ object Audit {
   def q246CrossModalAudit(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     val docs = Tables.documents(spark, dir)
+    // perceptual clusters over the PRESENT referenced assets — the real
+    // encode→decode→dHash chain off the staged asset artifact
+    val dh = Multimodal.dHashImages(
+      Multimodal.imageAssets(spark, dir)
+        .filter(col("doc_id") % MissingAssetMod =!= MissingAssetRem)).toDF()
+    crossModalOver(docs, dh, Dedup.verifiedPairs(spark, dir).select("d1", "d2"))
+  }
+
+  /** The q246 audit over ANY documents-shaped frame with supplied
+    * present-asset dHashes and verified text pairs — shared by the dir
+    * query and the `cross_modal_audit()` TVF (which resolves both from
+    * the session table: [[Multimodal.dhashOfMeta]] for the fingerprints,
+    * the exact Jaccard join for the pairs). */
+  private[graft] def crossModalOver(docs: DataFrame, dh: DataFrame,
+      textPairs: DataFrame): DataFrame = {
     val docIds = docs.select("doc_id")
     val presentIds = docIds
       .filter(col("doc_id") % MissingAssetMod =!= MissingAssetRem)
@@ -250,11 +265,6 @@ object Audit {
       .join(docIds, docIds("doc_id") === assetIds("asset_id"), "left_anti")
       .agg(count(lit(1)).as("n"))
       .select(lit("asset_orphan").as("issue"), col("n"))
-    // perceptual clusters over the PRESENT referenced assets — the real
-    // encode→decode→dHash chain, restricted by the store rule
-    val dh = Multimodal.dHashImages(
-      Multimodal.imageAssets(spark, dir)
-        .filter(col("doc_id") % MissingAssetMod =!= MissingAssetRem)).toDF()
     val clusters = dh.groupBy("h_hi", "h_lo")
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_img"))
       .filter(col("n_img") >= 2)
@@ -269,13 +279,20 @@ object Audit {
         Seq("keeper"))
       .filter(col("m_fp") =!= col("k_fp"))
       // keeper < m by the election rule, matching the pair list's d1 < d2
-      .join(Dedup.verifiedPairs(spark, dir)
-        .select(col("d1").as("keeper"), col("d2").as("m")),
+      .join(textPairs.select(col("d1").as("keeper"), col("d2").as("m")),
         Seq("keeper", "m"), "left_anti")
       .agg(count(lit(1)).as("n"))
       .select(lit("dup_image_distinct_caption").as("issue"), col("n"))
     missing.unionAll(orphan).unionAll(dupImage).orderBy("issue")
   }
+
+  /** The TVF body: dHashes from the session table's metadata geometry,
+    * pairs via the exact Jaccard join (the `dedup_apply` convention). */
+  private[graft] def tableCrossModal(spark: SparkSession, docs: DataFrame): DataFrame =
+    crossModalOver(docs,
+      Multimodal.dhashOfMeta(
+        docs.filter(col("doc_id") % MissingAssetMod =!= MissingAssetRem)),
+      Dedup.jaccardPairs(Dedup.sigsOf(docs), 0.6).select("d1", "d2"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_integrity_audit" -> (q72IntegrityAudit _),

@@ -287,6 +287,28 @@ object Multimodal {
       }.toDF("doc_id", "h_hi", "h_lo")
   }
 
+  /** dHash fingerprints from a documents-shaped frame's METADATA
+    * geometry (doc_id, n_chars) — the q139/q246 asset convention, for
+    * callers that resolve from a session table rather than the staged
+    * asset artifact ([[dhashOfDocs]] is the SNAPSHOT variant keyed on
+    * live text length). Full real codec round-trip per row, map-only. */
+  private[graft] def dhashOfMeta(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (docId, nChars) =>
+          val (w, h) = ImageFixture.dims(nChars)
+          val bytes = ImageFixture.encode(
+            ImageFixture.grid(docId, w, h), ImageFixture.format(docId))
+          val img = ImageIoDecoder.decode(bytes).getOrElse(
+            throw new IllegalStateException(s"payload for doc $docId did not decode"))
+          val (hi, lo) = dhashBits(img)
+          (docId, hi, lo)
+        }
+      }.toDF("doc_id", "h_hi", "h_lo")
+  }
+
   /** INCREMENTAL maintenance of the image-fingerprint table across a
     * corpus recrawl — [[graft.operators.Corpus.incrementalSigs]]'
     * change-sized story applied to the multimodal family's expensive

@@ -160,4 +160,12 @@ class AuditSpec extends SparkSpec {
     assert(flagged <= nonKeepers,
       s"flagged $flagged exceeds the $nonKeepers non-keeper members")
   }
+
+  test("q246: the cross_modal_audit() TVF body equals the dir query row-for-row") {
+    val dir = graft.operators.Audit.q246CrossModalAudit(spark, sf)
+    val tvf = graft.operators.Audit.tableCrossModal(
+      spark, graft.core.Tables.documents(spark, sf))
+    assert(tvf.exceptAll(dir).isEmpty && dir.exceptAll(tvf).isEmpty,
+      "table-derived audit diverged from the staged-artifact audit")
+  }
 }
