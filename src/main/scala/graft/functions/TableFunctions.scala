@@ -91,6 +91,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM flow_mining()
   *   SELECT * FROM rare_transitions()
   *   SELECT * FROM cross_modal_audit()
+  *   SELECT * FROM training_export()
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -1089,6 +1090,15 @@ object TableFunctions {
             spark, spark.table("documents")))
         case _ => throw new IllegalArgumentException(
           "cross_modal_audit expects no arguments")
+      }
+    },
+    "training_export" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Curation.tableExport(
+            spark, spark.table("documents"), spark.table("embeddings")))
+        case _ => throw new IllegalArgumentException(
+          "training_export expects no arguments")
       }
     },
     "budget_waterfill" -> { exprs: Seq[Expression] =>

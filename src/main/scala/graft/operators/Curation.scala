@@ -254,9 +254,72 @@ object Curation {
     ledgerOutcomes(ledger(spark, dir))
   }
 
+  /** The export rollup over a SURVIVOR ledger slice (alive5 ∧ copies>0)
+    * with a (doc_id, has_vec) embedding-presence frame attached —
+    * shared by q247 and the `training_export()` TVF. Shard draw =
+    * q128's content-hash nibble rule (the same `fpBucket(15)` the q228
+    * manifest's shard_export stage counts), so the export's shard set
+    * IS the manifest's. The per-shard content sum rides 48-bit
+    * md5-prefix values accumulated in decimal(38,0) — at 100 TB a
+    * BIGINT sum of billions of 48-bit values would wrap silently. */
+  private[graft] def exportOver(survivors: DataFrame, hasVec: DataFrame): DataFrame = {
+    val hasAsset = col("doc_id") % Audit.MissingAssetMod =!= Audit.MissingAssetRem
+    survivors
+      .join(hasVec, Seq("doc_id"), "left")
+      .withColumn("shard",
+        conv(substring(col("fp"), 15, 4), 16, 10).cast("long") % Sampling.ExportShards)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_copies") * col("n_tok")).as("n_weighted_tokens"),
+        sum(when(col("has_vec"), 1L).otherwise(0L)).as("n_with_vec"),
+        sum(when(hasAsset, 1L).otherwise(0L)).as("n_with_asset"),
+        // decimal(38,0) accumulator (a BIGINT sum of billions of 48-bit
+        // values wraps), folded mod 10^18 back into BIGINT — the driver's
+        // pandas hash layer renders decimal columns as floats, so the
+        // published checksum must be int64 (HarnessCompatSpec rule 3)
+        (sum(conv(substring(col("fp"), 1, 12), 16, 10).cast("decimal(38,0)"))
+          % lit(1000000000000000000L)).cast("long").as("content_sum"))
+      .orderBy("shard")
+  }
+
+  /** q247 — TRAINING-SET EXPORT MANIFEST: the pipeline's LAST MILE. The
+    * q228 manifest accounts for the run and q229 explains each document,
+    * but neither emits the artifact a training job actually consumes:
+    * the per-shard record manifest of the EXPORTED corpus — survivors
+    * (alive5, mix copies > 0) sharded by q128's content-hash draw, each
+    * shard with its record/token/weighted-token counts, how many records
+    * carry an embedding (the doc_id↔vec_id link q72 audits) and a
+    * present image asset (the q246 store rule), and a DETERMINISTIC
+    * content checksum (summed 48-bit md5 prefixes) that lets a consumer
+    * verify a shard without re-reading the corpus. One ledger pass + one
+    * id-keyed presence join + one shard-grain aggregate; nothing after
+    * the ledger is corpus-sized except the single groupBy shuffle. */
+  def q247TrainingExport(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    exportOver(
+      ledger(spark, dir).filter(col("alive5") && col("n_copies") > 0)
+        .select("doc_id", "fp", "n_tok", "n_copies"),
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id"), lit(true).as("has_vec")))
+  }
+
+  /** The `training_export()` TVF body — ledger and embedding presence
+    * resolved from the session tables (the `curation_ledger()`
+    * convention). */
+  private[graft] def tableExport(spark: SparkSession, docs: DataFrame,
+      emb: DataFrame): DataFrame =
+    exportOver(
+      tableLedger(spark, docs)
+        .filter(col("alive5") && col("n_copies") > 0)
+        .select("doc_id", "fp", "n_tok", "n_copies"),
+      emb.select(col("vec_id").as("doc_id"), lit(true).as("has_vec")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q228_curation_manifest" -> (q228CurationManifest _),
-    "q229_curation_ledger"   -> (q229CurationLedger _))
+    "q229_curation_ledger"   -> (q229CurationLedger _),
+    "q247_training_export"   -> (q247TrainingExport _))
 
   /** The whole chain replayed in SQL: the q38 reachability closure
     * (shared CTEs), the same five survival flags in sequence, q64's
@@ -370,6 +433,28 @@ object Curation {
          |  SELECT 8, 'shard_export', 'shards', n6, shx.n_shards, t6, t6, 0, '' FROM a, shx
          |) ORDER BY stage_ord""".stripMargin
     },
+    // q247: the ledger chain's survivor slice rolled up per q128 shard
+    // draw, embedding presence by vec_id membership, the q246 asset
+    // rule, and the 48-bit md5-prefix checksum summed in HUGEINT
+    // (mirroring the engine's decimal(38,0) accumulator).
+    "q247_training_export" ->
+      s"""$ledgerCtes,
+         |hv AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings)
+         |SELECT CAST(${Sampling.hex4Sql("fp", 15)} % ${Sampling.ExportShards}
+         |    AS BIGINT) AS shard,
+         |  count(*) AS n_records,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_copies * n_tok) AS BIGINT) AS n_weighted_tokens,
+         |  CAST(sum(CASE WHEN hv.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_with_vec,
+         |  CAST(sum(CASE WHEN f6.doc_id % ${Audit.MissingAssetMod}
+         |      <> ${Audit.MissingAssetRem} THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_with_asset,
+         |  CAST(sum(CAST(${Sampling.hex12Sql("fp", 1)} AS HUGEINT))
+         |    % 1000000000000000000 AS BIGINT) AS content_sum
+         |FROM f6 LEFT JOIN hv ON f6.doc_id = hv.doc_id
+         |WHERE alive5 AND n_copies > 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q229_curation_ledger" ->
       s"""$ledgerCtes
          |SELECT doc_id,

@@ -884,6 +884,15 @@ object Sampling {
        | (strpos('0123456789abcdef', substr($hx, ${pos + 2}, 1)) - 1) * 16 +
        | (strpos('0123456789abcdef', substr($hx, ${pos + 3}, 1)) - 1))""".stripMargin
 
+  /** 48-bit variant of [[hex4Sql]] — the q247 export checksum's
+    * per-record value (wide enough that shard sums discriminate, small
+    * enough that the multipliers stay exact BIGINT literals). */
+  private[operators] def hex12Sql(hx: String, pos: Int): String =
+    (0 until 12).map { i =>
+      val mult = 1L << (4 * (11 - i))
+      s"(strpos('0123456789abcdef', substr($hx, ${pos + i}, 1)) - 1) * $mult"
+    }.mkString("(", " +\n ", ")")
+
   /** 24-bit variant of [[hex4Sql]] — matches [[hexFrac]]'s numerator. */
   private[operators] def hex6Sql(hx: String, pos: Int): String =
     (0 until 6).map { i =>

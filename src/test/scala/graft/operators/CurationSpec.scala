@@ -116,4 +116,33 @@ class CurationSpec extends SparkSpec {
       .count()
     assert(ledger.count(_.getString(1) == "low_quality") == lowQ)
   }
+
+  test("q247 export reconciles with the q228 manifest and the q72 link audit") {
+    val manifest = Curation.q228CurationManifest(spark, sf).collect()
+    def st(n: String) = manifest.find(_.getString(1) == n).get
+    val export = Curation.q247TrainingExport(spark, sf).collect()
+    // every exported record is an alive5 survivor with copies > 0: the
+    // export's record count = the mix stage's input minus its thinned
+    // docs, and the weighted token mass = the manifest's tokens_out
+    val nRecords = export.map(_.getLong(1)).sum
+    val expRecords = st("mix_reweight").getLong(3) - st("mix_reweight").getLong(7)
+    assert(nRecords == expRecords,
+      s"export records $nRecords != manifest survivors $expRecords")
+    assert(export.map(_.getLong(3)).sum == st("mix_reweight").getLong(6),
+      "weighted token mass != manifest mix tokens_out")
+    // the export's shard set is exactly the manifest's shard count
+    assert(export.length.toLong == st("shard_export").getLong(4),
+      "export shard count != manifest shard_export n_out")
+    // embedding linkage: the fixture is 1:1 on vec ids, so every record
+    // whose doc_id has a vector is counted — bounded by records
+    export.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= r.getLong(1))
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= r.getLong(1))
+    }
+    // the checksum discriminates: shards with records carry non-zero sums
+    export.foreach { r =>
+      assert(r.getLong(1) == 0 || r.getLong(6) > 0,
+        s"shard ${r.getLong(0)} has a zero checksum")
+    }
+  }
 }
