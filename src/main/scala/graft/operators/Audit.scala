@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
@@ -198,13 +198,21 @@ object Audit {
     * convention: deterministic id rules an oracle replays exactly).
     * Every document references the asset with its own id (the image
     * family's 1:1 convention); the asset store is missing the
-    * `% 13 = 5` slice and carries unreferenced extras (doc_id +
-    * [[OrphanOffset]]) for the `% 17 = 2` slice. */
+    * `% 13 = 5` slice and carries unreferenced extras (the
+    * [[orphanId]] image of the `% 17 = 2` slice). */
   val MissingAssetMod = 13L
   val MissingAssetRem = 5L
   val OrphanAssetMod = 17L
   val OrphanAssetRem = 2L
-  val OrphanOffset = 1000000000L
+
+  /** Synthetic id of an unreferenced store asset planted for document
+    * `doc_id`: `-(doc_id) - 1`. Document ids are nonnegative, so the
+    * orphan id space can NEVER collide with a real document id at any
+    * corpus span — a fixed additive offset (the previous 1e9 rule) would
+    * collide once the id space reached it, silently shifting the
+    * missing/orphan anti-join counts away from the oracle's pure modulus
+    * counts. */
+  private[graft] def orphanId(docId: Column): Column = -docId - 1
 
   /** q246 — CROSS-MODAL LINKAGE AUDIT: q72's referential integrity
     * extended across modalities. The engine fingerprints text (q24/q27),
@@ -256,7 +264,7 @@ object Audit {
       .select(col("doc_id").as("asset_id"))
     val assetIds = presentIds.unionAll(
       docIds.filter(col("doc_id") % OrphanAssetMod === OrphanAssetRem)
-        .select((col("doc_id") + OrphanOffset).as("asset_id")))
+        .select(orphanId(col("doc_id")).as("asset_id")))
     val missing = docIds
       .join(assetIds, docIds("doc_id") === assetIds("asset_id"), "left_anti")
       .agg(count(lit(1)).as("n"))

@@ -265,7 +265,12 @@ object Curation {
   private[graft] def exportOver(survivors: DataFrame, hasVec: DataFrame): DataFrame = {
     val hasAsset = col("doc_id") % Audit.MissingAssetMod =!= Audit.MissingAssetRem
     survivors
-      .join(hasVec, Seq("doc_id"), "left")
+      // distinct matches the oracle's SELECT DISTINCT vec_id: a duplicate
+      // vec_id (plausible via the training_export() TVF, where the
+      // embeddings table is user-supplied) would otherwise fan out
+      // survivor rows and silently inflate every per-shard aggregate,
+      // including the content checksum
+      .join(hasVec.distinct(), Seq("doc_id"), "left")
       .withColumn("shard",
         conv(substring(col("fp"), 15, 4), 16, 10).cast("long") % Sampling.ExportShards)
       .groupBy("shard")

@@ -64,14 +64,21 @@ object TransitionStream {
         rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
           last.foreach { l =>
             // in-order contract: within a batch the sort guarantees
-            // e.ts_us >= l.ts_us; across batches a violation means the
-            // source is not per-user ordered — fail loudly rather than
-            // flag an inverted transition the batch twin cannot produce
-            if (e.ts_us < l.ts_us)
+            // (e.ts_us, e.event_id) >= (l.ts_us, l.event_id); across
+            // batches a violation means the source is not per-user
+            // ordered — fail loudly rather than fold an inverted
+            // transition the batch twin cannot produce. The guard is the
+            // FULL lexicographic sort key: a cross-batch arrival tied on
+            // ts_us but with a smaller event_id would fold AFTER the
+            // stored state here while the batch twin's (ts_us, event_id)
+            // sort folds it BEFORE — same silent divergence, same throw
+            if (e.ts_us < l.ts_us ||
+                (e.ts_us == l.ts_us && e.event_id < l.event_id))
               throw new IllegalStateException(
                 s"out-of-order arrival for user $uid: event ${e.event_id} at " +
-                  s"${e.ts_us}us after state at ${l.ts_us}us — the transition " +
-                  "screen requires per-user in-order delivery")
+                  s"${e.ts_us}us after state (event ${l.event_id} at " +
+                  s"${l.ts_us}us) — the transition screen requires per-user " +
+                  "in-order delivery in (ts, event_id)")
             if (e.ts_us - l.ts_us <= gapUs) {
               // every observed same-corpus transition exists in the
               // model; 0 covers a cold-start pair (trivially rare)

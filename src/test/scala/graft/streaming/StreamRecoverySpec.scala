@@ -248,4 +248,70 @@ class StreamRecoverySpec extends SparkSpec {
     assert(killed == clean,
       s"recovered screen diverged: ${killed.size} rows vs ${clean.size} clean")
   }
+
+  /** One-row-per-file source for the in-order-contract tests: file i
+    * carries exactly `rows(i)`, mtimes pinned so file order is explicit. */
+  private def orderedEvFiles(rows: Seq[(Long, Long, java.sql.Timestamp, String)]): String = {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-inorder-ev").toString
+    val evDir = new java.io.File(out, "events")
+    require(evDir.mkdirs())
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val tmp = Files.createTempDirectory(s"graft-inorder-$i").toString
+      Seq(r).toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file written for row $i"))
+      val dst = new java.io.File(evDir, f"ev-$i%02d.parquet")
+      require(part.renameTo(dst))
+      require(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    evDir.getPath
+  }
+
+  private def drainTransitions(src: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val root = Files.createTempDirectory("graft-inorder-out").toString
+    EventStream.withStreamStatePartitions(spark) {
+      try {
+        val q = TransitionStream.screened(spark,
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src),
+            Map.empty[String, Long]).writeStream
+          .outputMode("append").format("parquet")
+          .option("path", s"$root/data")
+          .option("checkpointLocation", s"$root/checkpoint")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+  }
+
+  test("transition screen rejects a cross-batch ts TIE with a smaller event_id") {
+    // the batch twin's (ts_us, event_id) sort folds the tied smaller-id
+    // event BEFORE the stored state; accepting it here would silently
+    // count the inverted transition — the guard must be the full
+    // lexicographic key, not ts alone (ADVICE r13)
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTransitions(orderedEvFiles(Seq(
+        (1L, 5L, t, "view"),
+        (1L, 3L, t, "click"))))
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("in-order"),
+      s"expected the in-order contract violation to surface, got:\n$chain")
+  }
+
+  test("transition screen accepts a cross-batch ts tie in event_id order") {
+    // tied ts with a LARGER event_id matches the batch sort order — the
+    // guard must not reject the legitimate tie
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    drainTransitions(orderedEvFiles(Seq(
+      (1L, 3L, t, "view"),
+      (1L, 5L, t, "click"))))
+  }
 }
