@@ -553,6 +553,44 @@ object Relational {
         |ORDER BY o.o_orderkey""".stripMargin)
   }
 
+  /** q249 — the SQL GENERATOR surface: `LATERAL VIEW explode` (Spark's
+    * spelling of Presto/Athena's `CROSS JOIN UNNEST`, the construct an
+    * Athena user reaches for daily — reference behavior studied:
+    * freddiemo/data-pipeline-python-aws-cdk
+    * `sql/sample_athena_queries.sql`'s string-splitting duplicate
+    * checks, which Presto users routinely phrase over UNNEST) and
+    * `UNPIVOT` (the inverse of q83's PIVOT), both through `spark.sql`
+    * like q243-q245 gated the subquery family. One statement: tokenize
+    * per source via a lateral generator, aggregate, then unpivot the
+    * wide per-source stats to (source, metric, value) rows.
+    *
+    * Scale shape: the generator plans as a streamed `Generate` node
+    * (per-row array fan-out inside whole-stage codegen — never a join,
+    * never a CartesianProduct), and UNPIVOT plans as an `Expand` over
+    * the |sources|-grain aggregate (3 replicas of a tiny frame). The
+    * plan gate in `PlanAuditSpec` asserts both. All values are BIGINT
+    * counts — order-free, oracle-exact. */
+  def q249UnnestUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH tok AS (
+        |  SELECT d.source, t.token
+        |  FROM documents d
+        |  LATERAL VIEW explode(filter(split(d.text, ' '), x -> x != '')) t AS token
+        |),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+        |    CAST(sum(length(token)) AS BIGINT) AS n_chars
+        |  FROM tok GROUP BY source
+        |)
+        |SELECT source, metric, value
+        |FROM agg UNPIVOT (value FOR metric IN (n_tokens, n_distinct_tokens, n_chars))
+        |ORDER BY source, metric""".stripMargin)
+  }
+
   /** q103 — the complete ranking-window family in one plan: row_number,
     * rank, dense_rank, ntile, percent_rank, cume_dist over the same
     * per-priority price ordering (row_number alone appears in q15; the
@@ -660,6 +698,7 @@ object Relational {
     "q243_exists_subquery"  -> (q243ExistsSubquery _),
     "q244_in_subquery"      -> (q244InSubquery _),
     "q245_scalar_subquery"  -> (q245ScalarSubquery _),
+    "q249_unnest_unpivot"   -> (q249UnnestUnpivot _),
     "q74_json_extract"      -> (q74JsonExtract _),
     "q75_rollup"            -> (q75Rollup _),
     "q81_cube"              -> (q81Cube _),
@@ -773,6 +812,27 @@ object Relational {
         |WHERE o.o_totalprice = (SELECT max(o3.o_totalprice) FROM orders o3
         |                        WHERE o3.o_custkey = o.o_custkey)
         |ORDER BY o.o_orderkey""".stripMargin,
+    // q249: DuckDB's unnest replays the lateral generator; the UNPIVOT
+    // replays as the UNION ALL it desugars to (values never null, so
+    // Spark's exclude-nulls default drops nothing)
+    "q249_unnest_unpivot" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+        |    CAST(sum(length(token)) AS BIGINT) AS n_chars
+        |  FROM tok GROUP BY source)
+        |SELECT source, metric, value FROM (
+        |  SELECT source, 'n_tokens' AS metric, n_tokens AS value FROM agg
+        |  UNION ALL
+        |  SELECT source, 'n_distinct_tokens', n_distinct_tokens FROM agg
+        |  UNION ALL
+        |  SELECT source, 'n_chars', n_chars FROM agg)
+        |ORDER BY source, metric""".stripMargin,
     "q91_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

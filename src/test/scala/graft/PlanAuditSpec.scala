@@ -556,6 +556,23 @@ class PlanAuditSpec extends SparkSpec {
       s"q245: expected the aggregate joined back on the correlation key\n$finalSec")
   }
 
+  test("LATERAL VIEW plans as a streamed Generate, UNPIVOT as Expand (q249)") {
+    // the generator surface must never degrade to a join: a lateral
+    // fan-out that plans as CartesianProduct/BNLJ re-reads the corpus
+    // per generated row at 100 TB. The correct shapes are Generate
+    // (per-row array fan-out, codegen-streamed) for LATERAL VIEW and
+    // Expand (replicated projection of the tiny aggregate) for UNPIVOT.
+    val (_, plan) = executed("q249_unnest_unpivot")
+    val finalSec = plan.split(raw"== Initial Plan ==").head
+    assert(!finalSec.contains("CartesianProduct") &&
+      !finalSec.contains("BroadcastNestedLoopJoin"),
+      s"q249: generator degraded to a join\n$finalSec")
+    assert(finalSec.contains("Generate"),
+      s"q249: LATERAL VIEW did not plan as Generate\n$finalSec")
+    assert(finalSec.contains("Expand"),
+      s"q249: UNPIVOT did not plan as Expand\n$finalSec")
+  }
+
   test("incremental admission probes are equi-joins with broadcast tiny sides (q234)") {
     val (_, plan) = executed("q234_incremental_admission")
     val finalSec = plan.split(raw"== Initial Plan ==").head
