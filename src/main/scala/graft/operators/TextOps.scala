@@ -846,6 +846,90 @@ object TextOps {
       .orderBy(desc("pair_count"), col("left_sym"), col("right_sym"))
       .limit(topK)
 
+  /** Merge rounds for the ITERATED BPE trainer — fixed like
+    * [[Sampling.WaterfillRounds]] so the oracle replays the whole
+    * trajectory as chained CTEs. */
+  val BpeTrainRounds = 4
+
+  /** Segmentation delimiter for the BPE trainer: each symbol is wrapped
+    * as `SEP sym SEP`, so an adjacent pair (L, R) appears as the exact
+    * substring `SEP L SEP SEP R SEP` and a merge is ONE non-overlapping
+    * left-to-right string `replace` — the same greedy semantics in Spark
+    * and DuckDB, with no shared-delimiter consumption between back-to-
+    * back matches (a single-delimiter encoding would let one merge eat
+    * the next match's boundary). U+0001 never occurs in corpus text. */
+  private val BpeSep = "\u0001"
+
+  /** q250 — ITERATED BPE TRAINING (Sennrich et al. 2016 §2): q118 mines
+    * ONE merge step; a tokenizer pipeline runs k rounds with
+    * RE-SEGMENTATION between them — round r's pair counts are taken
+    * over the corpus as segmented by merges 1..r-1, which is what makes
+    * the merge TABLE (not just the first merge) the trained artifact.
+    * Output: one row per round — the elected merge (max pair count,
+    * ties by symbol pair), its count, and the corpus symbol count after
+    * applying it (Σ n_occ·|syms|, the compression trajectory).
+    *
+    * Scale shape: the whole loop runs at VOCABULARY grain (the q118
+    * word-type/frequency formulation — the corpus is scanned once into
+    * (token, n_occ)); each round is a vocab-sized pair explode + one
+    * aggregate, a 1-row election broadcast back, and one map-side
+    * string replace. The vocab frame is localCheckpointed per round
+    * (the q236 waterfill lesson: k chained rounds must not replan —
+    * without it the plan doubles per round because the election subtree
+    * embeds the frame it elects over). */
+  def q250BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    bpeTrain(tokenStream(spark, dir), BpeTrainRounds)
+  }
+
+  /** The trainer over ANY occurrence frame with a `token` column. */
+  private[graft] def bpeTrain(occ: DataFrame, rounds: Int): DataFrame = {
+    val sep = BpeSep
+    val sepPat = java.util.regex.Pattern.quote(sep + sep)
+    def syms(seg: Column): Column = split(trim(seg, sep), sepPat)
+    // initial segmentation: every character its own wrapped symbol
+    // ((?s) so an exotic token cannot silently drop characters)
+    var cur = occ
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+      .select(
+        regexp_replace(col("token"), "(?s)(.)", sep + "$1" + sep).as("seg"),
+        col("n_occ"))
+      .localCheckpoint()
+    val roundRows = (1 to rounds).map { ord =>
+      val s = syms(col("seg"))
+      val pairs = cur
+        .select(col("n_occ"), s.as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("n_occ"), explode(transform(
+          sequence(lit(0), size(col("s")) - 2),
+          i => struct(element_at(col("s"), i + 1).as("l"),
+            element_at(col("s"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n_occ")).as("pair_count"))
+      // the elected merge: 1 row, checkpointed because it feeds BOTH the
+      // re-segmentation and the report row
+      val top1 = pairs
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(1)
+        .localCheckpoint()
+      cur = cur.crossJoin(broadcast(top1))
+        .withColumn("seg", replace(col("seg"),
+          concat(lit(sep), col("l"), lit(sep + sep), col("r"), lit(sep)),
+          concat(lit(sep), col("l"), col("r"), lit(sep))))
+        .select("seg", "n_occ")
+        .localCheckpoint()
+      // Σ n_occ·|syms| after the merge — the compression trajectory
+      val nAfter = cur.agg(
+        sum(size(syms(col("seg"))).cast("long") * col("n_occ"))
+          .as("n_symbols_after"))
+      top1.crossJoin(nAfter)
+        .select(lit(ord.toLong).as("merge_ord"),
+          col("l").as("left_sym"), col("r").as("right_sym"),
+          col("pair_count"), col("n_symbols_after"))
+    }
+    roundRows.reduce(_ unionAll _).orderBy("merge_ord")
+  }
+
   /** Reference-vocabulary size for the coverage audit. */
   val VocabTopV = 10
 
@@ -989,6 +1073,7 @@ object TextOps {
     "q201_template_spans" -> (q201TemplateSpans _),
     "q122_zipf_slope" -> (q122ZipfSlope _),
     "q118_bpe_merges" -> (q118BpeMerges _),
+    "q250_bpe_train" -> (q250BpeTrain _),
     "q119_vocab_coverage" -> (q119VocabCoverage _),
     "q109_cooccurrence" -> (q109Cooccurrence _),
     "q92_pmi_collocations" -> (q92PmiCollocations _),
@@ -1128,6 +1213,45 @@ object TextOps {
          |SELECT left_sym, right_sym, CAST(COUNT(*) AS BIGINT) AS pair_count
          |FROM pairs GROUP BY 1, 2
          |ORDER BY pair_count DESC, left_sym, right_sym LIMIT $BpeTopK""".stripMargin,
+    // q250: the k-round trajectory replayed as chained CTEs — the same
+    // wrapped-symbol string representation, the same greedy left-to-
+    // right replace merge, the same (count DESC, l, r) election
+    "q250_bpe_train" -> {
+      val S = "chr(1)"
+      val SS = s"$S || $S"
+      val roundCtes = (1 to BpeTrainRounds).map { r =>
+        val prev = s"v${r - 1}"
+        s"p$r AS (\n" +
+          s"  SELECT q.s[i] AS l, q.s[i + 1] AS r, CAST(sum(q.n_occ) AS BIGINT) AS c\n" +
+          s"  FROM (SELECT string_split(trim(seg, $S), $SS) AS s, n_occ FROM $prev) q,\n" +
+          s"       UNNEST(range(1, len(q.s))) AS t(i)\n" +
+          s"  GROUP BY 1, 2),\n" +
+          s"t$r AS (SELECT l, r AS rr, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),\n" +
+          s"v$r AS (\n" +
+          s"  SELECT replace(seg, $S || l || $S || $S || rr || $S," +
+          s" $S || l || rr || $S) AS seg, n_occ\n" +
+          s"  FROM $prev, t$r),\n" +
+          s"m$r AS (\n" +
+          s"  SELECT CAST($r AS BIGINT) AS merge_ord, l AS left_sym, rr AS right_sym,\n" +
+          s"    c AS pair_count,\n" +
+          s"    (SELECT CAST(sum(len(string_split(trim(seg, $S), $SS)) * n_occ) AS BIGINT)\n" +
+          s"     FROM v$r) AS n_symbols_after\n" +
+          s"  FROM t$r)"
+      }.mkString(",\n")
+      val unions = (1 to BpeTrainRounds).map(r => s"SELECT * FROM m$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH occ AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents),
+         |v0 AS (
+         |  SELECT regexp_replace(token, '(?s)(.)', $S || '\\1' || $S, 'g') AS seg,
+         |    CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM occ GROUP BY 1),
+         |$roundCtes
+         |SELECT * FROM (
+         |  $unions
+         |) ORDER BY merge_ord""".stripMargin
+    },
     "q119_vocab_coverage" ->
       s"""WITH tok AS (
          |  SELECT doc_id, source, lang,

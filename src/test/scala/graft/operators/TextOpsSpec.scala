@@ -317,6 +317,24 @@ class TextOpsSpec extends SparkSpec {
       Seq(("a", "b", 4L), ("b", "c", 1L)))
   }
 
+  test("iterated BPE recovers the known merge sequence with re-segmentation") {
+    import spark.implicits._
+    // corpus: 'aaab' x3, 'ab' x2. Round 1 counts over characters:
+    // (a,a)=6, (a,b)=5 -> merge (a,a). Re-segmented: [aa,a,b] / [a,b].
+    // Round 2: (aa,a)=3, (a,b)=3+2=5 -> merge (a,b); the greedy
+    // left-to-right rule matters here ('aaa' folds to [aa,a], not
+    // [a,aa]). Round 3: [aa,ab] -> merge (aa,ab)=3. The symbol-count
+    // trajectory pins the re-segmentation itself: 13 -> 8 -> 5.
+    val occ = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).toDF("token")
+    val out = TextOps.bpeTrain(occ, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, "a", "a", 6L, 13L),
+      (2L, "a", "b", 5L, 8L),
+      (3L, "aa", "ab", 3L, 5L)))
+  }
+
   test("zipf slope recovers -1 on an exactly-Zipfian vocabulary") {
     import spark.implicits._
     // cf = 12/rank exactly (12, 6, 4, 3) → ln(cf) = ln 12 − ln(rank):
