@@ -329,6 +329,103 @@ object Retrieval {
       .orderBy("query_id")
   }
 
+  /** Per-rank DCG discounts in integer MICROS: `round(10⁶ / log2(r+1))`
+    * for ranks 1..[[TopK]]. Computed ONCE here and rendered into both
+    * engines as a literal rank→discount table (the K1/B literal
+    * convention): the transcendental never runs in either engine's
+    * plan, so the nDCG arithmetic below is pure integer and
+    * hash-exact. */
+  private[graft] val DcgDiscMicro: Seq[(Long, Long)] =
+    (1 to TopK).map(r =>
+      r.toLong -> math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** q251 — RETRIEVAL QUALITY METRICS (nDCG@k + MRR): the numbers a
+    * retrieval stack actually reports, over BOTH ranking systems the
+    * engine serves — q70's BM25 and q113's hybrid RRF — against a
+    * DETERMINISTIC graded relevance fixture derived from the corpus by
+    * a replayable rule (the q199 convention, graded): gain(q, d) = the
+    * number of DISTINCT query terms d contains (0..|terms|), the
+    * standard graded proxy when no human judgments exist. Per (system,
+    * query): DCG@k in discount-micros units, the ideal DCG over the
+    * corpus-wide relevant set (gain DESC, doc_id ties), nDCG@k and the
+    * reciprocal rank of the first FULLY-relevant hit (gain = |terms|,
+    * q199's boolean-AND rule) — plus one `query_id = -1` summary row
+    * per system carrying the mean nDCG and the MRR (truncating integer
+    * micro means). q199 answers "did the relevant docs make top-k";
+    * this ranks the two systems by position-weighted graded quality —
+    * the comparison a retrieval deployment reads before switching
+    * rankers.
+    *
+    * Scale shape: relevance rides the SAME query-vocabulary-filtered
+    * token stream as the scoring (candidate-sized, never the corpus
+    * stream); both rankings are their own proven plans; everything
+    * after is (|queries| × k)-grain with the discount table a broadcast
+    * literal join. The ideal ranking windows per query over the
+    * candidate set only. */
+  def q251RetrievalQuality(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val matched = TextOps.tokenStage(spark, dir)
+      .filter(col("token").isin(QuerySet.map(_._2).distinct: _*))
+      .select("doc_id", "token").distinct()
+    val ranked = q70Bm25(spark, dir)
+      .select(lit("bm25").as("system"), col("query_id"), col("rnk"), col("doc_id"))
+      .unionByName(q113HybridRrf(spark, dir)
+        .select(lit("hybrid_rrf").as("system"), col("query_id"), col("rnk"),
+          col("doc_id")))
+    qualityOver(spark, ranked, matched)
+  }
+
+  /** The metric tail over ANY ("system", query_id, rnk, doc_id) ranking
+    * frame + a distinct (doc_id, token) query-vocabulary match set. */
+  private[operators] def qualityOver(spark: SparkSession, ranked: DataFrame,
+      matched: DataFrame): DataFrame = {
+    import spark.implicits._
+    val q = QuerySet.toDF("query_id", "term")
+    val nTerms = QuerySet.groupBy(_._1)
+      .map { case (id, xs) => (id, xs.map(_._2).distinct.size.toLong) }
+      .toSeq.toDF("query_id", "n_terms")
+    val discs = DcgDiscMicro.toDF("rnk", "disc_micro")
+    // graded gains over the candidate set (docs matching >= 1 term)
+    val gains = q.join(matched, q("term") === matched("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("gain"))
+    // DCG@k + first fully-relevant rank, per (system, query)
+    val dcg = ranked
+      .join(gains, Seq("query_id", "doc_id"), "left")
+      .withColumn("gain", coalesce(col("gain"), lit(0L)))
+      .join(broadcast(discs), Seq("rnk"))
+      .join(broadcast(nTerms), Seq("query_id"))
+      .groupBy("system", "query_id")
+      .agg(
+        sum(col("gain") * col("disc_micro")).as("dcg_units"),
+        min(when(col("gain") === col("n_terms"), col("rnk"))).as("first_rel"))
+    // ideal DCG@k: the corpus-wide relevant set in (gain DESC, doc_id)
+    // order — per-query window over the candidate set only
+    val iw = Window.partitionBy("query_id")
+      .orderBy(col("gain").desc, col("doc_id"))
+    val idcg = gains
+      .withColumn("rnk", row_number().over(iw).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .join(broadcast(discs), Seq("rnk"))
+      .groupBy("query_id")
+      .agg(sum(col("gain") * col("disc_micro")).as("idcg_units"))
+    val perQ = dcg.join(idcg, Seq("query_id"), "left")
+      .na.fill(0L, Seq("idcg_units"))
+      .select(col("system"), col("query_id"),
+        col("dcg_units"), col("idcg_units"),
+        expr("(dcg_units * 1000000) div greatest(idcg_units, 1)").as("ndcg_micro"),
+        coalesce(expr("1000000 div first_rel"), lit(0L)).as("rr_micro"))
+    val summary = perQ.groupBy("system")
+      .agg(
+        sum(col("dcg_units")).as("dcg_units"),
+        sum(col("idcg_units")).as("idcg_units"),
+        expr("sum(ndcg_micro) div count(*)").as("ndcg_micro"),
+        expr("sum(rr_micro) div count(*)").as("rr_micro"))
+      .select(col("system"), lit(-1L).as("query_id"), col("dcg_units"),
+        col("idcg_units"), col("ndcg_micro"), col("rr_micro"))
+    perQ.unionByName(summary).orderBy("system", "query_id")
+  }
+
   /** Context-window token budget of the q211 packer (a deployment
     * passes its model's window minus prompt overhead). */
   val ContextBudgetTokens = 512L
@@ -436,6 +533,7 @@ object Retrieval {
     "q113_hybrid_rrf" -> (q113HybridRrf _),
     "q117_inverted_index" -> (q117InvertedIndex _),
     "q199_retrieval_eval" -> (q199RetrievalEval _),
+    "q251_retrieval_quality" -> (q251RetrievalQuality _),
     "q211_context_pack" -> (q211ContextPack _))
 
   private val valuesSql =
@@ -645,6 +743,117 @@ object Retrieval {
          |  CAST(rrf_micro AS BIGINT) AS rrf_micro,
          |  CAST(bm25_rnk AS BIGINT) AS bm25_rnk, CAST(cos_rnk AS BIGINT) AS cos_rnk
          |FROM r WHERE rnk <= $RrfTopK ORDER BY query_id, rnk""".stripMargin,
+    // q251: both ranking pipelines' proven CTEs (q70's BM25, q113's
+    // fused RRF), the graded gain rule, the LITERAL rank→discount table
+    // (the same Scala-computed micros the engine joins), and the
+    // integer nDCG/MRR arithmetic
+    "q251_retrieval_quality" -> {
+      val discValues = DcgDiscMicro
+        .map { case (r, d) => s"($r, $d)" }.mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+         |stats AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n
+         |  FROM dd),
+         |q(query_id, term) AS (VALUES $valuesSql),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dd) u
+         |  WHERE token IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |contrib AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    CAST(round(
+         |      ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |        (tf.tf * $K1Plus1Lit) /
+         |        (tf.tf + $K1Lit * ($OneMinusBLit + $BLit * tf.dl / stats.avgdl)) *
+         |      1000000) AS BIGINT) AS contrib
+         |  FROM q JOIN tf ON q.term = tf.token JOIN df ON df.token = tf.token, stats),
+         |agg AS (
+         |  SELECT query_id, doc_id, sum(contrib) AS micro
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |r1 AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY micro DESC, doc_id) AS rnk
+         |  FROM agg),
+         |topk70 AS (SELECT query_id, doc_id, rnk FROM r1 WHERE rnk <= $TopK),
+         |sparse AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sum(contrib) DESC, doc_id) AS bm25_rnk
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |probes AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS pv
+         |  FROM embeddings WHERE vec_id IN ($queryIdsSql)),
+         |dense AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, doc_id) AS cos_rnk
+         |  FROM (
+         |    SELECT p.query_id, e.vec_id AS doc_id,
+         |      list_dot_product(p.pv, CAST(e.embedding AS DOUBLE[])) /
+         |        sqrt(list_dot_product(p.pv, p.pv) *
+         |             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS cos_raw
+         |    FROM embeddings e, probes p WHERE e.vec_id <> p.query_id) s),
+         |fused AS (
+         |  SELECT coalesce(s.query_id, de.query_id) AS query_id,
+         |    coalesce(s.doc_id, de.doc_id) AS doc_id,
+         |    coalesce(1000000 // ($RrfK + s.bm25_rnk), 0) +
+         |    coalesce(1000000 // ($RrfK + de.cos_rnk), 0) AS rrf_micro
+         |  FROM sparse s FULL OUTER JOIN dense de
+         |    ON s.query_id = de.query_id AND s.doc_id = de.doc_id),
+         |r2 AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rnk
+         |  FROM fused),
+         |topk113 AS (SELECT query_id, doc_id, rnk FROM r2 WHERE rnk <= $RrfTopK),
+         |ranked AS (
+         |  SELECT 'bm25' AS system, query_id, doc_id, rnk FROM topk70
+         |  UNION ALL
+         |  SELECT 'hybrid_rrf', query_id, doc_id, rnk FROM topk113),
+         |nterms AS (
+         |  SELECT query_id, count(DISTINCT term) AS n_terms FROM q GROUP BY query_id),
+         |gains AS (
+         |  SELECT qq.query_id, tf.doc_id, CAST(count(DISTINCT qq.term) AS BIGINT) AS gain
+         |  FROM (SELECT DISTINCT query_id, term FROM q) qq
+         |  JOIN tf ON qq.term = tf.token
+         |  GROUP BY qq.query_id, tf.doc_id),
+         |disc(rnk, dm) AS (VALUES $discValues),
+         |dcg AS (
+         |  SELECT rk.system, rk.query_id,
+         |    CAST(sum(coalesce(g.gain, 0) * disc.dm) AS BIGINT) AS dcg_units,
+         |    min(CASE WHEN coalesce(g.gain, 0) = nt.n_terms THEN rk.rnk END) AS first_rel
+         |  FROM ranked rk
+         |  LEFT JOIN gains g ON rk.query_id = g.query_id AND rk.doc_id = g.doc_id
+         |  JOIN disc ON disc.rnk = rk.rnk
+         |  JOIN nterms nt ON nt.query_id = rk.query_id
+         |  GROUP BY 1, 2),
+         |ideal AS (
+         |  SELECT query_id, gain,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY gain DESC, doc_id) AS irnk
+         |  FROM gains),
+         |idcg AS (
+         |  SELECT query_id, CAST(sum(gain * dm) AS BIGINT) AS idcg_units
+         |  FROM ideal JOIN disc ON disc.rnk = ideal.irnk
+         |  WHERE irnk <= $TopK GROUP BY query_id),
+         |perq AS (
+         |  SELECT dc.system, CAST(dc.query_id AS BIGINT) AS query_id, dc.dcg_units,
+         |    CAST(coalesce(i.idcg_units, 0) AS BIGINT) AS idcg_units,
+         |    CAST((dc.dcg_units * 1000000)
+         |      // greatest(coalesce(i.idcg_units, 0), 1) AS BIGINT) AS ndcg_micro,
+         |    CAST(coalesce(1000000 // dc.first_rel, 0) AS BIGINT) AS rr_micro
+         |  FROM dcg dc LEFT JOIN idcg i ON dc.query_id = i.query_id)
+         |SELECT system, query_id, dcg_units, idcg_units, ndcg_micro, rr_micro FROM (
+         |  SELECT * FROM perq
+         |  UNION ALL
+         |  SELECT system, CAST(-1 AS BIGINT), CAST(sum(dcg_units) AS BIGINT),
+         |    CAST(sum(idcg_units) AS BIGINT),
+         |    CAST(sum(ndcg_micro) // count(*) AS BIGINT),
+         |    CAST(sum(rr_micro) // count(*) AS BIGINT)
+         |  FROM perq GROUP BY system)
+         |ORDER BY system, query_id""".stripMargin
+    },
     // q211: the q70 scoring CTEs + the greedy-prefix pack — cumulative
     // dl in (micro DESC, doc_id) order, packed iff cum ≤ budget.
     "q211_context_pack" ->

@@ -136,6 +136,40 @@ class RetrievalSpec extends SparkSpec {
     assert(nR3 == 0L && h3 == 0L && rec3 == 0L && rr3 == 0L)
   }
 
+  test("q251 nDCG/MRR reconcile against a hand-computed tiny fixture") {
+    // query 1 = {spark, join} (n_terms = 2). Candidates: doc 10 matches
+    // both (gain 2), docs 11/12 match one each (gain 1). A ranking that
+    // puts the gain-1 doc first, the gain-2 doc second, and an
+    // irrelevant doc third:
+    //   DCG  = 1·disc(1) + 2·disc(2) + 0 = 1000000 + 2·630930 = 2261860
+    //   IDCG = 2·disc(1) + 1·disc(2) + 1·disc(3)
+    //        = 2000000 + 630930 + 500000 = 3130930
+    //   nDCG = (2261860·10⁶) div 3130930;  RR = 10⁶ div 2 (first FULL
+    //   match, gain = n_terms, sits at rank 2)
+    val matched = Seq((10L, "spark"), (10L, "join"), (11L, "spark"),
+      (12L, "join")).toDF("doc_id", "token")
+    val ranked = Seq(("s", 1L, 1L, 11L), ("s", 1L, 2L, 10L), ("s", 1L, 3L, 99L))
+      .toDF("system", "query_id", "rnk", "doc_id")
+    val out = Retrieval.qualityOver(spark, ranked, matched).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val dcg = 1000000L + 2L * 630930L
+    val idcg = 2L * 1000000L + 630930L + 500000L
+    val ndcg = dcg * 1000000L / idcg
+    assert(out == Seq(
+      ("s", -1L, dcg, idcg, ndcg, 500000L),
+      ("s", 1L, dcg, idcg, ndcg, 500000L)))
+  }
+
+  test("q251 discount table is the rounded-micros log2 law") {
+    // the literal table both engines join must BE round(1e6/log2(r+1))
+    Retrieval.DcgDiscMicro.foreach { case (r, d) =>
+      assert(d == math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+    }
+    assert(Retrieval.DcgDiscMicro.take(3).map(_._2) ==
+      Seq(1000000L, 630930L, 500000L))
+  }
+
   test("q214: phrase hits are adjacency-and-order exact, positions 0-based") {
     import spark.implicits._
     val docs = Seq(
