@@ -214,17 +214,34 @@ object Audit {
     * counts. */
   private[graft] def orphanId(docId: Column): Column = -docId - 1
 
+  /** AUDIO/VIDEO linkage fixture rules (round-13 verdict item 7): the
+    * WAV (q110/q111/q153) and GIF (q112/q158) asset stores follow the
+    * image family's 1:1 id convention, with DISTINCT moduli per
+    * modality — each modality's planted counts differ, so a
+    * misattributed anti join (audio counted against the video store)
+    * cannot cancel out into a passing total. */
+  val MissingAudioMod = 11L
+  val MissingAudioRem = 3L
+  val OrphanAudioMod = 19L
+  val OrphanAudioRem = 7L
+  val MissingVideoMod = 23L
+  val MissingVideoRem = 4L
+  val OrphanVideoMod = 29L
+  val OrphanVideoRem = 11L
+
   /** q246 — CROSS-MODAL LINKAGE AUDIT: q72's referential integrity
     * extended across modalities. The engine fingerprints text (q24/q27),
     * images (q139), audio (q153) and video (q158) separately; a real
     * multimodal corpus additionally needs the LINK between a document
-    * and its media asset audited. Three issue classes, one (issue, n)
-    * row each:
+    * and its media asset audited — for EVERY modality store the corpus
+    * carries (image, audio, video; distinct planted id rules each).
+    * Seven issue classes, one (issue, n) row each:
     *
-    *   - `doc_missing_asset` — documents whose referenced asset is
-    *     absent from the store (id-projected anti join);
-    *   - `asset_orphan` — assets no document references (the transpose
-    *     anti join);
+    *   - `doc_missing_asset` / `doc_missing_audio` / `doc_missing_video`
+    *     — documents whose referenced asset is absent from that
+    *     modality's store (id-projected anti joins);
+    *   - `asset_orphan` / `audio_orphan` / `video_orphan` — store assets
+    *     no document references (the transpose anti joins);
     *   - `dup_image_distinct_caption` — cluster members whose image is
     *     perceptually identical to their cluster keeper's (q139's exact
     *     dHash through the REAL codec chain) but whose caption is
@@ -259,20 +276,14 @@ object Audit {
   private[graft] def crossModalOver(docs: DataFrame, dh: DataFrame,
       textPairs: DataFrame): DataFrame = {
     val docIds = docs.select("doc_id")
-    val presentIds = docIds
-      .filter(col("doc_id") % MissingAssetMod =!= MissingAssetRem)
-      .select(col("doc_id").as("asset_id"))
-    val assetIds = presentIds.unionAll(
-      docIds.filter(col("doc_id") % OrphanAssetMod === OrphanAssetRem)
-        .select(orphanId(col("doc_id")).as("asset_id")))
-    val missing = docIds
-      .join(assetIds, docIds("doc_id") === assetIds("asset_id"), "left_anti")
-      .agg(count(lit(1)).as("n"))
-      .select(lit("doc_missing_asset").as("issue"), col("n"))
-    val orphan = assetIds
-      .join(docIds, docIds("doc_id") === assetIds("asset_id"), "left_anti")
-      .agg(count(lit(1)).as("n"))
-      .select(lit("asset_orphan").as("issue"), col("n"))
+    // one (missing, orphan) row pair per modality store — 8-byte-id anti
+    // joins either way; the image rows keep their original issue labels
+    val imageRows = linkRows(docIds, MissingAssetMod, MissingAssetRem,
+      OrphanAssetMod, OrphanAssetRem, "doc_missing_asset", "asset_orphan")
+    val audioRows = linkRows(docIds, MissingAudioMod, MissingAudioRem,
+      OrphanAudioMod, OrphanAudioRem, "doc_missing_audio", "audio_orphan")
+    val videoRows = linkRows(docIds, MissingVideoMod, MissingVideoRem,
+      OrphanVideoMod, OrphanVideoRem, "doc_missing_video", "video_orphan")
     val clusters = dh.groupBy("h_hi", "h_lo")
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_img"))
       .filter(col("n_img") >= 2)
@@ -291,7 +302,31 @@ object Audit {
         Seq("keeper", "m"), "left_anti")
       .agg(count(lit(1)).as("n"))
       .select(lit("dup_image_distinct_caption").as("issue"), col("n"))
-    missing.unionAll(orphan).unionAll(dupImage).orderBy("issue")
+    imageRows.unionAll(audioRows).unionAll(videoRows).unionAll(dupImage)
+      .orderBy("issue")
+  }
+
+  /** The (missing, orphan) referential pair for one modality store:
+    * present assets are the non-missing slice under the modality's 1:1
+    * id rule; planted orphans are the [[orphanId]] image of the orphan
+    * slice. Both checks are id-projected anti joins. */
+  private def linkRows(docIds: DataFrame, mm: Long, mr: Long, om: Long,
+      or: Long, missingLabel: String, orphanLabel: String): DataFrame = {
+    val presentIds = docIds
+      .filter(col("doc_id") % mm =!= mr)
+      .select(col("doc_id").as("asset_id"))
+    val assetIds = presentIds.unionAll(
+      docIds.filter(col("doc_id") % om === or)
+        .select(orphanId(col("doc_id")).as("asset_id")))
+    val missing = docIds
+      .join(assetIds, docIds("doc_id") === assetIds("asset_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(missingLabel).as("issue"), col("n"))
+    val orphan = assetIds
+      .join(docIds, docIds("doc_id") === assetIds("asset_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(orphanLabel).as("issue"), col("n"))
+    missing.unionAll(orphan)
   }
 
   /** The TVF body: dHashes from the session table's metadata geometry,
@@ -408,6 +443,10 @@ object Audit {
     "q246_cross_modal_audit" -> {
       val (mm, mr) = (MissingAssetMod, MissingAssetRem)
       val (om, or) = (OrphanAssetMod, OrphanAssetRem)
+      val (amm, amr) = (MissingAudioMod, MissingAudioRem)
+      val (aom, aor) = (OrphanAudioMod, OrphanAudioRem)
+      val (vmm, vmr) = (MissingVideoMod, MissingVideoRem)
+      val (vom, vor) = (OrphanVideoMod, OrphanVideoRem)
       s"""${Dedup.jaccardCtes},
          |jp AS (
          |  SELECT p.d1, p.d2
@@ -439,6 +478,18 @@ object Audit {
          |  UNION ALL
          |  SELECT 'asset_orphan',
          |    CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % $om = $or
+         |  UNION ALL
+         |  SELECT 'doc_missing_audio',
+         |    CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % $amm = $amr
+         |  UNION ALL
+         |  SELECT 'audio_orphan',
+         |    CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % $aom = $aor
+         |  UNION ALL
+         |  SELECT 'doc_missing_video',
+         |    CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % $vmm = $vmr
+         |  UNION ALL
+         |  SELECT 'video_orphan',
+         |    CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % $vom = $vor
          |  UNION ALL
          |  SELECT 'dup_image_distinct_caption', CAST(x.n AS BIGINT) FROM x)
          |ORDER BY issue""".stripMargin

@@ -135,8 +135,31 @@ class AuditSpec extends SparkSpec {
     assert(expMissing > 0 && expOrphan > 0, "planted rules must fire at every SF")
     assert(out("doc_missing_asset") === expMissing)
     assert(out("asset_orphan") === expOrphan)
+    // audio/video stores: same anti-join machinery, distinct moduli —
+    // each modality's count must equal ITS OWN planted slice
+    def planted(mod: Long, rem: Long): Long =
+      docs.filter(col("doc_id") % mod === rem).count()
+    val expectByIssue = Map(
+      "doc_missing_audio" ->
+        planted(graft.operators.Audit.MissingAudioMod, graft.operators.Audit.MissingAudioRem),
+      "audio_orphan" ->
+        planted(graft.operators.Audit.OrphanAudioMod, graft.operators.Audit.OrphanAudioRem),
+      "doc_missing_video" ->
+        planted(graft.operators.Audit.MissingVideoMod, graft.operators.Audit.MissingVideoRem),
+      "video_orphan" ->
+        planted(graft.operators.Audit.OrphanVideoMod, graft.operators.Audit.OrphanVideoRem))
+    expectByIssue.foreach { case (issue, exp) =>
+      assert(exp > 0, s"$issue: planted rule must fire at every SF")
+      assert(out(issue) === exp, issue)
+    }
+    // the six modality counts are pairwise distinct on this corpus —
+    // a cross-modality misattribution cannot pass
+    assert(expectByIssue.values.toSeq.distinct.size === 4)
     assert(out.keySet === Set(
-      "doc_missing_asset", "asset_orphan", "dup_image_distinct_caption"))
+      "doc_missing_asset", "asset_orphan",
+      "doc_missing_audio", "audio_orphan",
+      "doc_missing_video", "video_orphan",
+      "dup_image_distinct_caption"))
   }
 
   test("q246: distinct-caption count rides the keeper grain of the real dHash clusters") {
