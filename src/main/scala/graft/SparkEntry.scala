@@ -66,6 +66,7 @@ object SparkEntry {
       operators.ScoreNorm.queries ++
       operators.Sharding.queries ++
       operators.Curation.queries ++
+      operators.Export.queries ++
       operators.Admission.queries ++
       layout.BucketedLayout.queries ++
       layout.ZOrderLayout.queries ++
@@ -146,6 +147,7 @@ object SparkEntry {
       operators.ScoreNorm.oracles ++
       operators.Sharding.oracles ++
       operators.Curation.oracles ++
+      operators.Export.oracles ++
       operators.Admission.oracles ++
       layout.BucketedLayout.oracles ++
       layout.ZOrderLayout.oracles ++

@@ -331,7 +331,7 @@ object Curation {
     * pow/round mix rates over the survivors, q63's ceil-division
     * packing and q128's shard draw — hex draws replayed with the
     * established nibble arithmetic over the same content md5. */
-  private def ledgerCtes: String = {
+  private[operators] def ledgerCtes: String = {
     val M = Dedup.EvalDocModulus
     s"""${Dedup.reachCtes},
        |lab AS (SELECT id, min(r) AS grp FROM reach GROUP BY id),

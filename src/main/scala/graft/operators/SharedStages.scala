@@ -35,6 +35,9 @@ object SharedStages {
       IvfIndex.centroids(s, d, Similarity.semClustersFor(n)); () }),
     // the margin miner's materialized per-version assignment store
     "margin_assign_store" -> ((s, d) => { Margin.assignStore(s, d); () }),
+    // the landed training-set export (q248 re-reads it; the one-time
+    // ledger pass + partitioned write must not be billed to the query)
+    "export_landing" -> ((s, d) => { Export.landExport(s, d); () }),
     // the encoded media asset tables (the heaviest one-time builds)
     "image_assets" -> ((s, d) => { Multimodal.imageAssets(s, d).count(); () }),
     "audio_assets" -> ((s, d) => { Audio.audioAssets(s, d).count(); () }),

@@ -408,7 +408,42 @@ object ScaleValidate {
         scannedFiles.contains(report.filesAfter.toLong))
     }
 
-    val blocks = Seq(dedup, serving, linkage, curation, admission, compaction)
+    // ---- block 7: the export landing (q248) at 10× ----
+    // the writer lands the 10× training set as partitioned shards and
+    // the verifier re-reads the landed bytes: every shard must
+    // reconcile (records, tokens, weighted mass, shard draw, content
+    // checksum) against the manifest recomputed from the corpus — the
+    // artifact a training job consumes, proven at scale, not just at
+    // the fixture SF.
+    val export = new Block("export_landing")
+    locally {
+      val prev = spark.conf.getOption("spark.graft.export.dir")
+      val root = java.nio.file.Files.createTempDirectory("graft-export-sf1").toString
+      spark.conf.set("spark.graft.export.dir", root)
+      try {
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Export.q248ExportVerify(spark, sf1).collect()
+        export.stats("n_shards") = rows.length.toLong
+        export.stats("n_records_landed") = rows.map(_.getLong(1)).sum
+        export.stats("n_tokens_landed") = rows.map(_.getLong(2)).sum
+        export.stats("land_and_verify_ms") = (System.nanoTime() - t0) / 1000000
+        export.gate("nonempty")(rows.nonEmpty && rows.forall(_.getLong(1) > 0))
+        export.gate("all_shards_reconcile")(rows.forall(r =>
+          r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7) &&
+            r.getBoolean(8) && r.getBoolean(9)))
+        val manifestRecords = graft.operators.Curation
+          .q247TrainingExport(spark, sf1)
+          .agg(sum(col("n_records"))).collect()(0).getLong(0)
+        export.gate("record_mass_matches_manifest")(
+          rows.map(_.getLong(1)).sum == manifestRecords)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.graft.export.dir", v)
+        case None => spark.conf.unset("spark.graft.export.dir")
+      }
+    }
+
+    val blocks = Seq(dedup, serving, linkage, curation, admission, compaction,
+      export)
     val ok = blocks.forall(_.checks.values.forall(identity))
     val line =
       s"""{"metric":"scale_validate","ok":$ok,"sf1_dir":"$sf1",""" +
