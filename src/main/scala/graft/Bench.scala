@@ -141,6 +141,28 @@ object Bench {
     // AT PROCESS START (before our own threads existed) also triggers
     // a retry, by which time the external spike has usually passed.
     val ambientHigh = scala.util.Try(loadavgStart.toDouble).toOption.exists(_ > 2.0)
+    // pre-sweep COOLDOWN (round-13 verdict item 6): rounds 12 and 13
+    // both started the timed sweep with sweep residue still loading the
+    // box (builder runs spanned 147-163 s, calib 0.026-0.035) and
+    // shipped a uniform ~10% drift that burned judge time in four
+    // rounds. Instead of only RECORDING the contamination, WAIT — up to
+    // 120 s, probing the constant calibration workload every 5 s —
+    // until it lands within 1.3× of the recorded idle constant before
+    // the first timed sweep. If the box never settles, proceed (the
+    // retry/contended machinery below still applies) and the recorded
+    // cooldown_ms says how long we tried.
+    val CooldownMaxMs = 120000L
+    val cooldownStart = System.currentTimeMillis()
+    var calProbe = calibrate()
+    while (calProbe > 1.3 * IdleCalibSec &&
+        System.currentTimeMillis() - cooldownStart < CooldownMaxMs) {
+      Thread.sleep(5000)
+      calProbe = calibrate()
+    }
+    val cooldownMs = System.currentTimeMillis() - cooldownStart
+    if (cooldownMs > 1000)
+      System.err.println(s"[bench] cooled down ${cooldownMs}ms " +
+        s"(calibration ${calProbe} vs idle $IdleCalibSec)")
     val MaxRetries = 3
     var sw = sweep()
     var retried = 0
@@ -183,6 +205,7 @@ object Bench {
       s""","calib_idle_ref":$IdleCalibSec""" +
       s""","loadavg_start":$loadavgStart""" +
       s""","loadavg_before":${sw.loadBefore},"loadavg_after":${sw.loadAfter}""" +
+      s""","cooldown_ms":$cooldownMs""" +
       s""","retried":$retried,"contended":${contended(sw)},"estimator":"min_of_$reps"}"""
     // emit on BOTH channels: a bare stdout line (build.sbt routes forked
     // run output straight to stdout, un-prefixed) and a file — so the

@@ -92,6 +92,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM rare_transitions()
   *   SELECT * FROM cross_modal_audit()
   *   SELECT * FROM training_export()
+  *   SELECT * FROM bpe_train(4)
+  *   SELECT * FROM retrieval_quality() WHERE query_id = -1
   * }}}
   *
   * all work through `spark.sql(...)` — and therefore through the
@@ -1099,6 +1101,27 @@ object TableFunctions {
             spark, spark.table("documents"), spark.table("embeddings")))
         case _ => throw new IllegalArgumentException(
           "training_export expects no arguments")
+      }
+    },
+    "bpe_train" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.TextOps.tableBpeTrain(
+            spark.table("documents"), graft.operators.TextOps.BpeTrainRounds))
+        case Seq(k) =>
+          plan(spark => graft.operators.TextOps.tableBpeTrain(
+            spark.table("documents"), long(k, "bpe_train(rounds)").toInt))
+        case _ => throw new IllegalArgumentException(
+          "bpe_train expects () or (rounds)")
+      }
+    },
+    "retrieval_quality" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.Retrieval.tableQuality(
+            spark.table("documents"), spark.table("embeddings")))
+        case _ => throw new IllegalArgumentException(
+          "retrieval_quality expects no arguments")
       }
     },
     "budget_waterfill" -> { exprs: Seq[Expression] =>

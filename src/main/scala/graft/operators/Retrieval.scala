@@ -426,6 +426,28 @@ object Retrieval {
     perQ.unionByName(summary).orderBy("system", "query_id")
   }
 
+  /** [[q251RetrievalQuality]] over ANY (doc_id, text) docs frame +
+    * (vec_id, embedding) frame — the `retrieval_quality()` TVF body
+    * (array-based tokenize; the q251 route reuses the shared token
+    * stage instead). */
+  private[graft] def tableQuality(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val d = docs.select(col("doc_id"), toks.as("toks"),
+      size(toks).cast("long").as("dl"))
+    val stats = d.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n"))
+    val tok = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+    val ranked = bm25Core(tok, stats, QuerySet, TopK)
+      .select(lit("bm25").as("system"), col("query_id"), col("rnk"), col("doc_id"))
+      .unionByName(hybridCore(tok, stats, emb, QuerySet, RrfTopK)
+        .select(lit("hybrid_rrf").as("system"), col("query_id"), col("rnk"),
+          col("doc_id")))
+    qualityOver(docs.sparkSession, ranked,
+      tok.filter(col("token").isin(QuerySet.map(_._2).distinct: _*))
+        .select("doc_id", "token").distinct())
+  }
+
   /** Context-window token budget of the q211 packer (a deployment
     * passes its model's window minus prompt overhead). */
   val ContextBudgetTokens = 512L

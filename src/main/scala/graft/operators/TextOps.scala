@@ -930,6 +930,12 @@ object TextOps {
     roundRows.reduce(_ unionAll _).orderBy("merge_ord")
   }
 
+  /** [[bpeTrain]] over ANY (doc_id, text) documents frame — the
+    * `bpe_train(rounds)` TVF body (array-based tokenize; the q250 route
+    * reuses the shared token stage instead). */
+  private[graft] def tableBpeTrain(docs: DataFrame, rounds: Int): DataFrame =
+    bpeTrain(docs.select(explode(tokens(col("text"))).as("token")), rounds)
+
   /** Reference-vocabulary size for the coverage audit. */
   val VocabTopV = 10
 

@@ -316,7 +316,17 @@ object ScaleBench {
     "q246_cross_modal_audit",
     // the remaining multimodal map passes: metadata projection, real
     // decode + resize, frame sampling — per-row codec CPU, the q33 class
-    "q32_multimodal_meta", "q50_resize", "q51_frame_sample")
+    "q32_multimodal_meta", "q50_resize", "q51_frame_sample",
+    // round-14: the export manifest (one ledger pass + shard aggregate,
+    // priced with its q228 siblings), the landing verifier (one landed
+    // scan + shard-grain reconcile; the one-time write amortizes in the
+    // warm run like every per-corpus stage), the SQL generator surface
+    // (Generate + Expand — must ride the scan), the iterated BPE
+    // trainer (vocab-grain rounds — must scale with the ONE corpus
+    // tokenize), and the retrieval metrics (two candidate-sized
+    // rankings + a |queries|-grain tail — must scale like q70/q113)
+    "q247_training_export", "q248_export_verify", "q249_unnest_unpivot",
+    "q250_bpe_train", "q251_retrieval_quality")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

@@ -633,6 +633,28 @@ class TableFunctionsSpec extends SparkSpec {
       "TVF-trained prune diverges from the dir-based q237 twin")
   }
 
+  test("bpe_train / retrieval_quality TVFs match their Scala twins") {
+    Tables.registerAll(spark, sf)
+    // the TVF tokenizes the session table inline; q250 rides the shared
+    // token stage — identical occurrence multiset, identical merges
+    val bt = spark.sql("SELECT * FROM bpe_train()")
+    assert(bt.columns.toSeq == Seq("merge_ord", "left_sym", "right_sym",
+      "pair_count", "n_symbols_after"))
+    assert(rows(bt) == rows(graft.operators.TextOps.q250BpeTrain(spark, sf)),
+      "table-derived BPE training diverges from the dir-based q250 twin")
+    // explicit rounds arg: a 2-round run is the 4-round run's prefix
+    val bt2 = spark.sql("SELECT * FROM bpe_train(2)").collect()
+    assert(bt2.length == 2)
+    assert(rows(spark.sql("SELECT * FROM bpe_train() WHERE merge_ord <= 2")) ==
+      bt2.map(_.toString).toSeq.sorted)
+    val rq = spark.sql("SELECT * FROM retrieval_quality()")
+    assert(rq.columns.toSeq == Seq("system", "query_id", "dcg_units",
+      "idcg_units", "ndcg_micro", "rr_micro"))
+    assert(rows(rq) ==
+      rows(graft.operators.Retrieval.q251RetrievalQuality(spark, sf)),
+      "table-derived retrieval metrics diverge from the dir-based q251 twin")
+  }
+
   test("transition_matrix / flow_mining TVFs match their Scala twins") {
     Tables.registerAll(spark, sf)
     val tm = spark.sql("SELECT * FROM transition_matrix()")
