@@ -102,8 +102,13 @@ object Retrieval {
   /** Scoring core over a pre-tokenized occurrence stream
     * `(doc_id, dl, token)` + a 1-row `(avgdl, n)` stats frame. */
   private def bm25Core(tok: DataFrame, stats: DataFrame,
-      queries: Seq[(Long, String)], k: Int): DataFrame = {
-    val agg = bm25Scores(tok, stats, queries)
+      queries: Seq[(Long, String)], k: Int): DataFrame =
+    rankScores(bm25Scores(tok, stats, queries), k)
+
+  /** The ranking tail over an already-scored `(query_id, doc_id, micro)`
+    * frame — split out so q251 can score ONCE and rank twice (its two
+    * systems share the sparse side). */
+  private def rankScores(agg: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("micro").desc, col("doc_id"))
     agg
       .withColumn("rnk", row_number().over(w))
@@ -228,8 +233,14 @@ object Retrieval {
   /** Fusion core: full BM25 candidate ranking (sparse), full cosine
     * ranking per broadcast probe (dense), RRF-merged in integer micros. */
   private def hybridCore(tok: DataFrame, stats: DataFrame, emb: DataFrame,
+      queries: Seq[(Long, String)], k: Int): DataFrame =
+    hybridFromScores(bm25Scores(tok, stats, queries), emb, queries, k)
+
+  /** [[hybridCore]] over an already-scored sparse frame — q251 scores
+    * once and feeds both its systems from the same frame. */
+  private def hybridFromScores(scores: DataFrame, emb: DataFrame,
       queries: Seq[(Long, String)], k: Int): DataFrame = {
-    val sparse = bm25Core(tok, stats, queries, Int.MaxValue)
+    val sparse = rankScores(scores, Int.MaxValue)
       .select(col("query_id"), col("doc_id"), col("rnk").as("bm25_rnk"))
     // dense: probe vectors broadcast, exact cosine over the corpus,
     // full ranking per probe (q29 shape)
@@ -364,15 +375,28 @@ object Retrieval {
     * candidate set only. */
   def q251RetrievalQuality(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val matched = TextOps.tokenStage(spark, dir)
-      .filter(col("token").isin(QuerySet.map(_._2).distinct: _*))
-      .select("doc_id", "token").distinct()
-    val ranked = q70Bm25(spark, dir)
+    val stage = TextOps.tokenStage(spark, dir)
+    val perDoc = stage.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+    val stats = perDoc.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n"))
+    // the sparse side scored ONCE (candidate-sized, checkpointed) and
+    // fed to BOTH systems — q70 and q113 each rebuild it standalone,
+    // but inside one metric query that would double the scoring pass
+    val scores = bm25Scores(
+      stage.filter(col("token").isNotNull)
+        .select(col("doc_id"), col("dl"), col("token")),
+      stats, QuerySet).localCheckpoint()
+    val ranked = rankScores(scores, TopK)
       .select(lit("bm25").as("system"), col("query_id"), col("rnk"), col("doc_id"))
-      .unionByName(q113HybridRrf(spark, dir)
+      .unionByName(hybridFromScores(scores, Tables.embeddings(spark, dir),
+        QuerySet, RrfTopK)
         .select(lit("hybrid_rrf").as("system"), col("query_id"), col("rnk"),
           col("doc_id")))
-    qualityOver(spark, ranked, matched)
+    qualityOver(spark,
+      ranked,
+      stage.filter(col("token").isin(QuerySet.map(_._2).distinct: _*))
+        .select("doc_id", "token").distinct())
   }
 
   /** The metric tail over ANY ("system", query_id, rnk, doc_id) ranking
@@ -444,9 +468,10 @@ object Retrieval {
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
       count(lit(1)).as("n"))
     val tok = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
-    val ranked = bm25Core(tok, stats, QuerySet, TopK)
+    val scores = bm25Scores(tok, stats, QuerySet).localCheckpoint()
+    val ranked = rankScores(scores, TopK)
       .select(lit("bm25").as("system"), col("query_id"), col("rnk"), col("doc_id"))
-      .unionByName(hybridCore(tok, stats, emb, QuerySet, RrfTopK)
+      .unionByName(hybridFromScores(scores, emb, QuerySet, RrfTopK)
         .select(lit("hybrid_rrf").as("system"), col("query_id"), col("rnk"),
           col("doc_id")))
     qualityOver(docs.sparkSession, ranked,
