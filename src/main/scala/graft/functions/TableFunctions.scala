@@ -93,6 +93,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM cross_modal_audit()
   *   SELECT * FROM training_export()
   *   SELECT * FROM bpe_train(4)
+  *   SELECT * FROM bpe_encode() WHERE fertility_micro > 3000000
   *   SELECT * FROM retrieval_quality() WHERE query_id = -1
   * }}}
   *
@@ -1113,6 +1114,15 @@ object TableFunctions {
             spark.table("documents"), long(k, "bpe_train(rounds)").toInt))
         case _ => throw new IllegalArgumentException(
           "bpe_train expects () or (rounds)")
+      }
+    },
+    "bpe_encode" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq() =>
+          plan(spark => graft.operators.TextOps.tableBpeEncode(
+            spark.table("documents")))
+        case _ => throw new IllegalArgumentException(
+          "bpe_encode expects no arguments")
       }
     },
     "retrieval_quality" -> { exprs: Seq[Expression] =>

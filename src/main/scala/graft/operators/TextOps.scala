@@ -883,20 +883,31 @@ object TextOps {
   }
 
   /** The trainer over ANY occurrence frame with a `token` column. */
-  private[graft] def bpeTrain(occ: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeTrain(occ: DataFrame, rounds: Int): DataFrame =
+    bpeTrainFull(occ, rounds)._1
+
+  /** BPE symbol array of a trained segmentation string. */
+  private[graft] def bpeSyms(seg: Column): Column =
+    split(trim(seg, BpeSep),
+      java.util.regex.Pattern.quote(BpeSep + BpeSep))
+
+  /** The full trainer: (merge table, final vocabulary segmentation) —
+    * the segmentation frame `(token, seg, n_occ)` is what the ENCODE
+    * step (q252) applies back to the corpus, so training and
+    * application share one dataflow instead of replaying the rounds. */
+  private[graft] def bpeTrainFull(occ: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
     val sep = BpeSep
-    val sepPat = java.util.regex.Pattern.quote(sep + sep)
-    def syms(seg: Column): Column = split(trim(seg, sep), sepPat)
     // initial segmentation: every character its own wrapped symbol
     // ((?s) so an exotic token cannot silently drop characters)
     var cur = occ
       .groupBy("token").agg(count(lit(1)).as("n_occ"))
-      .select(
+      .select(col("token"),
         regexp_replace(col("token"), "(?s)(.)", sep + "$1" + sep).as("seg"),
         col("n_occ"))
       .localCheckpoint()
     val roundRows = (1 to rounds).map { ord =>
-      val s = syms(col("seg"))
+      val s = bpeSyms(col("seg"))
       val pairs = cur
         .select(col("n_occ"), s.as("s"))
         .filter(size(col("s")) >= 2)
@@ -912,22 +923,69 @@ object TextOps {
         .orderBy(col("pair_count").desc, col("l"), col("r"))
         .limit(1)
         .localCheckpoint()
-      cur = cur.crossJoin(broadcast(top1))
-        .withColumn("seg", replace(col("seg"),
-          concat(lit(sep), col("l"), lit(sep + sep), col("r"), lit(sep)),
-          concat(lit(sep), col("l"), col("r"), lit(sep))))
-        .select("seg", "n_occ")
+      // LEFT join against the (possibly EMPTY) election: a saturated
+      // corpus — every token already one symbol — must leave the
+      // vocabulary frame intact, not collapse it (a crossJoin would);
+      // the oracle's LEFT JOIN ... ON TRUE mirrors this exactly
+      cur = cur.join(broadcast(top1), lit(true), "left")
+        .withColumn("seg", when(col("l").isNull, col("seg"))
+          .otherwise(replace(col("seg"),
+            concat(lit(sep), col("l"), lit(sep + sep), col("r"), lit(sep)),
+            concat(lit(sep), col("l"), col("r"), lit(sep)))))
+        .select("token", "seg", "n_occ")
         .localCheckpoint()
       // Σ n_occ·|syms| after the merge — the compression trajectory
       val nAfter = cur.agg(
-        sum(size(syms(col("seg"))).cast("long") * col("n_occ"))
+        sum(size(bpeSyms(col("seg"))).cast("long") * col("n_occ"))
           .as("n_symbols_after"))
       top1.crossJoin(nAfter)
         .select(lit(ord.toLong).as("merge_ord"),
           col("l").as("left_sym"), col("r").as("right_sym"),
           col("pair_count"), col("n_symbols_after"))
     }
-    roundRows.reduce(_ unionAll _).orderBy("merge_ord")
+    (roundRows.reduce(_ unionAll _).orderBy("merge_ord"), cur)
+  }
+
+  /** q252 — BPE ENCODE / TOKENIZER FERTILITY (the q250 trainer's
+    * consumer — train→apply, the q151→q152 lifecycle at tokenizer
+    * grain): the corpus re-tokenized under the q250-trained merge
+    * table, reported per source as whitespace-token count, BPE-symbol
+    * count and fertility (BPE symbols per word, integer micros) — the
+    * number a tokenizer owner actually watches per source/language
+    * slice (a high-fertility source burns context budget; q138's
+    * proxy-fertility audit gets its REAL counterpart here).
+    *
+    * Scale shape: the trained segmentation lives at VOCABULARY grain
+    * (the q250 dataflow, shared — training and encoding are ONE
+    * pipeline), so applying it is a token-keyed join of the per-source
+    * occurrence counts against the vocab frame — the corpus is never
+    * re-segmented row by row. */
+  def q252BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    val occ = tokenStream(spark, dir)
+    bpeEncode(occ,
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")))
+  }
+
+  /** The encode report over ANY (doc_id, token) occurrence frame + a
+    * (doc_id, source) metadata frame — also the `bpe_encode()` TVF
+    * body (which tokenizes the session table inline). */
+  private[graft] def bpeEncode(occ: DataFrame, meta: DataFrame): DataFrame = {
+    val seg = bpeTrainFull(occ.select("token"), BpeTrainRounds)._2
+    val vocabLen = seg.select(col("token"),
+      size(bpeSyms(col("seg"))).cast("long").as("bpe_len"))
+    occ
+      .join(meta, Seq("doc_id"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .join(vocabLen, Seq("token"))
+      .groupBy("source")
+      .agg(
+        sum(col("n")).as("n_words"),
+        sum(col("n") * col("bpe_len")).as("n_bpe_tokens"))
+      .withColumn("fertility_micro",
+        expr("(1000000 * n_bpe_tokens) div n_words"))
+      .orderBy("source")
   }
 
   /** [[bpeTrain]] over ANY (doc_id, text) documents frame — the
@@ -935,6 +993,55 @@ object TextOps {
     * reuses the shared token stage instead). */
   private[graft] def tableBpeTrain(docs: DataFrame, rounds: Int): DataFrame =
     bpeTrain(docs.select(explode(tokens(col("text"))).as("token")), rounds)
+
+  /** [[bpeEncode]] over ANY (doc_id, source, text) documents frame —
+    * the `bpe_encode()` TVF body. */
+  private[graft] def tableBpeEncode(docs: DataFrame): DataFrame =
+    bpeEncode(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token")),
+      docs.select("doc_id", "source"))
+
+  /** DuckDB spelling of [[BpeSep]]. */
+  private val BpeSepSql = "chr(1)"
+
+  /** The shared q250/q252 oracle CTE chain: tokenize → initial
+    * character segmentation (token carried through every round so the
+    * encode step can join it back) → [[BpeTrainRounds]] rounds of pair
+    * counting, merge election and greedy replace. */
+  private def bpeOracleCtes: String = {
+    val S = BpeSepSql
+    val SS = s"$S || $S"
+    val roundCtes = (1 to BpeTrainRounds).map { r =>
+      val prev = s"v${r - 1}"
+      s"p$r AS (\n" +
+        s"  SELECT q.s[i] AS l, q.s[i + 1] AS r, CAST(sum(q.n_occ) AS BIGINT) AS c\n" +
+        s"  FROM (SELECT string_split(trim(seg, $S), $SS) AS s, n_occ FROM $prev) q,\n" +
+        s"       UNNEST(range(1, len(q.s))) AS t(i)\n" +
+        s"  GROUP BY 1, 2),\n" +
+        s"t$r AS (SELECT l, r AS rr, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),\n" +
+        s"v$r AS (\n" +
+        s"  SELECT token, CASE WHEN l IS NULL THEN seg ELSE\n" +
+        s"    replace(seg, $S || l || $S || $S || rr || $S," +
+        s" $S || l || rr || $S) END AS seg, n_occ\n" +
+        s"  FROM $prev LEFT JOIN t$r ON TRUE),\n" +
+        s"m$r AS (\n" +
+        s"  SELECT CAST($r AS BIGINT) AS merge_ord, l AS left_sym, rr AS right_sym,\n" +
+        s"    c AS pair_count,\n" +
+        s"    (SELECT CAST(sum(len(string_split(trim(seg, $S), $SS)) * n_occ) AS BIGINT)\n" +
+        s"     FROM v$r) AS n_symbols_after\n" +
+        s"  FROM t$r)"
+    }.mkString(",\n")
+    s"""WITH occ AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+       |  FROM documents),
+       |v0 AS (
+       |  SELECT token,
+       |    regexp_replace(token, '(?s)(.)', $S || '\\1' || $S, 'g') AS seg,
+       |    CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM occ GROUP BY token),
+       |$roundCtes""".stripMargin
+  }
 
   /** Reference-vocabulary size for the coverage audit. */
   val VocabTopV = 10
@@ -1080,6 +1187,7 @@ object TextOps {
     "q122_zipf_slope" -> (q122ZipfSlope _),
     "q118_bpe_merges" -> (q118BpeMerges _),
     "q250_bpe_train" -> (q250BpeTrain _),
+    "q252_bpe_encode" -> (q252BpeEncode _),
     "q119_vocab_coverage" -> (q119VocabCoverage _),
     "q109_cooccurrence" -> (q109Cooccurrence _),
     "q92_pmi_collocations" -> (q92PmiCollocations _),
@@ -1223,40 +1331,34 @@ object TextOps {
     // wrapped-symbol string representation, the same greedy left-to-
     // right replace merge, the same (count DESC, l, r) election
     "q250_bpe_train" -> {
-      val S = "chr(1)"
-      val SS = s"$S || $S"
-      val roundCtes = (1 to BpeTrainRounds).map { r =>
-        val prev = s"v${r - 1}"
-        s"p$r AS (\n" +
-          s"  SELECT q.s[i] AS l, q.s[i + 1] AS r, CAST(sum(q.n_occ) AS BIGINT) AS c\n" +
-          s"  FROM (SELECT string_split(trim(seg, $S), $SS) AS s, n_occ FROM $prev) q,\n" +
-          s"       UNNEST(range(1, len(q.s))) AS t(i)\n" +
-          s"  GROUP BY 1, 2),\n" +
-          s"t$r AS (SELECT l, r AS rr, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),\n" +
-          s"v$r AS (\n" +
-          s"  SELECT replace(seg, $S || l || $S || $S || rr || $S," +
-          s" $S || l || rr || $S) AS seg, n_occ\n" +
-          s"  FROM $prev, t$r),\n" +
-          s"m$r AS (\n" +
-          s"  SELECT CAST($r AS BIGINT) AS merge_ord, l AS left_sym, rr AS right_sym,\n" +
-          s"    c AS pair_count,\n" +
-          s"    (SELECT CAST(sum(len(string_split(trim(seg, $S), $SS)) * n_occ) AS BIGINT)\n" +
-          s"     FROM v$r) AS n_symbols_after\n" +
-          s"  FROM t$r)"
-      }.mkString(",\n")
       val unions = (1 to BpeTrainRounds).map(r => s"SELECT * FROM m$r")
         .mkString("\n  UNION ALL ")
-      s"""WITH occ AS (
-         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-         |  FROM documents),
-         |v0 AS (
-         |  SELECT regexp_replace(token, '(?s)(.)', $S || '\\1' || $S, 'g') AS seg,
-         |    CAST(count(*) AS BIGINT) AS n_occ
-         |  FROM occ GROUP BY 1),
-         |$roundCtes
+      s"""$bpeOracleCtes
          |SELECT * FROM (
          |  $unions
          |) ORDER BY merge_ord""".stripMargin
+    },
+    // q252: the SAME training CTEs (token carried through the rounds),
+    // then the vocab segmentation joined back to per-source occurrence
+    // counts — the corpus is never re-segmented row by row
+    "q252_bpe_encode" -> {
+      val S = BpeSepSql
+      val SS = s"$S || $S"
+      s"""$bpeOracleCtes,
+         |enc AS (
+         |  SELECT token,
+         |    CAST(len(string_split(trim(seg, $S), $SS)) AS BIGINT) AS bpe_len
+         |  FROM v$BpeTrainRounds),
+         |st AS (
+         |  SELECT d.source, o.token, count(*) AS n
+         |  FROM occ o JOIN documents d USING (doc_id)
+         |  GROUP BY 1, 2)
+         |SELECT source,
+         |  CAST(sum(n) AS BIGINT) AS n_words,
+         |  CAST(sum(n * bpe_len) AS BIGINT) AS n_bpe_tokens,
+         |  CAST((1000000 * sum(n * bpe_len)) // sum(n) AS BIGINT) AS fertility_micro
+         |FROM st JOIN enc USING (token)
+         |GROUP BY source ORDER BY source""".stripMargin
     },
     "q119_vocab_coverage" ->
       s"""WITH tok AS (

@@ -326,7 +326,11 @@ object ScaleBench {
     // tokenize), and the retrieval metrics (two candidate-sized
     // rankings + a |queries|-grain tail — must scale like q70/q113)
     "q247_training_export", "q248_export_verify", "q249_unnest_unpivot",
-    "q250_bpe_train", "q251_retrieval_quality")
+    "q250_bpe_train", "q251_retrieval_quality",
+    // the BPE encode step: the q250 training dataflow + one
+    // token-keyed join of per-source counts against the vocab frame —
+    // must scale like q250 plus one corpus-grain aggregate
+    "q252_bpe_encode")
 
   /** Production-path entries for operators whose `queries` entry is a
     * deliberately-quadratic audit gate. */

@@ -647,6 +647,11 @@ class TableFunctionsSpec extends SparkSpec {
     assert(bt2.length == 2)
     assert(rows(spark.sql("SELECT * FROM bpe_train() WHERE merge_ord <= 2")) ==
       bt2.map(_.toString).toSeq.sorted)
+    val be = spark.sql("SELECT * FROM bpe_encode()")
+    assert(be.columns.toSeq == Seq("source", "n_words", "n_bpe_tokens",
+      "fertility_micro"))
+    assert(rows(be) == rows(graft.operators.TextOps.q252BpeEncode(spark, sf)),
+      "table-derived BPE encode diverges from the dir-based q252 twin")
     val rq = spark.sql("SELECT * FROM retrieval_quality()")
     assert(rq.columns.toSeq == Seq("system", "query_id", "dcg_units",
       "idcg_units", "ndcg_micro", "rr_micro"))

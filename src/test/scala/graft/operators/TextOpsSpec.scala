@@ -335,6 +335,31 @@ class TextOpsSpec extends SparkSpec {
       (3L, "aa", "ab", 3L, 5L)))
   }
 
+  test("BPE training saturates gracefully and the encode step applies the vocab") {
+    import spark.implicits._
+    // after 3 merges every token is ONE symbol — rounds 4 and 5 elect
+    // nothing and must leave the vocabulary intact (merge table stops
+    // at 3 rows, segmentation survives), not collapse it
+    val occ = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).toDF("token")
+    val (merges, seg) = TextOps.bpeTrainFull(occ, rounds = 5)
+    assert(merges.count() == 3L, "saturated rounds must elect nothing")
+    val lens = seg.select(col("token"),
+      size(TextOps.bpeSyms(col("seg")))).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(lens == Map("aaab" -> 1, "ab" -> 1))
+    // encode: fertility = BPE symbols per whitespace token, per source.
+    // With 4 training rounds this corpus fully saturates -> 1 symbol
+    // per word, fertility exactly 1.0 in micros
+    val occ2 = Seq((1L, "aaab"), (1L, "aaab"), (1L, "aaab"),
+      (2L, "ab"), (2L, "ab")).toDF("doc_id", "token")
+    val meta = Seq((1L, "src_x"), (2L, "src_y")).toDF("doc_id", "source")
+    val enc = TextOps.bpeEncode(occ2, meta).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(enc == Seq(
+      ("src_x", 3L, 3L, 1000000L),
+      ("src_y", 2L, 2L, 1000000L)))
+  }
+
   test("zipf slope recovers -1 on an exactly-Zipfian vocabulary") {
     import spark.implicits._
     // cf = 12/rank exactly (12, 6, 4, 3) → ln(cf) = ln 12 − ln(rank):
