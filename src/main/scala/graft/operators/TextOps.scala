@@ -975,14 +975,18 @@ object TextOps {
     val seg = bpeTrainFull(occ.select("token"), BpeTrainRounds)._2
     val vocabLen = seg.select(col("token"),
       size(bpeSyms(col("seg"))).cast("long").as("bpe_len"))
-    occ
-      .join(meta, Seq("doc_id"))
-      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+    // token-keyed vocab attach FIRST (Exchange-free on a token-bucketed
+    // stage side), then reduce to DOC grain before the metadata join —
+    // so the doc_id-keyed join carries (doc_id, 2 longs) per document,
+    // never the occurrence stream (the q119 shuffle lesson)
+    val perDoc = occ
       .join(vocabLen, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nw"), sum(col("bpe_len")).as("nb"))
+    meta
+      .join(perDoc, Seq("doc_id"))
       .groupBy("source")
-      .agg(
-        sum(col("n")).as("n_words"),
-        sum(col("n") * col("bpe_len")).as("n_bpe_tokens"))
+      .agg(sum(col("nw")).as("n_words"), sum(col("nb")).as("n_bpe_tokens"))
       .withColumn("fertility_micro",
         expr("(1000000 * n_bpe_tokens) div n_words"))
       .orderBy("source")
