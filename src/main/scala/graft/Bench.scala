@@ -143,26 +143,35 @@ object Bench {
     val ambientHigh = scala.util.Try(loadavgStart.toDouble).toOption.exists(_ > 2.0)
     // pre-sweep COOLDOWN (round-13 verdict item 6): rounds 12 and 13
     // both started the timed sweep with sweep residue still loading the
-    // box (builder runs spanned 147-163 s, calib 0.026-0.035) and
-    // shipped a uniform ~10% drift that burned judge time in four
-    // rounds. Instead of only RECORDING the contamination, WAIT — up to
-    // 120 s, probing the constant calibration workload every 5 s —
-    // until it lands within 1.3× of the recorded idle constant before
-    // the first timed sweep. If the box never settles, proceed (the
-    // retry/contended machinery below still applies) and the recorded
-    // cooldown_ms says how long we tried.
+    // box (builder runs spanned 147-163 s) and shipped a uniform ~10%
+    // drift. Instead of only RECORDING the contamination, WAIT — up to
+    // 120 s, probing every 5 s — until the box looks settled. TWO
+    // signals, because the r12/r13 residue did NOT show in the
+    // calibration probe (contaminated runs measured calib 0.026-0.035,
+    // straddling the 0.027 idle ref — CPU-loop timing is blind to
+    // scheduler/page-cache residue): (a) the calibration probe within
+    // 1.3× of the idle constant, and (b) the 1-minute load average
+    // decayed below 4.0 — the decaying trace both external residue AND
+    // our own just-finished warmup leave behind (the warmup is exactly
+    // the kind of residue the next timed region must not inherit). If
+    // the box never settles, proceed (the retry/contended machinery
+    // below still applies) and the recorded cooldown_ms says how long
+    // we tried.
     val CooldownMaxMs = 120000L
     val cooldownStart = System.currentTimeMillis()
-    var calProbe = calibrate()
-    while (calProbe > 1.3 * IdleCalibSec &&
+    def settled(): Boolean = {
+      val calOk = calibrate() <= 1.3 * IdleCalibSec
+      val loadOk = scala.util.Try(loadavg().toDouble).toOption.forall(_ < 4.0)
+      calOk && loadOk
+    }
+    while (!settled() &&
         System.currentTimeMillis() - cooldownStart < CooldownMaxMs) {
       Thread.sleep(5000)
-      calProbe = calibrate()
     }
     val cooldownMs = System.currentTimeMillis() - cooldownStart
     if (cooldownMs > 1000)
       System.err.println(s"[bench] cooled down ${cooldownMs}ms " +
-        s"(calibration ${calProbe} vs idle $IdleCalibSec)")
+        s"(loadavg now ${loadavg()}, idle calib ref $IdleCalibSec)")
     val MaxRetries = 3
     var sw = sweep()
     var retried = 0

@@ -1110,8 +1110,13 @@ object TableFunctions {
           plan(spark => graft.operators.TextOps.tableBpeTrain(
             spark.table("documents"), graft.operators.TextOps.BpeTrainRounds))
         case Seq(k) =>
+          // validated BEFORE the Int narrowing: a 2^32-scale literal
+          // would otherwise truncate to 0/negative and crash obscurely
+          val r = long(k, "bpe_train(rounds)")
+          if (r < 1 || r > 1000) throw new IllegalArgumentException(
+            s"bpe_train: rounds must be in [1, 1000], got $r")
           plan(spark => graft.operators.TextOps.tableBpeTrain(
-            spark.table("documents"), long(k, "bpe_train(rounds)").toInt))
+            spark.table("documents"), r.toInt))
         case _ => throw new IllegalArgumentException(
           "bpe_train expects () or (rounds)")
       }

@@ -207,7 +207,7 @@ object Curation {
         sum(expr(s"(tot + ${Sampling.SeqBudget - 1}) div ${Sampling.SeqBudget}")),
         lit(0L)).as("n_seq"))
     val sh = led.filter(col("alive5") && col("n_copies") > 0)
-      .agg(countDistinct(fpBucket(15) % Sampling.ExportShards).as("n_shards"))
+      .agg(countDistinct(Sampling.fpExportShard(col("fp"))).as("n_shards"))
     a.crossJoin(pk).crossJoin(sh)
       .select(explode(array(
         stageRow(1L, "ingest", "docs", col("n0"), col("n1"), col("t0"), col("t1"),
@@ -271,8 +271,7 @@ object Curation {
       // survivor rows and silently inflate every per-shard aggregate,
       // including the content checksum
       .join(hasVec.distinct(), Seq("doc_id"), "left")
-      .withColumn("shard",
-        conv(substring(col("fp"), 15, 4), 16, 10).cast("long") % Sampling.ExportShards)
+      .withColumn("shard", Sampling.fpExportShard(col("fp")))
       .groupBy("shard")
       .agg(
         count(lit(1)).as("n_records"),

@@ -55,8 +55,7 @@ object Export {
       .filter(col("alive5") && col("n_copies") > 0)
       .select(col("doc_id"), col("source"), col("text"),
         col("n_tok"), col("n_copies"),
-        (conv(substring(col("fp"), 15, 4), 16, 10).cast("long")
-          % Sampling.ExportShards).as("shard"))
+        Sampling.fpExportShard(col("fp")).as("shard"))
 
   /** Land the training-set export for `dir`, once per (corpus, content
     * version); returns the landed data path. A later call with the same
@@ -106,8 +105,7 @@ object Export {
         (sum(conv(substring(col("fp"), 1, 12), 16, 10).cast("decimal(38,0)"))
           % lit(1000000000000000000L)).cast("long").as("content_sum"),
         // the landed partition value must BE the recomputed draw
-        min(conv(substring(col("fp"), 15, 4), 16, 10).cast("long")
-          % Sampling.ExportShards === col("shard")).as("draw_ok"))
+        min(Sampling.fpExportShard(col("fp")) === col("shard")).as("draw_ok"))
   }
 
   /** The reconciliation of a landed roll-up against a manifest frame

@@ -193,6 +193,14 @@ object Sampling {
     * (1-based) — [[hashBucket]] generalized so independent decisions
     * (split / shard / mix) draw from DISJOINT nibble ranges of the same
     * md5 and stay uncorrelated. */
+  /** q128's content-hash EXPORT-SHARD draw over an md5-hex `fp` column —
+    * THE one rule linking the manifest (q247/q228 shard_export), the
+    * landing writer and the read-back verifier (q248): a single
+    * definition, so the draw cannot drift between producer and
+    * auditor. */
+  private[operators] def fpExportShard(fp: Column): Column =
+    conv(substring(fp, 15, 4), 16, 10).cast("long") % ExportShards
+
   private[operators] def hexBucket(text: Column, pos: Int): Column =
     conv(substring(md5(trim(text)), pos, 4), 16, 10).cast("long")
 

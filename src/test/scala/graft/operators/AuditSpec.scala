@@ -152,9 +152,10 @@ class AuditSpec extends SparkSpec {
       assert(exp > 0, s"$issue: planted rule must fire at every SF")
       assert(out(issue) === exp, issue)
     }
-    // the six modality counts are pairwise distinct on this corpus —
-    // a cross-modality misattribution cannot pass
-    assert(expectByIssue.values.toSeq.distinct.size === 4)
+    // the six modality counts (image included) are pairwise distinct on
+    // this corpus — a cross-modality misattribution cannot pass
+    val allSix = expectByIssue.values.toSeq ++ Seq(expMissing, expOrphan)
+    assert(allSix.distinct.size === 6, s"counts not distinct: $allSix")
     assert(out.keySet === Set(
       "doc_missing_asset", "asset_orphan",
       "doc_missing_audio", "audio_orphan",
