@@ -347,8 +347,12 @@ object Retrieval {
     * plan, so the nDCG arithmetic below is pure integer and
     * hash-exact. */
   private[graft] val DcgDiscMicro: Seq[(Long, Long)] =
+    // StrictMath (fdlibm), not Math: Math.log is only 1-ulp-accurate
+    // and platform-dependent, and a value on a .5 rounding boundary
+    // would silently shift this literal table — and every committed
+    // hash — across JVMs (round-14 advisor). The spec pins the head.
     (1 to TopK).map(r =>
-      r.toLong -> math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+      r.toLong -> math.round(1e6 / (StrictMath.log(r + 1.0) / StrictMath.log(2.0))))
 
   /** q251 — RETRIEVAL QUALITY METRICS (nDCG@k + MRR): the numbers a
     * retrieval stack actually reports, over BOTH ranking systems the
@@ -399,10 +403,24 @@ object Retrieval {
         .select("doc_id", "token").distinct())
   }
 
+  /** System labels the q251 ranking frame carries — a LITERAL list
+    * (mirrored as a VALUES clause in the oracle) so the metric grid
+    * exists independently of what either ranker happened to emit. */
+  private[graft] val QualitySystems: Seq[String] = Seq("bm25", "hybrid_rrf")
+
   /** The metric tail over ANY ("system", query_id, rnk, doc_id) ranking
-    * frame + a distinct (doc_id, token) query-vocabulary match set. */
+    * frame + a distinct (doc_id, token) query-vocabulary match set.
+    *
+    * Means are taken over the FULL (`systems` × `queryIds`) grid, not
+    * over the per-(system, query) rows the ranking happened to produce
+    * (round-14 advisor): a query where a system scores nothing must
+    * enter that system's mean as nDCG = 0 / RR = 0, or the two systems'
+    * summary rows silently average over different query counts — biasing
+    * exactly the cross-ranker comparison this metric exists for. */
   private[operators] def qualityOver(spark: SparkSession, ranked: DataFrame,
-      matched: DataFrame): DataFrame = {
+      matched: DataFrame,
+      systems: Seq[String] = QualitySystems,
+      queryIds: Seq[Long] = QuerySet.map(_._1).distinct): DataFrame = {
     import spark.implicits._
     val q = QuerySet.toDF("query_id", "term")
     val nTerms = QuerySet.groupBy(_._1)
@@ -433,13 +451,19 @@ object Retrieval {
       .join(broadcast(discs), Seq("rnk"))
       .groupBy("query_id")
       .agg(sum(col("gain") * col("disc_micro")).as("idcg_units"))
+    // the full (system × query) grid — two tiny literal frames, so the
+    // cross join is a broadcast of |systems|·|queries| rows, never data
+    val grid = systems.toDF("system")
+      .crossJoin(broadcast(queryIds.toDF("query_id")))
     // (|queries| × systems)-row frame, materialized ONCE: it feeds both
     // the per-query rows and the summary aggregate below, and without
     // the checkpoint the whole two-ranker pipeline re-executes per
     // union branch (the q175 double-compute lesson — measured 3.3 s vs
     // 1.6 s for the two rankings themselves)
-    val perQ = dcg.join(idcg, Seq("query_id"), "left")
-      .na.fill(0L, Seq("idcg_units"))
+    val perQ = grid
+      .join(dcg, Seq("system", "query_id"), "left")
+      .join(idcg, Seq("query_id"), "left")
+      .na.fill(0L, Seq("dcg_units", "idcg_units"))
       .select(col("system"), col("query_id"),
         col("dcg_units"), col("idcg_units"),
         expr("(dcg_units * 1000000) div greatest(idcg_units, 1)").as("ndcg_micro"),
@@ -890,13 +914,20 @@ object Retrieval {
          |  SELECT query_id, CAST(sum(gain * dm) AS BIGINT) AS idcg_units
          |  FROM ideal JOIN disc ON disc.rnk = ideal.irnk
          |  WHERE irnk <= $TopK GROUP BY query_id),
+         |syss(system) AS (VALUES ${QualitySystems.map(s => s"('$s')").mkString(", ")}),
+         |grid AS (
+         |  SELECT system, query_id FROM syss
+         |  CROSS JOIN (SELECT DISTINCT query_id FROM q)),
          |perq AS (
-         |  SELECT dc.system, CAST(dc.query_id AS BIGINT) AS query_id, dc.dcg_units,
+         |  SELECT g.system, CAST(g.query_id AS BIGINT) AS query_id,
+         |    CAST(coalesce(dc.dcg_units, 0) AS BIGINT) AS dcg_units,
          |    CAST(coalesce(i.idcg_units, 0) AS BIGINT) AS idcg_units,
-         |    CAST((dc.dcg_units * 1000000)
+         |    CAST((coalesce(dc.dcg_units, 0) * 1000000)
          |      // greatest(coalesce(i.idcg_units, 0), 1) AS BIGINT) AS ndcg_micro,
          |    CAST(coalesce(1000000 // dc.first_rel, 0) AS BIGINT) AS rr_micro
-         |  FROM dcg dc LEFT JOIN idcg i ON dc.query_id = i.query_id)
+         |  FROM grid g
+         |  LEFT JOIN dcg dc ON dc.system = g.system AND dc.query_id = g.query_id
+         |  LEFT JOIN idcg i ON g.query_id = i.query_id)
          |SELECT system, query_id, dcg_units, idcg_units, ndcg_micro, rr_micro FROM (
          |  SELECT * FROM perq
          |  UNION ALL

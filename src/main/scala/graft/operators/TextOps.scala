@@ -995,14 +995,32 @@ object TextOps {
   /** [[bpeTrain]] over ANY (doc_id, text) documents frame — the
     * `bpe_train(rounds)` TVF body (array-based tokenize; the q250 route
     * reuses the shared token stage instead). */
+  /** TVF-path delimiter guard (round-14 advisor): the trainer's
+    * segmentation encoding reserves [[BpeSep]] (U+0001) — guaranteed
+    * absent in the fixture corpus, but `bpe_train()`/`bpe_encode()` run
+    * over ARBITRARY session tables, where a token carrying it would
+    * silently corrupt the segmentation (phantom symbol boundaries).
+    * Fail loudly per offending token instead; the fixture-corpus q250/
+    * q252 route never pays this branch. */
+  private def guardBpeSep(tok: Column): Column =
+    when(tok.contains(lit(BpeSep)),
+      raise_error(concat(
+        lit("bpe: token contains the reserved segmentation delimiter " +
+          "U+0001: '"), tok, lit("'"))))
+      .otherwise(tok)
+
   private[graft] def tableBpeTrain(docs: DataFrame, rounds: Int): DataFrame =
-    bpeTrain(docs.select(explode(tokens(col("text"))).as("token")), rounds)
+    bpeTrain(
+      docs.select(explode(tokens(col("text"))).as("tok"))
+        .select(guardBpeSep(col("tok")).as("token")),
+      rounds)
 
   /** [[bpeEncode]] over ANY (doc_id, source, text) documents frame —
     * the `bpe_encode()` TVF body. */
   private[graft] def tableBpeEncode(docs: DataFrame): DataFrame =
     bpeEncode(
-      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token")),
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), guardBpeSep(col("tok")).as("token")),
       docs.select("doc_id", "source"))
 
   /** DuckDB spelling of [[BpeSep]]. */

@@ -660,6 +660,32 @@ class TableFunctionsSpec extends SparkSpec {
       "table-derived retrieval metrics diverge from the dir-based q251 twin")
   }
 
+  test("bpe TVFs reject tokens carrying the reserved U+0001 delimiter") {
+    Tables.registerAll(spark, sf)
+    // the fixture corpus never contains U+0001, but the TVFs run over
+    // ARBITRARY session tables — a delimiter-carrying token must fail
+    // loudly, not silently corrupt the segmentation (round-14 advisor)
+    import spark.implicits._
+    Seq((1L, "src", "ok token"), (2L, "src", ("bad" + "\u0001" + "tok here")))
+      .toDF("doc_id", "source", "text")
+      .createOrReplaceTempView("documents")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM bpe_train(1)").collect()
+    }
+    assert(e1.getMessage.contains("reserved segmentation delimiter") ||
+      Option(e1.getCause).exists(_.getMessage
+        .contains("reserved segmentation delimiter")))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM bpe_encode()").collect()
+    }
+    assert(e2.getMessage.contains("reserved segmentation delimiter") ||
+      Option(e2.getCause).exists(_.getMessage
+        .contains("reserved segmentation delimiter")))
+    // clean tables sail through the guard unchanged
+    Tables.registerAll(spark, sf)
+    assert(spark.sql("SELECT * FROM bpe_train(1)").count() == 1)
+  }
+
   test("transition_matrix / flow_mining TVFs match their Scala twins") {
     Tables.registerAll(spark, sf)
     val tm = spark.sql("SELECT * FROM transition_matrix()")

@@ -150,7 +150,8 @@ class RetrievalSpec extends SparkSpec {
       (12L, "join")).toDF("doc_id", "token")
     val ranked = Seq(("s", 1L, 1L, 11L), ("s", 1L, 2L, 10L), ("s", 1L, 3L, 99L))
       .toDF("system", "query_id", "rnk", "doc_id")
-    val out = Retrieval.qualityOver(spark, ranked, matched).collect()
+    val out = Retrieval.qualityOver(spark, ranked, matched,
+        systems = Seq("s"), queryIds = Seq(1L)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
     val dcg = 1000000L + 2L * 630930L
@@ -161,10 +162,31 @@ class RetrievalSpec extends SparkSpec {
       ("s", 1L, dcg, idcg, ndcg, 500000L)))
   }
 
+  test("q251 means average over the FULL query grid, scoring silent queries 0") {
+    // system "s" ranks query 1 ({spark, join}) perfectly but emits
+    // NOTHING for query 2: the mean must average over both queries
+    // (ndcg (1e6+0)/2), not just the one that produced rows — the
+    // round-14 advisor's skew.
+    val matched = Seq((10L, "spark"), (10L, "join")).toDF("doc_id", "token")
+    val ranked = Seq(("s", 1L, 1L, 10L)).toDF("system", "query_id", "rnk", "doc_id")
+    val out = Retrieval.qualityOver(spark, ranked, matched,
+        systems = Seq("s"), queryIds = Seq(1L, 2L)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // query 1: doc 10 gain 2 at rank 1 → dcg = idcg = 2000000, ndcg 1e6,
+    // rr 1e6. query 2: no ranked rows → all-zero row, present and counted.
+    assert(out == Seq(
+      ("s", -1L, 2000000L, 2000000L, 500000L, 500000L),
+      ("s", 1L, 2000000L, 2000000L, 1000000L, 1000000L),
+      ("s", 2L, 0L, 0L, 0L, 0L)))
+  }
+
   test("q251 discount table is the rounded-micros log2 law") {
-    // the literal table both engines join must BE round(1e6/log2(r+1))
+    // the literal table both engines join must BE round(1e6/log2(r+1)),
+    // computed via StrictMath (bit-reproducible fdlibm) so the table —
+    // and every committed hash — cannot shift across JVMs/platforms
     Retrieval.DcgDiscMicro.foreach { case (r, d) =>
-      assert(d == math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+      assert(d == math.round(1e6 / (StrictMath.log(r + 1.0) / StrictMath.log(2.0))))
     }
     assert(Retrieval.DcgDiscMicro.take(3).map(_._2) ==
       Seq(1000000L, 630930L, 500000L))
