@@ -38,6 +38,11 @@ object SharedStages {
     // the landed training-set export (q248 re-reads it; the one-time
     // ledger pass + partitioned write must not be billed to the query)
     "export_landing" -> ((s, d) => { Export.landExport(s, d); () }),
+    // the trained BPE merge table + vocabulary segmentation (q250/q252
+    // serve the per-version artifact; training is a one-time build)
+    "bpe_merges" -> ((s, d) => {
+      val (m, seg) = TextOps.bpeTrainedStages(s, d)
+      m.count(); seg.count(); () }),
     // the encoded media asset tables (the heaviest one-time builds)
     "image_assets" -> ((s, d) => { Multimodal.imageAssets(s, d).count(); () }),
     "audio_assets" -> ((s, d) => { Audio.audioAssets(s, d).count(); () }),

@@ -327,9 +327,12 @@ object ScaleBench {
     // rankings + a |queries|-grain tail — must scale like q70/q113)
     "q247_training_export", "q248_export_verify", "q249_unnest_unpivot",
     "q250_bpe_train", "q251_retrieval_quality",
-    // the BPE encode step: the q250 training dataflow + one
-    // token-keyed join of per-source counts against the vocab frame —
-    // must scale like q250 plus one corpus-grain aggregate
+    // the BPE encode step under the PERSISTED trained vocabulary
+    // (round-15): one token-keyed join of per-source counts against
+    // the served vocab frame + a source-grain reduce — with training
+    // an attributed per-version build, the warm ratio must sit near
+    // the map-only floor, not carry q250's rounds (r14 measured 4.59
+    // exactly because it retrained in-query)
     "q252_bpe_encode")
 
   /** Production-path entries for operators whose `queries` entry is a
