@@ -41,6 +41,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ListAgg(child, delim, Seq(SortOrder(child, Ascending)))
       }))
 
+    // the Presto/Athena migration pack — shared builders with Dialect
+    ext.injectFunction((
+      FunctionIdentifier("date_parse"),
+      info("date_parse", "date_parse(str, mysqlFmt) - parse with a MySQL-style format, translated to a Java pattern (Presto dialect)"),
+      Dialect.dateParseBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("from_iso8601_timestamp"),
+      info("from_iso8601_timestamp", "from_iso8601_timestamp(str) - parse an ISO 8601 timestamp (Presto dialect)"),
+      Dialect.fromIso8601Builder))
+    ext.injectFunction((
+      FunctionIdentifier("approx_distinct"),
+      info("approx_distinct", "approx_distinct(col[, maxStdErr]) - HLL++ distinct estimate, default error 0.023 (Presto dialect)"),
+      Dialect.approxDistinctBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("arbitrary"),
+      info("arbitrary", "arbitrary(col) - any value of the group (Presto dialect)"),
+      Dialect.arbitraryBuilder))
+
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors (codegen)"),

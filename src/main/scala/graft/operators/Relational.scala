@@ -397,6 +397,66 @@ object Relational {
          gated("l_orderkey", "orders")).tail: _*)
   }
 
+  /** Bound the q253 `approx_distinct` verdicts are gated on: the Presto
+    * shim's rsd is 0.023 (Presto's documented default max standard
+    * error), so 0.046 = 2σ — the q42 convention at the migrated
+    * function's own precision. */
+  val PrestoHllBound = 0.046
+
+  /** q253 — PRESTO/ATHENA DIALECT PACK (round-14 verdict item 3): an
+    * Athena user's first-week rollup written in PRESTO dialect and run
+    * VERBATIM through `spark.sql` under the [[graft.functions.Dialect]]
+    * shims — the reference's de-facto user language is
+    * `sql/sample_athena_queries.sql`, and a migration carries these
+    * names long before anyone rewrites them. Exercises the shimmed
+    * names (`date_parse` with a MySQL format string — translated, not
+    * name-aliased; `from_iso8601_timestamp`; `approx_distinct` at
+    * Presto's 0.023 default error; `arbitrary`; `strpos`) plus the
+    * names the engines already share (`try_cast`, `element_at`,
+    * `split_part`, `bool_and`).
+    *
+    * Hash-exact oracle: the approx estimate is gated in-plan against
+    * the exact distinct count (±2σ verdict, the q42 pattern); the two
+    * parse routes (MySQL-format and ISO 8601) are asserted equal per
+    * group; `arbitrary` is taken over a functionally-dependent column
+    * (single-valued per group), its one legitimately deterministic use.
+    *
+    * Scale shape: one scan of `events`, every scalar codegen'd
+    * (ParseToTimestamp/Cast/StringInstr — no UDF), one partial-agg
+    * shuffle at event_type grain. */
+  def q253PrestoDialect(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.prepare(spark)
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""WITH parsed AS (
+         |  SELECT user_id, event_type,
+         |    date_parse(substr(cast(ts AS varchar(26)), 1, 19),
+         |               '%Y-%m-%d %H:%i:%s') AS ts_mysql,
+         |    from_iso8601_timestamp(concat(
+         |      substr(cast(ts AS varchar(26)), 1, 10), 'T',
+         |      substr(cast(ts AS varchar(26)), 12, 8))) AS ts_iso,
+         |    try_cast(trim(replace(element_at(split(props, ':'), 2), '}', ''))
+         |      AS bigint) AS k_val,
+         |    replace(replace(split_part(props, ':', 1), '{', ''), '"', '')
+         |      AS prop_key
+         |  FROM events
+         |  WHERE strpos(props, 'k') > 0)
+         |SELECT event_type,
+         |  count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  (abs(cast(approx_distinct(user_id) AS double) -
+         |       cast(count(DISTINCT user_id) AS double))
+         |    <= cast(count(DISTINCT user_id) AS double) * $PrestoHllBound)
+         |    AS users_within_2sigma,
+         |  bool_and(ts_mysql = ts_iso) AS parse_routes_agree,
+         |  min(cast(ts_mysql AS date)) AS first_day,
+         |  sum(k_val) AS sum_props_k,
+         |  arbitrary(prop_key) AS prop_key
+         |FROM parsed
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** The (SparkSession, sfDir) => DataFrame entries for SparkEntry.queries. */
   /** q74 — semi-structured JSON extraction (SURVEY S2's decode surface
     * applied to a COLUMN: the reference stores raw JSON strings and
@@ -726,7 +786,8 @@ object Relational {
     "q36_geo_group"         -> (q36GeoGroup _),
     "q37_date_buckets"      -> (q37DateBuckets _),
     "q41_percentiles"       -> (q41Percentiles _),
-    "q42_approx_distinct"   -> (q42ApproxDistinct _))
+    "q42_approx_distinct"   -> (q42ApproxDistinct _),
+    "q253_presto_dialect"   -> (q253PrestoDialect _))
 
   /** DuckDB-runnable oracle SQL, column-name-aligned with the Spark plans. */
   val oracles: Map[String, String] = Map(
@@ -996,7 +1057,35 @@ object Relational {
         |  TRUE AS suppliers_within_2sigma,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         |  TRUE AS orders_within_2sigma
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
     // q42: exact counts + literal-TRUE 2σ verdicts — the estimate is
     // engine-side; the oracle replays the exact side and the verdict.
+    // q253: the oracle replays the dialect query's SEMANTICS in DuckDB
+    // dialect (strptime for date_parse, its own split/cast spellings);
+    // the approx verdict is literal-TRUE per the q42 convention and the
+    // parse-parity verdict is recomputed, not assumed.
+    "q253_presto_dialect" ->
+      """WITH parsed AS (
+        |  SELECT user_id, event_type,
+        |    strptime(substr(CAST(ts AS VARCHAR), 1, 19),
+        |             '%Y-%m-%d %H:%M:%S') AS ts_mysql,
+        |    CAST(concat(substr(CAST(ts AS VARCHAR), 1, 10), 'T',
+        |      substr(CAST(ts AS VARCHAR), 12, 8)) AS TIMESTAMP) AS ts_iso,
+        |    TRY_CAST(trim(replace(string_split(props, ':')[2], '}', ''))
+        |      AS BIGINT) AS k_val,
+        |    replace(replace(string_split(props, ':')[1], '{', ''), '"', '')
+        |      AS prop_key
+        |  FROM events
+        |  WHERE strpos(props, 'k') > 0)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  TRUE AS users_within_2sigma,
+        |  bool_and(ts_mysql = ts_iso) AS parse_routes_agree,
+        |  min(CAST(ts_mysql AS DATE)) AS first_day,
+        |  CAST(sum(k_val) AS BIGINT) AS sum_props_k,
+        |  arbitrary(prop_key) AS prop_key
+        |FROM parsed
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
 }
