@@ -32,6 +32,13 @@ object Sessions {
         .master(s"local[$cores]")
         .appName(appName)
         .config("spark.sql.shuffle.partitions", cores.toString)
+        // FAIR task scheduling (round-14 verdict item 4): workgroup
+        // submissions run in per-workgroup pools
+        // (QueryExecutionManager.poolName) that share task slots fairly
+        // — under the default FIFO, one tenant's saturating query
+        // starves every later submission. Context-level: must be set
+        // at SparkContext creation, not in prepare().
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .getOrCreate())
 

