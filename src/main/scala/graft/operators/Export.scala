@@ -36,8 +36,39 @@ import graft.core.{Sessions, Tables, TableVersion}
 object Export {
 
   /** Landed data subdirectory inside a version dir (so the `_SUCCESS`
-    * marker of the partitioned write is scoped to the data tree). */
+    * marker of the partitioned write is scoped to the data tree).
+    * JSONL landings use their own subdirectory — the two formats can
+    * coexist under one corpus version, each `_SUCCESS`-gated. */
   private val DataDir = "data"
+  private val JsonlDataDir = "data_jsonl"
+
+  /** Landing format, `spark.graft.export.format` = `parquet` (default)
+    * | `jsonl` (round-14 verdict item 7: trainers widely consume JSON
+    * lines). The VERIFICATION path is format-blind by construction —
+    * q248 recomputes tokens/checksums from the landed `text` itself,
+    * never from a serialized column, so both formats share one
+    * reconciliation. */
+  private def exportFormat(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.export.format")
+      .map(_.trim.toLowerCase).getOrElse("parquet") match {
+      case f @ ("parquet" | "jsonl") => f
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.export.format must be 'parquet' or 'jsonl', got '$other'")
+    }
+
+  /** Schema of the landed record columns (the partition column `shard`
+    * rides the directory layout) — pinned explicitly so the JSONL
+    * read-back is ONE scan (no inference pass) with exactly the
+    * parquet landing's types. */
+  private val LandedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, source STRING, text STRING, n_tok BIGINT, n_copies BIGINT")
+
+  /** Read a landed export tree in whichever format the session lands
+    * (the format is part of the landing convention, like the dir). */
+  private[operators] def readLanded(spark: SparkSession, path: String): DataFrame =
+    if (exportFormat(spark) == "jsonl")
+      spark.read.schema(LandedSchema).json(path)
+    else spark.read.parquet(path)
 
   private def exportRoot(spark: SparkSession, dir: String): HPath = {
     val base = spark.conf.getOption("spark.graft.export.dir")
@@ -64,18 +95,21 @@ object Export {
     * dirs. */
   def landExport(spark: SparkSession, dir: String): String = {
     val version = TableVersion.signature(spark, dir, "documents.parquet")
+    val fmt = exportFormat(spark)
     val root = exportRoot(spark, dir)
     val versionDir = new HPath(root, version)
-    val dataPath = new HPath(versionDir, DataDir)
+    val dataPath = new HPath(versionDir,
+      if (fmt == "jsonl") JsonlDataDir else DataDir)
     val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new HPath(dataPath, "_SUCCESS"))) {
-      exportRecords(spark, dir)
+      val writer = exportRecords(spark, dir)
         // align files to shards: without it every task writes a file
         // into every shard dir it touches (task-count × shards files)
         .repartition(col("shard"))
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(dataPath.toString)
+      if (fmt == "jsonl") writer.json(dataPath.toString)
+      else writer.parquet(dataPath.toString)
       // one live version per corpus — the SignatureStage eviction rule
       if (fs.exists(root)) {
         fs.listStatus(root)
@@ -145,7 +179,7 @@ object Export {
     * the driver's hash gate loudly. */
   def q248ExportVerify(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val landed = spark.read.parquet(landExport(spark, dir))
+    val landed = readLanded(spark, landExport(spark, dir))
     reconcile(readbackRollup(landed),
       Curation.q247TrainingExport(spark, dir))
   }
