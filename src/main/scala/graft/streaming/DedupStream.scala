@@ -61,7 +61,10 @@ object DedupStream {
 
   /** State per (band, bucket): minimum doc_id seen, or Long.MinValue for
     * a poisoned (degenerate) bucket. */
-  private def screenGroup(
+  // private[streaming]: StreamRecoverySpec re-points the same update
+  // function at a splittable multi-file source for the kill-and-resume
+  // matrix
+  private[streaming] def screenGroup(
       key: (Int, Long),
       rows: Iterator[BucketRow],
       state: GroupState[Long]): Iterator[Long] = {

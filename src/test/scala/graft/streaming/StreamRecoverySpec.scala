@@ -249,6 +249,156 @@ class StreamRecoverySpec extends SparkSpec {
       s"recovered screen diverged: ${killed.size} rows vs ${clean.size} clean")
   }
 
+  // ---- round-14 verdict item 6: the two structurally-richest states ----
+  // q114's band-bucket minima (a per-(band,bucket) running min with a
+  // poison sentinel — millions of tiny keys) and q183's serialized
+  // compactor stacks (an opaque byte-array state round-tripping through
+  // the store) join the killed-drain matrix.
+
+  /** The q114 screen update over the splittable 4-file docs copy. */
+  private def lshScreenStream(): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    Dedup.bandBucketsOf(Dedup.sigsOf(stream))
+      .as[DedupStream.BucketRow]
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(DedupStream.screenGroup)
+      .toDF("doc_id")
+  }
+
+  test("killed LSH screen resumes with exact band-bucket state (q114)") {
+    val base = Files.createTempDirectory("graft-recovery-q114").toString
+    def drain(root: String, kill: Boolean): Unit =
+      EventStream.withStreamStatePartitions(spark) {
+        try {
+          val q = lshScreenStream().writeStream
+            .outputMode("append").format("parquet")
+            .option("path", s"$root/data")
+            .option("checkpointLocation", s"$root/checkpoint")
+            .trigger(if (kill) Trigger.ProcessingTime(0L) else Trigger.AvailableNow())
+            .start()
+          if (kill) {
+            val deadline = System.currentTimeMillis() + 120000
+            while (q.recentProgress.map(_.numInputRows).sum < 1 &&
+                System.currentTimeMillis() < deadline) Thread.sleep(25)
+            q.stop()
+            val q2 = lshScreenStream().writeStream
+              .outputMode("append").format("parquet")
+              .option("path", s"$root/data")
+              .option("checkpointLocation", s"$root/checkpoint")
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q2.awaitTermination()
+          } else q.awaitTermination()
+        } finally org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      }
+    drain(s"$base/killed", kill = true)
+    drain(s"$base/clean", kill = false)
+    def flags(root: String): Seq[Long] =
+      spark.read.parquet(s"$root/data").collect().map(_.getLong(0)).toSeq.sorted
+    val killed = flags(s"$base/killed")
+    val clean = flags(s"$base/clean")
+    assert(killed.nonEmpty, "screen flagged nothing — the fixture floor regressed")
+    assert(killed == clean,
+      s"recovered LSH screen diverged: ${killed.size} rows vs ${clean.size} clean")
+    // semantic floor: everything the stream flags, the batch screen
+    // flags too (the stream can only under-flag across batch
+    // boundaries — a min arriving late — never over-flag)
+    val buckets = Dedup.bandBucketsOf(Dedup.sigsOf(spark.read.parquet(srcDir)))
+    val sized = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("mn"))
+      .filter(col("bsz") <= Dedup.MaxBucket)
+    val batchFlags = buckets.join(sized, Seq("band", "bucket"))
+      .filter(col("doc_id") > col("mn"))
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(killed.toSet.subsetOf(batchFlags),
+      "streamed flags must be a subset of the batch screen's flags")
+  }
+
+  /** Four-file (event_type, cents) copy for the q183 sketch drain. */
+  private lazy val qSrcDir: String = {
+    val out = Files.createTempDirectory("graft-recovery-q183").toString
+    graft.core.Tables.events(spark, sf)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$out/ev")
+    s"$out/ev"
+  }
+
+  /** The q183 sketch update over the splittable copy. */
+  private def quantileStream(): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(qSrcDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(qSrcDir)
+      .as[QuantileStream.EvRow]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(QuantileStream.sketchUpdate)
+      .toDF()
+  }
+
+  test("killed quantile drain resumes with exact serialized compactor state (q183)") {
+    val base = Files.createTempDirectory("graft-recovery-q183-run").toString
+    def drain(root: String, kill: Boolean): Unit =
+      EventStream.withStreamStatePartitions(spark) {
+        try {
+          val q = quantileStream().writeStream
+            .outputMode("append").format("parquet")
+            .option("path", s"$root/data")
+            .option("checkpointLocation", s"$root/checkpoint")
+            .trigger(if (kill) Trigger.ProcessingTime(0L) else Trigger.AvailableNow())
+            .start()
+          if (kill) {
+            val deadline = System.currentTimeMillis() + 120000
+            while (q.recentProgress.map(_.numInputRows).sum < 1 &&
+                System.currentTimeMillis() < deadline) Thread.sleep(25)
+            q.stop()
+            val q2 = quantileStream().writeStream
+              .outputMode("append").format("parquet")
+              .option("path", s"$root/data")
+              .option("checkpointLocation", s"$root/checkpoint")
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q2.awaitTermination()
+          } else q.awaitTermination()
+        } finally org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      }
+    drain(s"$base/killed", kill = true)
+    drain(s"$base/clean", kill = false)
+    def history(root: String): Seq[(String, Long, Long, Long, Long)] =
+      spark.read.parquet(s"$root/data").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq.sorted
+    val killed = history(s"$base/killed")
+    val clean = history(s"$base/clean")
+    assert(killed.nonEmpty)
+    // the FULL emission history matches — every post-resume estimate was
+    // folded on top of a byte-exact deserialized compactor stack
+    assert(killed == clean,
+      s"recovered sketch drain diverged: ${killed.size} rows vs ${clean.size} clean")
+    // and the final estimates honor the q182 rank budget vs a batch recount
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy("event_type")
+    val finals = spark.read.parquet(s"$base/killed/data")
+      .withColumn("vmax", max(col("version")).over(wv))
+      .filter(col("version") === col("vmax"))
+      .select(col("event_type"),
+        col("p50").as("est_p50"), col("p90").as("est_p90"), col("p99").as("est_p99"))
+    val verdicts = graft.operators.QuantileSketch.verdictsOver(
+      spark.read.parquet(qSrcDir), finals).collect()
+    assert(verdicts.nonEmpty)
+    verdicts.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(5) && r.getBoolean(7),
+        s"recovered estimates broke the rank budget: $r")
+    }
+  }
+
   /** One-row-per-file source for the in-order-contract tests: file i
     * carries exactly `rows(i)`, mtimes pinned so file order is explicit. */
   private def orderedEvFiles(rows: Seq[(Long, Long, java.sql.Timestamp, String)]): String = {
