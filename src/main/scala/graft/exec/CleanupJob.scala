@@ -53,13 +53,18 @@ object CleanupJob {
     val purgedResults = resultsDir.toSeq.flatMap(d =>
       scala.util.Try(Retention.cleanup(d, maxAgeDays = 0)).getOrElse(Nil))
 
-    // 3. catalog: tables then database (ordered, like the stack teardown)
+    // 3. catalog: tables then database (ordered, like the stack teardown).
+    // listTables(db) also returns the SESSION's temp views — which belong
+    // to whoever registered them (e.g. the SQL shell's table views), not
+    // to this database; dropping them here would silently unregister
+    // another component's views and report them as catalog drops.
     val droppedTables = db.toSeq.flatMap { d =>
       if (!spark.catalog.databaseExists(d)) Nil
-      else spark.catalog.listTables(d).collect().map { t =>
-        scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $d.${t.name}"))
-        s"$d.${t.name}"
-      }.toSeq
+      else spark.catalog.listTables(d).collect()
+        .filter(_.tableType != "TEMPORARY").map { t =>
+          scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $d.${t.name}"))
+          s"$d.${t.name}"
+        }.toSeq
     }
     val droppedDbs = db.toSeq.flatMap { d =>
       if (!spark.catalog.databaseExists(d)) Nil
