@@ -57,7 +57,14 @@ object Margin {
   /** The miner over ANY (vec_id, embedding) frame — also the
     * `margin_pairs()` TVF body. */
   private[graft] def minedPairs(emb: DataFrame): DataFrame = {
-    val a = emb.filter(col("vec_id") % 2 === 0)
+    // fanout the STREAM side of the grid: the broadcast-NL cross join
+    // parallelizes by stream-side partitions, and a one-row-group
+    // embeddings fixture scans as ONE task — putting the entire n²
+    // cosine kernel on one core no matter how wide the machine (the
+    // [[graft.core.Tables.fanout]] rationale, applied to the quadratic
+    // gate's only CPU-heavy stage)
+    val a = graft.core.Tables.fanout(emb.sparkSession,
+        emb.filter(col("vec_id") % 2 === 0))
       .select(col("vec_id").as("a_id"), col("embedding").as("va"))
     val b = emb.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
@@ -84,15 +91,25 @@ object Margin {
     * denominator is an approximation whose recall the q200 gate
     * bounds); over the full grid they are the exact LASER criterion. */
   private[graft] def marginRankTail(pairs: DataFrame): DataFrame = {
+    // materialize the scored candidates ONCE (eager localCheckpoint,
+    // the q175/q251 double-compute lesson): the frame feeds THREE
+    // consumers — the forward window (partitioned by a_id), the
+    // backward window (partitioned by b_id) and the margin join — and
+    // the a_id/b_id partitionings can never share an exchange, so an
+    // unmaterialized frame recomputes the cosine kernel per consumer
+    // (for the exact miner that is the full quadratic grid, scored
+    // twice). The checkpoint is candidate-grain: three int64s per
+    // pair, no vectors.
+    val p = pairs.localCheckpoint(true)
     val wf = Window.partitionBy("a_id").orderBy(col("cm").desc, col("b_id"))
-    val fwd = pairs.withColumn("rn", row_number().over(wf))
+    val fwd = p.withColumn("rn", row_number().over(wf))
       .filter(col("rn") <= MarginK)
       .groupBy("a_id").agg(sum(col("cm")).as("fs"))
     val wb = Window.partitionBy("b_id").orderBy(col("cm").desc, col("a_id"))
-    val bwd = pairs.withColumn("rn", row_number().over(wb))
+    val bwd = p.withColumn("rn", row_number().over(wb))
       .filter(col("rn") <= MarginK)
       .groupBy("b_id").agg(sum(col("cm")).as("bs"))
-    val margined = pairs
+    val margined = p
       .join(fwd, Seq("a_id")).join(bwd, Seq("b_id"))
       .withColumn("margin_micro", expr("(2 * cm * 1000000) div (fs + bs)"))
     val best = Window.partitionBy("a_id")
@@ -199,7 +216,15 @@ object Margin {
     * the DEDUPED pair list — the same shape at 100 TB (re-key by
     * a_id, then by b_id), with Catalyst free to broadcast the vector
     * side while it fits. */
-  private[graft] def ivfMinedPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfMinedPairs(spark: SparkSession, dir: String): DataFrame =
+    marginRankTail(ivfScoredCandidates(spark, dir))
+
+  /** The production miner's scored candidate stream — the frame
+    * [[marginRankTail]] materializes. Split out so plan audits can
+    * check the candidate-generation shape (id-only store scans)
+    * directly: the tail's checkpoint hides this subplan from the
+    * final query's executed plan. */
+  private[graft] def ivfScoredCandidates(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val a = emb.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("a_id"), col("embedding").as("va"))
@@ -212,12 +237,11 @@ object Margin {
     val ids = fwd.select("a_id", "b_id")
       .union(bwd.select("a_id", "b_id"))
       .distinct()
-    val pairs = ids.join(a, Seq("a_id")).join(b, Seq("b_id"))
+    ids.join(a, Seq("a_id")).join(b, Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         KMeans.halfAway(lit(1e6) *
           Similarity.cosine(col("va"), col("vb"))).as("cm"))
       .filter(col("cm") > 0)
-    marginRankTail(pairs)
   }
 
   /** The deduped candidate-pair count of the production miner — the
@@ -242,12 +266,29 @@ object Margin {
     * callers use [[ivfMinedPairs]] directly. */
   def q200MarginIvf(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val exact = minedPairs(Tables.embeddings(spark, dir)).select("a_id", "b_id")
-    val prod = ivfMinedPairs(spark, dir)
-      .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+    // the two miners are INDEPENDENT jobs until the recall join — and
+    // each materializes its scored candidates ([[marginRankTail]]'s
+    // eager checkpoint), so building them from one driver thread
+    // serializes two materialization jobs back to back. Overlap them
+    // from driver threads (the standard concurrent-jobs idiom: the
+    // scheduler runs both, each back-filling the other's stage tails).
+    // The store build inside [[assignStore]] is synchronized, so the
+    // prod arm racing the exact arm is safe.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val exactF = Future(
+      minedPairs(Tables.embeddings(spark, dir)).select("a_id", "b_id"))
+    val prodF = Future(ivfMinedPairs(spark, dir)
+      .select(col("a_id"), col("b_id"), lit(1L).as("hit")))
     val emb = Tables.embeddings(spark, dir)
-    val grid = emb.filter(col("vec_id") % 2 === 0).count() *
-      emb.filter(col("vec_id") % 2 === 1).count()
+    // ONE parity-count job instead of two driver count() actions
+    val cnts = emb.agg(
+      sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)),
+      sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L))).head()
+    val grid = cnts.getLong(0) * cnts.getLong(1)
+    val exact = Await.result(exactF, Duration.Inf)
+    val prod = Await.result(prodF, Duration.Inf)
     val recallAgg = exact.join(prod, Seq("a_id", "b_id"), "left")
       .agg(
         count(lit(1)).as("n_exact_pairs"),

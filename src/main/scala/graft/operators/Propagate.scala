@@ -65,6 +65,15 @@ object Propagate {
     val pairs = nearDupPairs.select("d1", "d2")
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    // each round is materialized (eager localCheckpoint, the seed
+    // frame's own pattern one level down): round t's output feeds
+    // round t+1 on BOTH join sides (self by src, neighbor by dst) —
+    // two partitionings, so exchange reuse can never dedup them and an
+    // unmaterialized round-1 re-runs its edge join + aggregate twice;
+    // lineage also compounds per round (the measured q168 plan grew to
+    // a 39k-line formatted tree, planning cost a 100 TB scheduler pays
+    // per round). The checkpoint is graph-sized — (doc_id, int64) for
+    // non-isolated docs only.
     def round(scores: DataFrame): DataFrame =
       edges
         .join(scores.withColumnRenamed("doc_id", "src").withColumnRenamed("s", "s_self"), Seq("src"))
@@ -73,6 +82,7 @@ object Propagate {
         .agg(max(col("s_self")).as("mx"), sum(col("s_nbr")).as("sm"),
           count(lit(1)).as("dg"))
         .select(col("doc_id"), expr("(mx + sm) div (1 + dg)").as("s"))
+        .localCheckpoint(true)
     val s2 = round(round(seeds))
     s2.select(col("doc_id"), col("s").as("s2_micro"))
       .join(seeds.select(col("doc_id"), col("s").as("s0_micro")), Seq("doc_id"))

@@ -20,14 +20,18 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_TIME_REPS (dev-only): more reps = steadier min on a
+    // box with JIT/GC jitter; default keeps the historical 3
+    val reps = scala.util.Try(sys.env("SPARK_GRAFT_TIME_REPS").trim.toInt)
+      .toOption.getOrElse(3).max(2)
     names.foreach { name =>
       val fn = ScaleBench.ProdPaths.getOrElse(name, graft.SparkEntry.queries(name))
-      val samples = (1 to 3).map { _ =>
+      val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"[timequery] $name: median ${samples(1)}%.3f s " +
+      println(f"[timequery] $name: median ${samples(samples.size / 2)}%.3f s " +
         f"(min ${samples.head}%.3f, max ${samples.last}%.3f)")
     }
     spark.stop()

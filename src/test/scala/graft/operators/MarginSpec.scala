@@ -108,8 +108,10 @@ class MarginSpec extends SparkSpec {
     assert(fromStore == direct,
       "rank-filtered store diverges from the direct n-wide assignment")
     // the candidate-generation scans read ONLY ids from the store —
-    // never re-materializing vectors through the list fan-out
-    val df = Margin.ivfMinedPairs(spark, sf)
+    // never re-materializing vectors through the list fan-out. Audited
+    // on the scored-candidate frame: the rank tail's checkpoint hides
+    // this subplan from the final query's executed plan.
+    val df = Margin.ivfScoredCandidates(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     val storeSchemas = raw"ReadSchema: struct<([^>]*)>".r
