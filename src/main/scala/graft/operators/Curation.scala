@@ -124,10 +124,19 @@ object Curation {
       .join(grpKeeper, Seq("grp"), "left")
       .withColumn("alive4",
         col("alive3") && (col("grp").isNull || col("doc_id") === col("gk")))
+    // materialized once (eager localCheckpoint): the screened frame
+    // feeds THREE consumers — the mix-rate aggregate, the mix join-back
+    // and the final copy-count join — and without the checkpoint each
+    // re-runs the corpus tokenize + fingerprint window + three
+    // election joins behind it (the q175/q168 double-compute lesson,
+    // measured as 3 full base recomputes in the q229 plan). This is
+    // also the semantic record: the screened per-document frame is
+    // what a real run persists before mixing.
     val f5 = f4.join(contaminated, Seq("doc_id"), "left")
       .withColumn("alive5",
         col("alive4") && col("doc_id") % Dedup.EvalDocModulus =!= 0 &&
           col("contam").isNull)
+      .localCheckpoint(true)
     // q64 temperature rates computed over the SURVIVORS (the corpus the
     // mix actually serves), joined back; non-survivors carry 0 copies
     val mixed = Sampling.temperatureMix(
