@@ -439,13 +439,20 @@ object Corpus {
         (col("nd") / col("nt")) * 0.5, 4))
       .withColumn("s1", col("lang") === lit(AttritionLang))
       .withColumn("s2", col("s1") && col("q") >= AttritionMinQuality)
+      // materialized once (eager localCheckpoint, the q229 lesson): the
+      // scored frame feeds the keeper window and the funnel join, and
+      // each re-ran the corpus tokenize without it; doc-grain, no text
+      .localCheckpoint(true)
     // exact-dedup keepers among stage-2 survivors: filter FIRST so the
-    // fingerprint window ranks only surviving rows
+    // fingerprint window ranks only surviving rows. Checkpointed too:
+    // it feeds both survivor sides of the pair restriction and the
+    // funnel join (three consumers, two join keys — no shared exchange)
     val s3 = scored.filter(col("s2"))
       .withColumn("rk",
         row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
       .filter(col("rk") === 1)
       .select(col("doc_id"), lit(true).as("s3"))
+      .localCheckpoint(true)
     // near-dup groups among stage-3 survivors only: restrict the pair
     // set to survivor×survivor, then the shared min-label closure
     val survPairs = nearDupPairs
@@ -502,6 +509,10 @@ object Corpus {
           explode(Dedup.shingleArray(coalesce(col("text"), lit("")))).as("s"))
         .select(col("source"), xxhash64(col("s")).as("h"))
         .distinct()
+    // NOT checkpointed (tried, rejected): materializing a and b
+    // serializes two jobs where the single plan runs all four shingle
+    // passes as parallel stages of one job — measured +0.66 s at sf0.1
+    // (the q200 serialization lesson, without q200's per-arm win)
     val a = srcShingles(SnapshotFixture.table(spark, dir, "documents_v1_edit"))
     val b = srcShingles(SnapshotFixture.table(spark, dir, "documents_v2"))
     val na = a.groupBy("source").agg(count(lit(1)).as("n_sh_v1"))

@@ -1211,10 +1211,17 @@ object Dedup {
   /** The overlap matrix over ANY (doc_id, hs) signature frame + (doc_id,
     * source) metadata frame. */
   def sourceOverlap(sigs: DataFrame, meta: DataFrame): DataFrame = {
+    // materialized once (eager localCheckpoint): the distinct
+    // (source, shingle) frame feeds the per-source size aggregate AND
+    // the self-join (whose two sides share one h-keyed exchange), so
+    // the unmaterialized form re-ran the shingle explode + distinct
+    // shuffle twice. The frame is (string, int64) at distinct-shingle
+    // grain — far below the corpus the explode scans.
     val srcSh = sigs
       .join(meta, Seq("doc_id"))
       .select(col("source"), explode(col("hs")).as("h"))
       .distinct()
+      .localCheckpoint(true)
     val n = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val inter = srcSh.select(col("source").as("src_a"), col("h"))
       .join(srcSh.select(col("source").as("src_b"), col("h")), Seq("h"))

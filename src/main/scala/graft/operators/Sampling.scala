@@ -656,10 +656,17 @@ object Sampling {
     * `dir` — unigrams + adjacent bigrams off the shared token stage. */
   private[graft] def dsirFeatures(spark: SparkSession, dir: String): DataFrame = {
     val st = TextOps.tokenStream(spark, dir)
-    val bigrams = st.withColumn("nxt",
-      lead(col("token"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("token"), col("nxt")).as("feat"))
+    // bigrams derived MAP-SIDE from the token array (an adjacent pair
+    // is a row-local fact of the document): the previous lead() window
+    // shuffled AND sorted the entire occurrence stream just to look one
+    // position ahead — a full-stream exchange a 100 TB corpus pays for
+    // nothing. The array transform reproduces the stage's pos-adjacency
+    // exactly ([[TextOps.tokenized]] posexplodes this same array).
+    val bigrams = Tables.fanout(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
+          "(x, i) -> concat(x, ' ', t[i + 1]))")).as("feat"))
     st.select(col("doc_id"), col("token").as("feat"))
       .unionAll(bigrams)
       .select(col("doc_id"), dsirBucket(col("feat")).as("bucket"))

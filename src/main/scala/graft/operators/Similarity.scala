@@ -163,7 +163,11 @@ object Similarity {
   def q31CosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     val emb = Tables.embeddings(spark, dir)
-    val l = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    // fanout the STREAM side (the q191 lesson): the broadcast-NL cross
+    // join parallelizes by stream-side partitions, and a one-row-group
+    // embeddings file otherwise runs the whole n² kernel on one core
+    val l = Tables.fanout(spark, emb)
+      .select(col("vec_id").as("v1"), col("embedding").as("e1"))
     val r = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
     l.crossJoin(r)
       .filter(col("v1") < col("v2"))
@@ -584,8 +588,13 @@ object Similarity {
   def ivfNearDupPairs(
       emb: DataFrame,
       centers: Array[Array[Double]],
-      threshold: Double): DataFrame = {
-    val assigned = assignClusters(emb, centers)
+      threshold: Double): DataFrame =
+    ivfPairsOfAssigned(assignClusters(emb, centers), threshold)
+
+  /** [[ivfNearDupPairs]] over an ALREADY-ASSIGNED frame — shared with
+    * [[semDedup]] so the nearest-centroid corpus pass runs once, not
+    * once for the status rows and again for the pair join. */
+  private def ivfPairsOfAssigned(assigned: DataFrame, threshold: Double): DataFrame = {
     val l = assigned.select(col("cluster"), col("vec_id").as("v1"), col("embedding").as("e1"))
     val r = assigned.select(col("cluster"), col("vec_id").as("v2"), col("embedding").as("e2"))
     l.join(r, Seq("cluster"))
@@ -599,7 +608,7 @@ object Similarity {
       centers: Array[Array[Double]],
       threshold: Double): DataFrame = {
     val assigned = assignClusters(emb, centers)
-    val pairs = ivfNearDupPairs(emb, centers, threshold)
+    val pairs = ivfPairsOfAssigned(assigned, threshold)
       .select(col("v1").as("d1"), col("v2").as("d2"))
     val groups = Dedup.minLabelComponents(emb.sparkSession, pairs)
       .select(col("doc_id").as("vec_id"), col("keeper"))
@@ -641,8 +650,15 @@ object Similarity {
     * Production callers use [[semDedupStatuses]]. */
   def q69SemDedup(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val statuses = semDedupStatuses(spark, dir)
+    // both gate inputs materialized once (eager localCheckpoint, the
+    // q175/q251 lesson): statuses feeds FOUR consumers (the count agg,
+    // the bad-drop anti-join and both sides of the survived join) and
+    // pairs feeds two — without the checkpoints the clustered dedup
+    // re-runs four times and the exact quadratic twin twice. Both
+    // frames are id-grain (≤ 3 int/string columns per vector/pair).
+    val statuses = semDedupStatuses(spark, dir).localCheckpoint(true)
     val pairs = q31CosineNearDup(spark, dir).select(col("v1"), col("v2"))
+      .localCheckpoint(true)
     val dupVecs = pairs
       .select(explode(array(col("v1"), col("v2"))).as("vec_id")).distinct()
     val nAgg = statuses.agg(count(lit(1)).as("n_vectors"))
