@@ -690,9 +690,14 @@ object Sampling {
   private[graft] def dsirSelect(feats: DataFrame, docSource: DataFrame,
       targets: Seq[String], nBuckets: Long, topK: Int): DataFrame = {
     val isTarget = col("source").isInCollection(targets)
+    // materialized once (eager localCheckpoint): the (doc, bucket)
+    // count frame feeds the bucket-keyed model aggregate AND the
+    // raw-side scorer, and each re-ran the feature tokenize + the
+    // occurrence-grain shuffle behind it. ≤ |docs|·B rows, 5 columns.
     val perDoc = feats.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
       .join(docSource.select(col("doc_id"), isTarget.as("tgt"), col("source")),
         Seq("doc_id"))
+      .localCheckpoint(true)
     perDoc.filter(not(col("tgt")))
       .join(broadcast(dsirDeltas(perDoc, nBuckets)), Seq("bucket"))
       .groupBy("doc_id", "source")

@@ -602,9 +602,19 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     Sessions.prepare(spark)
     val st = tokenStream(spark, dir)
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val bg = st.select(col("doc_id"), col("token").as("w"),
-      coalesce(lag(col("token"), 1).over(w), lit(BosToken)).as("h"))
+    // (history, word) pairs derived MAP-SIDE from the token array (the
+    // q129 move): the previous lag() window shuffled AND sorted the
+    // whole occurrence stream to look one position back — position 0
+    // takes the BOS sentinel, position i takes t[i-1], exactly the
+    // lag-with-coalesce semantics over the stage's pos order
+    val bg = graft.core.Tables.fanout(spark,
+        graft.core.Tables.documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(t, (x, i) -> struct(" +
+          s"CASE WHEN i = 0 THEN '$BosToken' ELSE t[i - 1] END AS h, " +
+          "x AS w))")).as("p"))
+      .select(col("doc_id"), col("p.h").as("h"), col("p.w").as("w"))
     val pairTf = bg.groupBy("doc_id", "h", "w").agg(count(lit(1)).as("tf"))
     val model = pairTf.groupBy("h", "w").agg(sum(col("tf")).as("cnt"))
       .withColumn("htot", sum(col("cnt")).over(Window.partitionBy("h")))

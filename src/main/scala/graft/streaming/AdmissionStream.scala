@@ -53,36 +53,54 @@ object AdmissionStream {
     * screen: identical rows, identical oracle. */
   def q235StreamAdmission(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val evalBc = spark.sparkContext.broadcast(
-      DecontaminateStream.evalProbe(spark, dir))
+    // the store-side artifacts below are INDEPENDENT until the drain
+    // consumes them, but each is an eager materialization — built from
+    // one driver thread they serialize four jobs back to back (the
+    // q200 lesson). Overlap the three independent chains from driver
+    // threads: the eval probe collect, the sigs-derived chain
+    // (storeSigs + buckets→guard→storeBuckets, which share the cached
+    // signature stage), and the fingerprint index scan.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val evalF = Future(spark.sparkContext.broadcast(
+      DecontaminateStream.evalProbe(spark, dir)))
     // store-side artifacts (static join sides), off the cached
     // signature stage: the fingerprint index, the guarded bucket table
     // and the doc-keyed signature table for the pair-local verify
-    val sigs = Dedup.shingleSigs(spark, dir)
-    val storeSigs = sigs.filter(!Admission.isArriving)
-      .select(col("doc_id").as("sdoc"), col("hs").as("s_hs"),
-        col("n_sh").cast("long").as("s_n"))
-      .localCheckpoint()
-    val buckets = Dedup.bandBucketsOf(sigs)
-    // the batch candidate generator's degenerate-bucket guard is sized
-    // on WHOLE-CORPUS bucket occupancy — applying the same guard to the
-    // static side keeps the stream's candidate set identical to the
-    // batch's cross-restricted candidates
-    val guarded = buckets.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= Dedup.MaxBucket)
-      .select("band", "bucket")
-      .localCheckpoint()
-    val storeBuckets = buckets
-      .join(guarded, Seq("band", "bucket"), "left_semi")
-      .filter(!Admission.isArriving)
-      .select(col("band"), col("bucket"), col("doc_id").as("sdoc"))
-      .localCheckpoint()
-    val storeFps = Tables.documents(spark, dir)
-      .filter(!Admission.isArriving)
-      .select(md5(trim(coalesce(col("text"), lit("")))).as("fp"))
-      .distinct()
-      .localCheckpoint()
+    val sigsChainF = Future {
+      val sigs = Dedup.shingleSigs(spark, dir)
+      val ss = sigs.filter(!Admission.isArriving)
+        .select(col("doc_id").as("sdoc"), col("hs").as("s_hs"),
+          col("n_sh").cast("long").as("s_n"))
+        .localCheckpoint()
+      val buckets = Dedup.bandBucketsOf(sigs)
+      // the batch candidate generator's degenerate-bucket guard is sized
+      // on WHOLE-CORPUS bucket occupancy — applying the same guard to the
+      // static side keeps the stream's candidate set identical to the
+      // batch's cross-restricted candidates
+      val g = buckets.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= Dedup.MaxBucket)
+        .select("band", "bucket")
+        .localCheckpoint()
+      val sb = buckets
+        .join(g, Seq("band", "bucket"), "left_semi")
+        .filter(!Admission.isArriving)
+        .select(col("band"), col("bucket"), col("doc_id").as("sdoc"))
+        .localCheckpoint()
+      (ss, g, sb)
+    }
+    val storeFpsF = Future {
+      Tables.documents(spark, dir)
+        .filter(!Admission.isArriving)
+        .select(md5(trim(coalesce(col("text"), lit("")))).as("fp"))
+        .distinct()
+        .localCheckpoint()
+    }
+    val evalBc = Await.result(evalF, Duration.Inf)
+    val (storeSigs, guarded, storeBuckets) = Await.result(sigsChainF, Duration.Inf)
+    val storeFps = Await.result(storeFpsF, Duration.Inf)
 
     val stream = spark.readStream
       .schema(DedupStream.docSchema)
