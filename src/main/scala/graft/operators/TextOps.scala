@@ -70,15 +70,15 @@ object TextOps {
   private[operators] def tokenStream(spark: SparkSession, dir: String): DataFrame =
     tokenStage(spark, dir).filter(col("token").isNotNull)
 
-  /** Corpus size as a 1-row frame — `count(*)` over `documents`
-    * directly (what the oracle computes). The previous stage-derived
-    * form (`countDistinct(doc_id)` over the occurrence stream, equal by
-    * the marker-row invariant) re-ran a corpus-grain two-phase distinct
-    * aggregation PER CONSUMER — q109 broadcasts this 1-row frame into
-    * three plan branches, so the distinct ran three times where a
-    * zero-column count scan suffices. */
+  /** Corpus size as a 1-row frame derived from the stage (counts the
+    * marker rows too, so it equals `count(*)` over `documents`).
+    * Deliberately NOT a documents-table count: the text family's
+    * one-corpus-pass contract (PlanAuditSpec) is zero parquet scans
+    * per consumer once the stage is warm, and the distinct here reads
+    * the CACHED stage, so the repeated-broadcast cost q109 pays is an
+    * in-memory aggregate, not a corpus scan. */
   private[operators] def corpusSize(spark: SparkSession, dir: String): DataFrame =
-    graft.core.Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    tokenStage(spark, dir).agg(countDistinct(col("doc_id")).as("n_docs"))
 
   /** Deterministic document fingerprint: md5 over the trimmed text
     * (SURVEY §2.9 "document fingerprinting"; the rolling-hash variant for
@@ -311,9 +311,9 @@ object TextOps {
   def q54TfIdf(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
     import org.apache.spark.sql.expressions.Window
-    // corpus size as a broadcast 1-row aggregate IN-PLAN (a driver-side
-    // count() would be an eager second action); see [[corpusSize]] for
-    // why it counts the documents table rather than the token stage
+    // corpus size as a broadcast 1-row aggregate over the shared token
+    // stage — a driver-side count() would be an eager second action, a
+    // documents count a second corpus scan
     val nDocs = corpusSize(spark, dir).select(col("n_docs").cast("double").as("n_docs"))
     val tf = tokenStream(spark, dir)
       .groupBy("doc_id", "token")
