@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-SEGMENT contention flags over the mid-sweep calibration marks
+    * (round-15 verdict item 1): segment k (queries
+    * [k·SegmentQueries, (k+1)·SegmentQueries) in sorted-name order) is
+    * flagged when either bracketing probe sits >1.5× above the idle
+    * constant (the r15 drift peaked at 1.89× — under the 2× endpoint
+    * trigger but far over this) or the two probes disagree by >2×
+    * (sharp mid-segment onset). Extracted so `BenchSegmentSpec` pins
+    * the thresholds against the r15 drift scenario. */
+  private[graft] def segmentFlags(marks: Seq[Double], idleRef: Double): Seq[Boolean] =
+    marks.sliding(2).map { w =>
+      val hi = math.max(w.head, w.last)
+      val lo = math.max(1e-9, math.min(w.head, w.last))
+      hi > 1.5 * idleRef || hi / lo > 2.0
+    }.toSeq
+
   def main(args: Array[String]): Unit = {
     // ambient load snapshot at PROCESS START — before our own warmup
     // threads inflate the 1-minute average — so the loadavg retry
@@ -79,22 +94,39 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ")(0)).getOrElse("-1")
     calibrate() // JIT-warm the calibration loop itself, or before > after on any machine
 
-    /** One full timed sweep bracketed by calibrations. */
+    /** One full timed sweep bracketed AND SEGMENTED by calibrations:
+      * `marks(0)` before the first query, one after every
+      * [[SegmentQueries]] queries, one after the last — so load that
+      * arrives MID-sweep is pinned to the segment it hit instead of
+      * poisoning the whole run's comparison (round-15: calibration
+      * drifted 0.026→0.051 between the endpoints, `contended` stayed
+      * false because only the endpoints were probed, and a uniform
+      * 1.34× inflation read as a code regression). Queries run in
+      * sorted-name order, so segment k covers sorted queries
+      * [k·SegmentQueries, (k+1)·SegmentQueries). */
     case class Sweep(results: Seq[(String, Double)],
-        calibBefore: Double, calibAfter: Double,
-        loadBefore: String, loadAfter: String)
+        marks: Seq[Double],
+        loadBefore: String, loadAfter: String) {
+      def calibBefore: Double = marks.head
+      def calibAfter: Double = marks.last
+    }
+    val SegmentQueries = 32
     def sweep(): Sweep = {
-      val cb = calibrate()
       val lb = loadavg()
-      val res = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val marks = scala.collection.mutable.ArrayBuffer(calibrate())
+      val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      val res = sorted.zipWithIndex.map { case ((name, fn), idx) =>
         val samples = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
+        if ((idx + 1) % SegmentQueries == 0 && idx + 1 < sorted.size)
+          marks += calibrate()
         name -> samples.min
       }
-      Sweep(res, cb, calibrate(), lb, loadavg())
+      marks += calibrate()
+      Sweep(res, marks.toSeq, lb, loadavg())
     }
     // ABSOLUTE idle reference for the calibration loop: the same loop on
     // this container measured ~0.027 s across every idle round (r1-r6).
@@ -114,6 +146,13 @@ object Bench {
         math.max(1e-9, math.min(sw.calibBefore, sw.calibAfter))
       ratio > 2.0 || math.min(sw.calibBefore, sw.calibAfter) > 2.0 * IdleCalibSec
     }
+    // per-SEGMENT contention (see the companion [[segmentFlags]]): a
+    // tripped segment identifies exactly which sorted-order queries ran
+    // under load; any tripped segment also joins the retry trigger
+    // below, since a clean re-sweep is minutes while a poisoned segment
+    // costs a round of comparability.
+    def segmentFlags(sw: Sweep): Seq[Boolean] =
+      Bench.segmentFlags(sw.marks, IdleCalibSec)
     // shared-artifact attribution (round-11 verdict item 2): build every
     // per-corpus cached stage at the BENCH SF before the timed sweep and
     // record each build as its own `cache_<name>` row. Without this,
@@ -175,9 +214,11 @@ object Bench {
     val MaxRetries = 3
     var sw = sweep()
     var retried = 0
-    while ((contended(sw) || (retried == 0 && ambientHigh)) && retried < MaxRetries) {
+    while ((contended(sw) || segmentFlags(sw).exists(identity) ||
+        (retried == 0 && ambientHigh)) && retried < MaxRetries) {
       System.err.println(
         s"[bench] contended sweep (calib ${sw.calibBefore} -> ${sw.calibAfter}, " +
+          s"segments ${segmentFlags(sw).count(identity)}/${segmentFlags(sw).size}, " +
           s"loadavg_start $loadavgStart); retry ${retried + 1}/$MaxRetries")
       retried += 1
       sw = sweep()
@@ -205,13 +246,28 @@ object Bench {
         }
         (name + "_rocksdb") -> samples.min
       } finally spark.conf.unset("spark.graft.streaming.stateStoreProvider")
+    // the twin block runs OUTSIDE the sweep's calibration bracket; one
+    // closing probe makes its contention state a recorded fact too
+    val calibAfterRocks = calibrate()
     val qs = (sw.results ++ rocksRows ++ cacheRows)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = sw.results.map(_._2).sum
+    // explicit-locale formatting: the f-interpolator uses the JVM
+    // default locale, and a comma-decimal locale (de_DE …) would emit
+    // '0,123' — breaking the very parseability this line guarantees
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val segFlags = segmentFlags(sw)
+    val marksJson = sw.marks.map(m => f3(m)).mkString("[", ",", "]")
+    val segJson = segFlags.map(_.toString).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","calib_before":${sw.calibBefore},"calib_after":${sw.calibAfter}""" +
       s""","calib_idle_ref":$IdleCalibSec""" +
+      s""","calib_marks":$marksJson,"calib_segment_queries":$SegmentQueries""" +
+      s""","segments_contended":$segJson""" +
+      s""","n_segments_contended":${segFlags.count(identity)}""" +
+      s""","calib_after_rocksdb":${f3(calibAfterRocks)}""" +
       s""","loadavg_start":$loadavgStart""" +
       s""","loadavg_before":${sw.loadBefore},"loadavg_after":${sw.loadAfter}""" +
       s""","cooldown_ms":$cooldownMs""" +
@@ -230,11 +286,6 @@ object Bench {
     // construction (fixed fields + slowest-10), so the tail always
     // contains one complete, parseable JSON object.
     val allRows = sw.results ++ rocksRows ++ cacheRows
-    // explicit-locale formatting: the f-interpolator uses the JVM
-    // default locale, and a comma-decimal locale (de_DE …) would emit
-    // '0,123' — breaking the very parseability this line guarantees
-    def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slowest = allRows.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val streamCore = sw.results.filter(r => streamingNames.contains(r._1)).map(_._2).sum
@@ -247,6 +298,7 @@ object Bench {
       s""","cache_build_sec":${f3(cacheTotal)}""" +
       s""","streaming_core_sec":${f3(streamCore)},"slowest":$slowest""" +
       s""","sf":"$sfDir","retried":$retried,"contended":${contended(sw)}""" +
+      s""","n_segments_contended":${segFlags.count(identity)}""" +
       s""","full_queries_in":"BENCH_LAST.json"}""")
     spark.stop()
   }

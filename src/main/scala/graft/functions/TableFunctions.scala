@@ -195,6 +195,13 @@ object TableFunctions {
         case _ => throw new IllegalArgumentException("vocab_coverage expects (v)")
       }
     },
+    // NOTE (round-15 advisor): resolving this TVF EXECUTES jobs — the
+    // operator body eagerly materializes its distinct (source, shingle)
+    // frame (Materialize.once), so even EXPLAIN over source_overlap()
+    // runs the shingle explode + distinct. Deliberate: the lazy form
+    // measured worse (concurrent consumers recompute partitions), and
+    // the materialized frame is distinct-shingle grain, far below the
+    // corpus the explode scans.
     "source_overlap" -> { exprs: Seq[Expression] =>
       exprs match {
         case Seq() =>
@@ -774,6 +781,15 @@ object TableFunctions {
           "curriculum_shards expects no arguments")
       }
     },
+    // NOTE (round-15 advisor): resolving this TVF EXECUTES the full n²
+    // cosine kernel — minedPairs rides marginRankTail, whose scored
+    // candidate frame is eagerly materialized (Materialize.once) because
+    // it feeds three incompatibly-partitioned consumers; even EXPLAIN
+    // runs the kernel and pins the candidate frame (3 int64s per
+    // positive-cosine pair — O(n²) worst case) in executor storage.
+    // Deliberate: the lazy checkpoint measured worse on both miners
+    // (round-15 log §1); a deployment that must EXPLAIN cheaply points
+    // the TVF at the IVF-blocked miner instead.
     "margin_pairs" -> { exprs: Seq[Expression] =>
       exprs match {
         case Seq() =>
@@ -960,8 +976,9 @@ object TableFunctions {
         case Seq() =>
           plan { spark =>
             graft.operators.Curation.manifestOver(
-              graft.operators.Curation.tableLedger(spark, spark.table("documents"))
-                .drop("text").localCheckpoint())
+              graft.core.Materialize.once(
+                graft.operators.Curation.tableLedger(spark, spark.table("documents"))
+                  .drop("text")))
           }
         case _ => throw new IllegalArgumentException(
           "curation_manifest expects no arguments")

@@ -38,7 +38,8 @@ object CurationPipeline {
   def run(spark: SparkSession, dir: String, out: String): Unit = {
     // one materialization of the ledger feeds the corpus export, the
     // ledger dump and the manifest aggregation (the q175 lesson)
-    val led = graft.operators.Curation.ledger(spark, dir).localCheckpoint()
+    val led = graft.core.Materialize.once(
+      graft.operators.Curation.ledger(spark, dir))
 
     led.filter(col("alive5") && col("n_copies") > 0)
       .select(col("doc_id"), col("source"), col("text"),

@@ -271,11 +271,11 @@ object Classify {
       }
       val schema = StructType(sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false))
       val out = sorted.sparkSession.createDataFrame(ranked, schema)
-      // localCheckpoint (eager): materializes AND truncates lineage — a
-      // recomputed sort could land different range boundaries, and the
-      // collected offsets would then be stale; after this the ranks can
-      // never silently shift
-      out.localCheckpoint(true)
+      // eager materialization: truncates lineage too — a recomputed
+      // sort could land different range boundaries, and the collected
+      // offsets would then be stale; after this the ranks can never
+      // silently shift
+      graft.core.Materialize.once(out)
     } finally sorted.unpersist()
   }
 
@@ -333,7 +333,7 @@ object Classify {
     * made q175 the slowest bench entry at 4.4 s; the q193/q168
     * checkpoint pattern). */
   private[graft] def calibrationOf(scores: DataFrame): DataFrame = {
-    val snap = scores.localCheckpoint(true)
+    val snap = graft.core.Materialize.once(scores)
     val n = snap.count()
     withGlobalRank(snap, Seq(col("score_micro"), col("doc_id")), "rk")
       .withColumn("decile", ntileOfRank(col("rk"), n, CalibBins))

@@ -439,10 +439,10 @@ object Corpus {
         (col("nd") / col("nt")) * 0.5, 4))
       .withColumn("s1", col("lang") === lit(AttritionLang))
       .withColumn("s2", col("s1") && col("q") >= AttritionMinQuality)
-      // materialized once (eager localCheckpoint, the q229 lesson): the
-      // scored frame feeds the keeper window and the funnel join, and
-      // each re-ran the corpus tokenize without it; doc-grain, no text
-      .localCheckpoint(true)
+      // materialized once (the q229 lesson): the scored frame feeds the
+      // keeper window and the funnel join, and each re-ran the corpus
+      // tokenize without it; doc-grain, no text
+      .transform(graft.core.Materialize.once(_))
     // exact-dedup keepers among stage-2 survivors: filter FIRST so the
     // fingerprint window ranks only surviving rows. Checkpointed too:
     // it feeds both survivor sides of the pair restriction and the
@@ -452,7 +452,7 @@ object Corpus {
         row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
       .filter(col("rk") === 1)
       .select(col("doc_id"), lit(true).as("s3"))
-      .localCheckpoint(true)
+      .transform(graft.core.Materialize.once(_))
     // near-dup groups among stage-3 survivors only: restrict the pair
     // set to survivor×survivor, then the shared min-label closure
     val survPairs = nearDupPairs

@@ -132,11 +132,11 @@ object Curation {
     // measured as 3 full base recomputes in the q229 plan). This is
     // also the semantic record: the screened per-document frame is
     // what a real run persists before mixing.
-    val f5 = f4.join(contaminated, Seq("doc_id"), "left")
-      .withColumn("alive5",
-        col("alive4") && col("doc_id") % Dedup.EvalDocModulus =!= 0 &&
-          col("contam").isNull)
-      .localCheckpoint(true)
+    val f5 = graft.core.Materialize.once(
+      f4.join(contaminated, Seq("doc_id"), "left")
+        .withColumn("alive5",
+          col("alive4") && col("doc_id") % Dedup.EvalDocModulus =!= 0 &&
+            col("contam").isNull))
     // q64 temperature rates computed over the SURVIVORS (the corpus the
     // mix actually serves), joined back; non-survivors carry 0 copies
     val mixed = Sampling.temperatureMix(
@@ -250,7 +250,7 @@ object Curation {
     // text dropped before the checkpoint: the manifest's aggregates and
     // shard draws ride fp/n_tok, and materializing corpus text three
     // aggregates never read was most of the q228 checkpoint cost
-    manifestOver(ledger(spark, dir).drop("text").localCheckpoint())
+    manifestOver(graft.core.Materialize.once(ledger(spark, dir).drop("text")))
   }
 
   /** q229 — the per-document curation ledger: each document's OUTCOME

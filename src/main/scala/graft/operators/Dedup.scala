@@ -687,16 +687,8 @@ object Dedup {
     * and the loop uses real `checkpoint` — executor loss then recovers
     * from storage instead of killing the job. Same labels either way
     * (spec-checked); only the fault-tolerance story changes. */
-  private[operators] def truncateLineage(df: DataFrame, eager: Boolean = true): DataFrame = {
-    val spark = df.sparkSession
-    spark.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
-      case Some(cpDir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(cpDir)
-        df.checkpoint(eager)
-      case None => df.localCheckpoint(eager)
-    }
-  }
+  private[operators] def truncateLineage(df: DataFrame, eager: Boolean = true): DataFrame =
+    graft.core.Materialize.once(df, eager)
 
   /** q38 — dedup APPLY: cluster the near-dup pairs (connected components
     * by min-label propagation with pointer jumping) and elect one keeper
@@ -1221,7 +1213,7 @@ object Dedup {
       .join(meta, Seq("doc_id"))
       .select(col("source"), explode(col("hs")).as("h"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.core.Materialize.once(_))
     val n = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val inter = srcSh.select(col("source").as("src_a"), col("h"))
       .join(srcSh.select(col("source").as("src_b"), col("h")), Seq("h"))

@@ -168,7 +168,7 @@ object KMeans {
       reports.reduce(_ unionAll _).orderBy("iter", "cluster")
         // materialize before unpersist: the caller gets a plain local
         // result-backed plan, not one that recomputes the freed cache
-        .localCheckpoint(true)
+        .transform(graft.core.Materialize.once(_))
     } finally { q.unpersist(); () }
   }
 

@@ -141,7 +141,7 @@ object Linkage {
       .groupBy("new_id").agg(min(col("old_id")).as("old_id"))
       .select(col("new_id"), col("old_id"),
         lit(1000000L).as("jac_micro"), lit("exact").as("tier"))
-      .localCheckpoint(true)
+      .transform(graft.core.Materialize.once(_))
     // the fuzzy tier's INPUT is the residue — change-sized, never the
     // crawl; the registry side stays whole (an edited doc may best-match
     // a registry row that also resolved exactly for another doc)

@@ -100,7 +100,7 @@ object Margin {
     // (for the exact miner that is the full quadratic grid, scored
     // twice). The checkpoint is candidate-grain: three int64s per
     // pair, no vectors.
-    val p = pairs.localCheckpoint(true)
+    val p = graft.core.Materialize.once(pairs)
     val wf = Window.partitionBy("a_id").orderBy(col("cm").desc, col("b_id"))
     val fwd = p.withColumn("rn", row_number().over(wf))
       .filter(col("rn") <= MarginK)
@@ -272,14 +272,15 @@ object Margin {
     // serializes two materialization jobs back to back. Overlap them
     // from driver threads (the standard concurrent-jobs idiom: the
     // scheduler runs both, each back-filling the other's stage tails).
+    // [[graft.core.JobOverlap]], not the global EC: the dedicated pool
+    // carries the submitting thread's job group / FAIR pool so these
+    // sub-jobs stay cancellable with their query (round-15 advisor).
     // The store build inside [[assignStore]] is synchronized, so the
     // prod arm racing the exact arm is safe.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val exactF = Future(
+    import graft.core.JobOverlap
+    val exactF = JobOverlap.submit(spark.sparkContext)(
       minedPairs(Tables.embeddings(spark, dir)).select("a_id", "b_id"))
-    val prodF = Future(ivfMinedPairs(spark, dir)
+    val prodF = JobOverlap.submit(spark.sparkContext)(ivfMinedPairs(spark, dir)
       .select(col("a_id"), col("b_id"), lit(1L).as("hit")))
     val emb = Tables.embeddings(spark, dir)
     // ONE parity-count job instead of two driver count() actions
@@ -287,8 +288,8 @@ object Margin {
       sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)),
       sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L))).head()
     val grid = cnts.getLong(0) * cnts.getLong(1)
-    val exact = Await.result(exactF, Duration.Inf)
-    val prod = Await.result(prodF, Duration.Inf)
+    val exact = JobOverlap.await(exactF)
+    val prod = JobOverlap.await(prodF)
     val recallAgg = exact.join(prod, Seq("a_id", "b_id"), "left")
       .agg(
         count(lit(1)).as("n_exact_pairs"),

@@ -108,7 +108,7 @@ object Mixture {
       .select(col("source"), col("n_tok"), col("s"),
         expr("CAST(floor((2 * s + 100 * n_tok) / (200.0 * n_tok)) AS LONG)")
           .as("loss_e4"))
-      .localCheckpoint(true)
+      .transform(graft.core.Materialize.once(_))
   }
 
   /** q226 — SOURCE ABLATION (leave-one-source-out data valuation): for

@@ -134,7 +134,7 @@ object Pq {
         .select(col("sub"), col("code").cast("long").as("code"),
           col("n_vecs"), col("distortion_micro"))
         .orderBy("sub", "code")
-        .localCheckpoint(true)
+        .transform(graft.core.Materialize.once(_))
     } finally { q.unpersist(); () }
   }
 

@@ -54,14 +54,14 @@ object Propagate {
     // re-scans and re-tokenizes the CORPUS — the one thing a graph-sized
     // operator must never do more than once. The checkpoint itself is
     // doc-grain (doc_id, int64) — two longs per document.
-    val seeds = graft.core.Tables.fanout(docs.sparkSession, docs)
-      .select(col("doc_id"), size(toks).cast("long").as("nt"),
-        size(array_distinct(toks)).cast("long").as("nd"))
-      .select(col("doc_id"),
-        when(col("nt") === 0L, 0L)
-          .otherwise(expr("least(nt * 10000, 1000000) div 2 + (nd * 500000) div nt"))
-          .as("s"))
-      .localCheckpoint(true)
+    val seeds = graft.core.Materialize.once(
+      graft.core.Tables.fanout(docs.sparkSession, docs)
+        .select(col("doc_id"), size(toks).cast("long").as("nt"),
+          size(array_distinct(toks)).cast("long").as("nd"))
+        .select(col("doc_id"),
+          when(col("nt") === 0L, 0L)
+            .otherwise(expr("least(nt * 10000, 1000000) div 2 + (nd * 500000) div nt"))
+            .as("s")))
     val pairs = nearDupPairs.select("d1", "d2")
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -75,14 +75,13 @@ object Propagate {
     // per round). The checkpoint is graph-sized — (doc_id, int64) for
     // non-isolated docs only.
     def round(scores: DataFrame): DataFrame =
-      edges
+      graft.core.Materialize.once(edges
         .join(scores.withColumnRenamed("doc_id", "src").withColumnRenamed("s", "s_self"), Seq("src"))
         .join(scores.withColumnRenamed("doc_id", "dst").withColumnRenamed("s", "s_nbr"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(max(col("s_self")).as("mx"), sum(col("s_nbr")).as("sm"),
           count(lit(1)).as("dg"))
-        .select(col("doc_id"), expr("(mx + sm) div (1 + dg)").as("s"))
-        .localCheckpoint(true)
+        .select(col("doc_id"), expr("(mx + sm) div (1 + dg)").as("s")))
     val s2 = round(round(seeds))
     s2.select(col("doc_id"), col("s").as("s2_micro"))
       .join(seeds.select(col("doc_id"), col("s").as("s0_micro")), Seq("doc_id"))

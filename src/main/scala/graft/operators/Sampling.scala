@@ -697,7 +697,7 @@ object Sampling {
     val perDoc = feats.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
       .join(docSource.select(col("doc_id"), isTarget.as("tgt"), col("source")),
         Seq("doc_id"))
-      .localCheckpoint(true)
+      .transform(graft.core.Materialize.once(_))
     perDoc.filter(not(col("tgt")))
       .join(broadcast(dsirDeltas(perDoc, nBuckets)), Seq("bucket"))
       .groupBy("doc_id", "source")
@@ -841,7 +841,7 @@ object Sampling {
       .groupBy("source").agg(sum(col("n_tok")).as("avail_tokens"))
       .withColumn("w",
         conv(substring(md5(col("source")), 1, 4), 16, 10).cast("long") % 4 + 1)
-      .localCheckpoint()
+      .transform(graft.core.Materialize.once(_))
     // integer arithmetic throughout (col./ is double division — a
     // 2^53+ corpus would round; div stays exact at any scale)
     val budget = perSource

@@ -656,9 +656,9 @@ object Similarity {
     // pairs feeds two — without the checkpoints the clustered dedup
     // re-runs four times and the exact quadratic twin twice. Both
     // frames are id-grain (≤ 3 int/string columns per vector/pair).
-    val statuses = semDedupStatuses(spark, dir).localCheckpoint(true)
-    val pairs = q31CosineNearDup(spark, dir).select(col("v1"), col("v2"))
-      .localCheckpoint(true)
+    val statuses = graft.core.Materialize.once(semDedupStatuses(spark, dir))
+    val pairs = graft.core.Materialize.once(
+      q31CosineNearDup(spark, dir).select(col("v1"), col("v2")))
     val dupVecs = pairs
       .select(explode(array(col("v1"), col("v2"))).as("vec_id")).distinct()
     val nAgg = statuses.agg(count(lit(1)).as("n_vectors"))

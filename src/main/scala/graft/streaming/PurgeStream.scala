@@ -28,7 +28,7 @@ object PurgeStream {
     * surviving (doc_id, source, n_chars) rows. */
   def q238StreamPurge(spark: SparkSession, dir: String): DataFrame = {
     Sessions.prepare(spark)
-    val tomb = Purge.tombstones(spark, dir).localCheckpoint()
+    val tomb = graft.core.Materialize.once(Purge.tombstones(spark, dir))
     val stream = spark.readStream
       .schema(DedupStream.docSchema)
       .option("pathGlobFilter", "documents.parquet")

@@ -31,7 +31,12 @@ object TimeQuery {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"[timequery] $name: median ${samples(samples.size / 2)}%.3f s " +
+      // true median for even sizes (round-15 advisor): the upper-middle
+      // sample alone reports the MAX as "median" at reps=2
+      val median =
+        if (samples.size % 2 == 1) samples(samples.size / 2)
+        else (samples(samples.size / 2 - 1) + samples(samples.size / 2)) / 2.0
+      println(f"[timequery] $name: median $median%.3f s " +
         f"(min ${samples.head}%.3f, max ${samples.last}%.3f)")
     }
     spark.stop()

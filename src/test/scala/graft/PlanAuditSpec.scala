@@ -228,6 +228,38 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("the two documented scan exceptions read documents EXACTLY once (q129, q159)") {
+    // round-15 optimization, round-15 verdict item 8: dsirFeatures
+    // (q129/q132) and the bigram LM (q159) derive adjacent-pair features
+    // MAP-SIDE from the token array — one doc-grain `documents` scan
+    // replaces a full occurrence-stream shuffle+sort (the old
+    // lead()/lag() windows). These are the ONLY text-family operators
+    // allowed to re-scan `documents` once the stage is warm, and the
+    // bound is exact in BOTH directions: more than one scan = lost
+    // reuse; zero scans = someone "fixed" the exception back onto the
+    // stage + window form, reintroducing the corpus-wide exchange.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansByPath(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => scansByPath(a.executedPlan)
+      case q: QueryStageExec => scansByPath(q.plan)
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString) ++ s.children.flatMap(scansByPath)
+      case o => o.children.flatMap(scansByPath)
+    }
+    val (df159, _) = executed("q159_bigram_lm")
+    val paths159 = scansByPath(df159.queryExecution.executedPlan)
+    assert(paths159.count(_.contains("documents")) == 1,
+      s"q159 documents scans != 1 (the exception allows exactly 1): $paths159")
+    // q129's doc scan runs inside dsirFeatures' eager materialization
+    // (Materialize.once truncates it out of the final plan), so the
+    // exception is pinned on the feature frame's own plan instead
+    val feats = graft.operators.Sampling.dsirFeatures(spark, sf)
+    val pathsF = scansByPath(feats.queryExecution.executedPlan)
+    assert(pathsF.count(_.contains("documents")) == 1,
+      s"dsirFeatures documents scans != 1 (the exception allows exactly 1): $pathsF")
+  }
+
   test("the packing sweep reads documents at most twice — one cumsum shared across budgets (q146)") {
     val (df, _) = executed("q146_packing_sweep")
     val n = parquetScans(df.queryExecution.executedPlan)
