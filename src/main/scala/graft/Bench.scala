@@ -93,6 +93,15 @@ object Bench {
       scala.util.Try(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ")(0)).getOrElse("-1")
     calibrate() // JIT-warm the calibration loop itself, or before > after on any machine
+    // one PROBE = min of two back-to-back calibration runs: the loop
+    // allocates (~100 MB of clones), so on a sweep-warmed heap a single
+    // run can absorb a GC pause and read 1.5-2× high — with 9 probes per
+    // sweep and any tripped segment forcing a retry, that false positive
+    // costs a full re-sweep (observed on this round's first clean-box
+    // run: retry 2 flagged 2/8 segments with endpoints at 0.027). A GC
+    // pause hits one run, not both; sustained external load inflates
+    // both — exactly the signal the probe is for.
+    def probe(): Double = math.min(calibrate(), calibrate())
 
     /** One full timed sweep bracketed AND SEGMENTED by calibrations:
       * `marks(0)` before the first query, one after every
@@ -113,7 +122,7 @@ object Bench {
     val SegmentQueries = 32
     def sweep(): Sweep = {
       val lb = loadavg()
-      val marks = scala.collection.mutable.ArrayBuffer(calibrate())
+      val marks = scala.collection.mutable.ArrayBuffer(probe())
       val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       val res = sorted.zipWithIndex.map { case ((name, fn), idx) =>
         val samples = (1 to reps).map { _ =>
@@ -122,10 +131,10 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         if ((idx + 1) % SegmentQueries == 0 && idx + 1 < sorted.size)
-          marks += calibrate()
+          marks += probe()
         name -> samples.min
       }
-      marks += calibrate()
+      marks += probe()
       Sweep(res, marks.toSeq, lb, loadavg())
     }
     // ABSOLUTE idle reference for the calibration loop: the same loop on
@@ -248,7 +257,7 @@ object Bench {
       } finally spark.conf.unset("spark.graft.streaming.stateStoreProvider")
     // the twin block runs OUTSIDE the sweep's calibration bracket; one
     // closing probe makes its contention state a recorded fact too
-    val calibAfterRocks = calibrate()
+    val calibAfterRocks = probe()
     val qs = (sw.results ++ rocksRows ++ cacheRows)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -387,10 +387,19 @@ object Retrieval {
     // the sparse side scored ONCE (candidate-sized, checkpointed) and
     // fed to BOTH systems — q70 and q113 each rebuild it standalone,
     // but inside one metric query that would double the scoring pass
-    val scores = bm25Scores(
+    val scores = graft.core.Materialize.once(bm25Scores(
       stage.filter(col("token").isNotNull)
         .select(col("doc_id"), col("dl"), col("token")),
-      stats, QuerySet).localCheckpoint()
+      stats, QuerySet))
+    // TRIED AND REJECTED (round-16, the round-15 verdict's item 3): a
+    // driver-thread fork of the two ranker arms (each arm
+    // Materialize.once'd via JobOverlap, the q200 idiom). Measured at
+    // sf0.1/32 cores, min-of-6: 3.767 → 3.869 s (medians 4.03 → 4.20) —
+    // the metric tail is ONE job whose scheduler already interleaves the
+    // two arms' stages off the shared `scores` RDD, so the fork only
+    // added two materialization jobs' fixed cost. Same family as the
+    // r15 negative results (gains checkpoint +0.9 s): this tail has no
+    // serialized independent jobs left to overlap.
     val ranked = rankScores(scores, TopK)
       .select(lit("bm25").as("system"), col("query_id"), col("rnk"), col("doc_id"))
       .unionByName(hybridFromScores(scores, Tables.embeddings(spark, dir),
@@ -468,7 +477,7 @@ object Retrieval {
         col("dcg_units"), col("idcg_units"),
         expr("(dcg_units * 1000000) div greatest(idcg_units, 1)").as("ndcg_micro"),
         coalesce(expr("1000000 div first_rel"), lit(0L)).as("rr_micro"))
-      .localCheckpoint()
+      .transform(graft.core.Materialize.once(_))
     val summary = perQ.groupBy("system")
       .agg(
         sum(col("dcg_units")).as("dcg_units"),
@@ -492,7 +501,7 @@ object Retrieval {
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
       count(lit(1)).as("n"))
     val tok = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
-    val scores = bm25Scores(tok, stats, QuerySet).localCheckpoint()
+    val scores = graft.core.Materialize.once(bm25Scores(tok, stats, QuerySet))
     val ranked = rankScores(scores, TopK)
       .select(lit("bm25").as("system"), col("query_id"), col("rnk"), col("doc_id"))
       .unionByName(hybridFromScores(scores, emb, QuerySet, RrfTopK)

@@ -105,8 +105,14 @@ object DedupStream {
       .toDF("doc_id")
     // distinct AFTER the drain (a doc may collide in several bands): the
     // drained frame is batch data, so no second stateful operator rides
-    // the stream
-    EventStream.drainToFiles(spark, flagged).distinct()
+    // the stream.
+    // State partitions 8 (round-16 sweep): the biggest fixture state in
+    // the bench (~0.5M band-bucket keys) — the per-group screen compute
+    // and commits parallelize past the global default of 4 (warm drain
+    // 2.91 → 2.40 s at sf0.1/32 cores; 16 adds nothing) while the
+    // small-state drains stay at 4 (q77/q208 measured flat-to-worse at
+    // 8, the commit fan-out cost).
+    EventStream.drainToFiles(spark, flagged, statePartsHint = Some("8")).distinct()
   }
 
   /** The batch twin: same [[Dedup.bandBucketsOf]] buckets, same guard,
