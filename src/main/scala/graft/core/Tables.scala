@@ -90,6 +90,26 @@ object Tables {
     else ds.repartition(n)
   }
 
+  /** [[fanout]] additionally gated on the frame's ESTIMATED size (logical
+    * plan stats — file-size-derived for scans, no job): fan out only when
+    * the under-parallelized side is big enough that the per-row kernel
+    * downstream outweighs one round-robin pass over the bytes. The
+    * probe-broadcast cosine scorers (q29 family) are exactly at this
+    * margin — measured at 32 cores: sf0.1 (0.8 MB, kernel tens of ms)
+    * the exchange LOSES 0.48 → 0.62 s warm, at the 10× tree (5 MB) it
+    * WINS 0.824 → 0.585 s median — so the gate defaults to 2 MB
+    * (`spark.graft.probeFanoutMinBytes`), between the two measured
+    * regimes. At deployment scale the scan has thousands of splits and
+    * [[fanout]]'s partition-count condition already makes this a no-op. */
+  def fanoutIfHeavy[T](spark: SparkSession, ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    val minBytes = spark.conf.getOption("spark.graft.probeFanoutMinBytes")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(2L << 20)
+    if (ds.isStreaming || ds.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes)
+      fanout(spark, ds)
+    else ds
+  }
+
   /** Register every table as a temp view named exactly like its file, for
     * the SQL entry points (and the dialect-shim demos) that address tables
     * by name — mirrors how the reference addresses the crawler-registered

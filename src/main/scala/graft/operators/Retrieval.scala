@@ -248,7 +248,8 @@ object Retrieval {
     val probes = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("probe_vec"))
     val denseW = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("doc_id"))
-    val dense = emb.crossJoin(broadcast(probes))
+    val dense = graft.core.Tables.fanoutIfHeavy(emb.sparkSession, emb)
+      .crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         Similarity.cosine(col("probe_vec"), col("embedding")).as("cos_raw"))

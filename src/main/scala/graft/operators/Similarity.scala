@@ -57,7 +57,12 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val probes = emb.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-    val scored = emb.crossJoin(broadcast(probes))
+    // size-gated corpus-side fanout (round-15 verdict item 4 — decided
+    // with data, see Tables.fanoutIfHeavy): a one-row-group embeddings
+    // scan runs this kernel on ONE task; past ~2 MB the 32-way kernel
+    // beats the round-robin pass, below it the exchange costs more than
+    // the tens-of-ms kernel it parallelizes.
+    val scored = graft.core.Tables.fanoutIfHeavy(spark, emb).crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(
         col("probe_id"),
@@ -100,7 +105,10 @@ object Similarity {
     Sessions.prepare(spark)
     val emb = Tables.embeddings(spark, dir)
     val planes = hyperplanes(NumPlanes, 64)
-    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), planes))
+    // the bucket assignment + scoring kernel parallelize together off
+    // the size-gated fanout (the q29 rationale; no-op at fixture size)
+    val bucketed = graft.core.Tables.fanoutIfHeavy(spark, emb)
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
     // probe-side bucket expansion: all masks with ≤2 bits set
     val flips: Seq[Int] = 0 +:
       (0 until NumPlanes).map(1 << _) ++:
@@ -443,7 +451,8 @@ object Similarity {
     val allowed = metaStore(spark, dir).filter(col("source") === FilterSource)
     val probes = emb.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-    val scored = allowed.crossJoin(broadcast(probes))
+    val scored = graft.core.Tables.fanoutIfHeavy(spark, allowed)
+      .crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(
         col("probe_id"),
@@ -808,7 +817,8 @@ object Similarity {
       k: Int): DataFrame = {
     val probes = emb.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("anchor_id"), col("embedding").as("probe_vec"))
-    val scored = emb.crossJoin(broadcast(probes))
+    val scored = graft.core.Tables.fanoutIfHeavy(emb.sparkSession, emb)
+      .crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("anchor_id"))
       .select(
         col("anchor_id"),
@@ -939,9 +949,10 @@ object Similarity {
       .agg(min(col("lrank")).as("lrank"),
         max(cosine(col("probe_vec"), col("embedding"))).as("cos_raw"))
     // the exact twin (q29 arithmetic) as a (probe, neighbor) top-k set
-    val exactScored = emb.crossJoin(broadcast(
-      emb.filter(col("vec_id") < NumProbes)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))))
+    val exactScored = graft.core.Tables.fanoutIfHeavy(emb.sparkSession, emb)
+      .crossJoin(broadcast(
+        emb.filter(col("vec_id") < NumProbes)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         cosine(col("probe_vec"), col("embedding")).as("cos_raw"))

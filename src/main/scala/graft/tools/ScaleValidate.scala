@@ -452,8 +452,46 @@ object ScaleValidate {
       }
     }
 
+    // ---- block 8: the probe-broadcast cosine kernel at 10× ----
+    // round-15 verdict item 4, decided with data: the q29-family kernel
+    // (probes broadcast, corpus streamed) runs on the SCAN's partitions,
+    // and a one-row-group fixture puts the whole kernel on one task.
+    // Tables.fanoutIfHeavy gates a round-robin fanout on the estimated
+    // input size (default ≥2 MB): at sf0.1 (0.8 MB) it must stay a no-op
+    // (the exchange measured SLOWER than the tens-of-ms kernel), at this
+    // tree (≥5 MB) it must engage and the kernel must parallelize.
+    val probeKernel = new Block("probe_kernel")
+    locally {
+      val emb = graft.core.Tables.embeddings(spark, sf1)
+      val scanParts = emb.rdd.getNumPartitions
+      val gated = graft.core.Tables.fanoutIfHeavy(spark, emb)
+      probeKernel.stats("scan_partitions") = scanParts.toLong
+      probeKernel.stats("kernel_partitions") = gated.rdd.getNumPartitions.toLong
+      probeKernel.gate("fanout_engages_at_10x")(
+        gated.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+      def time3(body: => Unit): Long = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1000000
+        }
+        ts.min
+      }
+      val tOn = time3 {
+        graft.operators.Similarity.q29CosineTopK(spark, sf1)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.conf.set("spark.graft.scanFanout", "0")
+      val tOff = try time3 {
+        graft.operators.Similarity.q29CosineTopK(spark, sf1)
+          .write.format("noop").mode("overwrite").save()
+      } finally spark.conf.unset("spark.graft.scanFanout")
+      probeKernel.stats("q29_ms_fanout_on") = tOn
+      probeKernel.stats("q29_ms_fanout_off") = tOff
+      // tolerant bound — this is a recorded comparison, not a race
+      probeKernel.gate("fanout_not_slower")(tOn <= tOff * 3 / 2)
+    }
+
     val blocks = Seq(dedup, serving, linkage, curation, admission, compaction,
-      export)
+      export, probeKernel)
     val ok = blocks.forall(_.checks.values.forall(identity))
     val line =
       s"""{"metric":"scale_validate","ok":$ok,"sf1_dir":"$sf1",""" +
