@@ -224,36 +224,41 @@ object Margin {
     * check the candidate-generation shape (id-only store scans)
     * directly: the tail's checkpoint hides this subplan from the
     * final query's executed plan. */
-  private[graft] def ivfScoredCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfScoredCandidates(spark: SparkSession, dir: String): DataFrame =
+    scoredCandidates(spark, dir, ivfCandidateIds(spark, dir))
+
+  /** The deduped candidate id-pair stream (a_id, b_id) of the
+    * production miner — the two rank-prefix store joins, both
+    * directions, deduplicated. Split out so q200 can materialize it
+    * ONCE for its two consumers (the scoring arm and the
+    * candidates-pruned count — round 16: the count previously re-ran
+    * the whole candidate generation a second time, a full extra pass
+    * of two list-keyed joins + a union distinct per gate run). */
+  private[graft] def ivfCandidateIds(spark: SparkSession, dir: String): DataFrame = {
+    val fwd = storeSide(spark, dir, 0, "a_id", MarginProbeLists)
+      .join(storeSide(spark, dir, 1, "b_id", Similarity.SpillAssign), Seq("list_id"))
+    val bwd = storeSide(spark, dir, 0, "a_id", Similarity.SpillAssign)
+      .join(storeSide(spark, dir, 1, "b_id", MarginProbeLists), Seq("list_id"))
+    fwd.select("a_id", "b_id")
+      .union(bwd.select("a_id", "b_id"))
+      .distinct()
+  }
+
+  /** Vector re-attach + scoring over ANY deduped (a_id, b_id) id
+    * frame (see [[ivfMinedPairs]]' scaladoc for why ids travel the
+    * fan-out and vectors attach here, once per unique pair). */
+  private[graft] def scoredCandidates(spark: SparkSession, dir: String,
+      ids: DataFrame): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val a = emb.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("a_id"), col("embedding").as("va"))
     val b = emb.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
-    val fwd = storeSide(spark, dir, 0, "a_id", MarginProbeLists)
-      .join(storeSide(spark, dir, 1, "b_id", Similarity.SpillAssign), Seq("list_id"))
-    val bwd = storeSide(spark, dir, 0, "a_id", Similarity.SpillAssign)
-      .join(storeSide(spark, dir, 1, "b_id", MarginProbeLists), Seq("list_id"))
-    val ids = fwd.select("a_id", "b_id")
-      .union(bwd.select("a_id", "b_id"))
-      .distinct()
     ids.join(a, Seq("a_id")).join(b, Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         KMeans.halfAway(lit(1e6) *
           Similarity.cosine(col("va"), col("vb"))).as("cm"))
       .filter(col("cm") > 0)
-  }
-
-  /** The deduped candidate-pair count of the production miner — the
-    * q200 gate's pruning fact (how much of the exact grid the blocked
-    * stream actually touches). */
-  private[graft] def ivfCandidateCount(spark: SparkSession, dir: String): DataFrame = {
-    val fwd = storeSide(spark, dir, 0, "a_id", MarginProbeLists)
-      .join(storeSide(spark, dir, 1, "b_id", Similarity.SpillAssign), Seq("list_id"))
-    val bwd = storeSide(spark, dir, 0, "a_id", Similarity.SpillAssign)
-      .join(storeSide(spark, dir, 1, "b_id", MarginProbeLists), Seq("list_id"))
-    fwd.select("a_id", "b_id").union(bwd.select("a_id", "b_id"))
-      .distinct().agg(count(lit(1)).as("n_cand"))
   }
 
   /** q200 — the production-miner GATE (the q43 convention):
@@ -280,8 +285,15 @@ object Margin {
     import graft.core.JobOverlap
     val exactF = JobOverlap.submit(spark.sparkContext)(
       minedPairs(Tables.embeddings(spark, dir)).select("a_id", "b_id"))
-    val prodF = JobOverlap.submit(spark.sparkContext)(ivfMinedPairs(spark, dir)
-      .select(col("a_id"), col("b_id"), lit(1L).as("hit")))
+    // the candidate id set materialized ONCE (round 16): it feeds both
+    // the prod arm's scoring and the candidates-pruned count, which
+    // previously re-ran the whole candidate generation; candidate-grain
+    // (two int64s per pair). Built on this thread while the exact arm
+    // runs, then the prod arm forks off the materialized frame.
+    val candIds = graft.core.Materialize.once(ivfCandidateIds(spark, dir))
+    val prodF = JobOverlap.submit(spark.sparkContext)(
+      marginRankTail(scoredCandidates(spark, dir, candIds))
+        .select(col("a_id"), col("b_id"), lit(1L).as("hit")))
     val emb = Tables.embeddings(spark, dir)
     // ONE parity-count job instead of two driver count() actions
     val cnts = emb.agg(
@@ -295,7 +307,7 @@ object Margin {
         count(lit(1)).as("n_exact_pairs"),
         ((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
           >= MarginRecallFloor).as("recall_ok"))
-    recallAgg.crossJoin(broadcast(ivfCandidateCount(spark, dir)))
+    recallAgg.crossJoin(broadcast(candIds.agg(count(lit(1)).as("n_cand"))))
       .select(col("n_exact_pairs"), col("recall_ok"),
         (col("n_cand") < lit(grid)).as("candidates_pruned"))
   }
